@@ -1,0 +1,52 @@
+"""Color-space transforms (BT.709 full range) for point-cloud attributes.
+
+Numerically equivalent to the reference's ``rgb_to_yuv``
+(``/root/reference/python/utils.py:4-33``): RGB in [0, 255] is scaled to
+[0, 1], transformed by the BT.709 full-range matrix with 128/255 chroma
+offsets, clamped to [0, 1] and rescaled to [0, 255]. We additionally provide
+the exact inverse (the reference has none).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# BT.709 full-range: columns are (Y, U, V) weights for (R, G, B).
+_RGB2YUV = (
+    (0.2126, -0.114572, 0.5),
+    (0.7152, -0.385428, -0.454153),
+    (0.0722, 0.5, -0.045847),
+)
+_CHROMA_OFFSET = 128.0 / 255.0  # 0.50196078...
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def rgb_to_yuv(rgb: jnp.ndarray, dtype=jnp.float64) -> jnp.ndarray:
+    """RGB [0,255] -> YUV [0,255] (BT.709 full range, clipped).
+
+    Args:
+        rgb: ``(N, 3)`` array, any numeric dtype, values in [0, 255].
+        dtype: computation/output float dtype.
+    """
+    if rgb.ndim != 2 or rgb.shape[1] != 3:
+        raise ValueError(f"expected (N, 3) array, got {rgb.shape}")
+    rgb = rgb.astype(dtype) / 255.0
+    M = jnp.asarray(_RGB2YUV, dtype=dtype)
+    yuv = rgb @ M + jnp.asarray([0.0, _CHROMA_OFFSET, _CHROMA_OFFSET], dtype=dtype)
+    return jnp.clip(yuv, 0.0, 1.0) * 255.0
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def yuv_to_rgb(yuv: jnp.ndarray, dtype=jnp.float64) -> jnp.ndarray:
+    """Inverse of :func:`rgb_to_yuv` (modulo the forward clipping)."""
+    if yuv.ndim != 2 or yuv.shape[1] != 3:
+        raise ValueError(f"expected (N, 3) array, got {yuv.shape}")
+    yuv = yuv.astype(dtype) / 255.0
+    yuv = yuv - jnp.asarray([0.0, _CHROMA_OFFSET, _CHROMA_OFFSET], dtype=dtype)
+    M = jnp.asarray(_RGB2YUV, dtype=dtype)
+    Minv = jnp.linalg.inv(M)
+    rgb = yuv @ Minv
+    return jnp.clip(rgb, 0.0, 1.0) * 255.0

@@ -1,0 +1,275 @@
+"""Region-Adaptive Hierarchical Transform (RAHT) as dense masked butterflies.
+
+The reference implements RAHT with ragged per-level index lists built by a
+"prelude" (``/root/reference/python/RAHT_param.py``) and consumed by per-level
+gather/scatter butterflies (``/root/reference/python/RAHT.py:253-336``,
+``/root/reference/python/iRAHT.py:40-114``). Ragged lists are hostile to XLA
+(dynamic shapes, per-level dispatch), so this module uses a different — but
+numerically identical — formulation designed for TPU:
+
+**Dense state.** Keep a length-N state: coefficients ``T (N, D)``, accumulated
+node weights ``w (N,)``, and an ``active`` mask. At level ``j`` a node pairs
+with its successor in the active set iff their codes agree on bits
+``[j, L)`` — exactly the reference's flag condition
+(``RAHT_param.py:65-70``). Successor/predecessor of each active position are
+computed with O(N) associative scans; the butterfly is then a fixed-shape
+gather + masked elementwise update. Merged right-siblings are deactivated.
+All 3J levels run inside one ``lax.fori_loop`` — a single compiled XLA
+program, no host round-trips, no dynamic shapes.
+
+**Invisible padding.** A slot with weight 0 degenerates the butterfly to the
+identity (a=1, b=0), so padded slots are *algebraically invisible*: they
+change no real coefficient and no real weight. Padding slots get sentinel
+codes above the real code range (``ops/morton.py:pad_code``) so they never
+pair with a real node until the real octree has fully merged (by level
+``3*depth``), at which point the real DC merges a zero-weight pad root —
+another exact no-op. This gives static shapes + shape bucketing with *bitwise
+the same* real outputs as an unpadded run.
+
+**Structure replay for decoding.** The forward pass records, per slot, the
+level at which it merged into its left sibling (``drop_level``; 0 for the
+lone survivor) and its subtree weight at that moment (``subtree_w``). These
+O(N) arrays are sufficient to replay the pairing structure top-down for the
+inverse transform — and the decoder can recompute them from the (losslessly
+transmitted) positions alone via :func:`raht_structure`, mirroring how the
+reference decoder re-runs ``RAHT_param``.
+
+Pairs are well defined (no node is simultaneously a left and a right sibling)
+because codes are unique and sorted: three consecutive active nodes can never
+share the masked prefix at one level — two of them would have to agree on bit
+``j-1`` and all higher bits, contradicting sortedness between them. This is
+why the transform requires *voxelized* (duplicate-free) input; multiplicity
+is carried by the initial weight vector instead (``voxelize.counts``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from raht3dgs_tpu.ops.morton import internal_payload_bits
+
+
+def num_levels(depth: int, n: int) -> int:
+    """Total butterfly levels for an ``n``-slot transform at octree depth J.
+
+    Real nodes fully merge within ``3*depth`` levels (reference semantics);
+    one extra level range covers the padding subtree and its final no-op merge
+    with the real root.
+    """
+    return internal_payload_bits(depth, n) + 1
+
+
+class RahtStructure(NamedTuple):
+    drop_level: jnp.ndarray  # (N,) int32 — level the slot merged right-into-left; 0 = survivor
+    subtree_w: jnp.ndarray   # (N,) float — accumulated weight when merged (survivor: final)
+
+
+class RahtForwardResult(NamedTuple):
+    coeffs: jnp.ndarray      # (N, D) transform coefficients, in sorted-code order
+    weights: jnp.ndarray     # (N,) final accumulated node weights (reference w output)
+    structure: RahtStructure
+
+
+def _succ_active(active: jnp.ndarray) -> jnp.ndarray:
+    """For each position, the next strictly-greater active index (N if none)."""
+    N = active.shape[0]
+    idx = jnp.where(active, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
+    incl = lax.associative_scan(jnp.minimum, idx, reverse=True)
+    return jnp.concatenate([incl[1:], jnp.full((1,), N, dtype=jnp.int32)])
+
+
+def _pred_active(active: jnp.ndarray) -> jnp.ndarray:
+    """For each position, the previous strictly-smaller active index (-1 if none)."""
+    N = active.shape[0]
+    idx = jnp.where(active, jnp.arange(N, dtype=jnp.int32), jnp.int32(-1))
+    incl = lax.associative_scan(jnp.maximum, idx)
+    return jnp.concatenate([jnp.full((1,), -1, dtype=jnp.int32), incl[:-1]])
+
+
+def _level_pairs(
+    codes: jnp.ndarray, active: jnp.ndarray, j: jnp.ndarray, levels: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Left mask, right mask, and partner index for butterfly level ``j``.
+
+    Mirrors the reference flag rule ``(MC[k] ^ MC[k+1]) & (2^L - 2^j) == 0``
+    over consecutive *active* entries (``RAHT_param.py:65-70``).
+    """
+    N = codes.shape[0]
+    succ = _succ_active(active)
+    pred = _pred_active(active)
+    succ_c = jnp.minimum(succ, N - 1)
+    pred_c = jnp.maximum(pred, 0)
+    mask = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << j.astype(jnp.int64))
+    left = active & (succ < N) & (((codes ^ codes[succ_c]) & mask) == 0)
+    right = active & (pred >= 0) & left[pred_c]
+    partner = jnp.where(left, succ_c, pred_c)
+    return left, right, partner
+
+
+def _butterfly_ab(w0, w1):
+    """Orthonormal butterfly coefficients; identity for zero-weight pairs."""
+    denom = w0 + w1
+    safe = denom > 0
+    d = jnp.where(safe, denom, 1)
+    a = jnp.where(safe, jnp.sqrt(w0 / d), 1.0)
+    b = jnp.where(safe, jnp.sqrt(w1 / d), 0.0)
+    return a, b
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_forward(
+    codes: jnp.ndarray,
+    attributes: jnp.ndarray,
+    weights: jnp.ndarray,
+    depth: int,
+) -> RahtForwardResult:
+    """Forward RAHT over Morton-sorted unique ``codes``.
+
+    Args:
+        codes: ``(N,)`` int64, strictly increasing; padding slots must carry
+            sentinel codes (``pad_code``) and ``weights == 0``.
+        attributes: ``(N, D)`` float attributes (pad rows: anything; their
+            coefficients stay untouched and are reported as-is).
+        weights: ``(N,)`` float initial weights (voxel point counts; 1 for
+            unit-weight voxels, 0 for padding).
+        depth: octree depth J (static).
+
+    Returns:
+        Coefficients in place (slot k holds the coefficient the reference's
+        ``RAHT2_optimized`` leaves at position k), final node weights (with
+        the reference's ``w[i1] = w[i0]`` behavior), and the replayable
+        structure. Equivalent to ``RAHT.py:253-336`` on voxelized input.
+    """
+    N, D = attributes.shape
+    levels = num_levels(depth, N)
+    fdtype = attributes.dtype
+    w0_init = weights.astype(fdtype)
+
+    def body(j, state):
+        T, w, active, drop, ws = state
+        left, right, partner = _level_pairs(codes, active, j, levels)
+        touched = left | right
+        Tp = T[partner]
+        wp = w[partner]
+        w0 = jnp.where(left, w, wp)
+        w1 = jnp.where(left, wp, w)
+        a, b = _butterfly_ab(w0, w1)
+        x0 = jnp.where(left[:, None], T, Tp)
+        x1 = jnp.where(left[:, None], Tp, T)
+        lo = (a[:, None] * x0 + b[:, None] * x1)
+        hi = (-b[:, None] * x0 + a[:, None] * x1)
+        T = jnp.where(
+            touched[:, None], jnp.where(left[:, None], lo, hi), T
+        )
+        ws = jnp.where(right, w, ws)
+        w = jnp.where(touched, w0 + w1, w)
+        drop = jnp.where(right, j.astype(jnp.int32), drop)
+        active = active & ~right
+        return T, w, active, drop, ws
+
+    init = (
+        attributes,
+        w0_init,
+        jnp.ones((N,), dtype=bool),
+        jnp.zeros((N,), dtype=jnp.int32),
+        jnp.zeros((N,), dtype=fdtype),
+    )
+    T, w, active, drop, ws = lax.fori_loop(1, levels + 1, body, init)
+    ws = jnp.where(active, w, ws)  # survivors: final weight
+    return RahtForwardResult(
+        coeffs=T, weights=w, structure=RahtStructure(drop_level=drop, subtree_w=ws)
+    )
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_structure(
+    codes: jnp.ndarray, weights: jnp.ndarray, depth: int
+) -> RahtStructure:
+    """Structure-only forward pass (no attributes) — the decoder's prelude.
+
+    Recomputes ``drop_level``/``subtree_w`` from positions alone, mirroring
+    how the reference decoder re-runs ``RAHT_param`` before ``inverse_RAHT``
+    (``/root/reference/python/encode_ply.py:115,208``).
+    """
+    N = codes.shape[0]
+    levels = num_levels(depth, N)
+    fdtype = weights.dtype
+
+    def body(j, state):
+        w, active, drop, ws = state
+        left, right, partner = _level_pairs(codes, active, j, levels)
+        touched = left | right
+        wp = w[partner]
+        ws = jnp.where(right, w, ws)
+        w = jnp.where(touched, w + wp, w)
+        drop = jnp.where(right, j.astype(jnp.int32), drop)
+        active = active & ~right
+        return w, active, drop, ws
+
+    init = (
+        weights.astype(fdtype),
+        jnp.ones((N,), dtype=bool),
+        jnp.zeros((N,), dtype=jnp.int32),
+        jnp.zeros((N,), dtype=fdtype),
+    )
+    w, active, drop, ws = lax.fori_loop(1, levels + 1, body, init)
+    ws = jnp.where(active, w, ws)
+    return RahtStructure(drop_level=drop, subtree_w=ws)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_inverse(
+    coeffs: jnp.ndarray,
+    structure: RahtStructure,
+    depth: int,
+) -> jnp.ndarray:
+    """Inverse RAHT: replay the pairing structure top-down.
+
+    At level ``j`` (descending), the active-set *before* the forward merge is
+    ``{drop == 0} ∪ {drop >= j}``; right siblings are ``drop == j`` and their
+    left partner is their predecessor in that set. Pair weights are recovered
+    from ``subtree_w``: the right's weight is its recorded subtree weight, the
+    left's is its current (post-merge) weight minus it. Numerically identical
+    to ``iRAHT.py:40-114``.
+    """
+    N, D = coeffs.shape
+    levels = num_levels(depth, N)
+    drop = structure.drop_level
+    ws = structure.subtree_w.astype(coeffs.dtype)
+
+    def body(k, state):
+        C, wcur = state
+        j = levels - k
+        active_pre = (drop == 0) | (drop >= j)
+        right = drop == j
+        succ = _succ_active(active_pre)
+        pred = _pred_active(active_pre)
+        succ_c = jnp.minimum(succ, N - 1)
+        pred_c = jnp.maximum(pred, 0)
+        left = active_pre & (succ < N) & right[succ_c]
+        partner = jnp.where(left, succ_c, pred_c)
+        touched = left | right
+        w1 = jnp.where(left, ws[partner], ws)
+        denom = jnp.where(left, wcur, wcur[partner])
+        w0 = denom - w1
+        a, b = _butterfly_ab(w0, w1)
+        Cp = C[partner]
+        t0 = jnp.where(left[:, None], C, Cp)
+        t1 = jnp.where(left[:, None], Cp, C)
+        lo = a[:, None] * t0 - b[:, None] * t1
+        hi = b[:, None] * t0 + a[:, None] * t1
+        C = jnp.where(
+            touched[:, None], jnp.where(left[:, None], lo, hi), C
+        )
+        wcur = jnp.where(left, w0, jnp.where(right, w1, wcur))
+        return C, wcur
+
+    init = (coeffs, ws)
+    C, _ = lax.fori_loop(0, levels, body, init)
+    return C

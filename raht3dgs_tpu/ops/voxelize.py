@@ -1,0 +1,142 @@
+"""Morton-order voxelization with duplicate-voxel attribute merging.
+
+TPU-native counterpart of the reference's ``voxelize_pc_batched``
+(``/root/reference/python/voxelize_pc.py:62-172``): shift by ``vmin``,
+quantize by ``width / 2**J`` with clamp, sort by Morton code, detect voxel
+boundaries, and average attributes per voxel — but expressed as one jittable
+XLA program with **static shapes**: instead of returning ``Nvox``-sized arrays
+(data-dependent!), every per-voxel output is padded to the input length ``N``
+with explicitly invalid slots (zero weight + sentinel codes that the RAHT
+treats as no-ops), and the true voxel count is returned as a device scalar.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import ops as jops
+
+from raht3dgs_tpu.ops.morton import morton_decode, morton_encode, pad_code
+
+
+class VoxelizeResult(NamedTuple):
+    """Padded, Morton-sorted voxelization output (all shapes static in N).
+
+    Slots ``[0, nvox)`` of the per-voxel arrays are real voxels in ascending
+    Morton order; slots ``[nvox, N)`` are padding with ``counts == 0`` and
+    sentinel ``codes`` that sort above every real code.
+    """
+
+    codes: jnp.ndarray        # (N,) int64 voxel Morton codes (pad: sentinels)
+    positions: jnp.ndarray    # (N, 3) int64 integer voxel coords (pad: 0)
+    attributes: jnp.ndarray   # (N, D) per-voxel mean attributes (pad: 0)
+    counts: jnp.ndarray       # (N,) float — points per voxel (pad: 0)
+    nvox: jnp.ndarray         # () int32 — number of real voxels
+    sort_idx: jnp.ndarray     # (N,) int32 — permutation sorting points by code
+    point_voxel: jnp.ndarray  # (N,) int32 — voxel slot of each *sorted* point
+    delta_pos: jnp.ndarray    # (N, 3) float — sorted-point position residuals
+    delta_attr: jnp.ndarray   # (N, D) float — sorted-point attribute residuals
+    voxel_size: jnp.ndarray   # () float
+    vmin: jnp.ndarray         # (3,) float
+    width: jnp.ndarray        # () float
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def voxelize(
+    PC: jnp.ndarray,
+    depth: int,
+    vmin: Optional[jnp.ndarray] = None,
+    width: Optional[jnp.ndarray] = None,
+    n_valid: Optional[jnp.ndarray] = None,
+) -> VoxelizeResult:
+    """Voxelize a point cloud onto a ``2**depth`` cubic grid.
+
+    Args:
+        PC: ``(N, 3+D)`` float array — positions followed by D attributes.
+        depth: octree depth J (static).
+        vmin: optional ``(3,)`` minimum corner; defaults to per-axis min.
+        width: optional scalar bounding-box width; defaults to max extent.
+        n_valid: optional scalar — number of valid leading rows; trailing rows
+            are treated as padding (they sort last and produce pad voxels).
+
+    Returns:
+        :class:`VoxelizeResult` with all arrays padded to length N.
+    """
+    N = PC.shape[0]
+    D = PC.shape[1] - 3
+    fdtype = PC.dtype
+    V = PC[:, :3]
+    C = PC[:, 3:]
+
+    row = jnp.arange(N, dtype=jnp.int32)
+    if n_valid is None:
+        valid_in = jnp.ones((N,), dtype=bool)
+    else:
+        valid_in = row < jnp.asarray(n_valid, dtype=jnp.int32)
+
+    if vmin is None:
+        vmin = jnp.min(jnp.where(valid_in[:, None], V, jnp.inf), axis=0)
+    else:
+        vmin = jnp.asarray(vmin, dtype=fdtype)
+    V0 = V - vmin[None, :]
+    if width is None:
+        width = jnp.max(jnp.where(valid_in[:, None], V0, -jnp.inf))
+    else:
+        width = jnp.asarray(width, dtype=fdtype)
+
+    voxel_size = width / (2 ** depth)
+    Vint = jnp.clip(
+        jnp.floor(V0 / voxel_size).astype(jnp.int64), 0, (1 << depth) - 1
+    )
+    M = morton_encode(Vint, depth)
+    # Invalid input rows get sentinel codes so they sort after every real code.
+    M = jnp.where(valid_in, M, pad_code(depth, N, row))
+
+    sort_idx = jnp.argsort(M).astype(jnp.int32)
+    Ms = M[sort_idx]
+    V0s = V0[sort_idx]
+    Cs = C[sort_idx]
+    valid_s = valid_in[sort_idx]  # == row < n_valid since pads sort last
+
+    first = jnp.concatenate([jnp.ones((1,), bool), Ms[1:] != Ms[:-1]])
+    point_voxel = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.int32)
+    nvox = jnp.sum((first & valid_s).astype(jnp.int32))
+
+    slot = row
+    counts = jops.segment_sum(
+        valid_s.astype(fdtype), point_voxel, num_segments=N
+    )
+    Csum = jops.segment_sum(
+        jnp.where(valid_s[:, None], Cs, 0), point_voxel, num_segments=N
+    )
+    Cvox = Csum / jnp.maximum(counts, 1)[:, None]
+
+    codes = jops.segment_max(Ms, point_voxel, num_segments=N)
+    real = slot < nvox
+    codes = jnp.where(real, codes, pad_code(depth, N, slot))
+    positions = jnp.where(real[:, None], morton_decode(codes, depth), 0)
+    counts = jnp.where(real, counts, 0)
+    Cvox = jnp.where(real[:, None], Cvox, 0)
+
+    corner = voxel_size * jnp.floor(V0s / voxel_size)
+    delta_pos = jnp.where(valid_s[:, None], V0s - corner, 0)
+    delta_attr = jnp.where(valid_s[:, None], Cs - Cvox[point_voxel], 0)
+
+    return VoxelizeResult(
+        codes=codes,
+        positions=positions,
+        attributes=Cvox,
+        counts=counts,
+        nvox=nvox,
+        sort_idx=sort_idx,
+        point_voxel=point_voxel,
+        delta_pos=delta_pos,
+        delta_attr=delta_attr,
+        voxel_size=jnp.asarray(voxel_size, dtype=fdtype),
+        vmin=vmin.astype(fdtype),
+        width=jnp.asarray(width, dtype=fdtype),
+    )

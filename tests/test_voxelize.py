@@ -1,0 +1,102 @@
+import numpy as np
+import jax.numpy as jnp
+
+from raht3dgs_tpu.ops.voxelize import voxelize
+from raht3dgs_tpu.ops.prelude import morton_codes_np
+from conftest import make_cloud
+
+
+def _voxelize_np(PC, depth, vmin=None, width=None):
+    """Straightforward numpy model of voxelize_pc_batched semantics."""
+    V, C = PC[:, :3], PC[:, 3:]
+    if vmin is None:
+        vmin = V.min(axis=0)
+    V0 = V - vmin
+    if width is None:
+        width = V0.max()
+    vs = width / 2**depth
+    Vint = np.clip(np.floor(V0 / vs).astype(np.int64), 0, 2**depth - 1)
+    codes = morton_codes_np(Vint, depth)
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    uniq, inv_start = np.unique(cs, return_index=True)
+    means = np.stack(
+        [C[order][cs == u].mean(axis=0) for u in uniq]
+    )
+    counts = np.array([(cs == u).sum() for u in uniq], dtype=float)
+    return uniq, means, counts, vs, vmin, width
+
+
+def test_matches_numpy_model(rng):
+    depth = 4
+    PC = make_cloud(rng, 300, depth, dup_frac=0.5)
+    res = voxelize(jnp.asarray(PC), depth)
+    uniq, means, counts, vs, vmin, width = _voxelize_np(PC, depth)
+    nvox = int(res.nvox)
+    assert nvox == len(uniq)
+    np.testing.assert_array_equal(np.asarray(res.codes)[:nvox], uniq)
+    np.testing.assert_allclose(
+        np.asarray(res.attributes)[:nvox], means, rtol=1e-9
+    )
+    np.testing.assert_array_equal(np.asarray(res.counts)[:nvox], counts)
+    assert np.isclose(float(res.voxel_size), vs)
+    # Padding slots: zero weight, sentinel codes strictly above real range.
+    pads = np.asarray(res.codes)[nvox:]
+    assert np.all(np.asarray(res.counts)[nvox:] == 0)
+    assert np.all(pads > (1 << (3 * depth)) - 1)
+    assert np.all(np.diff(np.asarray(res.codes)) > 0)  # sorted, unique
+
+
+def test_positions_decode(rng):
+    depth = 6
+    PC = make_cloud(rng, 500, depth)
+    res = voxelize(jnp.asarray(PC), depth)
+    nvox = int(res.nvox)
+    pos = np.asarray(res.positions)[:nvox]
+    assert pos.min() >= 0 and pos.max() < 2**depth
+    codes = morton_codes_np(pos, depth)
+    np.testing.assert_array_equal(codes, np.asarray(res.codes)[:nvox])
+
+
+def test_residuals_reconstruct(rng):
+    depth = 5
+    PC = make_cloud(rng, 400, depth, dup_frac=0.3)
+    res = voxelize(jnp.asarray(PC), depth)
+    # sorted point attrs == voxel mean + delta
+    sorted_attrs = PC[np.asarray(res.sort_idx), 3:]
+    rec = (
+        np.asarray(res.attributes)[np.asarray(res.point_voxel)]
+        + np.asarray(res.delta_attr)
+    )
+    np.testing.assert_allclose(rec, sorted_attrs, rtol=1e-9, atol=1e-9)
+
+
+def test_n_valid_padding(rng):
+    depth = 5
+    PC = make_cloud(rng, 256, depth)
+    PCpad = np.concatenate([PC, np.full((64, PC.shape[1]), 1e9)], axis=0)
+    res = voxelize(jnp.asarray(PC), depth)
+    res_p = voxelize(jnp.asarray(PCpad), depth, n_valid=jnp.asarray(256))
+    nvox = int(res.nvox)
+    assert int(res_p.nvox) == nvox
+    np.testing.assert_array_equal(
+        np.asarray(res_p.codes)[:nvox], np.asarray(res.codes)[:nvox]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_p.attributes)[:nvox],
+        np.asarray(res.attributes)[:nvox],
+        rtol=1e-12,
+    )
+    assert np.all(np.asarray(res_p.counts)[nvox:] == 0)
+
+
+def test_vmin_width_overrides(rng):
+    depth = 4
+    PC = make_cloud(rng, 100, depth)
+    vmin = np.zeros(3)
+    width = float(2**depth)
+    res = voxelize(jnp.asarray(PC), depth, vmin=jnp.asarray(vmin), width=width)
+    # With width=2^J, voxel_size == 1, so integer coords == floor(position)
+    nvox = int(res.nvox)
+    assert np.isclose(float(res.voxel_size), 1.0)
+    assert nvox <= 100
