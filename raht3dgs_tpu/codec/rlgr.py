@@ -1,0 +1,166 @@
+"""RLGR entropy-coding front-end: native C++ backend with Python fallback.
+
+The reference ships its coder as a pybind11 extension
+(``/root/reference/python/PyRLGR``) that crosses the binding with
+``list[int]`` copies — the single worst boundary cost in its pipeline
+(SURVEY.md §3). Here the native backend is a plain C shared library built
+on first use and called through ctypes directly on contiguous numpy buffers:
+zero Python-object traffic on the hot path.
+
+Streams are bit-identical between the native and Python backends (asserted
+in tests) and with the reference coder's automaton.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import time
+import warnings
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from raht3dgs_tpu.codec import _rlgr_py
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "rlgr.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "librlgr.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried_build = False
+
+
+def _build_native() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB
+    except Exception as e:  # pragma: no cover - toolchain missing
+        warnings.warn(f"could not build native RLGR library: {e}")
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried_build
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    ):
+        if _tried_build:
+            return None
+        _tried_build = True
+        if _build_native() is None:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError as e:  # pragma: no cover
+        warnings.warn(f"could not load native RLGR library: {e}")
+        return None
+    lib.rlgr_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.rlgr_encode.restype = ctypes.c_int
+    lib.rlgr_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t,
+    ]
+    lib.rlgr_decode.restype = ctypes.c_int
+    lib.rlgr_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def rlgr_encode(
+    values: np.ndarray, signed: bool = True, backend: str = "auto"
+) -> Tuple[bytes, int]:
+    """Encode an integer array; returns ``(stream, elapsed_ns)``.
+
+    The elapsed time mirrors the reference's in-coder ns timers
+    (``membuf.cpp:340-341``) for CSV schema parity.
+    """
+    seq = np.ascontiguousarray(values, dtype=np.int64).ravel()
+    lib = _load() if backend in ("auto", "native") else None
+    if backend == "native" and lib is None:
+        raise RuntimeError("native RLGR backend unavailable")
+    t0 = time.perf_counter_ns()
+    if lib is not None and backend != "python":
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_size_t()
+        rc = lib.rlgr_encode(
+            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seq), int(signed), ctypes.byref(out), ctypes.byref(out_len),
+        )
+        if rc != 0:
+            raise RuntimeError(f"rlgr_encode failed (rc={rc})")
+        data = ctypes.string_at(out, out_len.value)
+        lib.rlgr_buffer_free(out)
+    else:
+        data = _rlgr_py.encode(seq.tolist(), signed=signed)
+    return data, time.perf_counter_ns() - t0
+
+
+def rlgr_decode(
+    stream: bytes, n: int, signed: bool = True, backend: str = "auto"
+) -> Tuple[np.ndarray, int]:
+    """Decode ``n`` symbols; returns ``(int64 array, elapsed_ns)``."""
+    lib = _load() if backend in ("auto", "native") else None
+    if backend == "native" and lib is None:
+        raise RuntimeError("native RLGR backend unavailable")
+    t0 = time.perf_counter_ns()
+    if lib is not None and backend != "python":
+        out = np.empty(n, dtype=np.int64)
+        buf = (ctypes.c_uint8 * len(stream)).from_buffer_copy(stream)
+        rc = lib.rlgr_decode(
+            buf, len(stream), int(signed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        )
+        if rc != 0:
+            raise RuntimeError(f"rlgr_decode failed (rc={rc})")
+    else:
+        out = np.asarray(_rlgr_py.decode(stream, n, signed=signed), dtype=np.int64)
+    return out, time.perf_counter_ns() - t0
+
+
+class MemBuf:
+    """Compatibility shim mirroring the reference's ``rlgr.membuf`` API
+    (``/root/reference/python/PyRLGR/src/libs/rlgr/bindings.cpp:34-57``):
+    write-mode constructor, read-mode constructor from a byte buffer,
+    ``rlgrWrite``/``rlgrRead`` returning (ns, ...), ``get_buffer``,
+    ``buffer_size`` and ``close``."""
+
+    def __init__(self, buffer: Optional[bytes] = None):
+        self._read_buf = bytes(buffer) if buffer is not None else None
+        self._write_buf: Optional[bytes] = None
+
+    def rlgrWrite(self, values: List[int], flagSigned: int = 1) -> int:
+        data, ns = rlgr_encode(np.asarray(values, dtype=np.int64), bool(flagSigned))
+        self._write_buf = data
+        return ns
+
+    def rlgrRead(self, n: int, flagSigned: int = 1) -> Tuple[int, List[int]]:
+        assert self._read_buf is not None, "MemBuf not opened for reading"
+        out, ns = rlgr_decode(self._read_buf, n, bool(flagSigned))
+        return ns, out.tolist()
+
+    def get_buffer(self) -> bytes:
+        assert self._write_buf is not None
+        return self._write_buf
+
+    def buffer_size(self) -> int:
+        buf = self._write_buf if self._write_buf is not None else self._read_buf
+        return 0 if buf is None else len(buf)
+
+    def close(self) -> None:
+        pass

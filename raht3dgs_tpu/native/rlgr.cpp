@@ -1,0 +1,268 @@
+// Adaptive Run-Length Golomb-Rice (RLGR) entropy coder — native backend.
+//
+// Implements the Malvar DCC'06 adaptive automaton with the same parameters
+// as the reference coder (L=4, U0=3, D0=1, U1=2, D1=1, unary prefix capped
+// at 32 with a 32-bit escape, k_RP clamped to 32*L; see
+// /root/reference/python/PyRLGR/src/libs/rlgr/membuf.{h,cpp} for the
+// behavioral spec) so that produced bitstreams are byte-identical.
+//
+// Exposed as a plain C API for ctypes (no pybind11 dependency):
+//   rlgr_encode / rlgr_decode / rlgr_buffer_free.
+// Unlike the reference (per-channel std::vector<int64_t> copies through
+// pybind11), this API operates directly on caller-owned contiguous arrays.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t kFrac = 4;        // L: fractional adaptation units
+constexpr uint64_t kUpNoRun = 3;     // U0
+constexpr uint64_t kDownNoRun = 1;   // D0
+constexpr uint64_t kUpRun = 2;       // U1
+constexpr uint64_t kDownRun = 1;     // D1
+constexpr uint64_t kEscapePrefix = 32;
+constexpr uint64_t kMaxKRP = 32 * kFrac;
+
+inline uint64_t zigzag(int64_t v) {
+  return v < 0 ? (static_cast<uint64_t>(-v) << 1) - 1
+               : static_cast<uint64_t>(v) << 1;
+}
+
+inline int64_t unzigzag(uint64_t u) {
+  int64_t half = static_cast<int64_t>(u >> 1);
+  return (u & 1) ? -half - 1 : half;
+}
+
+class BitSink {
+ public:
+  void put_bits(uint64_t value, unsigned nbits) {
+    // MSB-first accumulation; nbits <= 57 per call keeps acc_ overflow-free.
+    while (nbits > 32) {
+      put_bits(value >> 32, nbits - 32);
+      value &= 0xFFFFFFFFull;
+      nbits = 32;
+    }
+    acc_ = (acc_ << nbits) | (value & ((nbits == 64) ? ~0ull : ((1ull << nbits) - 1)));
+    count_ += nbits;
+    while (count_ >= 8) {
+      count_ -= 8;
+      bytes_.push_back(static_cast<uint8_t>((acc_ >> count_) & 0xFF));
+    }
+  }
+
+  void put_unary(uint64_t ones) {
+    // `ones` 1-bits followed by a 0 terminator.
+    while (ones >= 32) {
+      put_bits(0xFFFFFFFFull, 32);
+      ones -= 32;
+    }
+    put_bits(((1ull << (ones + 1)) - 1) - 1, static_cast<unsigned>(ones + 1));
+  }
+
+  void finish() {
+    if (count_ > 0) put_bits(0, static_cast<unsigned>(8 - count_));
+  }
+
+  std::vector<uint8_t>& bytes() { return bytes_; }
+
+ private:
+  std::vector<uint8_t> bytes_;
+  uint64_t acc_ = 0;
+  unsigned count_ = 0;
+};
+
+class BitSource {
+ public:
+  BitSource(const uint8_t* data, size_t len) : data_(data), len_(len) {}
+
+  inline unsigned get_bit() {
+    if (count_ == 0) refill();
+    if (count_ == 0) return 0;  // past end: zeros (padded stream)
+    count_--;
+    return static_cast<unsigned>((acc_ >> count_) & 1);
+  }
+
+  uint64_t get_bits(unsigned nbits) {
+    uint64_t v = 0;
+    while (nbits > 32) {
+      v = get_bits(32);
+      nbits -= 32;
+      v <<= nbits;  // high half first (matches writer order)
+      return v | get_bits(nbits);
+    }
+    for (unsigned i = 0; i < nbits; i++) v = (v << 1) | get_bit();
+    return v;
+  }
+
+ private:
+  void refill() {
+    while (count_ <= 56 && pos_ < len_) {
+      acc_ = (acc_ << 8) | data_[pos_++];
+      count_ += 8;
+    }
+  }
+  const uint8_t* data_;
+  size_t len_;
+  size_t pos_ = 0;
+  uint64_t acc_ = 0;
+  unsigned count_ = 0;
+};
+
+// Golomb-Rice codeword with escape: unary(quotient) + k-bit remainder, or
+// 32 ones + raw 32-bit value when quotient >= 32.
+inline void gr_put(BitSink& sink, uint64_t u, unsigned k) {
+  uint64_t q = u >> k;
+  if (q < kEscapePrefix) {
+    sink.put_unary(q);
+    sink.put_bits(u & ((1ull << k) - 1), k);
+  } else {
+    sink.put_bits(0xFFFFFFFFull, 32);
+    sink.put_bits(u & 0xFFFFFFFFull, 32);
+  }
+}
+
+inline uint64_t gr_get(BitSource& src, unsigned k) {
+  uint64_t q = 0;
+  while (src.get_bit()) {
+    if (++q >= kEscapePrefix) return src.get_bits(32);
+  }
+  return (q << k) + src.get_bits(k);
+}
+
+// Shared adaptation of the Golomb-Rice parameter state after coding `u`.
+inline void adapt_krp(uint64_t& k_rp, uint64_t u, unsigned k_r) {
+  uint64_t q = u >> k_r;
+  if (q) {
+    k_rp += q - 1;
+    if (k_rp > kMaxKRP) k_rp = kMaxKRP;
+  } else {
+    k_rp = (k_rp < 2) ? 0 : k_rp - 2;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n int64 symbols. On return *out points to a malloc'd buffer of
+// *out_len bytes (caller frees with rlgr_buffer_free). Returns 0 on success.
+int rlgr_encode(const int64_t* seq, size_t n, int flag_signed, uint8_t** out,
+                size_t* out_len) {
+  BitSink sink;
+  uint64_t k_p = 0;            // run-length parameter (fractional)
+  uint64_t k_rp = 2 * kFrac;   // GR parameter (fractional)
+  uint64_t run = 0;            // pending zero-run length
+  uint64_t k = 0;              // last-iteration run exponent
+  uint64_t u = 0;              // last-iteration coded value
+
+  for (size_t i = 0; i < n; i++) {
+    u = flag_signed ? zigzag(seq[i]) : static_cast<uint64_t>(seq[i]);
+    k = k_p / kFrac;
+    unsigned k_r = static_cast<unsigned>(k_rp / kFrac);
+
+    if (k == 0) {
+      // No-run mode: every symbol gets a GR codeword.
+      gr_put(sink, u, k_r);
+      adapt_krp(k_rp, u, k_r);
+      if (u)
+        k_p = (k_p < kDownNoRun) ? 0 : k_p - kDownNoRun;
+      else
+        k_p += kUpNoRun;
+      run = 0;
+    } else if (u == 0) {
+      // Run mode, zero symbol: extend the pending run.
+      if (++run == (1ull << k)) {
+        sink.put_bits(1, 1);  // complete run of 2^k zeros
+        k_p += kUpRun;
+        run = 0;
+      }
+    } else {
+      // Run mode, nonzero symbol terminates the partial run.
+      sink.put_bits(0, 1);
+      sink.put_bits(run, static_cast<unsigned>(k));
+      gr_put(sink, u - 1, k_r);
+      adapt_krp(k_rp, u - 1, k_r);
+      k_p = (k_p < kDownRun) ? 0 : k_p - kDownRun;
+      run = 0;
+    }
+  }
+  // Flush a pending (possibly empty) partial run so the decoder can finish.
+  if (k && u == 0) {
+    sink.put_bits(0, 1);
+    sink.put_bits(run, static_cast<unsigned>(k_p / kFrac));
+  }
+  sink.finish();
+
+  *out_len = sink.bytes().size();
+  *out = static_cast<uint8_t*>(std::malloc(*out_len ? *out_len : 1));
+  if (!*out) return -1;
+  std::memcpy(*out, sink.bytes().data(), *out_len);
+  return 0;
+}
+
+// Decode n symbols from buf into seq. Returns 0 on success.
+int rlgr_decode(const uint8_t* buf, size_t len, int flag_signed, int64_t* seq,
+                size_t n) {
+  BitSource src(buf, len);
+  uint64_t k_p = 0;
+  uint64_t k_rp = 2 * kFrac;
+  size_t i = 0;
+
+  while (i < n) {
+    uint64_t k = k_p / kFrac;
+    unsigned k_r = static_cast<unsigned>(k_rp / kFrac);
+
+    if (k) {
+      // Run mode: 1-bits are complete runs of 2^k zeros (k adapts inline).
+      uint64_t zeros = 0;
+      while (src.get_bit()) {
+        zeros += 1ull << k;
+        k_p += kUpRun;
+        k = k_p / kFrac;
+      }
+      zeros += src.get_bits(static_cast<unsigned>(k));
+      while (zeros-- && i < n) seq[i++] = 0;
+      if (i >= n) break;
+
+      uint64_t u = gr_get(src, k_r);
+      seq[i++] = flag_signed ? unzigzag(u + 1)
+                             : static_cast<int64_t>(u + 1);
+      adapt_krp(k_rp, u, k_r);
+      k_p = (k_p < kDownRun) ? 0 : k_p - kDownRun;
+    } else {
+      uint64_t u = gr_get(src, k_r);
+      seq[i++] = flag_signed ? unzigzag(u) : static_cast<int64_t>(u);
+      adapt_krp(k_rp, u, k_r);
+      if (u)
+        k_p = (k_p < kDownNoRun) ? 0 : k_p - kDownNoRun;
+      else
+        k_p += kUpNoRun;
+    }
+  }
+  return 0;
+}
+
+void rlgr_buffer_free(uint8_t* buf) { std::free(buf); }
+
+// Single Golomb-Rice codeword helpers (reference exposes grWrite/grRead on
+// its membuf; these support the same micro-benchmarks/tests).
+int gr_encode_one(uint64_t value, unsigned k, uint8_t** out, size_t* out_len) {
+  BitSink sink;
+  gr_put(sink, value, k);
+  sink.finish();
+  *out_len = sink.bytes().size();
+  *out = static_cast<uint8_t*>(std::malloc(*out_len ? *out_len : 1));
+  if (!*out) return -1;
+  std::memcpy(*out, sink.bytes().data(), *out_len);
+  return 0;
+}
+
+uint64_t gr_decode_one(const uint8_t* buf, size_t len, unsigned k) {
+  BitSource src(buf, len);
+  return gr_get(src, k);
+}
+
+}  // extern "C"

@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+from raht3dgs_tpu.codec import rlgr
+from raht3dgs_tpu.codec import _rlgr_py
+
+
+CASES = [
+    np.array([], dtype=np.int64),
+    np.zeros(1, dtype=np.int64),
+    np.zeros(1000, dtype=np.int64),
+    np.ones(1, dtype=np.int64),
+    np.array([5], dtype=np.int64),
+    np.array([-3, 0, 0, 0, 7, 0, 0, -1], dtype=np.int64),
+    np.arange(-50, 50, dtype=np.int64),
+]
+
+
+def _random_cases(rng):
+    out = []
+    # dense small values
+    out.append(rng.integers(-10, 10, size=2000))
+    # sparse (RAHT-like): mostly zeros with occasional large coefficients
+    x = np.zeros(5000, dtype=np.int64)
+    idx = rng.integers(0, 5000, size=200)
+    x[idx] = rng.integers(-1000, 1000, size=200)
+    out.append(x)
+    # very sparse long runs
+    x = np.zeros(20000, dtype=np.int64)
+    x[rng.integers(0, 20000, size=10)] = rng.integers(-5, 5, size=10)
+    out.append(x)
+    # large magnitudes triggering the 32-bit GR escape
+    out.append(rng.integers(-(2**30), 2**30, size=500))
+    # geometric-ish distribution
+    out.append((rng.geometric(0.05, size=3000) - 1) * rng.choice([-1, 1], 3000))
+    return [a.astype(np.int64) for a in out]
+
+
+def test_python_roundtrip(rng):
+    for seq in CASES + _random_cases(rng):
+        data = _rlgr_py.encode(seq.tolist(), signed=True)
+        out = _rlgr_py.decode(data, len(seq), signed=True)
+        np.testing.assert_array_equal(np.asarray(out, dtype=np.int64), seq)
+
+
+def test_python_roundtrip_unsigned(rng):
+    seq = np.abs(rng.integers(0, 1000, size=1000)).astype(np.int64)
+    data = _rlgr_py.encode(seq.tolist(), signed=False)
+    out = _rlgr_py.decode(data, len(seq), signed=False)
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.int64), seq)
+
+
+@pytest.mark.skipif(not rlgr.native_available(), reason="native lib unavailable")
+def test_native_roundtrip(rng):
+    for seq in CASES + _random_cases(rng):
+        data, _ = rlgr.rlgr_encode(seq, backend="native")
+        out, _ = rlgr.rlgr_decode(data, len(seq), backend="native")
+        np.testing.assert_array_equal(out, seq)
+
+
+@pytest.mark.skipif(not rlgr.native_available(), reason="native lib unavailable")
+def test_native_matches_python_bytes(rng):
+    for seq in CASES + _random_cases(rng):
+        native, _ = rlgr.rlgr_encode(seq, backend="native")
+        pure = _rlgr_py.encode(seq.tolist(), signed=True)
+        assert native == pure, f"stream mismatch for n={len(seq)}"
+
+
+@pytest.mark.skipif(not rlgr.native_available(), reason="native lib unavailable")
+def test_cross_backend_decode(rng):
+    seq = rng.integers(-100, 100, size=3000).astype(np.int64)
+    data, _ = rlgr.rlgr_encode(seq, backend="python")
+    out, _ = rlgr.rlgr_decode(data, len(seq), backend="native")
+    np.testing.assert_array_equal(out, seq)
+
+
+def test_membuf_compat_api(rng):
+    seq = rng.integers(-50, 50, size=500).tolist()
+    w = rlgr.MemBuf()
+    ns = w.rlgrWrite(seq, 1)
+    assert ns > 0
+    w.close()
+    buf = w.get_buffer()
+    assert w.buffer_size() == len(buf)
+    r = rlgr.MemBuf(buf)
+    ns, out = r.rlgrRead(len(seq), 1)
+    assert out == seq
+
+
+def test_compression_is_effective(rng):
+    # Sparse RAHT-like coefficients should compress far below raw int32 size.
+    x = np.zeros(10000, dtype=np.int64)
+    x[rng.integers(0, 10000, size=100)] = rng.integers(-300, 300, size=100)
+    data, _ = rlgr.rlgr_encode(x)
+    assert len(data) < 10000 * 4 / 10
