@@ -1,0 +1,108 @@
+"""Frame bitstream container for RAHT-coded attribute payloads.
+
+The reference has no container — each driver keeps per-channel byte lists in
+Python dicts (``/root/reference/python/encode_ply.py:164-190``). A real codec
+needs a self-describing stream, so frames serialize to:
+
+    magic 'R3TC' | u8 version | u8 flags | u8 depth | u16 n_channels |
+    u64 n_voxels | u16 n_steps | f64 steps[n_steps] | f64 vmin[3] |
+    f64 width | u32 channel_len[n_channels] | channel payloads...
+
+``flags`` bit0: signed symbols. ``n_steps`` is 1 (uniform) or n_channels
+(per-channel quantization steps, reference encode_3dgs_debug semantics).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+import numpy as np
+
+MAGIC = b"R3TC"
+VERSION = 1
+FLAG_SIGNED = 1
+
+
+@dataclass
+class FrameStream:
+    depth: int
+    n_voxels: int
+    steps: np.ndarray              # (1,) or (D,) float64
+    channels: List[bytes]          # per-channel RLGR payloads
+    vmin: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    width: float = 0.0
+    signed: bool = True
+
+    @property
+    def n_channels(self) -> int:
+        return len(self.channels)
+
+    @property
+    def num_bytes(self) -> int:
+        return len(self.to_bytes())
+
+    @property
+    def payload_bytes(self) -> int:
+        return sum(len(c) for c in self.channels)
+
+    def bpp(self) -> float:
+        """Rate in bits per voxel over the attribute payload (the reference's
+        rate metric, ``encode_ply.py:218``)."""
+        return self.payload_bytes * 8.0 / max(self.n_voxels, 1)
+
+    def to_bytes(self) -> bytes:
+        steps = np.atleast_1d(np.asarray(self.steps, dtype=np.float64))
+        if steps.shape[0] not in (1, self.n_channels):
+            raise ValueError(
+                f"steps must have 1 or {self.n_channels} entries, got {steps.shape}"
+            )
+        flags = FLAG_SIGNED if self.signed else 0
+        head = struct.pack(
+            "<4sBBBHQH",
+            MAGIC,
+            VERSION,
+            flags,
+            self.depth,
+            self.n_channels,
+            self.n_voxels,
+            steps.shape[0],
+        )
+        head += steps.tobytes()
+        head += np.asarray(self.vmin, dtype=np.float64).tobytes()
+        head += struct.pack("<d", float(self.width))
+        head += struct.pack(f"<{self.n_channels}I", *[len(c) for c in self.channels])
+        return head + b"".join(self.channels)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "FrameStream":
+        off = struct.calcsize("<4sBBBHQH")
+        magic, version, flags, depth, n_ch, n_vox, n_steps = struct.unpack(
+            "<4sBBBHQH", data[:off]
+        )
+        if magic != MAGIC:
+            raise ValueError(f"bad magic {magic!r}")
+        if version != VERSION:
+            raise ValueError(f"unsupported version {version}")
+        steps = np.frombuffer(data[off : off + 8 * n_steps], dtype=np.float64).copy()
+        off += 8 * n_steps
+        vmin = np.frombuffer(data[off : off + 24], dtype=np.float64).copy()
+        off += 24
+        (width,) = struct.unpack("<d", data[off : off + 8])
+        off += 8
+        lens = struct.unpack(f"<{n_ch}I", data[off : off + 4 * n_ch])
+        off += 4 * n_ch
+        channels = []
+        for ln in lens:
+            channels.append(data[off : off + ln])
+            off += ln
+        return cls(
+            depth=depth,
+            n_voxels=n_vox,
+            steps=steps,
+            channels=channels,
+            vmin=vmin,
+            width=width,
+            signed=bool(flags & FLAG_SIGNED),
+        )

@@ -1,0 +1,7 @@
+from raht3dgs_tpu.models.pipeline import (
+    AttributeCodec,
+    EncodedFrame,
+    prepare_voxel_frame,
+)
+
+__all__ = ["AttributeCodec", "EncodedFrame", "prepare_voxel_frame"]

@@ -1,0 +1,259 @@
+"""The RAHT attribute codec pipeline — encode/decode a voxel frame.
+
+This is the framework's "model" layer: the end-to-end path the reference
+spreads across its drivers (``/root/reference/python/encode_ply.py:102-222``,
+``encode_3dgs.py``), re-architected for TPU:
+
+- the hot path (RAHT forward/inverse, quantization, RA-GFT reorder) is a
+  handful of jitted XLA programs over *bucketed* static shapes;
+- exactly two device<->host transfers per frame: quantized int32
+  coefficients down before entropy coding, decoded coefficients up after
+  (the reference additionally pays a ``.tolist()`` per channel through
+  pybind11 — SURVEY.md §3 calls it the worst boundary cost; we hand the
+  C coder one contiguous numpy buffer);
+- entropy coding runs on host via the native RLGR backend, per channel.
+
+Per-stage timings mirror the reference CSV schema names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raht3dgs_tpu.codec.bitstream import FrameStream
+from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+from raht3dgs_tpu.ops.morton import morton_encode, pad_code
+from raht3dgs_tpu.ops.quantize import dequantize, quantize
+from raht3dgs_tpu.ops.raht import (
+    RahtStructure,
+    raht_forward,
+    raht_inverse,
+    raht_structure,
+)
+from raht3dgs_tpu.ops.reorder import ragft_order
+from raht3dgs_tpu.utils.padding import pad_rows, round_up_bucket
+from raht3dgs_tpu.utils.timing import StageTimer
+
+
+@dataclass
+class VoxelFrame:
+    """A padded, Morton-sorted voxel frame ready for the codec.
+
+    ``codes``/``attributes``/``weights`` are length ``n_padded`` with real
+    voxels in slots ``[0, n_voxels)`` and invisible padding after.
+    """
+
+    codes: jnp.ndarray       # (Np,) int64
+    attributes: jnp.ndarray  # (Np, D) float
+    weights: jnp.ndarray     # (Np,) float
+    n_voxels: int
+    depth: int
+    vmin: np.ndarray
+    width: float
+
+
+@dataclass
+class EncodedFrame:
+    stream: FrameStream
+    timer: StageTimer
+    # Decoder-side replay info is all derivable from the stream + positions.
+
+
+def prepare_voxel_frame(
+    positions: np.ndarray,
+    attributes: np.ndarray,
+    depth: int,
+    bucket: int = 1 << 13,
+    dtype=jnp.float64,
+    vmin: Optional[np.ndarray] = None,
+    width: Optional[float] = None,
+    weights: Optional[np.ndarray] = None,
+) -> VoxelFrame:
+    """Build a padded VoxelFrame from integer voxel positions + attributes.
+
+    ``positions`` must already be deduplicated integer voxel coordinates in
+    ``[0, 2**depth)`` (the reference drivers' input contract — their PLYs are
+    pre-voxelized; use ``ops.voxelize`` for raw float clouds). Rows are
+    Morton-sorted here; attribute rows follow the sort.
+    """
+    positions = np.asarray(positions)
+    attributes = np.asarray(attributes)
+    n = positions.shape[0]
+    codes = np.asarray(
+        morton_encode(jnp.asarray(positions.astype(np.int64)), depth)
+    )
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    if np.any(np.diff(codes) == 0):
+        raise ValueError(
+            "duplicate voxel positions — voxelize/deduplicate before encoding"
+        )
+    attributes = attributes[order]
+    w = np.ones(n) if weights is None else np.asarray(weights, dtype=float)[order]
+
+    n_padded = round_up_bucket(n, bucket)
+    pad_slots = np.arange(n, n_padded)
+    codes_p = np.concatenate(
+        [codes, np.asarray(pad_code(depth, n_padded, jnp.asarray(pad_slots)))]
+    )
+    attrs_p = pad_rows(attributes.astype(np.float64), n_padded)
+    w_p = pad_rows(w, n_padded)
+
+    return VoxelFrame(
+        codes=jnp.asarray(codes_p),
+        attributes=jnp.asarray(attrs_p, dtype=dtype),
+        weights=jnp.asarray(w_p, dtype=dtype),
+        n_voxels=n,
+        depth=depth,
+        vmin=np.zeros(3) if vmin is None else np.asarray(vmin, dtype=float),
+        width=float(2**depth) if width is None else float(width),
+    )
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _transform_device(codes, attrs, weights, depth):
+    res = raht_forward(codes, attrs, weights, depth)
+    order = ragft_order(res.structure.drop_level)
+    return res.coeffs, order, res.structure
+
+@jax.jit
+def _quant_reorder_device(coeffs, steps, order):
+    q = quantize(coeffs, steps)
+    return q[order]
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _structure_order_device(codes, weights, depth):
+    structure = raht_structure(codes, weights, depth)
+    return structure, ragft_order(structure.drop_level)
+
+
+@partial(jax.jit, static_argnames=("depth", "dtype"))
+def _dequant_inverse_device(qfull, steps, structure, depth, dtype):
+    coeffs = dequantize(qfull, steps, dtype=dtype)
+    return raht_inverse(coeffs, structure, depth)
+
+
+class AttributeCodec:
+    """Encode/decode attribute frames at a fixed octree depth.
+
+    One instance caches jitted programs per (bucketed shape, depth); reuse it
+    across frames and quantization steps (the reference's RD sweeps reuse
+    the transform across steps the same way, ``encode_ply.py:145``).
+    """
+
+    def __init__(self, depth: int, dtype=jnp.float64):
+        self.depth = depth
+        self.dtype = dtype
+
+    # -- encoding ---------------------------------------------------------
+
+    def transform(self, frame: VoxelFrame, timer: Optional[StageTimer] = None):
+        """Forward RAHT + RA-GFT order (device). Returns (coeffs, order, structure)."""
+        timer = timer or StageTimer()
+        coeffs, order, structure = timer.time(
+            "RAHT_transform_time",
+            _transform_device,
+            frame.codes,
+            frame.attributes,
+            frame.weights,
+            self.depth,
+        )
+        return coeffs, order, structure, timer
+
+    def encode(
+        self,
+        frame: VoxelFrame,
+        steps,
+        coeffs=None,
+        order=None,
+        timer: Optional[StageTimer] = None,
+    ) -> EncodedFrame:
+        """Full encode: transform (unless given), quantize, reorder, RLGR."""
+        timer = timer or StageTimer()
+        if coeffs is None or order is None:
+            coeffs, order, _, timer = self.transform(frame, timer)
+        steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
+        q_reordered = timer.time(
+            "Quant_time", _quant_reorder_device, coeffs, steps_arr, order
+        )
+        # Single device->host transfer of the full int32 payload.
+        q_np = np.asarray(q_reordered)
+        order_np = np.asarray(order)
+        real = order_np < frame.n_voxels
+        payload = np.ascontiguousarray(q_np[real])  # (n_voxels, D)
+
+        channels = []
+        enc_ns = 0
+        for d in range(payload.shape[1]):
+            data, ns = rlgr_encode(payload[:, d], signed=True)
+            channels.append(data)
+            enc_ns += ns
+        timer.add("Entropy_enc_time", enc_ns / 1e9)
+
+        stream = FrameStream(
+            depth=self.depth,
+            n_voxels=frame.n_voxels,
+            steps=np.atleast_1d(np.asarray(steps, dtype=np.float64)),
+            channels=channels,
+            vmin=frame.vmin,
+            width=frame.width,
+        )
+        return EncodedFrame(stream=stream, timer=timer)
+
+    # -- decoding ---------------------------------------------------------
+
+    def decode(
+        self,
+        stream: FrameStream,
+        codes: jnp.ndarray,
+        weights: jnp.ndarray,
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[np.ndarray, StageTimer]:
+        """Decode a stream given the (losslessly known) voxel codes.
+
+        ``codes``/``weights`` are the same padded arrays the encoder used —
+        the decoder rebuilds the transform structure from positions alone,
+        mirroring the reference decode path (``encode_ply.py:199-208``).
+        Returns attributes for the real voxel slots, shape (n_voxels, D).
+        """
+        timer = timer or StageTimer()
+        n_padded = codes.shape[0]
+        nvox = stream.n_voxels
+        D = stream.n_channels
+
+        structure, order = timer.time(
+            "RAHT_prelude_time", _structure_order_device, codes, weights, self.depth
+        )
+        order_np = np.asarray(order)
+        real = order_np < nvox
+
+        vals = np.empty((nvox, D), dtype=np.int64)
+        dec_ns = 0
+        for d in range(D):
+            vals[:, d], ns = rlgr_decode(stream.channels[d], nvox, signed=True)
+            dec_ns += ns
+        timer.add("Entropy_dec_time", dec_ns / 1e9)
+
+        qfull = np.zeros((n_padded, D), dtype=np.int32)
+        qfull[order_np[real]] = vals
+        steps = jnp.asarray(
+            stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
+            dtype=self.dtype,
+        )
+        attrs = timer.time(
+            "iRAHT_time",
+            _dequant_inverse_device,
+            jnp.asarray(qfull),
+            steps,
+            structure,
+            self.depth,
+            self.dtype,
+        )
+        return np.asarray(attrs)[:nvox], timer

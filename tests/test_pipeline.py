@@ -1,0 +1,106 @@
+import numpy as np
+import jax.numpy as jnp
+
+from raht3dgs_tpu.codec.bitstream import FrameStream
+from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+from raht3dgs_tpu.ops.morton import morton_decode
+from conftest import unique_voxel_cloud
+
+
+def _frame(rng, n=700, depth=6, d_attr=3, bucket=256):
+    pts, codes, attrs = unique_voxel_cloud(rng, n, depth, d_attr=d_attr)
+    return prepare_voxel_frame(pts.astype(np.int64), attrs, depth, bucket=bucket)
+
+
+def test_encode_decode_step1_near_lossless(rng):
+    frame = _frame(rng)
+    codec = AttributeCodec(frame.depth)
+    enc = codec.encode(frame, steps=1.0)
+    dec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+    attrs = np.asarray(frame.attributes)[: frame.n_voxels]
+    # step=1: reconstruction within quantization bound (reference invariant,
+    # encode_ply.py:212-215)
+    assert np.allclose(dec, attrs, rtol=1e-3, atol=1.0)
+
+
+def test_rate_decreases_with_step(rng):
+    frame = _frame(rng)
+    codec = AttributeCodec(frame.depth)
+    coeffs, order, _, _ = codec.transform(frame)
+    rates = []
+    for step in (1, 4, 16, 64):
+        enc = codec.encode(frame, steps=float(step), coeffs=coeffs, order=order)
+        rates.append(enc.stream.bpp())
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_distortion_decreases_with_finer_step(rng):
+    frame = _frame(rng)
+    codec = AttributeCodec(frame.depth)
+    attrs = np.asarray(frame.attributes)[: frame.n_voxels]
+    errs = []
+    for step in (1, 16, 64):
+        enc = codec.encode(frame, steps=float(step))
+        dec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+        errs.append(np.sqrt(np.mean((dec - attrs) ** 2)))
+    assert errs[0] < errs[1] < errs[2]
+
+
+def test_stream_serialization_roundtrip(rng):
+    frame = _frame(rng, d_attr=5)
+    codec = AttributeCodec(frame.depth)
+    enc = codec.encode(frame, steps=np.array([1.0, 2.0, 4.0, 8.0, 16.0]))
+    blob = enc.stream.to_bytes()
+    back = FrameStream.from_bytes(blob)
+    assert back.depth == enc.stream.depth
+    assert back.n_voxels == enc.stream.n_voxels
+    assert back.channels == enc.stream.channels
+    np.testing.assert_array_equal(back.steps, enc.stream.steps)
+    # and it still decodes identically
+    dec1, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+    dec2, _ = codec.decode(back, frame.codes, frame.weights)
+    np.testing.assert_array_equal(dec1, dec2)
+
+
+def test_per_channel_steps(rng):
+    frame = _frame(rng, d_attr=4)
+    codec = AttributeCodec(frame.depth)
+    steps = np.array([1.0, 1.0, 64.0, 64.0])
+    enc = codec.encode(frame, steps=steps)
+    dec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+    attrs = np.asarray(frame.attributes)[: frame.n_voxels]
+    err = np.sqrt(np.mean((dec - attrs) ** 2, axis=0))
+    assert err[0] < err[2] and err[1] < err[3]
+
+
+def test_bucketing_invariance(rng):
+    # Same frame through two bucket sizes -> identical streams.
+    pts, codes, attrs = unique_voxel_cloud(rng, 500, 6)
+    f1 = prepare_voxel_frame(pts.astype(np.int64), attrs, 6, bucket=512)
+    f2 = prepare_voxel_frame(pts.astype(np.int64), attrs, 6, bucket=2048)
+    c = AttributeCodec(6)
+    e1 = c.encode(f1, steps=4.0)
+    e2 = c.encode(f2, steps=4.0)
+    assert e1.stream.channels == e2.stream.channels
+
+
+def test_timer_stages_populated(rng):
+    frame = _frame(rng)
+    codec = AttributeCodec(frame.depth)
+    enc = codec.encode(frame, steps=2.0)
+    for k in ("RAHT_transform_time", "Quant_time", "Entropy_enc_time"):
+        assert enc.timer.get(k) > 0
+    _, t = codec.decode(enc.stream, frame.codes, frame.weights)
+    for k in ("RAHT_prelude_time", "Entropy_dec_time", "iRAHT_time"):
+        assert t.get(k) > 0
+
+
+def test_duplicate_positions_rejected(rng):
+    pts, codes, attrs = unique_voxel_cloud(rng, 50, 4)
+    pts2 = np.concatenate([pts, pts[:1]])
+    attrs2 = np.concatenate([attrs, attrs[:1]])
+    try:
+        prepare_voxel_frame(pts2.astype(np.int64), attrs2, 4)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
