@@ -1,0 +1,70 @@
+"""Shared CLI plumbing: platform/dtype selection and CSV logging.
+
+The reference drivers are scripts configured by editing module-level
+constants (``/root/reference/python/encode_ply.py:26-32``); here every
+driver takes argparse flags with those values as defaults (SURVEY.md §5
+"config/flag system" gap).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+
+def add_runtime_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="JAX platform override (e.g. cpu, tpu); default: environment",
+    )
+    p.add_argument(
+        "--dtype",
+        choices=("float32", "float64"),
+        default="float64",
+        help="transform precision (float64 matches the reference; float32 "
+        "is the fast path on TPU)",
+    )
+    p.add_argument(
+        "--bucket",
+        type=int,
+        default=1 << 13,
+        help="shape-bucket granularity for jit caching",
+    )
+    p.add_argument("--csv", default=None, help="CSV log path (default: results/...)")
+
+
+def configure_runtime(args) -> None:
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cache = os.environ.get("RAHT3DGS_COMPILE_CACHE", "/root/.jax_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def jnp_dtype(name: str):
+    import jax.numpy as jnp
+
+    return {"float32": jnp.float32, "float64": jnp.float64}[name]
+
+
+class CsvLogger:
+    def __init__(self, path, header: str):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "w")
+        self._f.write(header + "\n")
+        self._f.flush()
+
+    def row(self, line: str) -> None:
+        self._f.write(line + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()

@@ -1,0 +1,93 @@
+"""Single/multi-PLY color codec driver (reference: python/encode_ply.py).
+
+Full encode -> decode -> Y-PSNR/bpp over a quantization-step sweep, with the
+reference's 11-column CSV schema. Example:
+
+    python -m raht3dgs_tpu.cli.encode_ply --input frame.ply --depth 18 \
+        --steps 1 2 4 8 16 --csv results/runtime_ply.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from raht3dgs_tpu.cli._common import (
+    CsvLogger,
+    add_runtime_args,
+    configure_runtime,
+    jnp_dtype,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", nargs="+", required=True, help="PLY file(s)")
+    p.add_argument(
+        "--depth", type=int, default=None,
+        help="octree depth J (default: from the PLY 'comment width' header, "
+        "else 18 — the reference default)",
+    )
+    p.add_argument(
+        "--steps", type=float, nargs="+",
+        default=[1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64],
+        help="quantization step sweep (reference grid)",
+    )
+    p.add_argument(
+        "--no-decode", action="store_true",
+        help="skip the decode half (coefficient-domain PSNR only)",
+    )
+    p.add_argument(
+        "--save-streams", default=None,
+        help="directory to write .r3tc frame bitstreams",
+    )
+    add_runtime_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    configure_runtime(args)
+
+    from raht3dgs_tpu.io.ply import read_ply_8i
+    from raht3dgs_tpu.models.color_codec import (
+        CSV_HEADER,
+        DEFAULT_DEPTH,
+        encode_color_frame,
+    )
+    from raht3dgs_tpu.models.pipeline import AttributeCodec
+
+    log = CsvLogger(args.csv or "results/runtime_ply.csv", CSV_HEADER)
+    dtype = jnp_dtype(args.dtype)
+    codec_cache = {}
+
+    for idx, path in enumerate(args.input, start=1):
+        V, C, header_depth = read_ply_8i(path)
+        depth = args.depth or header_depth or DEFAULT_DEPTH
+        codec = codec_cache.setdefault(depth, AttributeCodec(depth, dtype=dtype))
+        points = encode_color_frame(
+            V, C, depth=depth, steps=args.steps, frame_index=idx,
+            codec=codec, bucket=args.bucket, dtype=dtype,
+            decode=not args.no_decode, keep_streams=bool(args.save_streams),
+        )
+        for pt in points:
+            log.row(pt.csv_row())
+            print(
+                f"frame {idx} step {pt.step:g}: {pt.bpp:.4f} bpp, "
+                f"Y-PSNR {pt.psnr:.2f} dB ({pt.n_voxels} voxels)"
+            )
+            if args.save_streams and pt.encoded is not None:
+                from pathlib import Path
+
+                out = Path(args.save_streams)
+                out.mkdir(parents=True, exist_ok=True)
+                fn = out / f"frame{idx:04d}_step{pt.step:g}.r3tc"
+                fn.write_bytes(pt.encoded.stream.to_bytes())
+    log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,9 +134,13 @@ def _structure_order_device(codes, weights, depth):
     return structure, ragft_order(structure.drop_level)
 
 
-@partial(jax.jit, static_argnames=("depth", "dtype"))
-def _dequant_inverse_device(qfull, steps, structure, depth, dtype):
-    coeffs = dequantize(qfull, steps, dtype=dtype)
+@partial(jax.jit, static_argnames=("dtype",))
+def _dequant_device(qfull, steps, dtype):
+    return dequantize(qfull, steps, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _inverse_device(coeffs, structure, depth):
     return raht_inverse(coeffs, structure, depth)
 
 
@@ -247,13 +251,10 @@ class AttributeCodec:
             stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
             dtype=self.dtype,
         )
+        coeffs = timer.time(
+            "Dequant_time", _dequant_device, jnp.asarray(qfull), steps, self.dtype
+        )
         attrs = timer.time(
-            "iRAHT_time",
-            _dequant_inverse_device,
-            jnp.asarray(qfull),
-            steps,
-            structure,
-            self.depth,
-            self.dtype,
+            "iRAHT_time", _inverse_device, coeffs, structure, self.depth
         )
         return np.asarray(attrs)[:nvox], timer

@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from raht3dgs_tpu.io import (
+    read_compressed_3dgs_ply,
+    read_ply,
+    read_ply_8i,
+    save_ply_3dgs,
+    save_ply_ascii,
+    DATASET_CONFIG,
+    get_pointcloud,
+    get_pointcloud_n_frames,
+)
+from raht3dgs_tpu.io.datasets import frame_path
+
+
+def test_ascii_roundtrip(tmp_path, rng):
+    V = rng.uniform(0, 1023, size=(50, 3)).round(3)
+    C = rng.integers(0, 256, size=(50, 3))
+    p = tmp_path / "f.ply"
+    save_ply_ascii(p, V, C, width=1023)
+    V2, C2, J = read_ply_8i(p)
+    np.testing.assert_allclose(V2, V, atol=1e-5)
+    np.testing.assert_array_equal(C2, C)
+    assert J == 10
+
+
+def test_3dgs_binary_roundtrip(tmp_path, rng):
+    n = 40
+    means = rng.normal(size=(n, 3))
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scales = np.abs(rng.normal(size=(n, 3)))
+    opac = rng.uniform(0, 1, size=n)
+    colors = rng.normal(size=(n, 48))
+    p = tmp_path / "gs.ply"
+    save_ply_3dgs(p, means, quats, scales, opac, colors,
+                  voxel_size=0.125, vmin=np.array([-1.0, 0.5, 2.0]))
+    V_int, attrs, vs, vmin = read_compressed_3dgs_ply(p)
+    assert attrs.shape == (n, 56)
+    np.testing.assert_allclose(attrs[:, 0:4], quats, atol=1e-6)
+    np.testing.assert_allclose(attrs[:, 4:7], scales, atol=1e-6)
+    np.testing.assert_allclose(attrs[:, 7], opac, atol=1e-6)
+    np.testing.assert_allclose(attrs[:, 8:], colors, atol=1e-5)
+    assert vs == pytest.approx(0.125)
+    np.testing.assert_allclose(vmin, [-1.0, 0.5, 2.0], atol=1e-6)
+
+
+def test_reference_writer_naming_quirk(tmp_path, rng):
+    # Simulate the reference writer: all 48 SH channels labeled f_dc_*.
+    n = 10
+    rec_names = (
+        ["x", "y", "z", "nx", "ny", "nz"]
+        + [f"f_dc_{i}" for i in range(48)]
+        + ["opacity", "scale_0", "scale_1", "scale_2"]
+        + ["rot_0", "rot_1", "rot_2", "rot_3"]
+    )
+    rec = np.zeros(n, dtype=np.dtype([(p, "<f4") for p in rec_names]))
+    rec["x"] = np.arange(n)
+    rec["f_dc_5"] = 7.0
+    rec["rot_0"] = 1.0
+    p = tmp_path / "quirk.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"comment voxel_size 0.5\n")
+        f.write(f"element vertex {n}\n".encode())
+        for nm in rec_names:
+            f.write(f"property float {nm}\n".encode())
+        f.write(b"end_header\n")
+        rec.tofile(f)
+    V_int, attrs, vs, vmin = read_compressed_3dgs_ply(p)
+    assert attrs.shape == (n, 56)
+    assert attrs[0, 8 + 5] == pytest.approx(7.0)
+    np.testing.assert_array_equal(V_int[:, 0], np.arange(n))
+
+
+def test_generic_reader_binary_and_comments(tmp_path, rng):
+    n = 5
+    save_ply_3dgs(tmp_path / "x.ply", np.zeros((n, 3)), np.zeros((n, 4)),
+                  np.zeros((n, 3)), np.zeros(n), np.zeros((n, 3)),
+                  voxel_size=2.0)
+    ply = read_ply(tmp_path / "x.ply")
+    assert len(ply.vertices) == n
+    assert ply.comment_value("voxel_size") == ["2.0"]
+    assert ply.comment_value("nonexistent") is None
+
+
+def test_dataset_registry():
+    assert get_pointcloud_n_frames("8iVFBv2", "redandblack") == 300
+    assert get_pointcloud_n_frames("MVUB", "andrew9") == 318
+    assert get_pointcloud_n_frames("nope", "x") is None
+    p = frame_path("8iVFBv2", "soldier", 1, data_root="/data")
+    assert p == "/data/8iVFBv2/soldier/Ply/soldier_vox10_0536.ply"
+    p = frame_path("MVUB", "andrew9", 3, data_root="/d")
+    assert p == "/d/MVUB/andrew9/ply/frame0002.ply"
+
+
+def test_dataset_loader_with_synthetic_tree(tmp_path, rng):
+    d = tmp_path / "8iVFBv2" / "soldier" / "Ply"
+    d.mkdir(parents=True)
+    V = rng.integers(0, 1024, size=(20, 3)).astype(float)
+    C = rng.integers(0, 256, size=(20, 3))
+    save_ply_ascii(d / "soldier_vox10_0536.ply", V, C, width=1023)
+    out = get_pointcloud("8iVFBv2", "soldier", 1, data_root=str(tmp_path))
+    assert out is not None
+    V2, C2, J = out
+    assert J == 10 and V2.shape == (20, 3)
+    # missing frame -> None with warning
+    assert get_pointcloud("8iVFBv2", "soldier", 2, data_root=str(tmp_path)) is None
+
+
+def test_gsplat_checkpoint_ingestion(tmp_path):
+    torch = pytest.importorskip("torch")
+    from raht3dgs_tpu.io.gsplat_ckpt import load_gsplat_checkpoint
+
+    n = 30
+    g = torch.Generator().manual_seed(0)
+    ckpt = {
+        "splats": {
+            "means": torch.randn(n, 3, generator=g),
+            "quats": torch.randn(n, 4, generator=g),
+            "scales": torch.randn(n, 3, generator=g) - 2.0,  # log space
+            "opacities": torch.randn(n, generator=g) * 4,    # logits
+            "sh0": torch.randn(n, 1, 3, generator=g),
+            "shN": torch.randn(n, 15, 3, generator=g),
+        }
+    }
+    p = tmp_path / "ckpt.pt"
+    torch.save(ckpt, p)
+    out = load_gsplat_checkpoint(p)
+    assert out is not None
+    np.testing.assert_allclose(
+        np.linalg.norm(out["quats"], axis=1), 1.0, atol=1e-6
+    )
+    assert out["scales"].min() > 0
+    assert 0 <= out["opacities"].min() and out["opacities"].max() <= 1
+    assert out["colors"].shape == (n, 48)
