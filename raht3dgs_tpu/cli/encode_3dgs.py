@@ -1,0 +1,134 @@
+"""3DGS 56-channel codec driver (reference: python/encode_3dgs.py).
+
+Reads a voxelized-3DGS PLY (from voxelize_3dgs), runs the RD sweep over all
+56 attribute channels, logs the reference 19-column CSV, and optionally
+renders the reconstruction for a debug comparison.
+
+    python -m raht3dgs_tpu.cli.encode_3dgs \
+        --input output_compressed/compressed_Nvox_gaussians.ply --depth 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from raht3dgs_tpu.cli._common import (
+    CsvLogger,
+    add_runtime_args,
+    configure_runtime,
+    jnp_dtype,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="voxelized 3DGS PLY")
+    p.add_argument("--depth", type=int, default=10)
+    p.add_argument(
+        "--steps", type=float, nargs="+",
+        default=[1, 4, 8, 12, 16, 20, 24, 32, 64],
+    )
+    p.add_argument(
+        "--per-attribute", action="store_true",
+        help="importance-weighted per-attribute-group quantization "
+        "(encode_3dgs_debug strategy)",
+    )
+    p.add_argument(
+        "--render", choices=("auto", "gsplat", "preview", "none"),
+        default="none", help="debug render comparison of the reconstruction",
+    )
+    p.add_argument("--save-streams", default=None)
+    add_runtime_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    configure_runtime(args)
+
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+    from raht3dgs_tpu.models.gs_codec import CSV_HEADER, encode_gs_frame
+    from raht3dgs_tpu.ops.quantize import (
+        GS_ABLATION_PSNR_DB,
+        GS_ATTRIBUTE_GROUPS,
+    )
+
+    V_int, attrs, voxel_size, vmin = read_compressed_3dgs_ply(args.input)
+    print(f"loaded {len(V_int)} voxels, {attrs.shape[1]} channels "
+          f"(voxel_size={voxel_size}, vmin={vmin})")
+
+    group_scales = None
+    if args.per_attribute:
+        # importance ~ 1/ablation-PSNR: more impactful groups (quats) get
+        # finer steps. Multiplier = imp_min / imp_group in (0, 1].
+        imp = {k: 1.0 / v for k, v in GS_ABLATION_PSNR_DB.items()}
+        imp_min = min(imp.values())
+        group_scales = {k: imp_min / imp[k] for k in imp}
+        print("per-attribute step multipliers:", group_scales)
+
+    dtype = jnp_dtype(args.dtype)
+    points = encode_gs_frame(
+        V_int, attrs, depth=args.depth, steps=args.steps,
+        group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
+        keep_streams=bool(args.save_streams or args.render != "none"),
+    )
+
+    log = CsvLogger(args.csv or "results/runtime_3dgs.csv", CSV_HEADER)
+    for pt in points:
+        log.row(pt.csv_row())
+        print(
+            f"step {pt.step:g}: {pt.bpp:.4f} bpp | PSNR all "
+            f"{pt.psnr['psnr_all']:.2f} dB (quats {pt.psnr['psnr_quats']:.2f}, "
+            f"scales {pt.psnr['psnr_scales']:.2f}, opacity "
+            f"{pt.psnr['psnr_opacity']:.2f}, colors {pt.psnr['psnr_colors']:.2f})"
+        )
+        if args.save_streams and pt.encoded is not None:
+            from pathlib import Path
+
+            out = Path(args.save_streams)
+            out.mkdir(parents=True, exist_ok=True)
+            (out / f"gs_step{pt.step:g}.r3tc").write_bytes(
+                pt.encoded.stream.to_bytes()
+            )
+    log.close()
+
+    if args.render != "none":
+        from raht3dgs_tpu.eval.render import render_comparison
+        from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+
+        # Reconstruct at the finest step and render against the input scene.
+        finest = points[0]
+        frame = prepare_voxel_frame(V_int, attrs.astype(np.float64), args.depth,
+                                    bucket=args.bucket, dtype=dtype)
+        codec = AttributeCodec(args.depth, dtype=dtype)
+        rec, _ = codec.decode(finest.encoded.stream, frame.codes, frame.weights)
+        world = V_int.astype(np.float64) * voxel_size + vmin
+        # decoded rows are in Morton-sorted order; re-sort the originals too
+        from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+        sort = np.argsort(morton_codes_np(V_int, args.depth), kind="stable")
+        original = {
+            "means": world[sort],
+            "quats": attrs[sort, 0:4],
+            "scales": attrs[sort, 4:7],
+            "opacities": attrs[sort, 7],
+            "colors": attrs[sort, 8:],
+        }
+        recon = {
+            "means": world[sort],
+            "quats": rec[:, 0:4],
+            "scales": np.abs(rec[:, 4:7]),
+            "opacities": np.clip(rec[:, 7], 0, 1),
+            "colors": rec[:, 8:],
+        }
+        m = render_comparison(original, recon, backend=args.render)
+        if m:
+            print(f"render PSNR ({m['backend']}): {m['psnr_avg']:.2f} dB")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

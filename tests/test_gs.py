@@ -1,0 +1,171 @@
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from raht3dgs_tpu.models.gs_merge import (
+    merge_gaussian_clusters,
+    merge_gaussian_clusters_with_indices,
+    prepare_cluster_data,
+)
+from raht3dgs_tpu.models.gs_voxelize import compress_to_nvox, world_positions
+from raht3dgs_tpu.models.gs_codec import encode_gs_frame
+from raht3dgs_tpu.eval.metrics import compute_attribute_metrics, gs_group_psnr
+from raht3dgs_tpu.eval.cameras import generate_random_cameras
+from raht3dgs_tpu.eval.render import point_render, render_comparison
+
+
+def _scene(rng, n=500):
+    return {
+        "means": rng.normal(size=(n, 3)),
+        "quats": _unit(rng.normal(size=(n, 4))),
+        "scales": np.abs(rng.normal(size=(n, 3))) * 0.05,
+        "opacities": rng.uniform(0.2, 1.0, size=n),
+        "colors": rng.normal(size=(n, 48)),
+    }
+
+
+def _unit(q):
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def _merge_np(scene, ids, k, weight_by_opacity=True):
+    """Straightforward numpy model of the reference CUDA merge kernel."""
+    w = scene["opacities"] if weight_by_opacity else np.ones(len(ids))
+    out = {
+        "means": np.zeros((k, 3)),
+        "quats": np.tile([0.0, 0, 0, 1.0], (k, 1)),
+        "scales": np.zeros((k, 3)),
+        "opacities": np.zeros(k),
+        "colors": np.zeros((k, scene["colors"].shape[1])),
+    }
+    for c in range(k):
+        m = ids == c
+        tw = w[m].sum()
+        tws = tw if tw > 0 else 1.0
+        out["means"][c] = (scene["means"][m] * w[m, None]).sum(0) / tws
+        out["scales"][c] = (scene["scales"][m] * w[m, None]).sum(0) / tws
+        out["colors"][c] = (scene["colors"][m] * w[m, None]).sum(0) / tws
+        qa = (scene["quats"][m] * w[m, None]).sum(0)
+        qn = np.linalg.norm(qa)
+        if qn > 0:
+            out["quats"][c] = qa / qn
+        out["opacities"][c] = min(scene["opacities"][m].sum(), 1.0)
+    return out
+
+
+def test_merge_matches_kernel_semantics(rng):
+    scene = _scene(rng, 300)
+    k = 40
+    ids = rng.integers(0, k, size=300)
+    ref = _merge_np(scene, ids, k)
+    got = merge_gaussian_clusters(
+        jnp.asarray(scene["means"]), jnp.asarray(scene["quats"]),
+        jnp.asarray(scene["scales"]), jnp.asarray(scene["opacities"]),
+        jnp.asarray(scene["colors"]), jnp.asarray(ids), num_clusters=k,
+    )
+    for a, b in zip(got, (ref["means"], ref["quats"], ref["scales"],
+                          ref["opacities"], ref["colors"])):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-9)
+
+
+def test_merge_uniform_weights(rng):
+    scene = _scene(rng, 100)
+    ids = rng.integers(0, 10, size=100)
+    ref = _merge_np(scene, ids, 10, weight_by_opacity=False)
+    got = merge_gaussian_clusters(
+        jnp.asarray(scene["means"]), jnp.asarray(scene["quats"]),
+        jnp.asarray(scene["scales"]), jnp.asarray(scene["opacities"]),
+        jnp.asarray(scene["colors"]), jnp.asarray(ids), num_clusters=10,
+        weight_by_opacity=False,
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), ref["means"], rtol=1e-9)
+
+
+def test_csr_interface(rng):
+    scene = _scene(rng, 120)
+    labels = rng.integers(100, 110, size=120)  # non-contiguous label space
+    idx, off = prepare_cluster_data(labels)
+    assert off[0] == 0 and off[-1] == 120
+    got = merge_gaussian_clusters_with_indices(
+        scene["means"], scene["quats"], scene["scales"],
+        scene["opacities"], scene["colors"], idx, off,
+    )
+    _, inverse = np.unique(labels, return_inverse=True)
+    ref = _merge_np(scene, inverse, len(off) - 1)
+    np.testing.assert_allclose(np.asarray(got[0]), ref["means"], rtol=1e-9)
+
+
+def test_compress_to_nvox(tmp_path, rng):
+    scene = _scene(rng, 2000)
+    res = compress_to_nvox(scene, depth=4, output_dir=str(tmp_path))
+    assert 0 < res.n_voxels <= 2000
+    assert (tmp_path / "compressed_Nvox_gaussians.ply").exists()
+    # merged scene reloads through the reader
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+
+    V, attrs, vs, vmin = read_compressed_3dgs_ply(
+        tmp_path / "compressed_Nvox_gaussians.ply"
+    )
+    assert len(V) == res.n_voxels
+    assert attrs.shape[1] == 56
+    np.testing.assert_allclose(vs, res.voxel_size, rtol=1e-6)
+    # voxel positions in range; world positions inside the scene bbox
+    assert V.min() >= 0 and V.max() < 2**4
+    w = world_positions(res)
+    assert w.shape == (res.n_voxels, 3)
+    # attribute metrics vs original run clean
+    r = slice(0, res.n_voxels)
+    merged = {
+        "means": res.means_world[r], "quats": res.quats[r],
+        "scales": res.scales[r], "opacities": res.opacities[r],
+        "colors": res.colors[r],
+    }
+    m = compute_attribute_metrics(scene, merged, res.cluster_of_input)
+    assert m["quaternion_mean_dist"] >= 0
+    assert np.isfinite(m["position_rmse"])
+
+
+def test_gs_codec_rd(rng):
+    scene = _scene(rng, 1500)
+    res = compress_to_nvox(scene, depth=5)
+    r = slice(0, res.n_voxels)
+    attrs = np.concatenate(
+        [res.quats[r], res.scales[r], res.opacities[r][:, None], res.colors[r]],
+        axis=1,
+    )
+    pts = encode_gs_frame(
+        res.positions_int[r], attrs, depth=5, steps=(0.01, 0.1), bucket=512
+    )
+    assert pts[0].psnr["psnr_all"] > pts[1].psnr["psnr_all"]
+    assert pts[0].bpp > pts[1].bpp
+    for key in ("psnr_quats", "psnr_scales", "psnr_opacity", "psnr_colors"):
+        assert np.isfinite(pts[0].psnr[key])
+    row = pts[0].csv_row()
+    assert len(row.split(",")) == 20  # frame + 19 reference columns
+
+
+def test_point_render_smoke(rng):
+    scene = _scene(rng, 800)
+    viewmats, Ks, W, H = generate_random_cameras(
+        scene["means"].mean(0), 3.0, n_views=2, image_width=64, image_height=64
+    )
+    imgs = point_render(scene, viewmats, Ks, W, H)
+    assert imgs.shape == (2, 64, 64, 3)
+    assert imgs.min() >= 0 and imgs.max() <= 1
+    # identical scenes -> infinite PSNR
+    out = render_comparison(scene, scene, n_views=2, image_size=64,
+                            backend="preview")
+    assert out["backend"] == "preview"
+    assert out["psnr_min"] == float("inf")
+
+
+def test_render_comparison_detects_difference(rng):
+    scene = _scene(rng, 800)
+    worse = dict(scene)
+    worse["colors"] = scene["colors"] + rng.normal(size=scene["colors"].shape)
+    out = render_comparison(scene, worse, n_views=2, image_size=64,
+                            backend="preview")
+    assert np.isfinite(out["psnr_avg"])
+    assert out["psnr_avg"] < 100
