@@ -1,0 +1,83 @@
+"""Benchmark: RAHT encode+decode transform throughput on one chip.
+
+Measures the fused prelude+forward+inverse RAHT transform (the codec hot
+path) at the reference scale: N=500k unique voxels, J=10, 3 color channels.
+
+Baseline (vs_baseline denominator): the reference implementation
+(RAHT_param_reorder_fast + RAHT2_optimized + inverse_RAHT_optimized,
+/root/reference/python) measured on this machine's CPU with torch fp64 and
+8 threads at the identical workload: 0.492 Mpts/s (best of 3 after warmup;
+see BASELINE.md — the repo publishes no transform-throughput numbers of its
+own, and its GPU figures cover voxelization only).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": "Mpts/s", "vs_baseline": ...}
+"""
+
+import json
+import time
+
+N = 500_000
+DEPTH = 10
+D_ATTR = 3
+PAD_TO = 1 << 19  # 524288-slot bucket
+REFERENCE_CPU_MPTS = 0.492
+WARMUP = 2
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from __graft_entry__ import _synthetic_frame
+    from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse
+
+    codes, attrs, weights = _synthetic_frame(N, DEPTH, D_ATTR, pad_to=PAD_TO)
+    n_real = int((weights > 0).sum())
+
+    @jax.jit
+    def roundtrip(codes, attrs, weights):
+        res = raht_forward(codes, attrs, weights, DEPTH)
+        rec = raht_inverse(res.coeffs, res.structure, DEPTH)
+        return rec
+
+    codes_j = jnp.asarray(codes)
+    attrs_j = jnp.asarray(attrs, dtype=jnp.float32)
+    weights_j = jnp.asarray(weights, dtype=jnp.float32)
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(roundtrip(codes_j, attrs_j, weights_j))
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = roundtrip(codes_j, attrs_j, weights_j)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    # sanity: reconstruction must be lossless to fp32 tolerance
+    rec = np.asarray(out)[:n_real]
+    err = np.abs(rec - attrs[:n_real]).max()
+    assert err < 1e-2, f"roundtrip error {err}"
+
+    best = min(times)
+    mpts = n_real / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "raht_transform_roundtrip_throughput",
+                "value": round(mpts, 4),
+                "unit": "Mpts/s",
+                "vs_baseline": round(mpts / REFERENCE_CPU_MPTS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from raht3dgs_tpu.parallel.sharding import (
+    batched_roundtrip_step,
+    batched_transform_step,
+    make_mesh,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "batched_transform_step",
+    "batched_roundtrip_step",
+]

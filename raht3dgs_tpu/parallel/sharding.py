@@ -1,0 +1,111 @@
+"""Multi-chip scaling: batched frames over a (dp, tp) device mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.8 — no
+DP/TP/PP/SP anywhere), so multi-chip design here is TPU-native from scratch
+rather than a port. The codec's natural parallel axes are:
+
+- **dp** (data parallel): frames are independent — the dataset sweep
+  (``encode_dataset``) encodes hundreds of frames; shard the batch axis.
+- **tp** (channel/tensor parallel): RAHT butterflies are independent per
+  attribute channel (D up to 56 for 3DGS); only the shared pairing
+  structure depends on positions. Shard the channel axis; the structure
+  pass is computed per-shard (cheap, avoids collectives entirely).
+
+With batch over dp and channels over tp, every gather/scan in the transform
+runs along the *unsharded* N axis — the whole encode step compiles with no
+cross-chip collectives on the hot path (ICI traffic only at input/output
+resharding). A reduction like mean-PSNR over the batch lets XLA insert the
+final psum over dp.
+
+Sharded frames must share a bucketed shape; zero-weight padding makes that
+exact (ops/raht.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raht3dgs_tpu.ops.quantize import dequantize, quantize
+from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse
+from raht3dgs_tpu.ops.reorder import ragft_order
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    dp: Optional[int] = None,
+    tp: Optional[int] = None,
+) -> Mesh:
+    """Build a (dp, tp) mesh over the available devices.
+
+    Defaults: all devices on dp (frame parallelism), tp=1. Pass explicit
+    factors to trade frame- for channel-parallelism (dp * tp must equal the
+    device count used).
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None and tp is None:
+        dp, tp = n, 1
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != n_devices {n}")
+    arr = np.array(devs).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def shard_batch(mesh: Mesh, codes, attrs, weights):
+    """Place a frame batch on the mesh: batch over dp, channels over tp."""
+    s_codes = NamedSharding(mesh, P("dp", None))
+    s_attrs = NamedSharding(mesh, P("dp", None, "tp"))
+    s_w = NamedSharding(mesh, P("dp", None))
+    return (
+        jax.device_put(codes, s_codes),
+        jax.device_put(attrs, s_attrs),
+        jax.device_put(weights, s_w),
+    )
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def batched_transform_step(codes, attrs, weights, steps, depth):
+    """Forward RAHT + quantize + RA-GFT reorder for a batch of frames.
+
+    codes (B, N) int64 | attrs (B, N, D) | weights (B, N) | steps scalar/(D,)
+    Returns (q_reordered (B, N, D) int32, order (B, N) int32).
+    """
+
+    def one(codes_f, attrs_f, w_f):
+        res = raht_forward(codes_f, attrs_f, w_f, depth)
+        order = ragft_order(res.structure.drop_level)
+        q = quantize(res.coeffs, steps)
+        return q[order], order
+
+    return jax.vmap(one)(codes, attrs, weights)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def batched_roundtrip_step(codes, attrs, weights, steps, depth):
+    """Full encode+decode transform step over a batch: forward, quantize,
+    dequantize, inverse, and mean reconstruction MSE over the whole batch
+    (the cross-dp reduction XLA turns into a psum). This is the "training
+    step"-shaped program used for multi-chip dry runs and benchmarks."""
+
+    def one(codes_f, attrs_f, w_f):
+        res = raht_forward(codes_f, attrs_f, w_f, depth)
+        q = quantize(res.coeffs, steps)
+        coeffs_rec = dequantize(q, steps, dtype=attrs_f.dtype)
+        rec = raht_inverse(coeffs_rec, res.structure, depth)
+        valid = (w_f > 0)[:, None]
+        err = jnp.where(valid, rec - attrs_f, 0.0)
+        return jnp.sum(err * err), jnp.sum(valid) * attrs_f.shape[1]
+
+    sq, cnt = jax.vmap(one)(codes, attrs, weights)
+    return jnp.sum(sq) / jnp.maximum(jnp.sum(cnt), 1)
