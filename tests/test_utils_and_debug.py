@@ -1,0 +1,116 @@
+import numpy as np
+
+from raht3dgs_tpu.utils.checks import (
+    block_indices,
+    is_frame_morton_ordered,
+    sanity_check_dc,
+    signed_to_unsigned,
+    unsigned_to_signed,
+)
+from raht3dgs_tpu.models.gs_quant_analysis import (
+    coefficient_ranges,
+    per_group_step_vector,
+    quantization_strategy_report,
+    strategy_hybrid,
+    strategy_importance_weighted,
+    strategy_range_normalized,
+)
+from raht3dgs_tpu.ops.prelude import morton_codes_np
+from conftest import unique_voxel_cloud
+
+
+def test_zigzag_roundtrip(rng):
+    v = rng.integers(-10000, 10000, size=1000)
+    np.testing.assert_array_equal(unsigned_to_signed(signed_to_unsigned(v)), v)
+    u = signed_to_unsigned(v)
+    assert u.min() >= 0
+
+
+def test_sanity_check_dc(rng):
+    import jax.numpy as jnp
+    from raht3dgs_tpu.ops.raht import raht_forward
+
+    depth = 5
+    _, codes, attrs = unique_voxel_cloud(rng, 200, depth)
+    attrs = np.abs(attrs)
+    res = raht_forward(
+        jnp.asarray(codes), jnp.asarray(attrs), jnp.ones(200, dtype=jnp.float64),
+        depth,
+    )
+    T = np.asarray(res.coeffs)
+    assert sanity_check_dc(T[:, 0], attrs[:, 0])
+    assert not sanity_check_dc(T[:, 0] * 1.1, attrs[:, 0])
+
+
+def test_morton_order_check(rng):
+    pts, codes, _ = unique_voxel_cloud(rng, 100, 5)
+    err, _, _ = is_frame_morton_ordered(pts, 5)
+    assert err == 0.0
+    perm = rng.permutation(100)
+    err2, out, idx = is_frame_morton_ordered(pts[perm], 5)
+    assert err2 > 0
+    np.testing.assert_array_equal(np.floor(out), pts)
+
+
+def test_block_indices():
+    V = np.array([[0, 0, 0], [1, 1, 0], [4, 0, 0], [5, 1, 1], [8, 8, 8]])
+    starts, rest = block_indices(V, 4)
+    np.testing.assert_array_equal(starts, [0, 2, 4])
+    np.testing.assert_array_equal(rest, [1, 3])
+
+
+def test_quant_strategies(rng):
+    coeffs = rng.normal(size=(500, 56))
+    coeffs[:, 0:4] *= 10  # quats coefficients have larger range
+    ranges = coefficient_ranges(coeffs)
+    assert set(ranges) == {"quats", "scales", "opacity", "colors"}
+    s1 = strategy_range_normalized(ranges, 256)
+    # equal level counts -> step proportional to range
+    assert s1["quats"] > s1["scales"]
+    s2, levels = strategy_importance_weighted(ranges, 1024)
+    # quats are most important -> most levels
+    assert levels["quats"] == max(levels.values())
+    assert levels["opacity"] == min(levels.values())
+    s3 = strategy_hybrid(s1, s2)
+    for k in s1:
+        lo, hi = sorted((s1[k], s2[k]))
+        assert lo <= s3[k] <= hi
+    vec = per_group_step_vector(s2)
+    assert vec.shape == (56,)
+    assert np.all(vec[0:4] == s2["quats"])
+    report = quantization_strategy_report(coeffs, 8.0)
+    assert "importance-weighted" in report
+
+
+def test_cli_debug_driver(tmp_path, rng):
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import save_ply_3dgs
+
+    n = 300
+    pts = np.unique(rng.integers(0, 16, size=(2 * n, 3)), axis=0)[:n]
+    codes = morton_codes_np(pts, 4)
+    pts = pts[np.argsort(codes)]
+    n = len(pts)
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    save_ply_3dgs(
+        tmp_path / "gs.ply", pts.astype(np.float32), quats,
+        np.abs(rng.normal(size=(n, 3))), rng.uniform(0, 1, n),
+        rng.normal(size=(n, 48)), voxel_size=0.1, vmin=np.zeros(3),
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "raht3dgs_tpu.cli.encode_3dgs_debug",
+            "--input", str(tmp_path / "gs.ply"), "--depth", "4",
+            "--platform", "cpu", "--bucket", "512",
+            "--ablation", "--views", "2", "--image-size", "64",
+            "--render", "preview",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "QUANTIZATION STRATEGY ANALYSIS" in out.stdout
+    assert "RENDERING ABLATION" in out.stdout
+    assert "most impactful attribute:" in out.stdout
