@@ -23,6 +23,9 @@ import numpy as np
 MAGIC = b"R3TC"
 VERSION = 1
 FLAG_SIGNED = 1
+# flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
+_ORDER_SHIFT = 1
+_ORDER_MODES = ("ragft", "weight_desc", "morton")
 
 
 @dataclass
@@ -34,6 +37,7 @@ class FrameStream:
     vmin: np.ndarray = field(default_factory=lambda: np.zeros(3))
     width: float = 0.0
     signed: bool = True
+    order_mode: str = "ragft"
 
     @property
     def n_channels(self) -> int:
@@ -59,6 +63,7 @@ class FrameStream:
                 f"steps must have 1 or {self.n_channels} entries, got {steps.shape}"
             )
         flags = FLAG_SIGNED if self.signed else 0
+        flags |= _ORDER_MODES.index(self.order_mode) << _ORDER_SHIFT
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
@@ -105,4 +110,5 @@ class FrameStream:
             vmin=vmin,
             width=width,
             signed=bool(flags & FLAG_SIGNED),
+            order_mode=_ORDER_MODES[(flags >> _ORDER_SHIFT) & 0x3],
         )

@@ -36,7 +36,7 @@ from raht3dgs_tpu.ops.raht import (
     raht_inverse,
     raht_structure,
 )
-from raht3dgs_tpu.ops.reorder import ragft_order
+from raht3dgs_tpu.ops.reorder import coefficient_order
 from raht3dgs_tpu.utils.padding import pad_rows, round_up_bucket
 from raht3dgs_tpu.utils.timing import StageTimer
 
@@ -116,10 +116,10 @@ def prepare_voxel_frame(
     )
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def _transform_device(codes, attrs, weights, depth):
+@partial(jax.jit, static_argnames=("depth", "order_mode"))
+def _transform_device(codes, attrs, weights, depth, order_mode="ragft"):
     res = raht_forward(codes, attrs, weights, depth)
-    order = ragft_order(res.structure.drop_level)
+    order = coefficient_order(res.structure, order_mode)
     return res.coeffs, order, res.structure
 
 @jax.jit
@@ -128,10 +128,10 @@ def _quant_reorder_device(coeffs, steps, order):
     return q[order]
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def _structure_order_device(codes, weights, depth):
+@partial(jax.jit, static_argnames=("depth", "order_mode"))
+def _structure_order_device(codes, weights, depth, order_mode="ragft"):
     structure = raht_structure(codes, weights, depth)
-    return structure, ragft_order(structure.drop_level)
+    return structure, coefficient_order(structure, order_mode)
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -152,9 +152,12 @@ class AttributeCodec:
     the transform across steps the same way, ``encode_ply.py:145``).
     """
 
-    def __init__(self, depth: int, dtype=jnp.float64):
+    def __init__(self, depth: int, dtype=jnp.float64, order_mode: str = "ragft"):
         self.depth = depth
         self.dtype = dtype
+        # Coefficient stream order: "ragft" (reference Python drivers),
+        # "weight_desc" (MATLAB encoder_RAHT_RLGR.m), or "morton".
+        self.order_mode = order_mode
 
     # -- encoding ---------------------------------------------------------
 
@@ -168,6 +171,7 @@ class AttributeCodec:
             frame.attributes,
             frame.weights,
             self.depth,
+            self.order_mode,
         )
         return coeffs, order, structure, timer
 
@@ -208,6 +212,7 @@ class AttributeCodec:
             channels=channels,
             vmin=frame.vmin,
             width=frame.width,
+            order_mode=self.order_mode,
         )
         return EncodedFrame(stream=stream, timer=timer)
 
@@ -233,7 +238,8 @@ class AttributeCodec:
         D = stream.n_channels
 
         structure, order = timer.time(
-            "RAHT_prelude_time", _structure_order_device, codes, weights, self.depth
+            "RAHT_prelude_time", _structure_order_device, codes, weights,
+            self.depth, stream.order_mode,
         )
         order_np = np.asarray(order)
         real = order_np < nvox

@@ -66,8 +66,11 @@ def num_levels(depth: int, n: int) -> int:
 
 
 class RahtStructure(NamedTuple):
-    drop_level: jnp.ndarray  # (N,) int32 — level the slot merged right-into-left; 0 = survivor
-    subtree_w: jnp.ndarray   # (N,) float — accumulated weight when merged (survivor: final)
+    drop_level: jnp.ndarray   # (N,) int32 — level the slot merged right-into-left; 0 = survivor
+    subtree_w: jnp.ndarray    # (N,) float — accumulated weight when merged (survivor: final)
+    node_weights: jnp.ndarray # (N,) float — final accumulated node weights (the
+                              # reference's w output incl. its w[i1]=w[i0] rule);
+                              # used by the MATLAB-style weight-descending order
 
 
 class RahtForwardResult(NamedTuple):
@@ -183,7 +186,9 @@ def raht_forward(
     T, w, active, drop, ws = lax.fori_loop(1, levels + 1, body, init)
     ws = jnp.where(active, w, ws)  # survivors: final weight
     return RahtForwardResult(
-        coeffs=T, weights=w, structure=RahtStructure(drop_level=drop, subtree_w=ws)
+        coeffs=T,
+        weights=w,
+        structure=RahtStructure(drop_level=drop, subtree_w=ws, node_weights=w),
     )
 
 
@@ -220,7 +225,7 @@ def raht_structure(
     )
     w, active, drop, ws = lax.fori_loop(1, levels + 1, body, init)
     ws = jnp.where(active, w, ws)
-    return RahtStructure(drop_level=drop, subtree_w=ws)
+    return RahtStructure(drop_level=drop, subtree_w=ws, node_weights=w)
 
 
 @partial(jax.jit, static_argnames=("depth",))

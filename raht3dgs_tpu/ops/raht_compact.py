@@ -123,5 +123,7 @@ def raht_forward_compact(
     return RahtForwardResult(
         coeffs=T_out[:N],
         weights=w_out[:N],
-        structure=RahtStructure(drop_level=drop[:N], subtree_w=ws[:N]),
+        structure=RahtStructure(
+            drop_level=drop[:N], subtree_w=ws[:N], node_weights=w_out[:N]
+        ),
     )

@@ -37,6 +37,29 @@ def ragft_order(drop_level: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def weight_descending_order(node_weights: jnp.ndarray) -> jnp.ndarray:
+    """Order coefficients by descending final node weight — the MATLAB
+    driver's choice (``matlab/encoder_RAHT_RLGR.m:62`` uses
+    ``sort(w,'descend')`` before RLGR, whereas the reference Python drivers
+    use the RA-GFT order). Stable, so ties keep Morton order."""
+    return jnp.argsort(-node_weights, stable=True).astype(jnp.int32)
+
+
+ORDER_MODES = ("ragft", "weight_desc", "morton")
+
+
+def coefficient_order(structure, mode: str = "ragft") -> jnp.ndarray:
+    """Dispatch on the supported coefficient orderings."""
+    if mode == "ragft":
+        return ragft_order(structure.drop_level)
+    if mode == "weight_desc":
+        return weight_descending_order(structure.node_weights)
+    if mode == "morton":
+        return jnp.arange(structure.drop_level.shape[0], dtype=jnp.int32)
+    raise ValueError(f"unknown order mode {mode!r} (choose from {ORDER_MODES})")
+
+
+@jax.jit
 def inverse_permutation(order: jnp.ndarray) -> jnp.ndarray:
     """argsort of a permutation — the reference's decode-side inverse
     (``/root/reference/python/encode_ply.py:206``)."""

@@ -95,6 +95,37 @@ def test_timer_stages_populated(rng):
         assert t.get(k) > 0
 
 
+def test_order_modes(rng):
+    from raht3dgs_tpu.models.pipeline import AttributeCodec as AC
+
+    frame = _frame(rng)
+    ref = np.asarray(frame.attributes)[: frame.n_voxels]
+    for mode in ("ragft", "weight_desc", "morton"):
+        codec = AC(frame.depth, order_mode=mode)
+        enc = codec.encode(frame, steps=2.0)
+        assert enc.stream.order_mode == mode
+        # container carries the mode, and decode mirrors it
+        from raht3dgs_tpu.codec.bitstream import FrameStream
+
+        back = FrameStream.from_bytes(enc.stream.to_bytes())
+        assert back.order_mode == mode
+        dec, _ = codec.decode(back, frame.codes, frame.weights)
+        assert np.allclose(dec, ref, atol=2.0)
+
+
+def test_weight_desc_order_definition(rng):
+    # stream order for weight_desc must be descending node weight
+    import jax.numpy as jnp
+    from raht3dgs_tpu.ops.raht import raht_forward
+    from raht3dgs_tpu.ops.reorder import weight_descending_order
+
+    frame = _frame(rng)
+    res = raht_forward(frame.codes, frame.attributes, frame.weights, frame.depth)
+    order = np.asarray(weight_descending_order(res.structure.node_weights))
+    w = np.asarray(res.structure.node_weights)[order]
+    assert np.all(np.diff(w) <= 0)
+
+
 def test_duplicate_positions_rejected(rng):
     pts, codes, attrs = unique_voxel_cloud(rng, 50, 4)
     pts2 = np.concatenate([pts, pts[:1]])
