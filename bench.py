@@ -26,11 +26,53 @@ WARMUP = 2
 ITERS = 5
 
 
+def _platform_healthy(timeout_s: float = 90.0) -> bool:
+    """The TPU tunnel in this environment can wedge (in-flight fetches hang
+    forever and block_until_ready returns without waiting). Probe with a
+    real value fetch under a watchdog thread before committing to it."""
+    import threading
+
+    ok = [False]
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+
+            if float(jnp.sum(jnp.arange(64, dtype=jnp.float32))) == 2016.0:
+                ok[0] = True
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok[0]
+
+
 def main() -> None:
+    import os
+    import sys
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    if os.environ.get("RAHT3DGS_BENCH_PLATFORM"):
+        jax.config.update(
+            "jax_platforms", os.environ["RAHT3DGS_BENCH_PLATFORM"]
+        )
+    elif not _platform_healthy():
+        print(
+            "bench: default platform unresponsive; falling back to CPU",
+            file=sys.stderr,
+        )
+        os.execvpe(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__)],
+            {**os.environ, "RAHT3DGS_BENCH_PLATFORM": "cpu",
+             "JAX_PLATFORMS": "cpu"},
+        )
 
     import jax.numpy as jnp
     import numpy as np
