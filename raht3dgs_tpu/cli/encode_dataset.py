@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
         default=[1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64],
     )
     p.add_argument("--no-decode", action="store_true")
+    p.add_argument(
+        "--batch", type=int, default=0,
+        help="encode this many frames per device dispatch (0 = frame loop); "
+        "uses the batched codec, optionally sharded over all local devices",
+    )
     add_runtime_args(p)
     return p
 
@@ -55,6 +60,9 @@ def main(argv=None) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
+    if args.batch > 0:
+        return _run_batched(args, first, last, log, dtype)
+
     for frame in range(first, last + 1):
         out = get_pointcloud(args.dataset, args.sequence, frame, args.data_root)
         if out is None:
@@ -69,6 +77,77 @@ def main(argv=None) -> int:
         ):
             log.row(pt.csv_row())
         print(f"frame {frame} done")
+    log.close()
+    return 0
+
+
+def _run_batched(args, first, last, log, dtype) -> int:
+    """Batched path: B frames per device dispatch (one jitted program),
+    sharded over the local device mesh when more than one device exists."""
+    import numpy as np
+
+    from raht3dgs_tpu.io.datasets import get_pointcloud
+    from raht3dgs_tpu.models.batch_codec import (
+        BatchAttributeCodec,
+        prepare_frame_batch,
+    )
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+    from raht3dgs_tpu.parallel.sharding import make_mesh
+    import jax
+    import jax.numpy as jnp
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, dp=n_dev, tp=1) if n_dev > 1 else None
+
+    frames_idx = list(range(first, last + 1))
+    for chunk_start in range(0, len(frames_idx), args.batch):
+        chunk = frames_idx[chunk_start : chunk_start + args.batch]
+        loaded = []
+        for fr in chunk:
+            out = get_pointcloud(args.dataset, args.sequence, fr, args.data_root)
+            if out is not None:
+                loaded.append((fr, out))
+        if not loaded:
+            continue
+        depth = loaded[0][1][2]
+        # batch shapes must match: pad the chunk to a multiple of dp
+        while mesh is not None and len(loaded) % n_dev != 0:
+            loaded.append(loaded[-1])
+        pos = [np.floor(np.asarray(v)).astype(np.int64) for _, (v, c, j) in loaded]
+        yuv = [
+            np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(c)), dtype=dtype))
+            for _, (v, c, j) in loaded
+        ]
+        frames = prepare_frame_batch(pos, yuv, depth, bucket=args.bucket,
+                                     dtype=dtype)
+        bc = BatchAttributeCodec(depth, dtype=dtype, mesh=mesh)
+        if mesh is not None:
+            ctx = mesh
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            for step in args.steps:
+                streams, timer = bc.encode(frames, steps=float(step))
+                if args.no_decode:
+                    recs = None
+                else:
+                    recs, timer = bc.decode(streams, frames, timer=timer)
+                for i, (fr, _) in enumerate(loaded[: len(chunk)]):
+                    psnr = float("nan")
+                    if recs is not None:
+                        ref = np.asarray(frames[i].attributes)[: frames[i].n_voxels]
+                        psnr = y_psnr_db(ref[:, 0], recs[i][:, 0])
+                    pt = RDPoint(
+                        frame=fr, step=float(step), bpp=streams[i].bpp(),
+                        psnr=psnr, n_voxels=streams[i].n_voxels,
+                        stream_bytes=streams[i].payload_bytes,
+                        times=dict(timer.stages),
+                    )
+                    log.row(pt.csv_row())
+        print(f"frames {chunk[0]}..{chunk[-1]} done (batched x{len(frames)})")
     log.close()
     return 0
 

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the decode half (coefficient-domain PSNR only)",
     )
     p.add_argument(
+        "--voxelize", action="store_true",
+        help="voxelize raw float positions first (merging duplicate voxels "
+        "by attribute mean); without this, inputs must already be unique "
+        "voxel-grid positions (the reference drivers' contract)",
+    )
+    p.add_argument(
         "--save-streams", default=None,
         help="directory to write .r3tc frame bitstreams",
     )
@@ -66,6 +72,19 @@ def main(argv=None) -> int:
     for idx, path in enumerate(args.input, start=1):
         V, C, header_depth = read_ply_8i(path)
         depth = args.depth or header_depth or DEFAULT_DEPTH
+        if args.voxelize:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from raht3dgs_tpu.ops.voxelize import voxelize
+
+            res = voxelize(
+                jnp.asarray(np.concatenate([V, C], axis=1), dtype=dtype), depth
+            )
+            nvox = int(res.nvox)
+            V = np.asarray(res.positions)[:nvox].astype(float)
+            C = np.asarray(res.attributes)[:nvox]
+            print(f"frame {idx}: voxelized to {nvox} voxels")
         codec = codec_cache.setdefault(depth, AttributeCodec(depth, dtype=dtype))
         points = encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=idx,

@@ -1,0 +1,154 @@
+"""Batched multi-frame codec: encode/decode a whole frame batch per dispatch.
+
+The reference's dataset sweep (``encode_dataset.py``) is a Python loop —
+one GPU dispatch chain per frame per step. Here frames are stacked into a
+(B, N, D) batch (shape-bucketed; padding is invisible to the transform) and
+the whole batch runs as ONE jitted program, optionally sharded over a
+(dp, tp) device mesh — the BASELINE.json "batched dataset encode fully on
+TPU" configuration.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raht3dgs_tpu.codec.bitstream import FrameStream
+from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+from raht3dgs_tpu.models.pipeline import VoxelFrame, prepare_voxel_frame
+from raht3dgs_tpu.parallel.sharding import (
+    batched_decode_step,
+    batched_structure_order,
+    batched_transform_step,
+    shard_batch,
+)
+from raht3dgs_tpu.utils.padding import round_up_bucket
+from raht3dgs_tpu.utils.timing import StageTimer
+
+
+def prepare_frame_batch(
+    positions_list: Sequence[np.ndarray],
+    attributes_list: Sequence[np.ndarray],
+    depth: int,
+    bucket: int = 1 << 13,
+    dtype=jnp.float64,
+) -> List[VoxelFrame]:
+    """Prepare frames padded to one shared bucketed size."""
+    n_max = max(p.shape[0] for p in positions_list)
+    shared = round_up_bucket(n_max, bucket)
+    return [
+        prepare_voxel_frame(p, a, depth, bucket=shared, dtype=dtype)
+        for p, a in zip(positions_list, attributes_list)
+    ]
+
+
+class BatchAttributeCodec:
+    """Encode/decode stacks of equally-bucketed frames in one device call."""
+
+    def __init__(
+        self,
+        depth: int,
+        dtype=jnp.float64,
+        order_mode: str = "ragft",
+        mesh=None,
+    ):
+        self.depth = depth
+        self.dtype = dtype
+        self.order_mode = order_mode
+        self.mesh = mesh
+
+    def _stack(self, frames: Sequence[VoxelFrame]):
+        codes = jnp.stack([f.codes for f in frames])
+        attrs = jnp.stack([f.attributes for f in frames])
+        weights = jnp.stack([f.weights for f in frames])
+        if self.mesh is not None:
+            codes, attrs, weights = shard_batch(self.mesh, codes, attrs, weights)
+        return codes, attrs, weights
+
+    def encode(
+        self,
+        frames: Sequence[VoxelFrame],
+        steps,
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[List[FrameStream], StageTimer]:
+        timer = timer or StageTimer()
+        codes, attrs, weights = self._stack(frames)
+        steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
+
+        q_b, order_b = timer.time(
+            "RAHT_transform_time",
+            batched_transform_step,
+            codes, attrs, weights, steps_arr, self.depth, self.order_mode,
+        )
+        q_np = np.asarray(q_b)
+        order_np = np.asarray(order_b)
+
+        streams: List[FrameStream] = []
+        enc_ns = 0
+        for i, f in enumerate(frames):
+            real = order_np[i] < f.n_voxels
+            payload = np.ascontiguousarray(q_np[i][real])
+            channels = []
+            for d in range(payload.shape[1]):
+                data, ns = rlgr_encode(payload[:, d], signed=True)
+                channels.append(data)
+                enc_ns += ns
+            streams.append(
+                FrameStream(
+                    depth=self.depth,
+                    n_voxels=f.n_voxels,
+                    steps=np.atleast_1d(np.asarray(steps, dtype=np.float64)),
+                    channels=channels,
+                    vmin=f.vmin,
+                    width=f.width,
+                    order_mode=self.order_mode,
+                )
+            )
+        timer.add("Entropy_enc_time", enc_ns / 1e9)
+        return streams, timer
+
+    def decode(
+        self,
+        streams: Sequence[FrameStream],
+        frames: Sequence[VoxelFrame],
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[List[np.ndarray], StageTimer]:
+        """Decode a batch; frames supply the (losslessly known) positions."""
+        timer = timer or StageTimer()
+        codes, _, weights = self._stack(frames)
+        order_b = timer.time(
+            "RAHT_prelude_time",
+            batched_structure_order,
+            codes, weights, self.depth, streams[0].order_mode,
+        )
+        order_np = np.asarray(order_b)
+
+        B, N = order_np.shape
+        D = streams[0].n_channels
+        qfull = np.zeros((B, N, D), dtype=np.int32)
+        dec_ns = 0
+        for i, (s, f) in enumerate(zip(streams, frames)):
+            vals = np.empty((s.n_voxels, D), dtype=np.int64)
+            for d in range(D):
+                vals[:, d], ns = rlgr_decode(s.channels[d], s.n_voxels)
+                dec_ns += ns
+            real = order_np[i] < f.n_voxels
+            qfull[i][order_np[i][real]] = vals
+        timer.add("Entropy_dec_time", dec_ns / 1e9)
+
+        steps = jnp.asarray(
+            streams[0].steps if streams[0].steps.shape[0] > 1
+            else streams[0].steps[0],
+            dtype=self.dtype,
+        )
+        rec = timer.time(
+            "iRAHT_time",
+            batched_decode_step,
+            codes, weights, jnp.asarray(qfull), steps, self.depth,
+            streams[0].order_mode, self.dtype,
+        )
+        rec_np = np.asarray(rec)
+        return [rec_np[i][: f.n_voxels] for i, f in enumerate(frames)], timer

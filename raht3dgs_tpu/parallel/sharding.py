@@ -32,8 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
-from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse
-from raht3dgs_tpu.ops.reorder import ragft_order
+from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse, raht_structure
+from raht3dgs_tpu.ops.reorder import coefficient_order, ragft_order
 
 
 def make_mesh(
@@ -74,9 +74,10 @@ def shard_batch(mesh: Mesh, codes, attrs, weights):
     )
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def batched_transform_step(codes, attrs, weights, steps, depth):
-    """Forward RAHT + quantize + RA-GFT reorder for a batch of frames.
+@partial(jax.jit, static_argnames=("depth", "order_mode"))
+def batched_transform_step(codes, attrs, weights, steps, depth,
+                           order_mode="ragft"):
+    """Forward RAHT + quantize + coefficient reorder for a batch of frames.
 
     codes (B, N) int64 | attrs (B, N, D) | weights (B, N) | steps scalar/(D,)
     Returns (q_reordered (B, N, D) int32, order (B, N) int32).
@@ -84,11 +85,39 @@ def batched_transform_step(codes, attrs, weights, steps, depth):
 
     def one(codes_f, attrs_f, w_f):
         res = raht_forward(codes_f, attrs_f, w_f, depth)
-        order = ragft_order(res.structure.drop_level)
+        order = coefficient_order(res.structure, order_mode)
         q = quantize(res.coeffs, steps)
         return q[order], order
 
     return jax.vmap(one)(codes, attrs, weights)
+
+
+@partial(jax.jit, static_argnames=("depth", "order_mode", "dtype"))
+def batched_decode_step(codes, weights, qfull, steps, depth,
+                        order_mode="ragft", dtype=jnp.float64):
+    """Structure replay + dequantize + inverse RAHT for a batch of frames.
+
+    ``qfull`` is (B, N, D) int32 with quantized coefficients already
+    scattered back to transform positions (host does the scatter using the
+    order returned by :func:`batched_structure_order`)."""
+
+    def one(codes_f, w_f, q_f):
+        structure = raht_structure(codes_f, w_f, depth)
+        coeffs = dequantize(q_f, steps, dtype=dtype)
+        return raht_inverse(coeffs, structure, depth)
+
+    return jax.vmap(one)(codes, weights, qfull)
+
+
+@partial(jax.jit, static_argnames=("depth", "order_mode"))
+def batched_structure_order(codes, weights, depth, order_mode="ragft"):
+    """Per-frame coefficient order from positions alone (decoder side)."""
+
+    def one(codes_f, w_f):
+        structure = raht_structure(codes_f, w_f, depth)
+        return coefficient_order(structure, order_mode)
+
+    return jax.vmap(one)(codes, weights)
 
 
 @partial(jax.jit, static_argnames=("depth",))
