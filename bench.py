@@ -77,14 +77,16 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
     from __graft_entry__ import _synthetic_frame
-    from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse
+    from raht3dgs_tpu.ops.raht import get_forward_impl, raht_inverse
 
+    impl = os.environ.get("RAHT3DGS_RAHT_IMPL", "dense")
+    fwd = get_forward_impl(impl)
     codes, attrs, weights = _synthetic_frame(N, DEPTH, D_ATTR, pad_to=PAD_TO)
     n_real = int((weights > 0).sum())
 
     @jax.jit
     def roundtrip(codes, attrs, weights):
-        res = raht_forward(codes, attrs, weights, DEPTH)
+        res = fwd(codes, attrs, weights, DEPTH)
         rec = raht_inverse(res.coeffs, res.structure, DEPTH)
         return rec
 

@@ -32,6 +32,7 @@ from raht3dgs_tpu.ops.morton import morton_encode, pad_code
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
 from raht3dgs_tpu.ops.raht import (
     RahtStructure,
+    get_forward_impl,
     raht_forward,
     raht_inverse,
     raht_structure,
@@ -116,9 +117,10 @@ def prepare_voxel_frame(
     )
 
 
-@partial(jax.jit, static_argnames=("depth", "order_mode"))
-def _transform_device(codes, attrs, weights, depth, order_mode="ragft"):
-    res = raht_forward(codes, attrs, weights, depth)
+@partial(jax.jit, static_argnames=("depth", "order_mode", "impl"))
+def _transform_device(codes, attrs, weights, depth, order_mode="ragft",
+                      impl="dense"):
+    res = get_forward_impl(impl)(codes, attrs, weights, depth)
     order = coefficient_order(res.structure, order_mode)
     return res.coeffs, order, res.structure
 
@@ -152,12 +154,22 @@ class AttributeCodec:
     the transform across steps the same way, ``encode_ply.py:145``).
     """
 
-    def __init__(self, depth: int, dtype=jnp.float64, order_mode: str = "ragft"):
+    def __init__(
+        self,
+        depth: int,
+        dtype=jnp.float64,
+        order_mode: str = "ragft",
+        impl: Optional[str] = None,
+    ):
+        import os
+
         self.depth = depth
         self.dtype = dtype
         # Coefficient stream order: "ragft" (reference Python drivers),
         # "weight_desc" (MATLAB encoder_RAHT_RLGR.m), or "morton".
         self.order_mode = order_mode
+        # Forward-transform implementation (dense / compact / scan).
+        self.impl = impl or os.environ.get("RAHT3DGS_RAHT_IMPL", "dense")
 
     # -- encoding ---------------------------------------------------------
 
@@ -172,6 +184,7 @@ class AttributeCodec:
             frame.weights,
             self.depth,
             self.order_mode,
+            self.impl,
         )
         return coeffs, order, structure, timer
 

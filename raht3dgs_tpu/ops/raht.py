@@ -278,3 +278,22 @@ def raht_inverse(
     init = (coeffs, ws)
     C, _ = lax.fori_loop(0, levels, body, init)
     return C
+
+
+def get_forward_impl(name: str = "dense"):
+    """Select a forward-transform implementation: "dense" (masked levels,
+    this module), "compact" (prefix compaction, ops/raht_compact.py), or
+    "scan" (value-carrying scans, ops/raht_scan.py). All three produce the
+    same pairing/structure; relative speed is hardware-dependent, so the
+    codec and bench let callers switch (env RAHT3DGS_RAHT_IMPL)."""
+    if name == "dense":
+        return raht_forward
+    if name == "compact":
+        from raht3dgs_tpu.ops.raht_compact import raht_forward_compact
+
+        return raht_forward_compact
+    if name == "scan":
+        from raht3dgs_tpu.ops.raht_scan import raht_forward_scan
+
+        return raht_forward_scan
+    raise ValueError(f"unknown RAHT impl {name!r}")
