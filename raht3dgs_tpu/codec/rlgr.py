@@ -154,6 +154,17 @@ class MemBuf:
         out, ns = rlgr_decode(self._read_buf, n, bool(flagSigned))
         return ns, out.tolist()
 
+    def grWrite(self, value: int, k: int) -> None:
+        """Single Golomb-Rice codeword write (reference grWrite parity)."""
+        sink = _rlgr_py._Sink()
+        _rlgr_py._gr_put(sink, int(value), int(k))
+        self._write_buf = sink.finish()
+
+    def grRead(self, k: int) -> int:
+        """Single Golomb-Rice codeword read (reference grRead parity)."""
+        assert self._read_buf is not None, "MemBuf not opened for reading"
+        return _rlgr_py._gr_get(_rlgr_py._Source(self._read_buf), int(k))
+
     def get_buffer(self) -> bytes:
         assert self._write_buf is not None
         return self._write_buf

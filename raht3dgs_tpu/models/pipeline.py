@@ -249,6 +249,12 @@ class AttributeCodec:
         n_padded = codes.shape[0]
         nvox = stream.n_voxels
         D = stream.n_channels
+        if nvox > n_padded:
+            raise ValueError(
+                f"stream encodes {nvox} voxels but the provided positions "
+                f"only cover {n_padded} padded slots — positions do not "
+                "match this stream"
+            )
 
         structure, order = timer.time(
             "RAHT_prelude_time", _structure_order_device, codes, weights,

@@ -45,6 +45,60 @@ class VoxelizeResult(NamedTuple):
     width: jnp.ndarray        # () float
 
 
+def voxelize_pc(PC, param: dict):
+    """Legacy dict-parameter interface (reference ``voxelize_pc``,
+    ``/root/reference/python/voxelize_pc.py:175-283``): returns the 4-tuple
+    ``(PCvox, PCsorted, voxel_indices, DeltaPC)`` with real (unpadded)
+    shapes, and optionally dumps the voxelized cloud + metadata files.
+
+    ``param`` keys: ``J`` (required), ``vmin``, ``width``,
+    ``writeFileOut``, ``filename``.
+    """
+    import numpy as np
+
+    depth = param["J"]
+    vmin = param.get("vmin")
+    if vmin is not None:
+        vmin = jnp.asarray(np.asarray(vmin, dtype=float))
+    width = param.get("width")
+    res = voxelize(jnp.asarray(PC), depth, vmin=vmin, width=width)
+    nvox = int(res.nvox)
+    n = PC.shape[0]
+
+    pos = np.asarray(res.positions)[:nvox].astype(float)
+    attrs = np.asarray(res.attributes)[:nvox]
+    PCvox = np.concatenate([pos, attrs], axis=1) if attrs.size else pos
+    sort_idx = np.asarray(res.sort_idx)
+    PCsorted = np.asarray(PC)[sort_idx]
+    first = np.asarray(res.point_voxel)
+    voxel_indices = np.concatenate([[0], np.nonzero(np.diff(first))[0] + 1])
+    DeltaPC = np.concatenate(
+        [np.asarray(res.delta_pos), np.asarray(res.delta_attr)], axis=1
+    )
+
+    if param.get("writeFileOut"):
+        filename = param.get("filename")
+        if not filename:
+            raise ValueError("'filename' required when writeFileOut=True")
+        from raht3dgs_tpu.io.ply import save_ply_ascii
+
+        vs = float(res.voxel_size)
+        vmin_used = np.asarray(res.vmin)
+        centers = (pos + 0.5) * vs + vmin_used
+        colors = attrs[:, :3] if attrs.shape[1] >= 3 else None
+        save_ply_ascii(f"{filename}_vox.ply", centers, colors)
+        with open(f"{filename}_data.txt", "w") as f:
+            f.write(
+                f"{vmin_used[0]} {vmin_used[1]} {vmin_used[2]} "
+                f"{float(res.width)} {depth} {nvox} {n} "
+                f"{int(attrs.shape[1] > 0)}\n"
+            )
+            np.savetxt(f, voxel_indices, fmt="%d")
+            np.savetxt(f, DeltaPC, fmt="%.6f")
+
+    return PCvox, PCsorted, voxel_indices, DeltaPC
+
+
 @partial(jax.jit, static_argnames=("depth",))
 def voxelize(
     PC: jnp.ndarray,

@@ -93,3 +93,15 @@ def test_compression_is_effective(rng):
     x[rng.integers(0, 10000, size=100)] = rng.integers(-300, 300, size=100)
     data, _ = rlgr.rlgr_encode(x)
     assert len(data) < 10000 * 4 / 10
+
+
+def test_membuf_gr_single_codeword():
+    w = rlgr.MemBuf()
+    w.grWrite(77, 3)
+    r = rlgr.MemBuf(w.get_buffer())
+    assert r.grRead(3) == 77
+    # escape path
+    w2 = rlgr.MemBuf()
+    w2.grWrite(10**6, 0)
+    r2 = rlgr.MemBuf(w2.get_buffer())
+    assert r2.grRead(0) == 10**6

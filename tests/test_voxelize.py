@@ -100,3 +100,22 @@ def test_vmin_width_overrides(rng):
     nvox = int(res.nvox)
     assert np.isclose(float(res.voxel_size), 1.0)
     assert nvox <= 100
+
+
+def test_legacy_voxelize_pc_wrapper(tmp_path, rng):
+    from raht3dgs_tpu.ops.voxelize import voxelize_pc
+
+    depth = 4
+    PC = make_cloud(rng, 200, depth, dup_frac=0.4)
+    PCvox, PCsorted, voxel_indices, DeltaPC = voxelize_pc(
+        PC, {"J": depth, "writeFileOut": True,
+             "filename": str(tmp_path / "out")}
+    )
+    assert PCvox.shape[1] == PC.shape[1]
+    assert PCsorted.shape == PC.shape
+    assert voxel_indices[0] == 0
+    assert len(voxel_indices) == len(PCvox)
+    assert DeltaPC.shape == PC.shape
+    assert (tmp_path / "out_vox.ply").exists()
+    header = (tmp_path / "out_data.txt").read_text().splitlines()[0].split()
+    assert int(header[5]) == len(PCvox)
