@@ -29,6 +29,7 @@ import numpy as np
 from raht3dgs_tpu.codec.bitstream import FrameStream
 from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
 from raht3dgs_tpu.ops.morton import morton_encode, pad_code
+from raht3dgs_tpu.ops.raht import max_int32_levels, num_levels
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
 from raht3dgs_tpu.ops.raht import (
     RahtStructure,
@@ -106,6 +107,11 @@ def prepare_voxel_frame(
     attrs_p = pad_rows(attributes.astype(np.float64), n_padded)
     w_p = pad_rows(w, n_padded)
 
+    # int64 is emulated on TPU: narrow codes to int32 whenever the level
+    # count (payload bits + pad bit) fits — always true for the 3DGS J=10
+    # path and for color frames up to J=10.
+    if num_levels(depth, n_padded) <= max_int32_levels():
+        codes_p = codes_p.astype(np.int32)
     return VoxelFrame(
         codes=jnp.asarray(codes_p),
         attributes=jnp.asarray(attrs_p, dtype=dtype),

@@ -108,11 +108,28 @@ def _level_pairs(
     pred = _pred_active(active)
     succ_c = jnp.minimum(succ, N - 1)
     pred_c = jnp.maximum(pred, 0)
-    mask = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << j.astype(jnp.int64))
+    mask = _level_mask(codes.dtype, j, levels)
     left = active & (succ < N) & (((codes ^ codes[succ_c]) & mask) == 0)
     right = active & (pred >= 0) & left[pred_c]
     partner = jnp.where(left, succ_c, pred_c)
     return left, right, partner
+
+
+def _level_mask(code_dtype, j, levels: int):
+    """``2^levels - 2^j`` in the codes' dtype.
+
+    Codes may be int32 when ``levels <= 31`` (int64 is emulated on TPU —
+    halving code-side arithmetic matters; the 3DGS J=10 path fits). The
+    subtraction is computed in int64 and narrowed: values are < 2^31 for
+    the int32 case, so the cast is exact.
+    """
+    m = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << j.astype(jnp.int64))
+    return m.astype(code_dtype)
+
+
+def max_int32_levels() -> int:
+    """Largest level count representable with int32 codes (incl. pad bit)."""
+    return 31
 
 
 def _butterfly_ab(w0, w1):

@@ -34,6 +34,7 @@ from raht3dgs_tpu.ops.raht import (
     RahtForwardResult,
     RahtStructure,
     _butterfly_ab,
+    _level_mask,
     num_levels,
 )
 
@@ -51,7 +52,7 @@ def raht_forward_compact(
     levels = num_levels(depth, N)
     fdtype = attributes.dtype
     idx = jnp.arange(N, dtype=jnp.int32)
-    sentinel = jnp.int64(-1)  # codes are non-negative; never pairs
+    sentinel = jnp.asarray(-1, dtype=codes.dtype)  # never pairs
 
     # Output buffers in ORIGINAL slot space, with one trash slot at index N.
     T_out0 = jnp.concatenate([attributes, jnp.zeros((1, D), fdtype)])
@@ -71,7 +72,7 @@ def raht_forward_compact(
     def body(j, s):
         c_codes, T, w, orig, count, T_out, w_out, drop, ws = s
         live = idx < count
-        mask = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << jnp.int64(j))
+        mask = _level_mask(c_codes.dtype, j, levels)
         c = jnp.where(live, c_codes, sentinel)
         nxt = jnp.concatenate([c[1:], jnp.full((1,), sentinel)])
         left = live & (nxt >= 0) & (((c ^ nxt) & mask) == 0)
@@ -103,7 +104,7 @@ def raht_forward_compact(
         dest = jnp.where(keep, pos, jnp.int32(N))    # trash for dropped/dead
         count_new = jnp.sum(keep.astype(jnp.int32)).astype(jnp.int32)
 
-        codes_c = jnp.full((N + 1,), sentinel).at[dest].set(c_codes)[:N]
+        codes_c = jnp.full((N + 1,), sentinel, dtype=c_codes.dtype).at[dest].set(c_codes)[:N]
         T_c = jnp.zeros((N + 1, D), fdtype).at[dest].set(T_new)[:N]
         w_c = jnp.zeros((N + 1,), fdtype).at[dest].set(w_new)[:N]
         orig_c = jnp.zeros((N + 1,), jnp.int32).at[dest].set(orig)[:N]

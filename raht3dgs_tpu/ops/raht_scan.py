@@ -33,6 +33,7 @@ from raht3dgs_tpu.ops.raht import (
     RahtForwardResult,
     RahtStructure,
     _butterfly_ab,
+    _level_mask,
     num_levels,
 )
 
@@ -82,11 +83,11 @@ def raht_forward_scan(
     N, D = attributes.shape
     levels = num_levels(depth, N)
     fdtype = attributes.dtype
-    bad_code = jnp.int64(-1)
+    bad_code = jnp.asarray(-1, dtype=codes.dtype)
 
     def body(j, state):
         T, w, active, drop, ws = state
-        mask = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << jnp.int64(j))
+        mask = _level_mask(codes.dtype, j, levels)
 
         # nearest-active payloads at-or-after / at-or-before each position
         nv, nc, nT, nw = _pull(active, (codes, T, w), reverse=True)

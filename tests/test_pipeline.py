@@ -135,3 +135,24 @@ def test_duplicate_positions_rejected(rng):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_int32_code_narrowing_matches_int64(rng):
+    import jax.numpy as jnp
+    from raht3dgs_tpu.ops.raht import raht_forward
+
+    depth = 6
+    pts, codes, attrs = unique_voxel_cloud(rng, 400, depth)
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth, bucket=512)
+    assert frame.codes.dtype == jnp.int32  # levels fit -> narrowed
+    res32 = raht_forward(frame.codes, frame.attributes, frame.weights, depth)
+    res64 = raht_forward(
+        frame.codes.astype(jnp.int64), frame.attributes, frame.weights, depth
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res32.coeffs), np.asarray(res64.coeffs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res32.structure.drop_level),
+        np.asarray(res64.structure.drop_level),
+    )
