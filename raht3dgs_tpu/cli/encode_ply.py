@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the decode half (coefficient-domain PSNR only)",
     )
     p.add_argument(
+        "--target-bpp", type=float, default=None,
+        help="instead of a step sweep, search the quantization step hitting "
+        "this rate budget (device-side rate model + refinement)",
+    )
+    p.add_argument(
         "--voxelize", action="store_true",
         help="voxelize raw float positions first (merging duplicate voxels "
         "by attribute mean); without this, inputs must already be unique "
@@ -86,6 +91,26 @@ def main(argv=None) -> int:
             C = np.asarray(res.attributes)[:nvox]
             print(f"frame {idx}: voxelized to {nvox} voxels")
         codec = codec_cache.setdefault(depth, AttributeCodec(depth, dtype=dtype))
+        if args.target_bpp is not None:
+            import jax.numpy as _jnp
+            import numpy as np
+
+            from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+            from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+            from raht3dgs_tpu.ops.color import rgb_to_yuv
+
+            yuv = np.asarray(rgb_to_yuv(_jnp.asarray(np.asarray(C)), dtype=dtype))
+            frame = prepare_voxel_frame(
+                np.floor(np.asarray(V)).astype(np.int64), yuv, depth,
+                bucket=args.bucket, dtype=dtype,
+            )
+            res = search_step_for_bpp(frame, args.target_bpp, codec=codec)
+            print(
+                f"frame {idx}: target {args.target_bpp:.3f} bpp -> step "
+                f"{res.step:.4f}, actual {res.bpp:.3f} bpp "
+                f"({res.probes} device probes)"
+            )
+            continue
         points = encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=idx,
             codec=codec, bucket=args.bucket, dtype=dtype,

@@ -1,0 +1,110 @@
+"""Rate-targeted encoding: find the quantization step hitting a bpp budget.
+
+Not present in the reference (its drivers sweep a fixed step grid and the
+user picks a point afterwards). Strategy: bisect the step on the on-device
+rate model (``ops/rate_model.py`` — no host round-trips, reuses the cached
+transform), then verify/refine with at most a couple of true encodes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raht3dgs_tpu.models.pipeline import AttributeCodec, EncodedFrame, VoxelFrame
+from raht3dgs_tpu.ops.quantize import quantize
+from raht3dgs_tpu.ops.rate_model import estimate_bpp
+
+
+@jax.jit
+def _estimate_bpp_at_step(coeffs, step, valid, n_voxels):
+    q = quantize(coeffs, step)
+    return estimate_bpp(q, n_voxels, valid=valid)
+
+
+@dataclass
+class RateSearchResult:
+    step: float
+    bpp: float
+    target_bpp: float
+    encoded: EncodedFrame
+    probes: int
+
+
+# The surrogate over-estimates the adaptive coder by a stable factor
+# (~1.6x measured on RAHT coefficient statistics across steps); calibrating
+# the bisection target gets the first true encode close to budget.
+MODEL_CALIBRATION = 1.6
+
+
+def search_step_for_bpp(
+    frame: VoxelFrame,
+    target_bpp: float,
+    codec: Optional[AttributeCodec] = None,
+    lo: float = 0.25,
+    hi: float = 4096.0,
+    iters: int = 18,
+    refine: int = 4,
+) -> RateSearchResult:
+    """Find the largest-quality (smallest) step with rate <= target_bpp.
+
+    Bisection on the device-side estimate (monotone in step), then up to
+    ``refine`` true encodes to correct the model's residual bias against
+    the actual RLGR size.
+    """
+    codec = codec or AttributeCodec(frame.depth)
+    coeffs, order, _, _ = codec.transform(frame)
+    valid = jnp.arange(frame.codes.shape[0]) < frame.n_voxels
+    nvox = frame.n_voxels
+
+    probes = 0
+    est_target = target_bpp * MODEL_CALIBRATION
+
+    def est(step: float) -> float:
+        nonlocal probes
+        probes += 1
+        return float(
+            _estimate_bpp_at_step(
+                coeffs, jnp.asarray(step, dtype=coeffs.dtype), valid, nvox
+            )
+        )
+
+    a, b = lo, hi
+    if est(a) <= est_target:
+        b = a  # even the finest step fits
+    else:
+        for _ in range(iters):
+            mid = np.sqrt(a * b)  # geometric bisection (steps span decades)
+            if est(mid) > est_target:
+                a = mid
+            else:
+                b = mid
+    step = b
+
+    # refine against true encodes
+    enc = codec.encode(frame, steps=step, coeffs=coeffs, order=order)
+    for _ in range(refine):
+        actual = enc.stream.bpp()
+        if target_bpp * 0.9 <= actual <= target_bpp:
+            break
+        ratio = actual / target_bpp
+        if ratio <= 1.0 and step <= lo:
+            break
+        step = float(np.clip(step * ratio**1.4, lo, hi))
+        enc = codec.encode(frame, steps=step, coeffs=coeffs, order=order)
+    # guarantee the budget if possible
+    while enc.stream.bpp() > target_bpp and step < hi:
+        step *= 1.3
+        enc = codec.encode(frame, steps=step, coeffs=coeffs, order=order)
+    return RateSearchResult(
+        step=float(step),
+        bpp=enc.stream.bpp(),
+        target_bpp=target_bpp,
+        encoded=enc,
+        probes=probes,
+    )

@@ -1,0 +1,67 @@
+import numpy as np
+import jax.numpy as jnp
+
+from raht3dgs_tpu.codec.rlgr import rlgr_encode
+from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+from raht3dgs_tpu.ops.rate_model import estimate_rlgr_bits
+from conftest import unique_voxel_cloud
+
+
+def _true_bits(q):
+    total = 0
+    for d in range(q.shape[1]):
+        data, _ = rlgr_encode(q[:, d])
+        total += len(data) * 8
+    return total
+
+
+def test_estimate_tracks_true_size(rng):
+    depth = 6
+    pts, _, attrs = unique_voxel_cloud(rng, 2000, depth)
+    # smooth attributes -> realistic RAHT coefficient statistics
+    attrs = (pts / 2**depth * 255).astype(np.float64)
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth, bucket=512)
+    codec = AttributeCodec(depth)
+    coeffs, order, _, _ = codec.transform(frame)
+    coeffs_np = np.asarray(coeffs)
+
+    est_prev = None
+    for step in (1.0, 4.0, 16.0, 64.0):
+        q = np.floor(coeffs_np / step + 0.5).astype(np.int32)
+        valid = jnp.arange(len(q)) < frame.n_voxels
+        est = float(np.sum(np.asarray(
+            estimate_rlgr_bits(jnp.asarray(q), valid=valid)
+        )))
+        true = _true_bits(q[: frame.n_voxels])
+        # monotone decreasing with step, and within a reasonable factor
+        assert 0.5 * true <= est <= 2.5 * true, (step, est, true)
+        if est_prev is not None:
+            assert est < est_prev
+        est_prev = est
+
+
+def test_rate_search_hits_budget(rng):
+    depth = 6
+    pts, _, _ = unique_voxel_cloud(rng, 1500, depth)
+    attrs = (pts * 7 % 256).astype(np.float64)
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth, bucket=512)
+    codec = AttributeCodec(depth)
+
+    # determine a feasible target from a mid sweep point
+    mid = codec.encode(frame, steps=8.0).stream.bpp()
+    target = mid * 1.1
+    res = search_step_for_bpp(frame, target, codec=codec)
+    assert res.bpp <= target * 1.001, (res.bpp, target)
+    # shouldn't be wastefully far below budget either
+    assert res.bpp >= target * 0.4
+    assert res.probes <= 25
+
+
+def test_rate_search_infeasible_budget(rng):
+    depth = 5
+    pts, _, attrs = unique_voxel_cloud(rng, 400, depth)
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth, bucket=512)
+    res = search_step_for_bpp(frame, target_bpp=0.0001)
+    # caps at hi step; returns the smallest achievable rate
+    assert res.step >= 4000 or res.bpp <= 0.0001
