@@ -79,29 +79,40 @@ def main() -> None:
     from __graft_entry__ import _synthetic_frame
     from raht3dgs_tpu.ops.raht import get_forward_impl, raht_inverse
 
-    impl = os.environ.get("RAHT3DGS_RAHT_IMPL", "dense")
+    impl = os.environ.get("RAHT3DGS_RAHT_IMPL", "span")
     fwd = get_forward_impl(impl)
     codes, attrs, weights = _synthetic_frame(N, DEPTH, D_ATTR, pad_to=PAD_TO)
     n_real = int((weights > 0).sum())
 
-    @jax.jit
-    def roundtrip(codes, attrs, weights):
-        res = fwd(codes, attrs, weights, DEPTH)
-        rec = raht_inverse(res.coeffs, res.structure, DEPTH)
-        return rec
+    if impl == "span":
+        from raht3dgs_tpu.ops.raht_span import raht_inverse_span
+
+        @jax.jit
+        def roundtrip(codes, attrs, weights):
+            res = fwd(codes, attrs, weights, DEPTH)
+            return raht_inverse_span(res.coeffs, codes, weights, DEPTH)
+    else:
+        @jax.jit
+        def roundtrip(codes, attrs, weights):
+            res = fwd(codes, attrs, weights, DEPTH)
+            rec = raht_inverse(res.coeffs, res.structure, DEPTH)
+            return rec
 
     codes_j = jnp.asarray(codes)
     attrs_j = jnp.asarray(attrs, dtype=jnp.float32)
     weights_j = jnp.asarray(weights, dtype=jnp.float32)
 
+    # NB: block_until_ready does not reliably wait on the axon tunnel;
+    # fetch a scalar each iteration to force completion.
     for _ in range(WARMUP):
-        jax.block_until_ready(roundtrip(codes_j, attrs_j, weights_j))
+        out = roundtrip(codes_j, attrs_j, weights_j)
+        float(out[0, 0])
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
         out = roundtrip(codes_j, attrs_j, weights_j)
-        jax.block_until_ready(out)
+        float(out[0, 0])
         times.append(time.perf_counter() - t0)
 
     # sanity: reconstruction must be lossless to fp32 tolerance

@@ -138,7 +138,9 @@ def _quant_reorder_device(coeffs, steps, order):
 
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
 def _structure_order_device(codes, weights, depth, order_mode="ragft"):
-    structure = raht_structure(codes, weights, depth)
+    from raht3dgs_tpu.ops.raht_span import raht_structure_span
+
+    structure = raht_structure_span(codes, weights, depth)
     return structure, coefficient_order(structure, order_mode)
 
 
@@ -148,8 +150,10 @@ def _dequant_device(qfull, steps, dtype):
 
 
 @partial(jax.jit, static_argnames=("depth",))
-def _inverse_device(coeffs, structure, depth):
-    return raht_inverse(coeffs, structure, depth)
+def _inverse_device(coeffs, codes, weights, depth):
+    from raht3dgs_tpu.ops.raht_span import raht_inverse_span
+
+    return raht_inverse_span(coeffs, codes, weights, depth)
 
 
 class AttributeCodec:
@@ -174,8 +178,10 @@ class AttributeCodec:
         # Coefficient stream order: "ragft" (reference Python drivers),
         # "weight_desc" (MATLAB encoder_RAHT_RLGR.m), or "morton".
         self.order_mode = order_mode
-        # Forward-transform implementation (dense / compact / scan).
-        self.impl = impl or os.environ.get("RAHT3DGS_RAHT_IMPL", "dense")
+        # Forward-transform implementation (span / dense / compact / scan).
+        # "span" (closed form) is the TPU fast path and the default; "dense"
+        # is the bitwise golden used by the 1e-12 crosscheck tooling.
+        self.impl = impl or os.environ.get("RAHT3DGS_RAHT_IMPL", "span")
 
     # -- encoding ---------------------------------------------------------
 
@@ -286,6 +292,6 @@ class AttributeCodec:
             "Dequant_time", _dequant_device, jnp.asarray(qfull), steps, self.dtype
         )
         attrs = timer.time(
-            "iRAHT_time", _inverse_device, coeffs, structure, self.depth
+            "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth
         )
         return np.asarray(attrs)[:nvox], timer

@@ -83,7 +83,7 @@ def _succ_active(active: jnp.ndarray) -> jnp.ndarray:
     """For each position, the next strictly-greater active index (N if none)."""
     N = active.shape[0]
     idx = jnp.where(active, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
-    incl = lax.associative_scan(jnp.minimum, idx, reverse=True)
+    incl = lax.cummin(idx, reverse=True)
     return jnp.concatenate([incl[1:], jnp.full((1,), N, dtype=jnp.int32)])
 
 
@@ -91,28 +91,81 @@ def _pred_active(active: jnp.ndarray) -> jnp.ndarray:
     """For each position, the previous strictly-smaller active index (-1 if none)."""
     N = active.shape[0]
     idx = jnp.where(active, jnp.arange(N, dtype=jnp.int32), jnp.int32(-1))
-    incl = lax.associative_scan(jnp.maximum, idx)
+    incl = lax.cummax(idx)
     return jnp.concatenate([jnp.full((1,), -1, dtype=jnp.int32), incl[:-1]])
 
 
-def _level_pairs(
-    codes: jnp.ndarray, active: jnp.ndarray, j: jnp.ndarray, levels: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Left mask, right mask, and partner index for butterfly level ``j``.
+# ---------------------------------------------------------------------------
+# Wide-gather packing.
+#
+# TPU gathers move (sublane, 128-lane) tiles: gathering a 1-lane array wastes
+# 127/128 of the bandwidth (measured ~50x slower than an 8-lane row gather on
+# v5e). All per-level neighbor reads are therefore fused into ONE gather of a
+# packed (N, D + extra) float matrix; integer fields (Morton codes, drop
+# levels) ride along as bitcast float lanes (no arithmetic ever touches the
+# bitcast lanes — only gather/select — so the bit patterns are preserved).
+# ---------------------------------------------------------------------------
 
-    Mirrors the reference flag rule ``(MC[k] ^ MC[k+1]) & (2^L - 2^j) == 0``
-    over consecutive *active* entries (``RAHT_param.py:65-70``).
-    """
-    N = codes.shape[0]
+
+# Codes ride the wide gather as VALUE-exact float lanes (21-bit digits:
+# float32 represents integers < 2^24 exactly). Bitcasting would be cheaper
+# but XLA:TPU fusions canonicalize NaN/denormal bit patterns inside
+# concat+gather, corrupting bitcast payloads (observed on v5e).
+_DIGIT_BITS = 21
+_DIGIT_MASK = (1 << _DIGIT_BITS) - 1
+
+
+def _code_lanes(codes: jnp.ndarray, fdtype) -> jnp.ndarray:
+    """Split integer codes into (N, 3) exact float digits (low to high)."""
+    c = codes.astype(jnp.int64)
+    return jnp.stack(
+        [
+            (c & _DIGIT_MASK).astype(fdtype),
+            ((c >> _DIGIT_BITS) & _DIGIT_MASK).astype(fdtype),
+            ((c >> (2 * _DIGIT_BITS)) & _DIGIT_MASK).astype(fdtype),
+        ],
+        axis=1,
+    )
+
+
+def _lanes_code(lanes: jnp.ndarray, code_dtype, fdtype) -> jnp.ndarray:
+    """Inverse of :func:`_code_lanes`."""
+    lo = lanes[:, 0].astype(jnp.int64)
+    mid = lanes[:, 1].astype(jnp.int64)
+    hi = lanes[:, 2].astype(jnp.int64)
+    c = lo | (mid << _DIGIT_BITS) | (hi << (2 * _DIGIT_BITS))
+    return c.astype(code_dtype)
+
+
+def _neighbor_pack(active, codes, fields, fdtype):
+    """succ/pred indices plus the packed neighbor payloads at both.
+
+    ``fields``: list of (N,) or (N, D) float arrays to fetch at the
+    neighbors. Returns (succ, pred, fetch) where fetch(g) -> list of the
+    fields followed by the neighbor code, for g in (gathered_succ,
+    gathered_pred)."""
+    N = active.shape[0]
     succ = _succ_active(active)
     pred = _pred_active(active)
     succ_c = jnp.minimum(succ, N - 1)
     pred_c = jnp.maximum(pred, 0)
-    mask = _level_mask(codes.dtype, j, levels)
-    left = active & (succ < N) & (((codes ^ codes[succ_c]) & mask) == 0)
-    right = active & (pred >= 0) & left[pred_c]
-    partner = jnp.where(left, succ_c, pred_c)
-    return left, right, partner
+    cols = [f[:, None] if f.ndim == 1 else f for f in fields]
+    widths = [c.shape[1] for c in cols]
+    pack = jnp.concatenate(cols + [_code_lanes(codes, fdtype)], axis=1)
+    g_succ = pack[succ_c]
+    g_pred = pack[pred_c]
+
+    def unpack(g):
+        out = []
+        off = 0
+        for f, wdt in zip(fields, widths):
+            col = g[:, off : off + wdt]
+            out.append(col[:, 0] if f.ndim == 1 else col)
+            off += wdt
+        out.append(_lanes_code(g[:, off:], codes.dtype, fdtype))
+        return out
+
+    return succ, pred, unpack(g_succ), unpack(g_pred)
 
 
 def _level_mask(code_dtype, j, levels: int):
@@ -173,10 +226,17 @@ def raht_forward(
 
     def body(j, state):
         T, w, active, drop, ws = state
-        left, right, partner = _level_pairs(codes, active, j, levels)
+        mask = _level_mask(codes.dtype, j, levels)
+        succ, pred, (sT, sw, scode), (pT, pw, pcode) = _neighbor_pack(
+            active, codes, [T, w], fdtype
+        )
+        left = active & (succ < N) & (((codes ^ scode) & mask) == 0)
+        right = (
+            active & (pred >= 0) & (((codes ^ pcode) & mask) == 0) & ~left
+        )
         touched = left | right
-        Tp = T[partner]
-        wp = w[partner]
+        Tp = jnp.where(left[:, None], sT, pT)
+        wp = jnp.where(left, sw, pw)
         w0 = jnp.where(left, w, wp)
         w1 = jnp.where(left, wp, w)
         a, b = _butterfly_ab(w0, w1)
@@ -225,9 +285,16 @@ def raht_structure(
 
     def body(j, state):
         w, active, drop, ws = state
-        left, right, partner = _level_pairs(codes, active, j, levels)
+        mask = _level_mask(codes.dtype, j, levels)
+        succ, pred, (sw, scode), (pw, pcode) = _neighbor_pack(
+            active, codes, [w], fdtype
+        )
+        left = active & (succ < N) & (((codes ^ scode) & mask) == 0)
+        right = (
+            active & (pred >= 0) & (((codes ^ pcode) & mask) == 0) & ~left
+        )
         touched = left | right
-        wp = w[partner]
+        wp = jnp.where(left, sw, pw)
         ws = jnp.where(right, w, ws)
         w = jnp.where(touched, w + wp, w)
         drop = jnp.where(right, j.astype(jnp.int32), drop)
@@ -262,26 +329,37 @@ def raht_inverse(
     """
     N, D = coeffs.shape
     levels = num_levels(depth, N)
+    fdtype = coeffs.dtype
     drop = structure.drop_level
-    ws = structure.subtree_w.astype(coeffs.dtype)
+    # drop levels are < 64, exactly representable as floats: ride the wide
+    # gather value-wise (no bitcast needed)
+    drop_f = drop.astype(fdtype)
+    ws = structure.subtree_w.astype(fdtype)
 
     def body(k, state):
         C, wcur = state
         j = levels - k
+        j_f = j.astype(fdtype)
         active_pre = (drop == 0) | (drop >= j)
         right = drop == j
         succ = _succ_active(active_pre)
         pred = _pred_active(active_pre)
         succ_c = jnp.minimum(succ, N - 1)
         pred_c = jnp.maximum(pred, 0)
-        left = active_pre & (succ < N) & right[succ_c]
-        partner = jnp.where(left, succ_c, pred_c)
+        pack = jnp.concatenate(
+            [C, wcur[:, None], ws[:, None], drop_f[:, None]], axis=1
+        )
+        g_s = pack[succ_c]
+        g_p = pack[pred_c]
+        left = active_pre & (succ < N) & (g_s[:, D + 2] == j_f)
         touched = left | right
-        w1 = jnp.where(left, ws[partner], ws)
-        denom = jnp.where(left, wcur, wcur[partner])
+        Cp = jnp.where(left[:, None], g_s[:, :D], g_p[:, :D])
+        wcur_p = jnp.where(left, g_s[:, D], g_p[:, D])
+        ws_p = jnp.where(left, g_s[:, D + 1], g_p[:, D + 1])
+        w1 = jnp.where(left, ws_p, ws)
+        denom = jnp.where(left, wcur, wcur_p)
         w0 = denom - w1
         a, b = _butterfly_ab(w0, w1)
-        Cp = C[partner]
         t0 = jnp.where(left[:, None], C, Cp)
         t1 = jnp.where(left[:, None], Cp, C)
         lo = a[:, None] * t0 - b[:, None] * t1
@@ -298,11 +376,11 @@ def raht_inverse(
 
 
 def get_forward_impl(name: str = "dense"):
-    """Select a forward-transform implementation: "dense" (masked levels,
-    this module), "compact" (prefix compaction, ops/raht_compact.py), or
-    "scan" (value-carrying scans, ops/raht_scan.py). All three produce the
-    same pairing/structure; relative speed is hardware-dependent, so the
-    codec and bench let callers switch (env RAHT3DGS_RAHT_IMPL)."""
+    """Select a forward-transform implementation: "span" (closed form, no
+    level loop — the TPU fast path, ops/raht_span.py), "dense" (masked
+    levels, this module — bitwise golden for 1e-12 crosschecks), "compact"
+    (prefix compaction) or "scan" (value-carrying scans). All produce the
+    same pairing/structure; switch via env RAHT3DGS_RAHT_IMPL."""
     if name == "dense":
         return raht_forward
     if name == "compact":
@@ -313,4 +391,8 @@ def get_forward_impl(name: str = "dense"):
         from raht3dgs_tpu.ops.raht_scan import raht_forward_scan
 
         return raht_forward_scan
+    if name == "span":
+        from raht3dgs_tpu.ops.raht_span import raht_forward_span
+
+        return raht_forward_span
     raise ValueError(f"unknown RAHT impl {name!r}")

@@ -1,0 +1,292 @@
+"""Closed-form ("span") RAHT — no per-level loop at all.
+
+The per-level formulations (ops/raht.py and variants) advance a dense state
+through ~3J butterfly levels; on TPU each level costs several kernel
+launches and a gather, and the loop dominates runtime. But for *sorted
+unique* codes the entire merge tree is determined in closed form:
+
+- Let ``B[i] = msb(code[i-1] ^ code[i])``. Adjacent actives pair at level
+  ``B+1``, and (no-triple invariant, see ops/raht.py) node ``i`` merges
+  right-into-left at exactly ``drop[i] = B[i] + 1``.
+- Node ``i``'s subtree at its drop is the contiguous span ``[i, next_ge[i])``
+  where ``next_ge`` is the next position with B >= B[i]; its left partner is
+  ``prev_ge[i]`` (previous position with B >= B[i]), whose side spans
+  ``[prev_ge[i], i)``.
+- A subtree's accumulated value is ``sum(sqrt(w_k) c_k) / sqrt(sum w_k)``
+  over its leaves (invariant of the butterfly), so every pair's inputs are
+  prefix-sum differences:
+
+      x1 = (S[r) - S[i)) / sqrt(w1),   x0 = (S[i) - S[p)) / sqrt(w0)
+      T[i] = -b x0 + a x1,             T[0] = S[N) / sqrt(W)  (the DC)
+
+  — the whole forward transform is ``msb`` + two batched nearest->= scans +
+  prefix sums + elementwise math. No level loop, no data-dependent state.
+
+- The inverse is an affine recursion along parent pointers: the parent
+  value of pair ``i`` is ``x1[prev_ge[i]]`` when this is the partner's last
+  merge, else ``x0[next_ge[i]]`` — i.e. ``Y[i] = g[i] * Y[par[i]] + d[i]``,
+  solved for every node simultaneously with ~log2(3J) pointer-doubling
+  steps. Leaves read off as ``x0[k+1]`` or ``x1[k]``.
+
+Numerics: span sums are computed in float64 regardless of the I/O dtype —
+differences of long prefix sums in float32 would suffer catastrophic
+cancellation. Outputs match the level-loop implementations to ~1e-9 (f64);
+they are not bitwise identical (different summation order), so the "dense"
+impl remains the golden path for 1e-12 crosschecks.
+
+Padding behaves exactly as in ops/raht.py: zero-weight slots produce a=1,
+b=0 no-ops (guarded divisions) and sentinel codes keep them out of the real
+octree.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from raht3dgs_tpu.ops.raht import (
+    RahtForwardResult,
+    RahtStructure,
+    num_levels,
+)
+
+
+def _msb(x: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Position of the most significant set bit (x > 0), exact.
+
+    Uses the float32 exponent as a first guess and corrects the
+    round-up-to-power-of-two case; for >31-bit inputs the high half is
+    handled separately.
+    """
+
+    def msb32(v):  # v: int32/int64 with value < 2^31, v >= 0
+        vf = v.astype(jnp.float32)
+        # exponent = floor(log2) except when rounding carried upward
+        e = (
+            (lax.bitcast_convert_type(vf, jnp.int32) >> 23) & 0xFF
+        ) - 127
+        e = jnp.clip(e, 0, 31).astype(jnp.int32)
+        carry = (v >> e) == 0  # rounded up: true msb is e-1
+        return jnp.where(carry, e - 1, e)
+
+    if bits <= 31:
+        return msb32(x.astype(jnp.int64) & 0x7FFFFFFF)
+    x = x.astype(jnp.int64)
+    hi = (x >> 31).astype(jnp.int64)  # keep 31-bit halves (sign-safe)
+    lo = x & 0x7FFFFFFF
+    return jnp.where(hi > 0, 31 + msb32(hi), msb32(lo)).astype(jnp.int32)
+
+
+def _nearest_ge(B: jnp.ndarray, n_vals: int):
+    """prev_ge[i] (previous j with B[j] >= B[i], else -1) and next_ge[i]
+    (next k with B[k] >= B[i], else N), batched over the value alphabet.
+
+    ``B`` is small (< n_vals ≈ 3J+2), so one (V, N) cummax/cummin computes
+    "last/next position with B >= v" for every threshold v at once; a
+    one-hot contraction selects each element's own threshold row.
+    """
+    N = B.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    vals = jnp.arange(n_vals, dtype=B.dtype)
+    ge = B[None, :] >= vals[:, None]                      # (V, N)
+    last = lax.cummax(jnp.where(ge, idx[None, :], -1), axis=1)
+    nxt = lax.cummin(
+        jnp.where(ge, idx[None, :], N), axis=1, reverse=True
+    )
+    onehot = (B[None, :] == vals[:, None]).astype(jnp.int32)
+    # strictly-before / strictly-after via shifts of the inclusive scans
+    last_excl = jnp.concatenate(
+        [jnp.full((n_vals, 1), -1, jnp.int32), last[:, :-1]], axis=1
+    )
+    next_excl = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((n_vals, 1), N, jnp.int32)], axis=1
+    )
+    prev_ge = jnp.sum(onehot * last_excl, axis=0).astype(jnp.int32)
+    next_ge = jnp.sum(onehot * next_excl, axis=0).astype(jnp.int32)
+    return prev_ge, next_ge
+
+
+def _span_topology(codes, depth: int):
+    """Closed-form B / drop levels / prev_ge / next_ge (codes only)."""
+    N = codes.shape[0]
+    levels = num_levels(depth, N)
+    code_bits = levels  # codes < 2^levels by construction
+
+    diff = codes[1:] ^ codes[:-1]
+    B = jnp.concatenate(
+        [
+            jnp.full((1,), levels + 1, dtype=jnp.int32),  # sentinel: node 0
+            _msb(diff, code_bits).astype(jnp.int32),
+        ]
+    )
+    drop = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (B[1:] + 1).astype(jnp.int32)]
+    )
+    prev_ge, next_ge = _nearest_ge(B, levels + 2)
+    return drop, prev_ge, next_ge, levels
+
+
+def _weight_prefix(weights):
+    """Exclusive float64 prefix sums (W[i] = sum w[:i]), length N+1."""
+    Wincl = jnp.cumsum(weights.astype(jnp.float64))
+    W = jnp.concatenate([jnp.zeros((1,), jnp.float64), Wincl])
+    return W, Wincl[-1]
+
+
+def _safe_ab(w0, w1):
+    denom = w0 + w1
+    safe = denom > 0
+    d = jnp.where(safe, denom, 1.0)
+    a = jnp.where(safe, jnp.sqrt(w0 / d), 1.0)
+    b = jnp.where(safe, jnp.sqrt(w1 / d), 0.0)
+    return a, b
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
+    """Closed-form structure pass (decoder prelude). Same contract as
+    ops/raht.py:raht_structure."""
+    N = codes.shape[0]
+    fdtype = weights.dtype
+    drop, prev_ge, next_ge, _ = _span_topology(codes, depth)
+    W, w_total = _weight_prefix(weights)
+    W_here = W[:N]
+    w1 = W[next_ge] - W_here
+    w0 = W_here - W[jnp.maximum(prev_ge, 0)]
+    node_w = jnp.where(
+        jnp.arange(N) == 0, w_total, w0 + w1
+    ).astype(fdtype)
+    subtree = jnp.where(jnp.arange(N) == 0, w_total, w1).astype(fdtype)
+    return RahtStructure(
+        drop_level=drop, subtree_w=subtree, node_weights=node_w
+    )
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResult:
+    """Closed-form forward RAHT. Same contract as ops/raht.py:raht_forward."""
+    N, D = attributes.shape
+    fdtype = attributes.dtype
+    drop, prev_ge, next_ge, _ = _span_topology(codes, depth)
+    idx = jnp.arange(N)
+
+    # Fused prefix pack: attribute sums (D) + weight sums (1) ride the same
+    # two wide gathers (sqrt(w)-scaled values: the butterfly invariant).
+    w64 = weights.astype(jnp.float64)
+    sw = jnp.sqrt(w64)[:, None]
+    body = jnp.concatenate([sw * attributes.astype(jnp.float64), w64[:, None]], axis=1)
+    SW = jnp.concatenate(
+        [jnp.zeros((1, D + 1), jnp.float64), jnp.cumsum(body, axis=0)]
+    )  # row i = sums over [:i)
+
+    SW_here = SW[:N]                        # slice, not a gather
+    g_next = SW[next_ge]                    # one wide gather
+    g_prev = SW[jnp.maximum(prev_ge, 0)]    # one wide gather
+    sub1 = g_next[:, :D] - SW_here[:, :D]
+    sub0 = SW_here[:, :D] - g_prev[:, :D]
+    w1 = g_next[:, D] - SW_here[:, D]
+    w0 = SW_here[:, D] - g_prev[:, D]
+    w_total = SW[N, D]
+    x1 = jnp.where(w1[:, None] > 0, sub1 / jnp.sqrt(jnp.where(w1 > 0, w1, 1.0))[:, None], 0.0)
+    x0 = jnp.where(w0[:, None] > 0, sub0 / jnp.sqrt(jnp.where(w0 > 0, w0, 1.0))[:, None], 0.0)
+    a, b = _safe_ab(w0, w1)
+    detail = (-b[:, None] * x0 + a[:, None] * x1).astype(fdtype)
+
+    dc = (SW[N, :D] / jnp.sqrt(jnp.where(w_total > 0, w_total, 1.0))).astype(fdtype)
+    T = jnp.where((idx == 0)[:, None], dc[None, :], detail)
+
+    node_w = jnp.where(idx == 0, w_total, w0 + w1).astype(fdtype)
+    subtree = jnp.where(idx == 0, w_total, w1).astype(fdtype)
+    return RahtForwardResult(
+        coeffs=T,
+        weights=node_w,
+        structure=RahtStructure(
+            drop_level=drop, subtree_w=subtree, node_weights=node_w
+        ),
+    )
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
+    """Closed-form inverse: affine pointer-doubling over the merge tree.
+
+    Unlike ops/raht.py:raht_inverse (which replays structure from
+    drop/subtree arrays), this recomputes the closed-form structure from
+    ``codes``+``weights`` — the decoder has both — and resolves every
+    pair's parent-span value in O(log levels) doubling steps.
+    """
+    N, D = coeffs.shape
+    fdtype = coeffs.dtype
+    drop, prev_ge, next_ge, levels = _span_topology(codes, depth)
+    W, w_total = _weight_prefix(weights)
+    W_here = W[:N]
+    w1 = W[next_ge] - W_here
+    w0 = W_here - W[jnp.maximum(prev_ge, 0)]
+    idx = jnp.arange(N)
+    a, b = _safe_ab(w0, w1)
+    T64 = coeffs.astype(jnp.float64)
+
+    p = prev_ge
+    q = next_ge
+    p_c = jnp.maximum(p, 0)
+    q_c = jnp.minimum(q, N - 1)
+    # last-merge test: i is its left partner's final merge iff the merged
+    # span [p, q) is exactly p's own subtree span [p, next_ge[p])
+    last_merge = next_ge[p_c] == q
+
+    # Affine recursion Y[i] = g[i] * Y[par[i]] + d[i]:
+    #   last merge, p > 0:  Y[i] = x1[p] = b_p Y[p] + a_p T[p]
+    #   last merge, p == 0: Y[i] = DC = T[0]              (terminal)
+    #   else:               Y[i] = x0[q] = a_q Y[q] - b_q T[q]
+    par = jnp.where(last_merge, p_c, q_c).astype(jnp.int32)
+    g = jnp.where(last_merge, b[p_c], a[q_c])
+    d = jnp.where(
+        last_merge[:, None],
+        a[p_c, None] * T64[p_c],
+        -b[q_c, None] * T64[q_c],
+    )
+    root_child = last_merge & (p == 0)
+    g = jnp.where(root_child, 0.0, g)
+    d = jnp.where(root_child[:, None], T64[0][None, :], d)
+    # node 0 itself: terminal no-op
+    g = g.at[0].set(0.0)
+    d = d.at[0].set(T64[0])
+    par = par.at[0].set(0)
+
+    # pointer doubling: compose Y = g*(parent chain) + d until converged
+    # (chain length = tree depth <= levels)
+    import math
+
+    steps = max(1, math.ceil(math.log2(levels + 2)))
+
+    def dbl(_, state):
+        par, g, d = state
+        pack = jnp.concatenate(
+            [g[:, None].astype(jnp.float64), d, par[:, None].astype(jnp.float64)],
+            axis=1,
+        )
+        gp = pack[par]
+        g2 = g * gp[:, 0]
+        d2 = d + g[:, None] * gp[:, 1 : 1 + D]
+        par2 = gp[:, 1 + D].astype(jnp.int32)
+        return par2, g2, d2
+
+    par, g, d = lax.fori_loop(0, steps, dbl, (par, g, d))
+    Y = d  # all chains terminate at node 0 whose g == 0
+
+    x0 = a[:, None] * Y - b[:, None] * T64
+    x1 = b[:, None] * Y + a[:, None] * T64
+
+    # leaf k: value of span [k, k+1)
+    nxt_is_child = jnp.concatenate(
+        [prev_ge[1:] == idx[:-1], jnp.zeros((1,), bool)]
+    )
+    k1 = jnp.minimum(idx + 1, N - 1)
+    out = jnp.where(nxt_is_child[:, None], x0[k1], x1)
+    # N == 1: the lone root's value is the DC itself (Y[0] == T[0])
+    lone = (idx == 0) & ~nxt_is_child
+    out = jnp.where(lone[:, None], Y, out)
+    return out.astype(fdtype)

@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
-from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse, raht_structure
+from raht3dgs_tpu.ops.raht import get_forward_impl, raht_forward, raht_inverse, raht_structure
 from raht3dgs_tpu.ops.reorder import coefficient_order, ragft_order
 
 
@@ -84,7 +84,7 @@ def batched_transform_step(codes, attrs, weights, steps, depth,
     """
 
     def one(codes_f, attrs_f, w_f):
-        res = raht_forward(codes_f, attrs_f, w_f, depth)
+        res = get_forward_impl("span")(codes_f, attrs_f, w_f, depth)
         order = coefficient_order(res.structure, order_mode)
         q = quantize(res.coeffs, steps)
         return q[order], order
@@ -100,11 +100,11 @@ def batched_decode_step(codes, weights, qfull, steps, depth,
     ``qfull`` is (B, N, D) int32 with quantized coefficients already
     scattered back to transform positions (host does the scatter using the
     order returned by :func:`batched_structure_order`)."""
+    from raht3dgs_tpu.ops.raht_span import raht_inverse_span
 
     def one(codes_f, w_f, q_f):
-        structure = raht_structure(codes_f, w_f, depth)
         coeffs = dequantize(q_f, steps, dtype=dtype)
-        return raht_inverse(coeffs, structure, depth)
+        return raht_inverse_span(coeffs, codes_f, w_f, depth)
 
     return jax.vmap(one)(codes, weights, qfull)
 
@@ -112,9 +112,10 @@ def batched_decode_step(codes, weights, qfull, steps, depth,
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
 def batched_structure_order(codes, weights, depth, order_mode="ragft"):
     """Per-frame coefficient order from positions alone (decoder side)."""
+    from raht3dgs_tpu.ops.raht_span import raht_structure_span
 
     def one(codes_f, w_f):
-        structure = raht_structure(codes_f, w_f, depth)
+        structure = raht_structure_span(codes_f, w_f, depth)
         return coefficient_order(structure, order_mode)
 
     return jax.vmap(one)(codes, weights)

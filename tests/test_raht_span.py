@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+
+from raht3dgs_tpu.ops.morton import pad_code
+from raht3dgs_tpu.ops.raht import raht_forward, raht_structure
+from raht3dgs_tpu.ops.raht_span import (
+    raht_forward_span,
+    raht_inverse_span,
+    raht_structure_span,
+)
+from conftest import unique_voxel_cloud
+
+
+def test_span_structure_matches_dense(rng):
+    for depth, n in [(3, 60), (5, 500), (8, 2000)]:
+        _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+        w = jnp.ones(n, dtype=jnp.float64)
+        s_dense = raht_structure(jnp.asarray(codes), w, depth)
+        s_span = raht_structure_span(jnp.asarray(codes), w, depth)
+        np.testing.assert_array_equal(
+            np.asarray(s_span.drop_level), np.asarray(s_dense.drop_level)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_span.subtree_w), np.asarray(s_dense.subtree_w)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_span.node_weights), np.asarray(s_dense.node_weights)
+        )
+
+
+def test_span_forward_matches_dense(rng):
+    for depth, n in [(3, 60), (5, 500), (8, 2000)]:
+        _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+        w = jnp.ones(n, dtype=jnp.float64)
+        a = raht_forward(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        b = raht_forward_span(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        np.testing.assert_allclose(
+            np.asarray(b.coeffs), np.asarray(a.coeffs), rtol=1e-9, atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b.weights), np.asarray(a.weights)
+        )
+
+
+def test_span_roundtrip(rng):
+    for depth, n in [(4, 128), (8, 3000)]:
+        _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+        w = jnp.ones(n, dtype=jnp.float64)
+        res = raht_forward_span(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        rec = raht_inverse_span(res.coeffs, jnp.asarray(codes), w, depth)
+        np.testing.assert_allclose(np.asarray(rec), attrs, rtol=1e-8, atol=1e-7)
+
+
+def test_span_with_padding(rng):
+    depth, n, pad = 5, 311, 201
+    _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+    n_tot = n + pad
+    codes_p = np.concatenate(
+        [codes, np.asarray(pad_code(depth, n_tot, jnp.arange(n, n_tot)))]
+    )
+    attrs_p = np.concatenate([attrs, np.zeros((pad, attrs.shape[1]))])
+    w_p = jnp.asarray(
+        np.concatenate([np.ones(n), np.zeros(pad)]), dtype=jnp.float64
+    )
+    unpadded = raht_forward_span(
+        jnp.asarray(codes), jnp.asarray(attrs), jnp.ones(n, dtype=jnp.float64),
+        depth,
+    )
+    padded = raht_forward_span(
+        jnp.asarray(codes_p), jnp.asarray(attrs_p), w_p, depth
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.coeffs)[:n], np.asarray(unpadded.coeffs),
+        rtol=1e-10, atol=1e-9,
+    )
+    rec = raht_inverse_span(padded.coeffs, jnp.asarray(codes_p), w_p, depth)
+    np.testing.assert_allclose(np.asarray(rec)[:n], attrs, rtol=1e-8, atol=1e-7)
+    assert not np.any(np.isnan(np.asarray(rec)))
+
+
+def test_span_cross_inverse(rng):
+    # span-encoded coefficients decode with the level-loop inverse too
+    from raht3dgs_tpu.ops.raht import raht_inverse
+
+    depth, n = 6, 700
+    _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+    w = jnp.ones(n, dtype=jnp.float64)
+    res = raht_forward_span(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+    rec = raht_inverse(res.coeffs, res.structure, depth)
+    np.testing.assert_allclose(np.asarray(rec), attrs, rtol=1e-8, atol=1e-7)
+
+
+def test_span_multiplicity_weights(rng):
+    depth = 4
+    _, codes, attrs = unique_voxel_cloud(rng, 64, depth)
+    reps = rng.integers(1, 5, size=len(codes)).astype(np.float64)
+    res = raht_forward_span(
+        jnp.asarray(codes), jnp.asarray(attrs), jnp.asarray(reps), depth
+    )
+    ref = raht_forward(
+        jnp.asarray(codes), jnp.asarray(attrs), jnp.asarray(reps), depth
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.coeffs), np.asarray(ref.coeffs), rtol=1e-9, atol=1e-8
+    )
+    rec = raht_inverse_span(res.coeffs, jnp.asarray(codes), jnp.asarray(reps), depth)
+    np.testing.assert_allclose(np.asarray(rec), attrs, rtol=1e-8, atol=1e-7)
