@@ -49,11 +49,18 @@ class CompressedGaussians:
 def _voxelize_merge_device(
     means, quats, scales, opacities, colors, depth, weight_by_opacity=True
 ):
-    """Fused voxelize + per-voxel Gaussian merge (padded to N slots)."""
+    """Fused voxelize + per-voxel Gaussian merge (padded to N slots).
+
+    All per-voxel reductions are scatter-free prefix-sum differences over
+    the Morton-sorted member runs (ops/segment.py) — one fused (N, 12+C)
+    value matrix instead of seven segment_sum scatters.
+    """
+    from raht3dgs_tpu.ops.segment import sorted_segment_sums
+
     N = means.shape[0]
+    C = colors.shape[1]
     vox = voxelize(means, depth)
     sort_idx = vox.sort_idx
-    seg = vox.point_voxel  # (N,) voxel slot per *sorted* point
 
     q_s = quats[sort_idx]
     s_s = scales[sort_idx]
@@ -62,24 +69,39 @@ def _voxelize_merge_device(
     m_s = means[sort_idx]
 
     w = o_s if weight_by_opacity else jnp.ones_like(o_s)
-    tw = jops.segment_sum(w, seg, num_segments=N)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), vox.point_voxel[1:] != vox.point_voxel[:-1]]
+    )
+    vals = jnp.concatenate(
+        [
+            w[:, None] * m_s,                 # 0:3   weighted means
+            w[:, None] * q_s,                 # 3:7   weighted quats
+            w[:, None] * s_s,                 # 7:10  weighted scales
+            w[:, None] * c_s,                 # 10:10+C weighted colors
+            w[:, None],                       # total weight
+            o_s[:, None],                     # opacity sum
+        ],
+        axis=1,
+    )
+    sums, _, _, _ = sorted_segment_sums(vals, first)
+    sums = sums.astype(means.dtype)
+    tw = sums[:, 10 + C]
     tw_safe = jnp.where(tw > 0, tw, 1.0)[:, None]
 
-    def wmean(x):
-        return jops.segment_sum(x * w[:, None], seg, num_segments=N) / tw_safe
-
-    m_means = wmean(m_s)
-    m_scales = wmean(s_s)
-    m_colors = wmean(c_s)
-    q_acc = jops.segment_sum(q_s * w[:, None], seg, num_segments=N)
+    m_means = sums[:, 0:3] / tw_safe
+    q_acc = sums[:, 3:7]
+    m_scales = sums[:, 7:10] / tw_safe
+    m_colors = sums[:, 10 : 10 + C] / tw_safe
     q_norm = jnp.linalg.norm(q_acc, axis=1, keepdims=True)
     identity = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=quats.dtype)
     m_quats = jnp.where(q_norm > 0, q_acc / jnp.where(q_norm > 0, q_norm, 1.0),
                         identity[None, :])
-    m_opac = jnp.minimum(jops.segment_sum(o_s, seg, num_segments=N), 1.0)
+    m_opac = jnp.minimum(sums[:, 11 + C], 1.0)
 
     # per-input cluster id in ORIGINAL input order (for quality metrics)
-    cluster_of_input = jnp.zeros((N,), dtype=jnp.int32).at[sort_idx].set(seg)
+    cluster_of_input = (
+        jnp.zeros((N,), dtype=jnp.int32).at[sort_idx].set(vox.point_voxel)
+    )
 
     return (
         vox.positions, m_quats, m_scales, m_opac, m_colors, m_means,

@@ -1,0 +1,77 @@
+"""Segment reductions over *sorted* data without scatters.
+
+``jax.ops.segment_sum`` lowers to scatter-add — measured ~250x slower than
+elementwise on TPU v5e (tiles are row-granular and colliding). But the
+codec's segments are always runs of a *sorted* array (points sorted by
+Morton code), which admits a scatter-free evaluation:
+
+- segment starts are flagged by ``first`` (boundary mask);
+- ``argsort(~first)`` compacts the boundary row indices to the front in
+  ascending order (stable sort of a boolean key — cheap on TPU);
+- per-segment sums are differences of (float64) prefix sums gathered at
+  consecutive boundaries — two wide row gathers total, any lane count.
+
+Results are padded to N slots (segment k in slot k, zeros after), matching
+the padded-voxel convention used across the framework.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def segment_starts(first: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row index of each segment's first element, compacted to the front.
+
+    Returns (starts (N,) int32 — valid for slots < n_segments, N afterwards;
+    n_segments () int32)."""
+    N = first.shape[0]
+    n_seg = jnp.sum(first.astype(jnp.int32))
+    starts = jnp.argsort(~first, stable=True).astype(jnp.int32)
+    slot = jnp.arange(N, dtype=jnp.int32)
+    return jnp.where(slot < n_seg, starts, jnp.int32(N)), n_seg
+
+
+def sorted_segment_sums(
+    values: jnp.ndarray,
+    first: jnp.ndarray,
+    extra_rows: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-segment sums of run-partitioned ``values`` (N, K), scatter-free.
+
+    ``first[i]`` marks the start of a new segment (first[0] must be True).
+    ``extra_rows`` (N, E), if given, is sampled at each segment's first row
+    (e.g. the segment's sort key) through the same gather.
+
+    Returns (sums (N, K) — segment k in slot k, zeros in empty slots;
+    firsts_extra (N, E) or None; starts (N,); n_segments ()).
+    """
+    N, K = values.shape
+    starts, n_seg = segment_starts(first)
+    prefix = jnp.concatenate(
+        [
+            jnp.zeros((1, K), jnp.float64),
+            jnp.cumsum(values.astype(jnp.float64), axis=0),
+        ]
+    )  # (N+1, K): row i = sum over [:i)
+    if extra_rows is not None:
+        E = extra_rows.shape[1]
+        pad = jnp.zeros((1, E), extra_rows.dtype)
+        pack = jnp.concatenate(
+            [prefix, jnp.concatenate([extra_rows, pad]).astype(jnp.float64)],
+            axis=1,
+        )
+    else:
+        pack = prefix
+
+    starts_c = jnp.minimum(starts, N)
+    ends = jnp.concatenate([starts_c[1:], jnp.full((1,), N, jnp.int32)])
+    g_start = pack[starts_c]
+    g_end = prefix[jnp.minimum(ends, N)]
+
+    valid = (jnp.arange(N, dtype=jnp.int32) < n_seg)[:, None]
+    sums = jnp.where(valid, g_end - g_start[:, :K], 0.0)
+    extra = g_start[:, K:] if extra_rows is not None else None
+    return sums, extra, starts, n_seg

@@ -18,9 +18,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import ops as jops
 
 from raht3dgs_tpu.ops.morton import morton_decode, morton_encode, pad_code
+from raht3dgs_tpu.ops.raht import _code_lanes, _lanes_code
+from raht3dgs_tpu.ops.segment import sorted_segment_sums
 
 
 class VoxelizeResult(NamedTuple):
@@ -161,16 +162,23 @@ def voxelize(
     nvox = jnp.sum((first & valid_s).astype(jnp.int32))
 
     slot = row
-    counts = jops.segment_sum(
-        valid_s.astype(fdtype), point_voxel, num_segments=N
+    # Scatter-free per-voxel reduction: points are Morton-sorted, so voxel
+    # sums are prefix differences at run boundaries (ops/segment.py); the
+    # voxel's code rides the same gather as exact float digit lanes.
+    vals = jnp.concatenate(
+        [
+            jnp.where(valid_s[:, None], Cs, 0),
+            valid_s.astype(fdtype)[:, None],
+        ],
+        axis=1,
     )
-    Csum = jops.segment_sum(
-        jnp.where(valid_s[:, None], Cs, 0), point_voxel, num_segments=N
-    )
-    Cvox = Csum / jnp.maximum(counts, 1)[:, None]
+    code_digits = _code_lanes(Ms, jnp.float64)
+    sums, digit_rows, _, _ = sorted_segment_sums(vals, first, code_digits)
+    counts = sums[:, D].astype(fdtype)
+    Cvox = (sums[:, :D] / jnp.maximum(sums[:, D], 1.0)[:, None]).astype(fdtype)
 
-    codes = jops.segment_max(Ms, point_voxel, num_segments=N)
     real = slot < nvox
+    codes = _lanes_code(digit_rows, jnp.int64, jnp.float64)
     codes = jnp.where(real, codes, pad_code(depth, N, slot))
     positions = jnp.where(real[:, None], morton_decode(codes, depth), 0)
     counts = jnp.where(real, counts, 0)
