@@ -22,7 +22,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import ops as jops
 
 
 @partial(jax.jit, static_argnames=("num_clusters", "weight_by_opacity"))
@@ -41,28 +40,53 @@ def merge_gaussian_clusters(
     ``num_clusters`` is static (pad clusters for bucketing if needed; empty
     clusters produce zero means/scales/colors, identity quats, opacity 0).
     """
+    from raht3dgs_tpu.ops.segment import sorted_segment_sums
+
+    N = means.shape[0]
+    C = colors.shape[1]
     w = opacities if weight_by_opacity else jnp.ones_like(opacities)
 
-    def wmean(x):
-        s = jops.segment_sum(x * w[:, None], cluster_ids, num_segments=num_clusters)
-        return s
+    # Sort members by cluster id once (cheap on TPU), then reduce the runs
+    # scatter-free (ops/segment.py). The cluster id of each run rides the
+    # boundary gather so results land in their cluster's slot via one
+    # monotone re-index.
+    order = jnp.argsort(cluster_ids).astype(jnp.int32)
+    cid_s = cluster_ids[order]
+    vals = jnp.concatenate(
+        [
+            w[:, None] * means,
+            w[:, None] * quats,
+            w[:, None] * scales,
+            w[:, None] * colors,
+            w[:, None],
+            opacities[:, None],
+        ],
+        axis=1,
+    )[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]])
+    sums, cid_rows, _, n_seg = sorted_segment_sums(
+        vals, first, cid_s[:, None].astype(jnp.float64)
+    )
+    # place run k's sums into cluster slot cid_rows[k] — runs have unique,
+    # increasing cluster ids, so this gather-by-inverse is conflict-free
+    run_cid = jnp.where(
+        jnp.arange(N) < n_seg, cid_rows[:, 0].astype(jnp.int32), num_clusters
+    )
+    out = jnp.zeros((num_clusters + 1, sums.shape[1]))
+    out = out.at[run_cid].set(sums)  # unique slots: no scatter collisions
+    sums = out[:num_clusters].astype(means.dtype)
 
-    tw = jops.segment_sum(w, cluster_ids, num_segments=num_clusters)
+    tw = sums[:, 10 + C]
     tw_safe = jnp.where(tw > 0, tw, 1.0)[:, None]
-
-    m_means = wmean(means) / tw_safe
-    m_scales = wmean(scales) / tw_safe
-    m_colors = wmean(colors) / tw_safe
-
-    q_acc = wmean(quats)
+    m_means = sums[:, 0:3] / tw_safe
+    q_acc = sums[:, 3:7]
+    m_scales = sums[:, 7:10] / tw_safe
+    m_colors = sums[:, 10 : 10 + C] / tw_safe
     q_norm = jnp.linalg.norm(q_acc, axis=1, keepdims=True)
     identity = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=quats.dtype)
     m_quats = jnp.where(q_norm > 0, q_acc / jnp.where(q_norm > 0, q_norm, 1.0),
                         identity[None, :])
-
-    m_opac = jnp.minimum(
-        jops.segment_sum(opacities, cluster_ids, num_segments=num_clusters), 1.0
-    )
+    m_opac = jnp.minimum(sums[:, 11 + C], 1.0)
     return m_means, m_quats, m_scales, m_opac, m_colors
 
 
