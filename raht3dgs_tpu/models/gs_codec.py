@@ -22,7 +22,7 @@ from raht3dgs_tpu.models.pipeline import (
     EncodedFrame,
     prepare_voxel_frame,
 )
-from raht3dgs_tpu.ops.quantize import GS_ATTRIBUTE_GROUPS, channel_steps
+from raht3dgs_tpu.ops.quantize import channel_steps
 from raht3dgs_tpu.utils.timing import StageTimer
 
 # Reference operating points (encode_3dgs.py:30-32).

@@ -17,7 +17,7 @@ Merge semantics (matching the kernel):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

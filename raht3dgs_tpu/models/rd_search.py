@@ -9,7 +9,6 @@ transform), then verify/refine with at most a couple of true encodes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

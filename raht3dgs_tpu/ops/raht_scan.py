@@ -23,7 +23,6 @@ Bit-exact the same pairing and arithmetic as ops/raht.py; verified in tests.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

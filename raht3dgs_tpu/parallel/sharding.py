@@ -32,8 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
-from raht3dgs_tpu.ops.raht import get_forward_impl, raht_forward, raht_inverse, raht_structure
-from raht3dgs_tpu.ops.reorder import coefficient_order, ragft_order
+from raht3dgs_tpu.ops.raht import get_forward_impl
+from raht3dgs_tpu.ops.reorder import coefficient_order
 
 
 def make_mesh(
@@ -128,11 +128,13 @@ def batched_roundtrip_step(codes, attrs, weights, steps, depth):
     (the cross-dp reduction XLA turns into a psum). This is the "training
     step"-shaped program used for multi-chip dry runs and benchmarks."""
 
+    from raht3dgs_tpu.ops.raht_span import raht_forward_span, raht_inverse_span
+
     def one(codes_f, attrs_f, w_f):
-        res = raht_forward(codes_f, attrs_f, w_f, depth)
+        res = raht_forward_span(codes_f, attrs_f, w_f, depth)
         q = quantize(res.coeffs, steps)
         coeffs_rec = dequantize(q, steps, dtype=attrs_f.dtype)
-        rec = raht_inverse(coeffs_rec, res.structure, depth)
+        rec = raht_inverse_span(coeffs_rec, codes_f, w_f, depth)
         valid = (w_f > 0)[:, None]
         err = jnp.where(valid, rec - attrs_f, 0.0)
         return jnp.sum(err * err), jnp.sum(valid) * attrs_f.shape[1]

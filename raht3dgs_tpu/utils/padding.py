@@ -8,7 +8,6 @@ the zero-weight padding slots are exact no-ops in the transform
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import numpy as np
 
