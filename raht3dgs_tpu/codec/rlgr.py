@@ -74,6 +74,17 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.rlgr_decode.restype = ctypes.c_int
     lib.rlgr_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.rlgr_encode32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.rlgr_encode32.restype = ctypes.c_int
+    lib.rlgr_decode32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+    ]
+    lib.rlgr_decode32.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -90,7 +101,15 @@ def rlgr_encode(
     The elapsed time mirrors the reference's in-coder ns timers
     (``membuf.cpp:340-341``) for CSV schema parity.
     """
-    seq = np.ascontiguousarray(values, dtype=np.int64).ravel()
+    values = np.asarray(values)
+    # int32 inputs take the copy-free native path (the codec's quantized
+    # coefficients are int32); anything else widens to int64.
+    if values.dtype == np.int32 and values.ndim == 1 and values.flags.c_contiguous:
+        seq = values
+        use32 = True
+    else:
+        seq = np.ascontiguousarray(values, dtype=np.int64).ravel()
+        use32 = False
     lib = _load() if backend in ("auto", "native") else None
     if backend == "native" and lib is None:
         raise RuntimeError("native RLGR backend unavailable")
@@ -98,39 +117,105 @@ def rlgr_encode(
     if lib is not None and backend != "python":
         out = ctypes.POINTER(ctypes.c_uint8)()
         out_len = ctypes.c_size_t()
-        rc = lib.rlgr_encode(
-            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(seq), int(signed), ctypes.byref(out), ctypes.byref(out_len),
-        )
+        if use32:
+            rc = lib.rlgr_encode32(
+                seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(seq), int(signed), ctypes.byref(out), ctypes.byref(out_len),
+            )
+        else:
+            rc = lib.rlgr_encode(
+                seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(seq), int(signed), ctypes.byref(out), ctypes.byref(out_len),
+            )
         if rc != 0:
             raise RuntimeError(f"rlgr_encode failed (rc={rc})")
         data = ctypes.string_at(out, out_len.value)
         lib.rlgr_buffer_free(out)
     else:
-        data = _rlgr_py.encode(seq.tolist(), signed=signed)
+        data = _rlgr_py.encode(np.asarray(seq, dtype=np.int64).tolist(), signed=signed)
     return data, time.perf_counter_ns() - t0
 
 
 def rlgr_decode(
-    stream: bytes, n: int, signed: bool = True, backend: str = "auto"
+    stream: bytes, n: int, signed: bool = True, backend: str = "auto",
+    out: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int]:
-    """Decode ``n`` symbols; returns ``(int64 array, elapsed_ns)``."""
+    """Decode ``n`` symbols; returns ``(array, elapsed_ns)``.
+
+    ``out``: optional preallocated contiguous int32 or int64 destination
+    (e.g. a row of a channel matrix) to decode into without allocations.
+    """
     lib = _load() if backend in ("auto", "native") else None
     if backend == "native" and lib is None:
         raise RuntimeError("native RLGR backend unavailable")
     t0 = time.perf_counter_ns()
     if lib is not None and backend != "python":
-        out = np.empty(n, dtype=np.int64)
-        buf = (ctypes.c_uint8 * len(stream)).from_buffer_copy(stream)
-        rc = lib.rlgr_decode(
-            buf, len(stream), int(signed),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        if out is None:
+            out = np.empty(n, dtype=np.int64)
+        assert out.flags.c_contiguous and len(out) >= n
+        buf = ctypes.cast(
+            (ctypes.c_char_p(stream)), ctypes.POINTER(ctypes.c_uint8)
         )
+        if out.dtype == np.int32:
+            rc = lib.rlgr_decode32(
+                buf, len(stream), int(signed),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+            )
+        else:
+            rc = lib.rlgr_decode(
+                buf, len(stream), int(signed),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            )
         if rc != 0:
             raise RuntimeError(f"rlgr_decode failed (rc={rc})")
     else:
-        out = np.asarray(_rlgr_py.decode(stream, n, signed=signed), dtype=np.int64)
+        dec = np.asarray(_rlgr_py.decode(stream, n, signed=signed), dtype=np.int64)
+        if out is None:
+            out = dec
+        else:
+            out[:n] = dec
     return out, time.perf_counter_ns() - t0
+
+
+def rlgr_encode_channels(
+    payload: np.ndarray, signed: bool = True, channel_major: bool = False
+) -> Tuple[List[bytes], int]:
+    """Encode each channel of a payload as its own RLGR stream.
+
+    ``payload`` is (N, D) sample-major by default (transposed here), or
+    (D, N) channel-major with ``channel_major=True`` — the pipeline has the
+    device emit that layout so every channel is a zero-copy contiguous
+    int32 row. Returns (streams, summed per-channel coder ns — the
+    reference's CSV convention).
+    """
+    payload = np.asarray(payload)
+    rows = payload if channel_major else np.ascontiguousarray(payload.T)
+    streams: List[bytes] = []
+    total_ns = 0
+    for d in range(rows.shape[0]):
+        data, ns = rlgr_encode(np.ascontiguousarray(rows[d]), signed)
+        streams.append(data)
+        total_ns += ns
+    return streams, total_ns
+
+
+def rlgr_decode_channels(
+    streams: List[bytes], n: int, signed: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, int]:
+    """Decode per-channel streams into a (D, n...) channel-major matrix.
+
+    ``out``: optional preallocated (D, >=n) int32/int64 C-contiguous matrix;
+    each channel decodes straight into its row (no temporaries).
+    """
+    D = len(streams)
+    if out is None:
+        out = np.empty((D, n), dtype=np.int32)
+    total_ns = 0
+    for d in range(D):
+        _, ns = rlgr_decode(streams[d], n, signed, out=out[d])
+        total_ns += ns
+    return out, total_ns
 
 
 class MemBuf:

@@ -16,11 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from raht3dgs_tpu.codec.bitstream import FrameStream
-from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+from raht3dgs_tpu.codec.rlgr import (
+    rlgr_decode_channels,
+    rlgr_encode_channels,
+)
 from raht3dgs_tpu.models.pipeline import VoxelFrame, prepare_voxel_frame
 from raht3dgs_tpu.parallel.sharding import (
     batched_decode_step,
-    batched_structure_order,
+    batched_inverse_order,
     batched_transform_step,
     shard_batch,
 )
@@ -77,24 +80,22 @@ class BatchAttributeCodec:
         codes, attrs, weights = self._stack(frames)
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
 
-        q_b, order_b = timer.time(
+        nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
+        q_b = timer.time(
             "RAHT_transform_time",
             batched_transform_step,
             codes, attrs, weights, steps_arr, self.depth, self.order_mode,
+            nvox,
         )
-        q_np = np.asarray(q_b)
-        order_np = np.asarray(order_b)
+        q_np = np.asarray(q_b)  # (B, D, N) channel-major
 
         streams: List[FrameStream] = []
         enc_ns = 0
         for i, f in enumerate(frames):
-            real = order_np[i] < f.n_voxels
-            payload = np.ascontiguousarray(q_np[i][real])
-            channels = []
-            for d in range(payload.shape[1]):
-                data, ns = rlgr_encode(payload[:, d], signed=True)
-                channels.append(data)
-                enc_ns += ns
+            channels, ns = rlgr_encode_channels(
+                q_np[i][:, : f.n_voxels], signed=True, channel_major=True
+            )
+            enc_ns += ns
             streams.append(
                 FrameStream(
                     depth=self.depth,
@@ -118,24 +119,21 @@ class BatchAttributeCodec:
         """Decode a batch; frames supply the (losslessly known) positions."""
         timer = timer or StageTimer()
         codes, _, weights = self._stack(frames)
-        order_b = timer.time(
+        nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
+        inv_b = timer.time(
             "RAHT_prelude_time",
-            batched_structure_order,
-            codes, weights, self.depth, streams[0].order_mode,
+            batched_inverse_order,
+            codes, weights, nvox, self.depth, streams[0].order_mode,
         )
-        order_np = np.asarray(order_b)
 
-        B, N = order_np.shape
+        B = len(frames)
+        N = frames[0].codes.shape[0]
         D = streams[0].n_channels
-        qfull = np.zeros((B, N, D), dtype=np.int32)
+        qfull = np.zeros((B, D, N), dtype=np.int32)
         dec_ns = 0
         for i, (s, f) in enumerate(zip(streams, frames)):
-            vals = np.empty((s.n_voxels, D), dtype=np.int64)
-            for d in range(D):
-                vals[:, d], ns = rlgr_decode(s.channels[d], s.n_voxels)
-                dec_ns += ns
-            real = order_np[i] < f.n_voxels
-            qfull[i][order_np[i][real]] = vals
+            _, ns = rlgr_decode_channels(s.channels, s.n_voxels, out=qfull[i])
+            dec_ns += ns
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 
         steps = jnp.asarray(
@@ -146,7 +144,7 @@ class BatchAttributeCodec:
         rec = timer.time(
             "iRAHT_time",
             batched_decode_step,
-            codes, weights, jnp.asarray(qfull), steps, self.depth,
+            codes, weights, jnp.asarray(qfull), inv_b, steps, self.depth,
             streams[0].order_mode, self.dtype,
         )
         rec_np = np.asarray(rec)

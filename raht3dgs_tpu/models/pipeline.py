@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from raht3dgs_tpu.codec.bitstream import FrameStream
-from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+from raht3dgs_tpu.codec.rlgr import (
+    rlgr_decode_channels,
+    rlgr_encode_channels,
+)
 from raht3dgs_tpu.ops.morton import morton_encode, pad_code
 from raht3dgs_tpu.ops.raht import max_int32_levels, num_levels
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
@@ -130,10 +133,22 @@ def _transform_device(codes, attrs, weights, depth, order_mode="ragft",
     order = coefficient_order(res.structure, order_mode)
     return res.coeffs, order, res.structure
 
+def _pads_last(order, nvox):
+    """Reorder a coefficient permutation so padding slots land at the end
+    (real relative order preserved): the host can then slice the first nvox
+    entries of the stream instead of boolean-compressing."""
+    return order[jnp.argsort(order >= nvox, stable=True)]
+
+
 @jax.jit
-def _quant_reorder_device(coeffs, steps, order):
+def _quant_reorder_device(coeffs, steps, order, nvox):
+    """Quantize + apply the pads-last order, channel-major output.
+
+    Returns (D, N) int32 so every channel reaching the host entropy coder is
+    one contiguous zero-copy row (prefix [:nvox] = the real stream).
+    """
     q = quantize(coeffs, steps)
-    return q[order]
+    return q[_pads_last(order, nvox)].T
 
 
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
@@ -144,9 +159,21 @@ def _structure_order_device(codes, weights, depth, order_mode="ragft"):
     return structure, coefficient_order(structure, order_mode)
 
 
+@partial(jax.jit, static_argnames=("depth", "order_mode"))
+def _inverse_order_device(codes, weights, nvox, depth, order_mode="ragft"):
+    """Decoder prelude: inverse of the pads-last stream permutation."""
+    from raht3dgs_tpu.ops.raht_span import raht_structure_span
+
+    structure = raht_structure_span(codes, weights, depth)
+    order2 = _pads_last(coefficient_order(structure, order_mode), nvox)
+    return jnp.argsort(order2).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("dtype",))
-def _dequant_device(qfull, steps, dtype):
-    return dequantize(qfull, steps, dtype=dtype)
+def _dequant_gather_device(vals_T, inv, steps, dtype):
+    """(D, N) channel-major stream values -> dequantized (N, D) coefficients
+    back in transform position (inverse permutation as a wide gather)."""
+    return dequantize(vals_T.T[inv], steps, dtype=dtype)
 
 
 @partial(jax.jit, static_argnames=("depth",))
@@ -213,21 +240,16 @@ class AttributeCodec:
         if coeffs is None or order is None:
             coeffs, order, _, timer = self.transform(frame, timer)
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
-        q_reordered = timer.time(
-            "Quant_time", _quant_reorder_device, coeffs, steps_arr, order
+        q_T = timer.time(
+            "Quant_time", _quant_reorder_device, coeffs, steps_arr, order,
+            jnp.int32(frame.n_voxels),
         )
-        # Single device->host transfer of the full int32 payload.
-        q_np = np.asarray(q_reordered)
-        order_np = np.asarray(order)
-        real = order_np < frame.n_voxels
-        payload = np.ascontiguousarray(q_np[real])  # (n_voxels, D)
-
-        channels = []
-        enc_ns = 0
-        for d in range(payload.shape[1]):
-            data, ns = rlgr_encode(payload[:, d], signed=True)
-            channels.append(data)
-            enc_ns += ns
+        # Single device->host transfer; each channel is a contiguous
+        # zero-copy row prefix (pads-last ordering).
+        q_np = np.asarray(q_T)[:, : frame.n_voxels]
+        channels, enc_ns = rlgr_encode_channels(
+            q_np, signed=True, channel_major=True
+        )
         timer.add("Entropy_enc_time", enc_ns / 1e9)
 
         stream = FrameStream(
@@ -268,28 +290,24 @@ class AttributeCodec:
                 "match this stream"
             )
 
-        structure, order = timer.time(
-            "RAHT_prelude_time", _structure_order_device, codes, weights,
-            self.depth, stream.order_mode,
+        inv = timer.time(
+            "RAHT_prelude_time", _inverse_order_device, codes, weights,
+            jnp.int32(nvox), self.depth, stream.order_mode,
         )
-        order_np = np.asarray(order)
-        real = order_np < nvox
 
-        vals = np.empty((nvox, D), dtype=np.int64)
-        dec_ns = 0
-        for d in range(D):
-            vals[:, d], ns = rlgr_decode(stream.channels[d], nvox, signed=True)
-            dec_ns += ns
+        vals_T = np.zeros((D, n_padded), dtype=np.int32)
+        _, dec_ns = rlgr_decode_channels(
+            stream.channels, nvox, signed=True, out=vals_T
+        )
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 
-        qfull = np.zeros((n_padded, D), dtype=np.int32)
-        qfull[order_np[real]] = vals
         steps = jnp.asarray(
             stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
             dtype=self.dtype,
         )
         coeffs = timer.time(
-            "Dequant_time", _dequant_device, jnp.asarray(qfull), steps, self.dtype
+            "Dequant_time", _dequant_gather_device, jnp.asarray(vals_T), inv,
+            steps, self.dtype,
         )
         attrs = timer.time(
             "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth

@@ -247,6 +247,90 @@ int rlgr_decode(const uint8_t* buf, size_t len, int flag_signed, int64_t* seq,
 
 void rlgr_buffer_free(uint8_t* buf) { std::free(buf); }
 
+// int32 entry points: same automaton, no host-side widening copies (the
+// codec's quantized coefficients are int32).
+int rlgr_encode32(const int32_t* seq, size_t n, int flag_signed, uint8_t** out,
+                  size_t* out_len) {
+  BitSink sink;
+  uint64_t k_p = 0, k_rp = 2 * kFrac, run = 0, k = 0, u = 0;
+  for (size_t i = 0; i < n; i++) {
+    u = flag_signed ? zigzag(seq[i])
+                    : static_cast<uint64_t>(static_cast<uint32_t>(seq[i]));
+    k = k_p / kFrac;
+    unsigned k_r = static_cast<unsigned>(k_rp / kFrac);
+    if (k == 0) {
+      gr_put(sink, u, k_r);
+      adapt_krp(k_rp, u, k_r);
+      if (u)
+        k_p = (k_p < kDownNoRun) ? 0 : k_p - kDownNoRun;
+      else
+        k_p += kUpNoRun;
+      run = 0;
+    } else if (u == 0) {
+      if (++run == (1ull << k)) {
+        sink.put_bits(1, 1);
+        k_p += kUpRun;
+        run = 0;
+      }
+    } else {
+      sink.put_bits(0, 1);
+      sink.put_bits(run, static_cast<unsigned>(k));
+      gr_put(sink, u - 1, k_r);
+      adapt_krp(k_rp, u - 1, k_r);
+      k_p = (k_p < kDownRun) ? 0 : k_p - kDownRun;
+      run = 0;
+    }
+  }
+  if (k && u == 0) {
+    sink.put_bits(0, 1);
+    sink.put_bits(run, static_cast<unsigned>(k_p / kFrac));
+  }
+  sink.finish();
+  *out_len = sink.bytes().size();
+  *out = static_cast<uint8_t*>(std::malloc(*out_len ? *out_len : 1));
+  if (!*out) return -1;
+  std::memcpy(*out, sink.bytes().data(), *out_len);
+  return 0;
+}
+
+int rlgr_decode32(const uint8_t* buf, size_t len, int flag_signed,
+                  int32_t* seq, size_t n) {
+  BitSource src(buf, len);
+  uint64_t k_p = 0, k_rp = 2 * kFrac;
+  size_t i = 0;
+  while (i < n) {
+    uint64_t k = k_p / kFrac;
+    unsigned k_r = static_cast<unsigned>(k_rp / kFrac);
+    if (k) {
+      uint64_t zeros = 0;
+      while (src.get_bit()) {
+        zeros += 1ull << k;
+        k_p += kUpRun;
+        k = k_p / kFrac;
+      }
+      zeros += src.get_bits(static_cast<unsigned>(k));
+      while (zeros-- && i < n) seq[i++] = 0;
+      if (i >= n) break;
+      uint64_t u = gr_get(src, k_r);
+      seq[i++] = flag_signed
+                     ? static_cast<int32_t>(unzigzag(u + 1))
+                     : static_cast<int32_t>(u + 1);
+      adapt_krp(k_rp, u, k_r);
+      k_p = (k_p < kDownRun) ? 0 : k_p - kDownRun;
+    } else {
+      uint64_t u = gr_get(src, k_r);
+      seq[i++] = flag_signed ? static_cast<int32_t>(unzigzag(u))
+                             : static_cast<int32_t>(u);
+      adapt_krp(k_rp, u, k_r);
+      if (u)
+        k_p = (k_p < kDownNoRun) ? 0 : k_p - kDownNoRun;
+      else
+        k_p += kUpNoRun;
+    }
+  }
+  return 0;
+}
+
 // Single Golomb-Rice codeword helpers (reference exposes grWrite/grRead on
 // its membuf; these support the same micro-benchmarks/tests).
 int gr_encode_one(uint64_t value, unsigned k, uint8_t** out, size_t* out_len) {

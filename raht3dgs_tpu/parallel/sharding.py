@@ -76,49 +76,57 @@ def shard_batch(mesh: Mesh, codes, attrs, weights):
 
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
 def batched_transform_step(codes, attrs, weights, steps, depth,
-                           order_mode="ragft"):
-    """Forward RAHT + quantize + coefficient reorder for a batch of frames.
+                           order_mode="ragft", nvox=None):
+    """Forward RAHT + quantize + pads-last coefficient reorder per frame.
 
     codes (B, N) int64 | attrs (B, N, D) | weights (B, N) | steps scalar/(D,)
-    Returns (q_reordered (B, N, D) int32, order (B, N) int32).
+    | nvox (B,) real voxel counts. Returns channel-major (B, D, N) int32 —
+    each frame's channel is a contiguous row whose [:nvox] prefix is the
+    entropy-coder payload.
     """
+    if nvox is None:
+        nvox = jnp.full((codes.shape[0],), codes.shape[1], dtype=jnp.int32)
 
-    def one(codes_f, attrs_f, w_f):
+    from raht3dgs_tpu.models.pipeline import _pads_last
+
+    def one(codes_f, attrs_f, w_f, nvox_f):
         res = get_forward_impl("span")(codes_f, attrs_f, w_f, depth)
         order = coefficient_order(res.structure, order_mode)
         q = quantize(res.coeffs, steps)
-        return q[order], order
+        return q[_pads_last(order, nvox_f)].T
 
-    return jax.vmap(one)(codes, attrs, weights)
+    return jax.vmap(one)(codes, attrs, weights, nvox)
 
 
 @partial(jax.jit, static_argnames=("depth", "order_mode", "dtype"))
-def batched_decode_step(codes, weights, qfull, steps, depth,
+def batched_decode_step(codes, weights, qfull, inv, steps, depth,
                         order_mode="ragft", dtype=jnp.float64):
-    """Structure replay + dequantize + inverse RAHT for a batch of frames.
+    """Dequantize + inverse RAHT for a batch of frames.
 
-    ``qfull`` is (B, N, D) int32 with quantized coefficients already
-    scattered back to transform positions (host does the scatter using the
-    order returned by :func:`batched_structure_order`)."""
+    ``qfull`` is (B, D, N) channel-major decoded stream values (pads-last);
+    ``inv`` is the per-frame inverse permutation from
+    :func:`batched_inverse_order`."""
     from raht3dgs_tpu.ops.raht_span import raht_inverse_span
 
-    def one(codes_f, w_f, q_f):
-        coeffs = dequantize(q_f, steps, dtype=dtype)
+    def one(codes_f, w_f, q_T, inv_f):
+        coeffs = dequantize(q_T.T[inv_f], steps, dtype=dtype)
         return raht_inverse_span(coeffs, codes_f, w_f, depth)
 
-    return jax.vmap(one)(codes, weights, qfull)
+    return jax.vmap(one)(codes, weights, qfull, inv)
 
 
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
-def batched_structure_order(codes, weights, depth, order_mode="ragft"):
-    """Per-frame coefficient order from positions alone (decoder side)."""
+def batched_inverse_order(codes, weights, nvox, depth, order_mode="ragft"):
+    """Per-frame inverse of the pads-last stream permutation (decoder side)."""
+    from raht3dgs_tpu.models.pipeline import _pads_last
     from raht3dgs_tpu.ops.raht_span import raht_structure_span
 
-    def one(codes_f, w_f):
+    def one(codes_f, w_f, nvox_f):
         structure = raht_structure_span(codes_f, w_f, depth)
-        return coefficient_order(structure, order_mode)
+        order2 = _pads_last(coefficient_order(structure, order_mode), nvox_f)
+        return jnp.argsort(order2).astype(jnp.int32)
 
-    return jax.vmap(one)(codes, weights)
+    return jax.vmap(one)(codes, weights, nvox)
 
 
 @partial(jax.jit, static_argnames=("depth",))

@@ -25,23 +25,27 @@ def test_mesh_construction():
 
 
 def test_batched_matches_single_frame(rng):
+    from raht3dgs_tpu.ops.raht_span import raht_forward_span
+
     depth, n, d = 5, 512, 4
     frames = [ge._synthetic_frame(n, depth, d, seed=s) for s in range(4)]
     codes = np.stack([f[0] for f in frames])
     attrs = np.stack([f[1] for f in frames])
     weights = np.stack([f[2] for f in frames])
-    q_b, order_b = batched_transform_step(
+    q_b = batched_transform_step(
         jnp.asarray(codes), jnp.asarray(attrs), jnp.asarray(weights),
         jnp.asarray(4.0), depth,
     )
+    assert q_b.shape == (4, d, n)  # channel-major pads-last layout
     for i in range(4):
-        res = raht_forward(
+        res = raht_forward_span(
             jnp.asarray(codes[i]), jnp.asarray(attrs[i]),
             jnp.asarray(weights[i]), depth,
         )
         order = ragft_order(res.structure.drop_level)
         q = quantize(res.coeffs, jnp.asarray(4.0))[order]
-        np.testing.assert_array_equal(np.asarray(q_b[i]), np.asarray(q))
+        # all slots real (nvox defaulted to N): layouts transpose-equal
+        np.testing.assert_array_equal(np.asarray(q_b[i]).T, np.asarray(q))
 
 
 def test_sharded_equals_unsharded(rng):
