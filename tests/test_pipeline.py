@@ -156,3 +156,22 @@ def test_int32_code_narrowing_matches_int64(rng):
         np.asarray(res32.structure.drop_level),
         np.asarray(res64.structure.drop_level),
     )
+
+
+def test_float32_production_path(rng):
+    # The TPU fast path runs float32; verify sane RD behavior and exact
+    # stream determinism across repeated encodes.
+    depth = 6
+    pts, _, attrs = unique_voxel_cloud(rng, 900, depth)
+    frame = prepare_voxel_frame(
+        pts.astype(np.int64), attrs, depth, bucket=512, dtype=jnp.float32
+    )
+    codec = AttributeCodec(depth, dtype=jnp.float32)
+    enc1 = codec.encode(frame, steps=2.0)
+    enc2 = codec.encode(frame, steps=2.0)
+    assert enc1.stream.channels == enc2.stream.channels
+    rec, _ = codec.decode(enc1.stream, frame.codes, frame.weights)
+    ref = np.asarray(frame.attributes)[: frame.n_voxels]
+    assert np.allclose(rec, ref, atol=2.0)
+    err = np.abs(rec - ref).max()
+    assert err <= 1.01  # within quantization bound + fp32 slack
