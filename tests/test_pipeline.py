@@ -173,5 +173,7 @@ def test_float32_production_path(rng):
     rec, _ = codec.decode(enc1.stream, frame.codes, frame.weights)
     ref = np.asarray(frame.attributes)[: frame.n_voxels]
     assert np.allclose(rec, ref, atol=2.0)
-    err = np.abs(rec - ref).max()
-    assert err <= 1.01  # within quantization bound + fp32 slack
+    # L2 is what the orthonormal transform bounds: coefficient errors are
+    # <= step/2 each, so RMSE <= step/2 (max error may exceed it locally)
+    rmse = np.sqrt(np.mean((rec - ref) ** 2))
+    assert rmse <= 1.0 + 1e-3
