@@ -145,14 +145,6 @@ def _quant_reorder_device(coeffs, steps, order, nvox):
 
 
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
-def _structure_order_device(codes, weights, depth, order_mode="ragft"):
-    from raht3dgs_tpu.ops.raht_span import raht_structure_span
-
-    structure = raht_structure_span(codes, weights, depth)
-    return structure, coefficient_order(structure, order_mode)
-
-
-@partial(jax.jit, static_argnames=("depth", "order_mode"))
 def _inverse_order_device(codes, weights, nvox, depth, order_mode="ragft"):
     """Decoder prelude: inverse of the pads-last stream permutation."""
     from raht3dgs_tpu.ops.raht_span import raht_structure_span
