@@ -129,11 +129,84 @@ def _span_topology(codes, depth: int):
     return drop, prev_ge, next_ge, levels
 
 
-def _weight_prefix(weights):
-    """Exclusive float64 prefix sums (W[i] = sum w[:i]), length N+1."""
+def _weight_prefix(weights, fdtype=jnp.float64):
+    """Exclusive prefix sums (W[i] = sum w[:i]), length N+1.
+
+    float64 accumulation unless the caller runs float32, where a
+    double-single compensated scan keeps the sums exact at native speed
+    (node weights are typically integer counts anyway).
+    """
+    if fdtype == jnp.float32 and _SUM_MODE != "f64":
+        hi, lo = _ds_cumsum(weights.astype(jnp.float32)[:, None])
+        Wincl = (hi + lo)[:, 0]
+        W = jnp.concatenate([jnp.zeros((1,), jnp.float32), Wincl])
+        return W, Wincl[-1]
     Wincl = jnp.cumsum(weights.astype(jnp.float64))
     W = jnp.concatenate([jnp.zeros((1,), jnp.float64), Wincl])
     return W, Wincl[-1]
+
+
+# ---------------------------------------------------------------------------
+# Double-single (two-float32) prefix sums.
+#
+# float64 is software-emulated on TPU; the span transform only needs wide
+# accumulators for the *prefix sums* (differences of nearby prefixes must
+# not cancel catastrophically). An error-free two-sum compensated pair of
+# float32s carries ~48 mantissa bits at native-f32 speed. XLA does not
+# reassociate floating point, so the two-sum identities hold compiled.
+# Selected via RAHT3DGS_SPAN_SUMS=ds|f64 (read at trace time).
+# ---------------------------------------------------------------------------
+import os as _os
+
+_SUM_MODE = _os.environ.get("RAHT3DGS_SPAN_SUMS", "ds")
+
+
+def _two_sum(a, b):
+    s = a + b
+    bv = s - a
+    err = (a - (s - bv)) + (b - bv)
+    return s, err
+
+
+def _ds_combine(x, y):
+    """Associative double-single addition over (hi, lo) pairs."""
+    s, e = _two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def _ds_cumsum(values_f32):
+    """Compensated prefix sums along axis 0; returns (hi, lo) float32."""
+    zeros = jnp.zeros_like(values_f32)
+    return lax.associative_scan(_ds_combine, (values_f32, zeros), axis=0)
+
+
+def _prefix_pack(body, use_ds: bool):
+    """Exclusive prefix sums of ``body (N, K)`` with a leading zero row.
+
+    Returns (P, dtype) where P is (N+1, K[, 2 lanes folded]) — in ds mode
+    hi/lo are interleaved as extra columns so gathers stay wide; use
+    :func:`_prefix_diff` to subtract prefixes exactly.
+    """
+    if not use_ds:
+        P = jnp.concatenate(
+            [jnp.zeros((1, body.shape[1]), jnp.float64),
+             jnp.cumsum(body.astype(jnp.float64), axis=0)]
+        )
+        return P
+    hi, lo = _ds_cumsum(body.astype(jnp.float32))
+    P = jnp.concatenate([hi, lo], axis=1)  # (N, 2K)
+    return jnp.concatenate([jnp.zeros((1, P.shape[1]), jnp.float32), P])
+
+
+def _prefix_diff(g_hi_row, g_lo_row, h_hi_row, h_lo_row):
+    """(g - h) for double-single prefixes, compensated."""
+    # negate h and ds-add
+    s, e = _two_sum(g_hi_row, -h_hi_row)
+    e = e + (g_lo_row - h_lo_row)
+    return s + e
 
 
 def _safe_ab(w0, w1):
@@ -152,7 +225,7 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
     N = codes.shape[0]
     fdtype = weights.dtype
     drop, prev_ge, next_ge, _ = _span_topology(codes, depth)
-    W, w_total = _weight_prefix(weights)
+    W, w_total = _weight_prefix(weights, fdtype)
     W_here = W[:N]
     w1 = W[next_ge] - W_here
     w0 = W_here - W[jnp.maximum(prev_ge, 0)]
@@ -175,27 +248,42 @@ def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResu
 
     # Fused prefix pack: attribute sums (D) + weight sums (1) ride the same
     # two wide gathers (sqrt(w)-scaled values: the butterfly invariant).
-    w64 = weights.astype(jnp.float64)
-    sw = jnp.sqrt(w64)[:, None]
-    body = jnp.concatenate([sw * attributes.astype(jnp.float64), w64[:, None]], axis=1)
-    SW = jnp.concatenate(
-        [jnp.zeros((1, D + 1), jnp.float64), jnp.cumsum(body, axis=0)]
-    )  # row i = sums over [:i)
+    # float32 mode uses double-single compensated sums (native speed, ~48
+    # mantissa bits); float64 mode keeps plain f64 sums for crosscheck work.
+    use_ds = fdtype == jnp.float32 and _SUM_MODE != "f64"
+    acc_dt = jnp.float32 if use_ds else jnp.float64
+    w_acc = weights.astype(acc_dt)
+    sw = jnp.sqrt(w_acc)[:, None]
+    body = jnp.concatenate([sw * attributes.astype(acc_dt), w_acc[:, None]], axis=1)
+    K = D + 1
+    SW = _prefix_pack(body, use_ds)
 
     SW_here = SW[:N]                        # slice, not a gather
     g_next = SW[next_ge]                    # one wide gather
     g_prev = SW[jnp.maximum(prev_ge, 0)]    # one wide gather
-    sub1 = g_next[:, :D] - SW_here[:, :D]
-    sub0 = SW_here[:, :D] - g_prev[:, :D]
-    w1 = g_next[:, D] - SW_here[:, D]
-    w0 = SW_here[:, D] - g_prev[:, D]
-    w_total = SW[N, D]
+    if use_ds:
+        sub = _prefix_diff(g_next[:, :K], g_next[:, K:],
+                           SW_here[:, :K], SW_here[:, K:])
+        sub1, w1 = sub[:, :D], sub[:, D]
+        sub = _prefix_diff(SW_here[:, :K], SW_here[:, K:],
+                           g_prev[:, :K], g_prev[:, K:])
+        sub0, w0 = sub[:, :D], sub[:, D]
+        totals = SW[N, :K] + SW[N, K:]
+        w_total = totals[D]
+        total_S = totals[:D]
+    else:
+        sub1 = g_next[:, :D] - SW_here[:, :D]
+        sub0 = SW_here[:, :D] - g_prev[:, :D]
+        w1 = g_next[:, D] - SW_here[:, D]
+        w0 = SW_here[:, D] - g_prev[:, D]
+        w_total = SW[N, D]
+        total_S = SW[N, :D]
     x1 = jnp.where(w1[:, None] > 0, sub1 / jnp.sqrt(jnp.where(w1 > 0, w1, 1.0))[:, None], 0.0)
     x0 = jnp.where(w0[:, None] > 0, sub0 / jnp.sqrt(jnp.where(w0 > 0, w0, 1.0))[:, None], 0.0)
     a, b = _safe_ab(w0, w1)
     detail = (-b[:, None] * x0 + a[:, None] * x1).astype(fdtype)
 
-    dc = (SW[N, :D] / jnp.sqrt(jnp.where(w_total > 0, w_total, 1.0))).astype(fdtype)
+    dc = (total_S / jnp.sqrt(jnp.where(w_total > 0, w_total, 1.0))).astype(fdtype)
     T = jnp.where((idx == 0)[:, None], dc[None, :], detail)
 
     node_w = jnp.where(idx == 0, w_total, w0 + w1).astype(fdtype)
@@ -221,13 +309,16 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     N, D = coeffs.shape
     fdtype = coeffs.dtype
     drop, prev_ge, next_ge, levels = _span_topology(codes, depth)
-    W, w_total = _weight_prefix(weights)
+    W, w_total = _weight_prefix(weights, fdtype)
     W_here = W[:N]
     w1 = W[next_ge] - W_here
     w0 = W_here - W[jnp.maximum(prev_ge, 0)]
     idx = jnp.arange(N)
     a, b = _safe_ab(w0, w1)
-    T64 = coeffs.astype(jnp.float64)
+    # work in the I/O precision: the affine chain is a product of gains <= 1
+    # over <= levels steps (relative error ~levels*eps — negligible vs any
+    # quantization step); float64 crosscheck mode stays float64
+    T64 = coeffs.astype(jnp.float64 if fdtype == jnp.float64 else fdtype)
 
     p = prev_ge
     q = next_ge
@@ -262,10 +353,12 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
 
     steps = max(1, math.ceil(math.log2(levels + 2)))
 
+    acc = T64.dtype
+
     def dbl(_, state):
         par, g, d = state
         pack = jnp.concatenate(
-            [g[:, None].astype(jnp.float64), d, par[:, None].astype(jnp.float64)],
+            [g[:, None].astype(acc), d, par[:, None].astype(acc)],
             axis=1,
         )
         gp = pack[par]
