@@ -34,6 +34,11 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
         help="shape-bucket granularity for jit caching",
     )
     p.add_argument("--csv", default=None, help="CSV log path (default: results/...)")
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR "
+        "(view with TensorBoard / xprof)",
+    )
 
 
 def configure_runtime(args) -> None:
@@ -52,6 +57,17 @@ def jnp_dtype(name: str):
     import jax.numpy as jnp
 
     return {"float32": jnp.float32, "float64": jnp.float64}[name]
+
+
+def maybe_profile(args):
+    """Context manager: jax.profiler.trace(args.profile) or a no-op."""
+    import contextlib
+
+    if getattr(args, "profile", None):
+        import jax
+
+        return jax.profiler.trace(args.profile)
+    return contextlib.nullcontext()
 
 
 class CsvLogger:

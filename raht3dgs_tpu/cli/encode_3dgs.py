@@ -20,6 +20,7 @@ from raht3dgs_tpu.cli._common import (
     add_runtime_args,
     configure_runtime,
     jnp_dtype,
+    maybe_profile,
 )
 
 
@@ -70,11 +71,12 @@ def main(argv=None) -> int:
         print("per-attribute step multipliers:", group_scales)
 
     dtype = jnp_dtype(args.dtype)
-    points = encode_gs_frame(
-        V_int, attrs, depth=args.depth, steps=args.steps,
-        group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
-        keep_streams=bool(args.save_streams or args.render != "none"),
-    )
+    with maybe_profile(args):
+        points = encode_gs_frame(
+            V_int, attrs, depth=args.depth, steps=args.steps,
+            group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
+            keep_streams=bool(args.save_streams or args.render != "none"),
+        )
 
     log = CsvLogger(args.csv or "results/runtime_3dgs.csv", CSV_HEADER)
     for pt in points:

@@ -19,6 +19,7 @@ from raht3dgs_tpu.cli._common import (
     add_runtime_args,
     configure_runtime,
     jnp_dtype,
+    maybe_profile,
 )
 
 
@@ -74,6 +75,8 @@ def main(argv=None) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
+    ctx = maybe_profile(args)
+    ctx.__enter__()
     for idx, path in enumerate(args.input, start=1):
         V, C, header_depth = read_ply_8i(path)
         depth = args.depth or header_depth or DEFAULT_DEPTH
@@ -129,6 +132,7 @@ def main(argv=None) -> int:
                 out.mkdir(parents=True, exist_ok=True)
                 fn = out / f"frame{idx:04d}_step{pt.step:g}.r3tc"
                 fn.write_bytes(pt.encoded.stream.to_bytes())
+    ctx.__exit__(None, None, None)
     log.close()
     return 0
 
