@@ -29,12 +29,30 @@ _SPREAD_MASKS = (
     (2, 0x1249249249249249),
 )
 
+# 32-bit ladder for depths <= 10 (3*10 = 30 bits): int64 is emulated on TPU,
+# so the common J=10 (3DGS) path stays in native int32.
+_SPREAD_MASKS32 = (
+    (16, 0x30000FF),
+    (8, 0x300F00F),
+    (4, 0x30C30C3),
+    (2, 0x9249249),
+)
+MAX_DEPTH32 = 10
+
 
 def _spread_bits(x: jnp.ndarray) -> jnp.ndarray:
     """Spread the low 21 bits of ``x`` so bit i lands at position 3*i."""
     x = x.astype(jnp.int64) & jnp.int64((1 << MAX_DEPTH) - 1)
     for shift, mask in _SPREAD_MASKS:
         x = (x | (x << shift)) & jnp.int64(mask)
+    return x
+
+
+def _spread_bits32(x: jnp.ndarray) -> jnp.ndarray:
+    """int32 variant: spread the low 10 bits so bit i lands at 3*i."""
+    x = x.astype(jnp.int32) & jnp.int32((1 << MAX_DEPTH32) - 1)
+    for shift, mask in _SPREAD_MASKS32:
+        x = (x | (x << shift)) & jnp.int32(mask)
     return x
 
 
@@ -64,10 +82,22 @@ def morton_encode(V: jnp.ndarray, depth: int) -> jnp.ndarray:
         depth: octree depth J (bits per axis), ``1 <= depth <= 21``.
 
     Returns:
-        ``(N,)`` int64 Morton codes using the low ``3*depth`` bits.
+        ``(N,)`` Morton codes using the low ``3*depth`` bits — int32 for
+        ``depth <= 10`` (native TPU arithmetic), int64 above.
     """
     if not 1 <= depth <= MAX_DEPTH:
         raise ValueError(f"depth must be in [1, {MAX_DEPTH}], got {depth}")
+    if depth <= MAX_DEPTH32:
+        V = V.astype(jnp.int32)
+        lim = jnp.int32((1 << depth) - 1)
+        x = V[:, 0] & lim
+        y = V[:, 1] & lim
+        z = V[:, 2] & lim
+        return (
+            _spread_bits32(z)
+            | (_spread_bits32(y) << 1)
+            | (_spread_bits32(x) << 2)
+        )
     V = V.astype(jnp.int64)
     lim = jnp.int64((1 << depth) - 1)
     x = V[:, 0] & lim
@@ -95,10 +125,18 @@ def internal_payload_bits(depth: int, n: int) -> int:
     return bits
 
 
+def code_dtype(depth: int, n: int):
+    """Narrowest dtype holding real + padding codes for this configuration."""
+    return (
+        jnp.int32 if internal_payload_bits(depth, n) + 1 <= 31 else jnp.int64
+    )
+
+
 def pad_code(depth: int, n: int, slot: jnp.ndarray) -> jnp.ndarray:
     """Sentinel code for padding slot(s) ``slot`` in an ``n``-slot transform."""
-    base = jnp.int64(1 << internal_payload_bits(depth, n))
-    return base + slot.astype(jnp.int64)
+    dt = code_dtype(depth, n)
+    base = jnp.asarray(1 << internal_payload_bits(depth, n), dtype=dt)
+    return base + slot.astype(dt)
 
 
 @partial(jax.jit, static_argnames=("depth",))

@@ -73,7 +73,7 @@ def _msb(x: jnp.ndarray, bits: int) -> jnp.ndarray:
         return jnp.where(carry, e - 1, e)
 
     if bits <= 31:
-        return msb32(x.astype(jnp.int64) & 0x7FFFFFFF)
+        return msb32(x & jnp.asarray(0x7FFFFFFF, dtype=x.dtype))
     x = x.astype(jnp.int64)
     hi = (x >> 31).astype(jnp.int64)  # keep 31-bit halves (sign-safe)
     lo = x & 0x7FFFFFFF

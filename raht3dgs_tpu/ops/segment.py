@@ -50,17 +50,33 @@ def sorted_segment_sums(
     """
     N, K = values.shape
     starts, n_seg = segment_starts(first)
-    prefix = jnp.concatenate(
-        [
-            jnp.zeros((1, K), jnp.float64),
-            jnp.cumsum(values.astype(jnp.float64), axis=0),
-        ]
-    )  # (N+1, K): row i = sum over [:i)
+    # float32 inputs use double-single compensated prefixes (float64 is
+    # software-emulated on TPU); see ops/raht_span.py for the machinery.
+    use_ds = values.dtype == jnp.float32
+    if use_ds:
+        from raht3dgs_tpu.ops.raht_span import _ds_cumsum, _two_sum
+
+        hi, lo = _ds_cumsum(values)
+        prefix = jnp.concatenate(
+            [jnp.zeros((1, 2 * K), jnp.float32),
+             jnp.concatenate([hi, lo], axis=1)]
+        )  # (N+1, 2K)
+        acc_dt = jnp.float32
+        pk = 2 * K
+    else:
+        prefix = jnp.concatenate(
+            [
+                jnp.zeros((1, K), jnp.float64),
+                jnp.cumsum(values.astype(jnp.float64), axis=0),
+            ]
+        )  # (N+1, K): row i = sum over [:i)
+        acc_dt = jnp.float64
+        pk = K
     if extra_rows is not None:
         E = extra_rows.shape[1]
         pad = jnp.zeros((1, E), extra_rows.dtype)
         pack = jnp.concatenate(
-            [prefix, jnp.concatenate([extra_rows, pad]).astype(jnp.float64)],
+            [prefix, jnp.concatenate([extra_rows, pad]).astype(acc_dt)],
             axis=1,
         )
     else:
@@ -72,6 +88,13 @@ def sorted_segment_sums(
     g_end = prefix[jnp.minimum(ends, N)]
 
     valid = (jnp.arange(N, dtype=jnp.int32) < n_seg)[:, None]
-    sums = jnp.where(valid, g_end - g_start[:, :K], 0.0)
-    extra = g_start[:, K:] if extra_rows is not None else None
+    if use_ds:
+        from raht3dgs_tpu.ops.raht_span import _two_sum
+
+        sm, er = _two_sum(g_end[:, :K], -g_start[:, :K])
+        er = er + (g_end[:, K : 2 * K] - g_start[:, K : 2 * K])
+        sums = jnp.where(valid, sm + er, 0.0)
+    else:
+        sums = jnp.where(valid, g_end - g_start[:, :K], 0.0)
+    extra = g_start[:, pk:] if extra_rows is not None else None
     return sums, extra, starts, n_seg

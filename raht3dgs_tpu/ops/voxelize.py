@@ -19,7 +19,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from raht3dgs_tpu.ops.morton import morton_decode, morton_encode, pad_code
+from raht3dgs_tpu.ops.morton import (
+    code_dtype,
+    morton_decode,
+    morton_encode,
+    pad_code,
+)
 from raht3dgs_tpu.ops.raht import _code_lanes, _lanes_code
 from raht3dgs_tpu.ops.segment import sorted_segment_sums
 
@@ -172,13 +177,13 @@ def voxelize(
         ],
         axis=1,
     )
-    code_digits = _code_lanes(Ms, jnp.float64)
+    code_digits = _code_lanes(Ms, fdtype)
     sums, digit_rows, _, _ = sorted_segment_sums(vals, first, code_digits)
     counts = sums[:, D].astype(fdtype)
     Cvox = (sums[:, :D] / jnp.maximum(sums[:, D], 1.0)[:, None]).astype(fdtype)
 
     real = slot < nvox
-    codes = _lanes_code(digit_rows, jnp.int64, jnp.float64)
+    codes = _lanes_code(digit_rows, code_dtype(depth, N), fdtype)
     codes = jnp.where(real, codes, pad_code(depth, N, slot))
     positions = jnp.where(real[:, None], morton_decode(codes, depth), 0)
     counts = jnp.where(real, counts, 0)
