@@ -65,11 +65,27 @@ _COMPACT_MASKS = (
 )
 
 
+_COMPACT_MASKS32 = (
+    (2, 0x30C30C3),
+    (4, 0x300F00F),
+    (8, 0x30000FF),
+    (16, 0x3FF),
+)
+
+
 def _compact_bits(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`_spread_bits`: gather every 3rd bit down to the low 21."""
     x = x.astype(jnp.int64) & jnp.int64(0x1249249249249249)
     for shift, mask in _COMPACT_MASKS:
         x = (x | (x >> shift)) & jnp.int64(mask)
+    return x
+
+
+def _compact_bits32(x: jnp.ndarray) -> jnp.ndarray:
+    """int32 inverse of :func:`_spread_bits32`."""
+    x = x.astype(jnp.int32) & jnp.int32(0x9249249)
+    for shift, mask in _COMPACT_MASKS32:
+        x = (x | (x >> shift)) & jnp.int32(mask)
     return x
 
 
@@ -141,9 +157,15 @@ def pad_code(depth: int, n: int, slot: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("depth",))
 def morton_decode(codes: jnp.ndarray, depth: int) -> jnp.ndarray:
-    """Inverse of :func:`morton_encode`: codes -> ``(N, 3)`` int64 ``(x, y, z)``."""
+    """Inverse of :func:`morton_encode`: codes -> ``(N, 3)`` ``(x, y, z)``."""
     if not 1 <= depth <= MAX_DEPTH:
         raise ValueError(f"depth must be in [1, {MAX_DEPTH}], got {depth}")
+    if depth <= MAX_DEPTH32 and codes.dtype == jnp.int32:
+        lim = jnp.int32((1 << depth) - 1)
+        z = _compact_bits32(codes) & lim
+        y = _compact_bits32(codes >> 1) & lim
+        x = _compact_bits32(codes >> 2) & lim
+        return jnp.stack([x, y, z], axis=1)
     codes = codes.astype(jnp.int64)
     lim = jnp.int64((1 << depth) - 1)
     z = _compact_bits(codes) & lim
