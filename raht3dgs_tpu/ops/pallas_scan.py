@@ -82,6 +82,87 @@ def _scan_kernel(x_ref, hi_ref, lo_ref, carry_ref):
     carry_ref[1:2, :k] = out_lo[-1:, :]
 
 
+def _scan_kernel_t(x_ref, hi_ref, lo_ref, carry_ref):
+    """Transposed layout: rows = K channels, scan runs along the LANE axis.
+
+    With (K, CHUNK_T) blocks all 128 lanes stay busy (the (CHUNK, K) layout
+    wastes 128-K of them) — this is the intended production variant; the
+    row-major kernel is kept for comparison.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    hi = x_ref[:]                      # (K, CHUNK_T)
+    lo = jnp.zeros_like(hi)
+    n = hi.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+
+    shift = 1
+    while shift < n:
+        hi_s = pltpu.roll(hi, jnp.int32(shift), axis=1)
+        lo_s = pltpu.roll(lo, jnp.int32(shift), axis=1)
+        mask = col >= shift
+        hi_s = jnp.where(mask, hi_s, 0.0)
+        lo_s = jnp.where(mask, lo_s, 0.0)
+        hi, lo = _ds_add(hi, lo, hi_s, lo_s)
+        shift *= 2
+
+    k = hi.shape[0]
+    chi = carry_ref[:k, 0:1]
+    clo = carry_ref[:k, 1:2]
+    out_hi, out_lo = _ds_add(hi, lo, chi, clo)
+    hi_ref[:] = out_hi
+    lo_ref[:] = out_lo
+    carry_ref[:k, 0:1] = out_hi[:, -1:]
+    carry_ref[:k, 1:2] = out_lo[:, -1:]
+
+
+CHUNK_T = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ds_cumsum_pallas_t(x: jnp.ndarray, interpret: bool = False):
+    """Transposed-layout variant of :func:`ds_cumsum_pallas`.
+
+    ``x (N, K)`` float32 -> (hi, lo) float32, scanning along N which is laid
+    out on the lane axis internally (full lane utilization).
+    """
+    N, K = x.shape
+    pad = (-N) % CHUNK_T
+    xt = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0))).T  # (K, Np)
+    grid = (xt.shape[1] // CHUNK_T,)
+
+    def _imap(i):
+        return (jnp.zeros((), jnp.int32), i)
+
+    hi, lo = pl.pallas_call(
+        _scan_kernel_t,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, CHUNK_T), _imap, memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((K, CHUNK_T), _imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, CHUNK_T), _imap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xt.shape, jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max(K, 8), 128), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xt)
+    return hi.T[:N], lo.T[:N]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ds_cumsum_pallas(x: jnp.ndarray, interpret: bool = False):
     """Compensated inclusive prefix sums along axis 0 of ``x (N, K)`` f32.

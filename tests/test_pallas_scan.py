@@ -38,3 +38,15 @@ def test_matches_associative_scan_fallback(rng):
     tot_p = np.asarray(hi_p, np.float64) + np.asarray(lo_p, np.float64)
     tot_a = np.asarray(hi_a, np.float64) + np.asarray(lo_a, np.float64)
     np.testing.assert_allclose(tot_p, tot_a, rtol=1e-12, atol=1e-6)
+
+
+def test_transposed_variant_matches(rng):
+    from raht3dgs_tpu.ops.pallas_scan import ds_cumsum_pallas_t
+
+    for n, k in [(100, 3), (2048, 4), (6000, 8)]:
+        x = rng.normal(scale=500, size=(n, k)).astype(np.float32)
+        hi, lo = ds_cumsum_pallas_t(jnp.asarray(x), interpret=True)
+        ref = np.cumsum(x.astype(np.float64), axis=0)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        scale = max(np.abs(ref).max(), 1.0)
+        assert np.abs(got - ref).max() / scale < 1e-12
