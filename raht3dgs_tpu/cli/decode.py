@@ -1,0 +1,99 @@
+"""Standalone decoder: .r3tc attribute stream + positions -> reconstructed PLY.
+
+The codec transmits attributes only; positions travel out of band (the
+reference's contract — its drivers decode in-process and never persist
+reconstructions). This driver completes the loop: given the bitstream and
+the voxel positions (any PLY with x/y/z), it rebuilds the transform
+structure from the positions, decodes, and writes a reconstructed PLY.
+
+    python -m raht3dgs_tpu.cli.decode --stream frame.r3tc \
+        --positions frame.ply --output recon.ply [--color-space yuv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from raht3dgs_tpu.cli._common import add_runtime_args, configure_runtime, jnp_dtype
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stream", required=True, help=".r3tc frame bitstream")
+    p.add_argument(
+        "--positions", required=True,
+        help="PLY carrying the voxel positions (x/y/z; other properties "
+        "ignored)",
+    )
+    p.add_argument("--output", required=True, help="reconstructed PLY path")
+    p.add_argument(
+        "--color-space", choices=("yuv", "raw"), default="yuv",
+        help="'yuv': stream holds BT.709 YUV (the encode_ply path) and is "
+        "converted back to RGB; 'raw': attributes written as-is",
+    )
+    add_runtime_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    configure_runtime(args)
+
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+    from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+    from raht3dgs_tpu.ops.color import yuv_to_rgb
+
+    stream = FrameStream.from_bytes(open(args.stream, "rb").read())
+    ply = read_ply(args.positions)
+    v = ply.vertices
+    V = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float64)
+    if len(V) != stream.n_voxels:
+        raise SystemExit(
+            f"stream encodes {stream.n_voxels} voxels but {args.positions} "
+            f"has {len(V)} points"
+        )
+
+    dtype = jnp_dtype(args.dtype)
+    frame = prepare_voxel_frame(
+        np.floor(V).astype(np.int64),
+        np.zeros((len(V), stream.n_channels)),
+        stream.depth, bucket=args.bucket, dtype=dtype,
+    )
+    codec = AttributeCodec(stream.depth, dtype=dtype,
+                           order_mode=stream.order_mode)
+    rec, _ = codec.decode(stream, frame.codes, frame.weights)
+
+    # decoded rows are Morton-sorted; map back to the input point order
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    order = np.argsort(
+        morton_codes_np(np.floor(V).astype(np.int64), stream.depth),
+        kind="stable",
+    )
+    out_attrs = np.empty_like(rec)
+    out_attrs[order] = rec
+
+    if args.color_space == "yuv" and stream.n_channels == 3:
+        rgb = np.asarray(yuv_to_rgb(jnp.asarray(out_attrs)))
+        save_ply_ascii(args.output, V, np.clip(rgb, 0, 255).astype(int))
+    else:
+        save_ply_ascii(args.output, V, None)
+        # attributes sidecar for non-color payloads
+        np.save(args.output + ".attrs.npy", out_attrs)
+        print(f"attributes written to {args.output}.attrs.npy")
+    print(
+        f"decoded {stream.n_voxels} voxels x {stream.n_channels} channels "
+        f"(J={stream.depth}, steps={stream.steps.tolist()}, "
+        f"order={stream.order_mode}) -> {args.output}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

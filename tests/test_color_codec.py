@@ -79,3 +79,32 @@ def test_cli_encode_ply(tmp_path, rng):
     assert lines[0].startswith("Frame,Quantization_Step,Rate_bpp")
     assert len(lines) == 3
     assert len(list(streams.glob("*.r3tc"))) == 2
+
+
+def test_cli_decode_roundtrip(tmp_path, rng):
+    depth = 5
+    pts, _, _ = unique_voxel_cloud(rng, 400, depth)
+    rgb = (pts * 5 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=2**depth - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2", "--csv", str(tmp_path / "e.csv"),
+         "--platform", "cpu", "--bucket", "512",
+         "--save-streams", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "frame0001_step2.r3tc"),
+         "--positions", str(ply), "--output", str(tmp_path / "rec.ply"),
+         "--platform", "cpu", "--bucket", "512"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    from raht3dgs_tpu.io.ply import read_ply_8i
+
+    V2, C2, _ = read_ply_8i(tmp_path / "rec.ply")
+    np.testing.assert_allclose(V2, pts.astype(float), atol=1e-4)
+    assert np.abs(C2.astype(float) - rgb).mean() < 3.0
