@@ -10,12 +10,16 @@ rather than a port. The codec's natural parallel axes are:
   attribute channel (D up to 56 for 3DGS); only the shared pairing
   structure depends on positions. Shard the channel axis; the structure
   pass is computed per-shard (cheap, avoids collectives entirely).
+- **sp** (point/sequence parallel): for frames too large for one chip, the
+  N axis itself shards; the span transform is prefix-sums + batched scans +
+  gathers, all of which XLA lowers to collective-assisted forms over sp
+  (verified exact vs unsharded on a virtual mesh).
 
 With batch over dp and channels over tp, every gather/scan in the transform
-runs along the *unsharded* N axis — the whole encode step compiles with no
+runs along the *unsharded* N axis — the encode step compiles with no
 cross-chip collectives on the hot path (ICI traffic only at input/output
-resharding). A reduction like mean-PSNR over the batch lets XLA insert the
-final psum over dp.
+resharding). sp trades that for capacity. A reduction like mean-PSNR over
+the batch lets XLA insert the final psum over dp.
 
 Sharded frames must share a bucketed shape; zero-weight padding makes that
 exact (ops/raht.py).
@@ -40,33 +44,36 @@ def make_mesh(
     n_devices: Optional[int] = None,
     dp: Optional[int] = None,
     tp: Optional[int] = None,
+    sp: int = 1,
 ) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices.
+    """Build a (dp, sp, tp) mesh over the available devices.
 
-    Defaults: all devices on dp (frame parallelism), tp=1. Pass explicit
-    factors to trade frame- for channel-parallelism (dp * tp must equal the
-    device count used).
+    Axes: ``dp`` shards the frame batch, ``sp`` the point dimension (XLA
+    inserts the collectives for the sharded scans/sorts/gathers), ``tp`` the
+    attribute channels. Defaults: all devices on dp. ``dp * sp * tp`` must
+    equal the device count used.
     """
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
     if dp is None and tp is None:
-        dp, tp = n, 1
+        dp, tp = n // sp, 1
     elif dp is None:
-        dp = n // tp
+        dp = n // (tp * sp)
     elif tp is None:
-        tp = n // dp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != n_devices {n}")
-    arr = np.array(devs).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        tp = n // (dp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != n_devices {n}")
+    arr = np.array(devs).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def shard_batch(mesh: Mesh, codes, attrs, weights):
-    """Place a frame batch on the mesh: batch over dp, channels over tp."""
-    s_codes = NamedSharding(mesh, P("dp", None))
-    s_attrs = NamedSharding(mesh, P("dp", None, "tp"))
-    s_w = NamedSharding(mesh, P("dp", None))
+    """Place a frame batch on the mesh: batch over dp, points over sp,
+    channels over tp."""
+    s_codes = NamedSharding(mesh, P("dp", "sp"))
+    s_attrs = NamedSharding(mesh, P("dp", "sp", "tp"))
+    s_w = NamedSharding(mesh, P("dp", "sp"))
     return (
         jax.device_put(codes, s_codes),
         jax.device_put(attrs, s_attrs),

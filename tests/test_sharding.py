@@ -17,9 +17,11 @@ import __graft_entry__ as ge
 
 def test_mesh_construction():
     mesh = make_mesh(8)
-    assert mesh.shape == {"dp": 8, "tp": 1}
+    assert mesh.shape == {"dp": 8, "sp": 1, "tp": 1}
     mesh = make_mesh(8, dp=4)
-    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert mesh.shape == {"dp": 4, "sp": 1, "tp": 2}
+    mesh = make_mesh(8, dp=2, sp=2)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
     with pytest.raises(ValueError):
         make_mesh(8, dp=3, tp=2)
 
