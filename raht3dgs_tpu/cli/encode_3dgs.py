@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
         default="none", help="debug render comparison of the reconstruction",
     )
     p.add_argument("--save-streams", default=None)
+    p.add_argument(
+        "--target-bpp", type=float, default=None,
+        help="search the step hitting this rate budget instead of sweeping "
+        "--steps (honors --per-attribute multipliers)",
+    )
     add_runtime_args(p)
     return p
 
@@ -71,6 +76,36 @@ def main(argv=None) -> int:
         print("per-attribute step multipliers:", group_scales)
 
     dtype = jnp_dtype(args.dtype)
+    if args.target_bpp is not None:
+        if args.steps != build_parser().get_default("steps"):
+            print("note: --steps ignored in --target-bpp mode", file=sys.stderr)
+        from raht3dgs_tpu.models.pipeline import prepare_voxel_frame, AttributeCodec
+        from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+        from raht3dgs_tpu.ops.quantize import channel_steps
+
+        frame = prepare_voxel_frame(
+            V_int, attrs.astype(np.float64), args.depth,
+            bucket=args.bucket, dtype=dtype,
+        )
+        codec = AttributeCodec(args.depth, dtype=dtype)
+        D = attrs.shape[1]
+
+        def steps_fn(step):
+            if group_scales:
+                return channel_steps(
+                    D, float(step),
+                    {k: float(step) * m for k, m in group_scales.items()},
+                )
+            return float(step)
+
+        res = search_step_for_bpp(
+            frame, args.target_bpp, codec=codec, steps_fn=steps_fn
+        )
+        print(
+            f"target {args.target_bpp:.3f} bpp -> step {res.step:.4f}, "
+            f"actual {res.bpp:.3f} bpp ({res.probes} device probes)"
+        )
+        return 0
     with maybe_profile(args):
         points = encode_gs_frame(
             V_int, attrs, depth=args.depth, steps=args.steps,

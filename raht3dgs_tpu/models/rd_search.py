@@ -49,14 +49,19 @@ def search_step_for_bpp(
     hi: float = 4096.0,
     iters: int = 18,
     refine: int = 4,
+    steps_fn=None,
 ) -> RateSearchResult:
     """Find the largest-quality (smallest) step with rate <= target_bpp.
 
     Bisection on the device-side estimate (monotone in step), then up to
     ``refine`` true encodes to correct the model's residual bias against
-    the actual RLGR size.
+    the actual RLGR size. ``steps_fn(step) -> scalar or (D,) vector`` maps
+    the searched scalar to per-channel steps (e.g. the 3DGS per-attribute
+    multipliers); identity by default.
     """
     codec = codec or AttributeCodec(frame.depth)
+    if steps_fn is None:
+        steps_fn = lambda s: s  # noqa: E731
     coeffs, order, _, _ = codec.transform(frame)
     valid = jnp.arange(frame.codes.shape[0]) < frame.n_voxels
     nvox = frame.n_voxels
@@ -69,7 +74,9 @@ def search_step_for_bpp(
         probes += 1
         return float(
             _estimate_bpp_at_step(
-                coeffs, jnp.asarray(step, dtype=coeffs.dtype), valid, nvox
+                coeffs,
+                jnp.atleast_1d(jnp.asarray(steps_fn(step), dtype=coeffs.dtype)),
+                valid, nvox,
             )
         )
 
@@ -86,7 +93,7 @@ def search_step_for_bpp(
     step = b
 
     # refine against true encodes
-    enc = codec.encode(frame, steps=step, coeffs=coeffs, order=order)
+    enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     for _ in range(refine):
         actual = enc.stream.bpp()
         if target_bpp * 0.9 <= actual <= target_bpp:
@@ -95,11 +102,11 @@ def search_step_for_bpp(
         if ratio <= 1.0 and step <= lo:
             break
         step = float(np.clip(step * ratio**1.4, lo, hi))
-        enc = codec.encode(frame, steps=step, coeffs=coeffs, order=order)
+        enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     # guarantee the budget if possible
     while enc.stream.bpp() > target_bpp and step < hi:
         step *= 1.3
-        enc = codec.encode(frame, steps=step, coeffs=coeffs, order=order)
+        enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     return RateSearchResult(
         step=float(step),
         bpp=enc.stream.bpp(),

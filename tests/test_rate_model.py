@@ -65,3 +65,22 @@ def test_rate_search_infeasible_budget(rng):
     res = search_step_for_bpp(frame, target_bpp=0.0001)
     # caps at hi step; returns the smallest achievable rate
     assert res.step >= 4000 or res.bpp <= 0.0001
+
+
+def test_search_with_steps_fn_vector(rng):
+    # per-channel multipliers (3DGS-style): search still converges and the
+    # refined encode honors the vector mapping
+    from conftest import unique_voxel_cloud
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame, AttributeCodec
+    import numpy as np
+
+    depth = 5
+    pts, _, attrs = unique_voxel_cloud(rng, 600, depth, d_attr=4)
+    frame = prepare_voxel_frame(pts, attrs, depth, bucket=1024)
+    codec = AttributeCodec(depth)
+    mult = np.array([0.5, 0.5, 1.0, 2.0])
+    res = search_step_for_bpp(
+        frame, 8.0, codec=codec, steps_fn=lambda s: s * mult
+    )
+    assert res.bpp <= 8.0 * 1.02
+    assert res.step > 0
