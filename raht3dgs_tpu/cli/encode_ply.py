@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--save-streams", default=None,
         help="directory to write .r3tc frame bitstreams",
     )
+    p.add_argument(
+        "--entropy-chunk", type=int, default=0,
+        help="entropy-code each channel in independent chunks of this many "
+        "symbols (parallel encode/decode on multi-core hosts; 0 = "
+        "sequential reference-compatible streams)",
+    )
     add_runtime_args(p)
     return p
 
@@ -93,7 +99,9 @@ def main(argv=None) -> int:
             V = np.asarray(res.positions)[:nvox].astype(float)
             C = np.asarray(res.attributes)[:nvox]
             print(f"frame {idx}: voxelized to {nvox} voxels")
-        codec = codec_cache.setdefault(depth, AttributeCodec(depth, dtype=dtype))
+        codec = codec_cache.setdefault(
+            depth, AttributeCodec(depth, dtype=dtype, chunk=args.entropy_chunk)
+        )
         if args.target_bpp is not None:
             import jax.numpy as _jnp
             import numpy as np

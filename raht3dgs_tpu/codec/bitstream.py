@@ -8,8 +8,12 @@ needs a self-describing stream, so frames serialize to:
     u64 n_voxels | u16 n_steps | f64 steps[n_steps] | f64 vmin[3] |
     f64 width | u32 channel_len[n_channels] | channel payloads...
 
-``flags`` bit0: signed symbols. ``n_steps`` is 1 (uniform) or n_channels
-(per-channel quantization steps, reference encode_3dgs_debug semantics).
+``flags`` bit0: signed symbols; bits 1-2: coefficient order; bit 3:
+chunked entropy payloads (a ``u32 chunk_size`` field follows ``width`` and
+each channel payload is the self-contained parallel-decodable layout of
+``codec/rlgr.py:rlgr_encode_chunked``). ``n_steps`` is 1 (uniform) or
+n_channels (per-channel quantization steps, reference encode_3dgs_debug
+semantics).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
 _ORDER_SHIFT = 1
 _ORDER_MODES = ("ragft", "weight_desc", "morton")
+FLAG_CHUNKED = 1 << 3
 
 
 @dataclass
@@ -38,6 +43,7 @@ class FrameStream:
     width: float = 0.0
     signed: bool = True
     order_mode: str = "ragft"
+    chunk: int = 0                 # >0: chunked (parallel) entropy layout
 
     @property
     def n_channels(self) -> int:
@@ -64,6 +70,8 @@ class FrameStream:
             )
         flags = FLAG_SIGNED if self.signed else 0
         flags |= _ORDER_MODES.index(self.order_mode) << _ORDER_SHIFT
+        if self.chunk > 0:
+            flags |= FLAG_CHUNKED
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
@@ -77,6 +85,8 @@ class FrameStream:
         head += steps.tobytes()
         head += np.asarray(self.vmin, dtype=np.float64).tobytes()
         head += struct.pack("<d", float(self.width))
+        if self.chunk > 0:
+            head += struct.pack("<I", int(self.chunk))
         head += struct.pack(f"<{self.n_channels}I", *[len(c) for c in self.channels])
         return head + b"".join(self.channels)
 
@@ -96,6 +106,10 @@ class FrameStream:
         off += 24
         (width,) = struct.unpack("<d", data[off : off + 8])
         off += 8
+        chunk = 0
+        if flags & FLAG_CHUNKED:
+            (chunk,) = struct.unpack("<I", data[off : off + 4])
+            off += 4
         lens = struct.unpack(f"<{n_ch}I", data[off : off + 4 * n_ch])
         off += 4 * n_ch
         channels = []
@@ -111,4 +125,5 @@ class FrameStream:
             width=width,
             signed=bool(flags & FLAG_SIGNED),
             order_mode=_ORDER_MODES[(flags >> _ORDER_SHIFT) & 0x3],
+            chunk=chunk,
         )

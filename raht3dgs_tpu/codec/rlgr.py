@@ -177,45 +177,139 @@ def rlgr_decode(
     return out, time.perf_counter_ns() - t0
 
 
+_pool = None
+
+
+def _executor():
+    """Shared thread pool for entropy work. ctypes releases the GIL during
+    the native encode/decode calls, so channel/chunk tasks run truly in
+    parallel on multi-core hosts; on a single-core host callers skip the
+    pool entirely."""
+    global _pool
+    if _pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1))
+    return _pool
+
+
+def _map_tasks(fn, tasks):
+    """Run ``fn`` over ``tasks`` via the pool when it can help, else serially."""
+    if len(tasks) > 1 and (os.cpu_count() or 1) > 1 and native_available():
+        return list(_executor().map(fn, tasks))
+    return [fn(t) for t in tasks]
+
+
+def rlgr_encode_chunked(
+    values: np.ndarray, signed: bool = True, chunk: int = 65536
+) -> Tuple[bytes, int]:
+    """Encode as independent fixed-size chunks for parallel entropy coding.
+
+    The adaptive automaton resets at every chunk boundary, making chunks
+    self-contained: encode AND decode parallelize across chunks (and across
+    channels) with a rate overhead of a few adaptation-restart bytes per
+    chunk (<0.1% at the default 64Ki chunk). This is a deliberate format
+    extension over the reference's strictly sequential coder
+    (``/root/reference/python/PyRLGR/src/libs/rlgr/rlgr.cpp``) — its
+    bitstream cannot be entropy-decoded in parallel at all.
+
+    Layout: ``u32 chunk_size | u32 n_chunks | u32 len[i]... | payloads``.
+    """
+    values = np.asarray(values)
+    n = len(values)
+    chunk = max(int(chunk), 1)
+    n_chunks = max((n + chunk - 1) // chunk, 1)
+    parts = [values[i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
+    t0 = time.perf_counter_ns()
+    results = _map_tasks(lambda p: rlgr_encode(p, signed)[0], parts)
+    elapsed = time.perf_counter_ns() - t0
+    import struct
+
+    head = struct.pack(
+        f"<II{n_chunks}I", chunk, n_chunks, *(len(r) for r in results)
+    )
+    return head + b"".join(results), elapsed
+
+
+def rlgr_decode_chunked(
+    stream: bytes, n: int, signed: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, int]:
+    """Decode a :func:`rlgr_encode_chunked` stream; chunks in parallel."""
+    import struct
+
+    chunk, n_chunks = struct.unpack_from("<II", stream, 0)
+    lens = struct.unpack_from(f"<{n_chunks}I", stream, 8)
+    offs = np.concatenate([[8 + 4 * n_chunks], 8 + 4 * n_chunks + np.cumsum(lens)])
+    if out is None:
+        out = np.empty(n, dtype=np.int32)
+    t0 = time.perf_counter_ns()
+
+    def _one(i):
+        m = min(chunk, n - i * chunk)
+        if m > 0:
+            rlgr_decode(
+                stream[offs[i]:offs[i + 1]], m, signed, out=out[i * chunk:]
+            )
+
+    _map_tasks(_one, list(range(n_chunks)))
+    return out, time.perf_counter_ns() - t0
+
+
 def rlgr_encode_channels(
-    payload: np.ndarray, signed: bool = True, channel_major: bool = False
+    payload: np.ndarray, signed: bool = True, channel_major: bool = False,
+    chunk: int = 0,
 ) -> Tuple[List[bytes], int]:
     """Encode each channel of a payload as its own RLGR stream.
 
     ``payload`` is (N, D) sample-major by default (transposed here), or
     (D, N) channel-major with ``channel_major=True`` — the pipeline has the
     device emit that layout so every channel is a zero-copy contiguous
-    int32 row. Returns (streams, summed per-channel coder ns — the
-    reference's CSV convention).
+    int32 row. ``chunk > 0`` switches each channel to the self-contained
+    chunked layout (:func:`rlgr_encode_chunked`) so entropy coding
+    parallelizes within a channel as well as across channels. Returns
+    (streams, wall-clock coder ns — the entropy-stage time the reference
+    logs per frame, ``membuf.cpp:340-341``).
     """
     payload = np.asarray(payload)
     rows = payload if channel_major else np.ascontiguousarray(payload.T)
-    streams: List[bytes] = []
-    total_ns = 0
-    for d in range(rows.shape[0]):
-        data, ns = rlgr_encode(np.ascontiguousarray(rows[d]), signed)
-        streams.append(data)
-        total_ns += ns
-    return streams, total_ns
+    t0 = time.perf_counter_ns()
+    if chunk > 0:
+        streams = [
+            rlgr_encode_chunked(np.ascontiguousarray(rows[d]), signed, chunk)[0]
+            for d in range(rows.shape[0])
+        ]
+    else:
+        streams = _map_tasks(
+            lambda d: rlgr_encode(np.ascontiguousarray(rows[d]), signed)[0],
+            list(range(rows.shape[0])),
+        )
+    return streams, time.perf_counter_ns() - t0
 
 
 def rlgr_decode_channels(
     streams: List[bytes], n: int, signed: bool = True,
-    out: Optional[np.ndarray] = None,
+    out: Optional[np.ndarray] = None, chunk: int = 0,
 ) -> Tuple[np.ndarray, int]:
     """Decode per-channel streams into a (D, n...) channel-major matrix.
 
     ``out``: optional preallocated (D, >=n) int32/int64 C-contiguous matrix;
-    each channel decodes straight into its row (no temporaries).
+    each channel decodes straight into its row (no temporaries). ``chunk``
+    must match the value the streams were encoded with (0 = sequential).
     """
     D = len(streams)
     if out is None:
         out = np.empty((D, n), dtype=np.int32)
-    total_ns = 0
-    for d in range(D):
-        _, ns = rlgr_decode(streams[d], n, signed, out=out[d])
-        total_ns += ns
-    return out, total_ns
+    t0 = time.perf_counter_ns()
+    if chunk > 0:
+        for d in range(D):
+            rlgr_decode_chunked(streams[d], n, signed, out=out[d])
+    else:
+        _map_tasks(
+            lambda d: rlgr_decode(streams[d], n, signed, out=out[d]),
+            list(range(D)),
+        )
+    return out, time.perf_counter_ns() - t0
 
 
 class MemBuf:

@@ -182,6 +182,7 @@ class AttributeCodec:
         dtype=jnp.float64,
         order_mode: str = "ragft",
         impl: Optional[str] = None,
+        chunk: int = 0,
     ):
         import os
 
@@ -194,6 +195,10 @@ class AttributeCodec:
         # "span" (closed form) is the TPU fast path and the default; "dense"
         # is the bitwise golden used by the 1e-12 crosscheck tooling.
         self.impl = impl or os.environ.get("RAHT3DGS_RAHT_IMPL", "span")
+        # Entropy chunk size: 0 = sequential streams (reference-compatible
+        # automaton per channel); >0 = self-contained chunks that encode and
+        # decode in parallel on multi-core hosts (codec/rlgr.py).
+        self.chunk = int(chunk)
 
     # -- encoding ---------------------------------------------------------
 
@@ -233,7 +238,7 @@ class AttributeCodec:
         # zero-copy row prefix (pads-last ordering).
         q_np = np.asarray(q_T)[:, : frame.n_voxels]
         channels, enc_ns = rlgr_encode_channels(
-            q_np, signed=True, channel_major=True
+            q_np, signed=True, channel_major=True, chunk=self.chunk
         )
         timer.add("Entropy_enc_time", enc_ns / 1e9)
 
@@ -245,6 +250,7 @@ class AttributeCodec:
             vmin=frame.vmin,
             width=frame.width,
             order_mode=self.order_mode,
+            chunk=self.chunk,
         )
         return EncodedFrame(stream=stream, timer=timer)
 
@@ -282,7 +288,8 @@ class AttributeCodec:
 
         vals_T = np.zeros((D, n_padded), dtype=np.int32)
         _, dec_ns = rlgr_decode_channels(
-            stream.channels, nvox, signed=True, out=vals_T
+            stream.channels, nvox, signed=True, out=vals_T,
+            chunk=stream.chunk,
         )
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 

@@ -105,3 +105,66 @@ def test_membuf_gr_single_codeword():
     w2.grWrite(10**6, 0)
     r2 = rlgr.MemBuf(w2.get_buffer())
     assert r2.grRead(0) == 10**6
+
+
+# -- chunked (parallel) entropy layout ---------------------------------------
+
+def test_chunked_roundtrip(rng):
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode_chunked, rlgr_encode_chunked
+
+    for n, chunk in [(10, 4), (1000, 256), (5000, 5000), (4096, 65536), (0, 8)]:
+        v = (rng.standard_normal(n) * 20).astype(np.int32)
+        stream, _ = rlgr_encode_chunked(v, chunk=chunk)
+        out, _ = rlgr_decode_chunked(stream, n)
+        np.testing.assert_array_equal(out[:n], v)
+
+
+def test_chunked_matches_independent_encodes(rng):
+    # automaton resets at boundaries: each chunk is byte-identical to a
+    # standalone encode of that slice
+    import struct
+
+    from raht3dgs_tpu.codec.rlgr import rlgr_encode, rlgr_encode_chunked
+
+    v = (rng.standard_normal(1000) * 50).astype(np.int32)
+    chunk = 300
+    stream, _ = rlgr_encode_chunked(v, chunk=chunk)
+    cs, n_chunks = struct.unpack_from("<II", stream, 0)
+    assert (cs, n_chunks) == (chunk, 4)
+    lens = struct.unpack_from("<4I", stream, 8)
+    off = 8 + 16
+    for i in range(4):
+        part = stream[off:off + lens[i]]
+        ref, _ = rlgr_encode(v[i * chunk:(i + 1) * chunk])
+        assert part == ref
+        off += lens[i]
+
+
+def test_chunked_overhead_small(rng):
+    from raht3dgs_tpu.codec.rlgr import rlgr_encode, rlgr_encode_chunked
+
+    v = (rng.standard_normal(200_000) * 8).astype(np.int32)
+    seq, _ = rlgr_encode(v)
+    chk, _ = rlgr_encode_chunked(v, chunk=65536)
+    assert len(chk) < len(seq) * 1.01  # <1% rate cost at 64Ki chunks
+
+
+def test_pipeline_chunked_roundtrip(rng):
+    from conftest import unique_voxel_cloud
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+
+    depth = 5
+    pts, _, attrs = unique_voxel_cloud(rng, 700, depth)
+    frame = prepare_voxel_frame(pts, attrs * 30, depth, bucket=1024)
+
+    plain = AttributeCodec(depth).encode(frame, steps=2.0)
+    chunked = AttributeCodec(depth, chunk=256).encode(frame, steps=2.0)
+    # container survives serialization with the chunk field intact
+    rt = FrameStream.from_bytes(chunked.stream.to_bytes())
+    assert rt.chunk == 256 and plain.stream.chunk == 0
+
+    dec_codec = AttributeCodec(depth)
+    rec_plain, _ = dec_codec.decode(plain.stream, frame.codes, frame.weights)
+    rec_chunked, _ = dec_codec.decode(rt, frame.codes, frame.weights)
+    np.testing.assert_array_equal(rec_plain, rec_chunked)
