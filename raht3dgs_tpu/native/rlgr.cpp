@@ -14,7 +14,6 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <vector>
 
 namespace {
 
@@ -27,29 +26,39 @@ constexpr uint64_t kEscapePrefix = 32;
 constexpr uint64_t kMaxKRP = 32 * kFrac;
 
 inline uint64_t zigzag(int64_t v) {
-  return v < 0 ? (static_cast<uint64_t>(-v) << 1) - 1
-               : static_cast<uint64_t>(v) << 1;
+  // branchless: 2v for v>=0, 2|v|-1 for v<0
+  return (static_cast<uint64_t>(v) << 1) ^ static_cast<uint64_t>(v >> 63);
 }
 
 inline int64_t unzigzag(uint64_t u) {
-  int64_t half = static_cast<int64_t>(u >> 1);
-  return (u & 1) ? -half - 1 : half;
+  // branchless inverse: u>>1 for even, -(u>>1)-1 for odd
+  return static_cast<int64_t>(u >> 1) ^ -static_cast<int64_t>(u & 1);
 }
 
 class BitSink {
  public:
-  void put_bits(uint64_t value, unsigned nbits) {
-    // MSB-first accumulation; nbits <= 57 per call keeps acc_ overflow-free.
+  BitSink() : buf_(static_cast<uint8_t*>(std::malloc(4096))) {}
+  ~BitSink() { std::free(buf_); }
+  BitSink(const BitSink&) = delete;
+  BitSink& operator=(const BitSink&) = delete;
+
+  inline void put_bits(uint64_t value, unsigned nbits) {
+    // MSB-first accumulation, flushed a 32-bit word at a time (bswap +
+    // unaligned store into a raw buffer: no per-byte push_back, no
+    // zero-init on growth).
     while (nbits > 32) {
       put_bits(value >> 32, nbits - 32);
       value &= 0xFFFFFFFFull;
       nbits = 32;
     }
-    acc_ = (acc_ << nbits) | (value & ((nbits == 64) ? ~0ull : ((1ull << nbits) - 1)));
+    acc_ = (acc_ << nbits) | (value & ((1ull << nbits) - 1));
     count_ += nbits;
-    while (count_ >= 8) {
-      count_ -= 8;
-      bytes_.push_back(static_cast<uint8_t>((acc_ >> count_) & 0xFF));
+    if (count_ >= 32) {
+      count_ -= 32;
+      if (sz_ + 4 > cap_) grow();
+      uint32_t be = __builtin_bswap32(static_cast<uint32_t>(acc_ >> count_));
+      std::memcpy(buf_ + sz_, &be, 4);
+      sz_ += 4;
     }
   }
 
@@ -63,15 +72,34 @@ class BitSink {
   }
 
   void finish() {
-    if (count_ > 0) put_bits(0, static_cast<unsigned>(8 - count_));
+    if (count_ % 8) put_bits(0, 8 - count_ % 8);
+    while (count_ >= 8) {
+      count_ -= 8;
+      if (sz_ + 1 > cap_) grow();
+      buf_[sz_++] = static_cast<uint8_t>((acc_ >> count_) & 0xFF);
+    }
   }
 
-  std::vector<uint8_t>& bytes() { return bytes_; }
+  size_t size() const { return sz_; }
+
+  // Transfer ownership of the malloc'd buffer to the caller (the C API's
+  // output contract) — the encode hot path never copies the stream.
+  uint8_t* release() {
+    uint8_t* p = buf_;
+    buf_ = nullptr;
+    return p;
+  }
 
  private:
-  std::vector<uint8_t> bytes_;
+  void grow() {
+    cap_ *= 2;
+    buf_ = static_cast<uint8_t*>(std::realloc(buf_, cap_));
+  }
+  uint8_t* buf_;
+  size_t sz_ = 0;
+  size_t cap_ = 4096;
   uint64_t acc_ = 0;
-  unsigned count_ = 0;
+  unsigned count_ = 0;  // invariant: < 32 between calls
 };
 
 class BitSource {
@@ -85,16 +113,49 @@ class BitSource {
     return static_cast<unsigned>((acc_ >> count_) & 1);
   }
 
-  uint64_t get_bits(unsigned nbits) {
-    uint64_t v = 0;
-    while (nbits > 32) {
-      v = get_bits(32);
+  inline uint64_t get_bits(unsigned nbits) {
+    if (nbits == 0) return 0;
+    if (nbits > 32) {
+      uint64_t hi = get_bits(32);  // high half first (matches writer order)
       nbits -= 32;
-      v <<= nbits;  // high half first (matches writer order)
-      return v | get_bits(nbits);
+      return (hi << nbits) | get_bits(nbits);
     }
-    for (unsigned i = 0; i < nbits; i++) v = (v << 1) | get_bit();
+    if (count_ < nbits) refill();
+    if (count_ >= nbits) {
+      count_ -= nbits;
+      return (acc_ >> count_) & ((1ull << nbits) - 1);
+    }
+    // past end: remaining bits MSB-first, then zeros
+    uint64_t v = (acc_ & ((1ull << count_) - 1)) << (nbits - count_);
+    count_ = 0;
     return v;
+  }
+
+  // Count consecutive 1-bits up to `cap` via count-leading-zeros on the
+  // bit window (instead of bit-at-a-time); consumes the counted ones and,
+  // if cap wasn't hit, the terminating 0-bit. Past-end reads see zeros.
+  inline unsigned take_ones(unsigned cap) {
+    unsigned q = 0;
+    for (;;) {
+      if (count_ == 0) {
+        refill();
+        if (count_ == 0) return q;  // past end: implicit terminator
+      }
+      uint64_t aligned = acc_ << (64 - count_);  // MSB = next bit
+      unsigned ones =
+          (~aligned == 0) ? 64 : static_cast<unsigned>(__builtin_clzll(~aligned));
+      if (ones > count_) ones = count_;
+      if (q + ones >= cap) {
+        count_ -= cap - q;  // consume exactly the capping ones, no terminator
+        return cap;
+      }
+      if (ones < count_) {
+        count_ -= ones + 1;  // ones + the 0 terminator
+        return q + ones;
+      }
+      q += ones;  // window was all ones; refill and continue
+      count_ = 0;
+    }
   }
 
  private:
@@ -116,8 +177,17 @@ class BitSource {
 inline void gr_put(BitSink& sink, uint64_t u, unsigned k) {
   uint64_t q = u >> k;
   if (q < kEscapePrefix) {
-    sink.put_unary(q);
-    sink.put_bits(u & ((1ull << k) - 1), k);
+    // Fused codeword: q ones, a zero, then the k-bit remainder — one
+    // accumulator pass for the common case (q+1+k <= 57 always holds here:
+    // q <= 31, k <= 32 gives at most 64, so split only the extreme corner).
+    unsigned total = static_cast<unsigned>(q) + 1 + k;
+    if (total <= 57) {
+      sink.put_bits((((1ull << (q + 1)) - 2) << k) | (u & ((1ull << k) - 1)),
+                    total);
+    } else {
+      sink.put_unary(q);
+      sink.put_bits(u & ((1ull << k) - 1), k);
+    }
   } else {
     sink.put_bits(0xFFFFFFFFull, 32);
     sink.put_bits(u & 0xFFFFFFFFull, 32);
@@ -125,10 +195,8 @@ inline void gr_put(BitSink& sink, uint64_t u, unsigned k) {
 }
 
 inline uint64_t gr_get(BitSource& src, unsigned k) {
-  uint64_t q = 0;
-  while (src.get_bit()) {
-    if (++q >= kEscapePrefix) return src.get_bits(32);
-  }
+  uint64_t q = src.take_ones(static_cast<unsigned>(kEscapePrefix));
+  if (q >= kEscapePrefix) return src.get_bits(32);
   return (q << k) + src.get_bits(k);
 }
 
@@ -196,10 +264,9 @@ int rlgr_encode(const int64_t* seq, size_t n, int flag_signed, uint8_t** out,
   }
   sink.finish();
 
-  *out_len = sink.bytes().size();
-  *out = static_cast<uint8_t*>(std::malloc(*out_len ? *out_len : 1));
+  *out_len = sink.size();
+  *out = sink.release();
   if (!*out) return -1;
-  std::memcpy(*out, sink.bytes().data(), *out_len);
   return 0;
 }
 
@@ -286,10 +353,9 @@ int rlgr_encode32(const int32_t* seq, size_t n, int flag_signed, uint8_t** out,
     sink.put_bits(run, static_cast<unsigned>(k_p / kFrac));
   }
   sink.finish();
-  *out_len = sink.bytes().size();
-  *out = static_cast<uint8_t*>(std::malloc(*out_len ? *out_len : 1));
+  *out_len = sink.size();
+  *out = sink.release();
   if (!*out) return -1;
-  std::memcpy(*out, sink.bytes().data(), *out_len);
   return 0;
 }
 
@@ -337,10 +403,9 @@ int gr_encode_one(uint64_t value, unsigned k, uint8_t** out, size_t* out_len) {
   BitSink sink;
   gr_put(sink, value, k);
   sink.finish();
-  *out_len = sink.bytes().size();
-  *out = static_cast<uint8_t*>(std::malloc(*out_len ? *out_len : 1));
+  *out_len = sink.size();
+  *out = sink.release();
   if (!*out) return -1;
-  std::memcpy(*out, sink.bytes().data(), *out_len);
   return 0;
 }
 
