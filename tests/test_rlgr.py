@@ -168,3 +168,47 @@ def test_pipeline_chunked_roundtrip(rng):
     rec_plain, _ = dec_codec.decode(plain.stream, frame.codes, frame.weights)
     rec_chunked, _ = dec_codec.decode(rt, frame.codes, frame.weights)
     np.testing.assert_array_equal(rec_plain, rec_chunked)
+
+
+def test_adversarial_patterns_match_python_golden(rng):
+    # Edge patterns aimed at the optimized bit-IO paths: escape codewords
+    # (q >= 32), INT32 extremes, long runs with single-symbol bursts,
+    # alternating signs, and flush-boundary lengths.
+    from raht3dgs_tpu.codec import _rlgr_py
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+
+    patterns = [
+        np.zeros(1000, np.int32),
+        np.full(100, np.iinfo(np.int32).max, np.int32),
+        np.full(100, np.iinfo(np.int32).min, np.int32),
+        np.array([0] * 500 + [2**30] + [0] * 500, np.int32),
+        np.tile(np.array([1, -1], np.int32), 2000),
+        np.array([2**i - 1 for i in range(31)] * 3, np.int32),
+        # lengths straddling the 32-bit flush and byte padding
+        np.arange(-17, 16, dtype=np.int32),
+        np.arange(-16, 16, dtype=np.int32),
+        (rng.standard_normal(7) * 1e9).astype(np.int32),
+    ]
+    for v in patterns:
+        s_native, _ = rlgr_encode(v, backend="native")
+        s_py = _rlgr_py.encode(v.astype(np.int64).tolist(), signed=True)
+        assert s_native == s_py, f"stream mismatch for pattern {v[:8]}"
+        out, _ = rlgr_decode(s_native, len(v), backend="native",
+                             out=np.empty(len(v), np.int32))
+        np.testing.assert_array_equal(out, v)
+
+
+def test_adversarial_unsigned(rng):
+    from raht3dgs_tpu.codec import _rlgr_py
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+
+    for v in [
+        np.array([0, 1, 2**31 - 1, 0, 0, 5], np.int32),
+        (np.abs(rng.standard_normal(3000)) * 2**28).astype(np.int32),
+    ]:
+        s_native, _ = rlgr_encode(v, signed=False, backend="native")
+        s_py = _rlgr_py.encode(v.astype(np.int64).tolist(), signed=False)
+        assert s_native == s_py
+        out, _ = rlgr_decode(s_native, len(v), signed=False, backend="native",
+                             out=np.empty(len(v), np.int32))
+        np.testing.assert_array_equal(out, v)
