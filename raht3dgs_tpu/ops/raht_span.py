@@ -181,18 +181,22 @@ def _ds_cumsum(values_f32):
     """Compensated prefix sums along axis 0; returns (hi, lo) float32.
 
     Default: an associative scan. RAHT3DGS_PALLAS=1 switches to the
-    single-pass Pallas kernel with an on-chip carry (ops/pallas_scan.py) —
-    correct on v5e but currently slower for narrow K (the (N, K) layout
-    uses K of 128 lanes; a transposed kernel is future work). Both paths
-    are error-free compensated to ~48 mantissa bits.
+    single-pass Pallas kernel with an on-chip carry (ops/pallas_scan.py);
+    RAHT3DGS_PALLAS=2 uses the transposed variant (K rows x N on the lane
+    axis — full lane utilization for narrow K). Both Pallas paths are
+    correct on v5e; =1 measured slower for narrow K (uses K of 128 lanes),
+    =2 is the round-2 measurement candidate. All paths are error-free
+    compensated to ~48 mantissa bits.
     """
-    if (
-        _os.environ.get("RAHT3DGS_PALLAS", "0") == "1"
-        and jax.default_backend() != "cpu"
-    ):
-        from raht3dgs_tpu.ops.pallas_scan import ds_cumsum_pallas
+    mode = _os.environ.get("RAHT3DGS_PALLAS", "0")
+    if mode in ("1", "2") and jax.default_backend() != "cpu":
+        from raht3dgs_tpu.ops.pallas_scan import (
+            ds_cumsum_pallas,
+            ds_cumsum_pallas_t,
+        )
 
-        return ds_cumsum_pallas(values_f32)
+        kern = ds_cumsum_pallas_t if mode == "2" else ds_cumsum_pallas
+        return kern(values_f32)
     zeros = jnp.zeros_like(values_f32)
     return lax.associative_scan(_ds_combine, (values_f32, zeros), axis=0)
 
