@@ -57,10 +57,7 @@ def main(argv=None) -> int:
 
     from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
     from raht3dgs_tpu.models.gs_codec import CSV_HEADER, encode_gs_frame
-    from raht3dgs_tpu.ops.quantize import (
-        GS_ABLATION_PSNR_DB,
-        GS_ATTRIBUTE_GROUPS,
-    )
+    from raht3dgs_tpu.ops.quantize import GS_ABLATION_PSNR_DB
 
     V_int, attrs, voxel_size, vmin = read_compressed_3dgs_ply(args.input)
     print(f"loaded {len(V_int)} voxels, {attrs.shape[1]} channels "

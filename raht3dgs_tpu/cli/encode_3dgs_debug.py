@@ -47,7 +47,6 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
 
-    import jax.numpy as jnp
 
     from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
     from raht3dgs_tpu.models.gs_quant_analysis import (

@@ -8,7 +8,7 @@ API and the CLI drivers, with the reference values as defaults.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Sequence, Tuple
 
 

@@ -15,8 +15,7 @@ The research toolkit of the reference's ``encode_3dgs_debug.py``:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Tuple
 
 import numpy as np
 

@@ -19,7 +19,6 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import ops as jops
 
 from raht3dgs_tpu.io.ply import save_ply_3dgs
 from raht3dgs_tpu.ops.voxelize import voxelize

@@ -9,7 +9,7 @@ transform), then verify/refine with at most a couple of true encodes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

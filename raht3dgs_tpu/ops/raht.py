@@ -44,7 +44,7 @@ is carried by the initial weight vector instead (``voxelize.counts``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 from functools import partial
 
