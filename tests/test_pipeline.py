@@ -177,3 +177,20 @@ def test_float32_production_path(rng):
     # <= step/2 each, so RMSE <= step/2 (max error may exceed it locally)
     rmse = np.sqrt(np.mean((rec - ref) ** 2))
     assert rmse <= 1.0 + 1e-3
+
+
+def test_pipeline_reference_default_depth(rng):
+    # J=18 is the reference drivers' default depth (encode_ply.py) — codes
+    # are int64 (55 levels) and the pipeline's int32 narrowing must stay off.
+    from conftest import unique_voxel_cloud
+
+    depth = 18
+    pts, _, attrs = unique_voxel_cloud(rng, 400, depth)
+    frame = prepare_voxel_frame(pts, attrs * 50, depth, bucket=512)
+    assert np.asarray(frame.codes).dtype == np.int64
+    codec = AttributeCodec(depth)
+    enc = codec.encode(frame, steps=1.0)
+    rt = type(enc.stream).from_bytes(enc.stream.to_bytes())
+    rec, _ = codec.decode(rt, frame.codes, frame.weights)
+    rmse = float(np.sqrt(np.mean((rec - np.asarray(frame.attributes)[:400]) ** 2)))
+    assert rmse <= 0.5  # step/2 quantization bound

@@ -105,3 +105,41 @@ def test_span_multiplicity_weights(rng):
     )
     rec = raht_inverse_span(res.coeffs, jnp.asarray(codes), jnp.asarray(reps), depth)
     np.testing.assert_allclose(np.asarray(rec), attrs, rtol=1e-8, atol=1e-7)
+
+
+def test_span_deep_octree_matches_dense(rng):
+    # Reference default depth is J=18 (encode_ply.py) -> int64 codes,
+    # 55 transform levels. Exercises the int64 _msb/topology path that
+    # depths <= 10 (int32) never touch.
+    from raht3dgs_tpu.ops.raht import raht_forward
+    from conftest import unique_voxel_cloud
+
+    for depth, n in [(14, 400), (18, 300)]:
+        _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+        assert codes.dtype == np.int64
+        w = jnp.ones(len(codes), dtype=jnp.float64)
+        a = raht_forward(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        b = raht_forward_span(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        np.testing.assert_allclose(
+            np.asarray(a.coeffs), np.asarray(b.coeffs), rtol=0, atol=1e-9
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.structure.drop_level), np.asarray(b.structure.drop_level)
+        )
+        rec = raht_inverse_span(b.coeffs, jnp.asarray(codes), w, depth)
+        np.testing.assert_allclose(np.asarray(rec), attrs, rtol=0, atol=1e-9)
+
+
+def test_span_deep_octree_matches_numpy_golden(rng):
+    from raht3dgs_tpu.ops.prelude import prelude, raht_forward_lists
+    from conftest import unique_voxel_cloud
+
+    depth, n = 18, 200
+    pts, codes, attrs = unique_voxel_cloud(rng, n, depth)
+    w = jnp.ones(n, dtype=jnp.float64)
+    res = raht_forward_span(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+    Lists, Flags, weights, _ = prelude(codes, 3 * depth)
+    golden, _ = raht_forward_lists(attrs, Lists, Flags, weights)
+    np.testing.assert_allclose(
+        np.asarray(res.coeffs), golden, rtol=0, atol=1e-9
+    )
