@@ -22,7 +22,12 @@ from raht3dgs_tpu.cli._common import add_runtime_args, configure_runtime, jnp_dt
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--stream", required=True, help=".r3tc frame bitstream")
+    p.add_argument("--stream", required=True,
+                   help=".r3tc frame bitstream or .r3ts sequence file")
+    p.add_argument(
+        "--frame-index", type=int, default=0,
+        help="frame to decode when --stream is an .r3ts sequence",
+    )
     p.add_argument(
         "--positions", required=True,
         help="PLY carrying the voxel positions (x/y/z; other properties "
@@ -49,7 +54,16 @@ def main(argv=None) -> int:
     from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
     from raht3dgs_tpu.ops.color import yuv_to_rgb
 
-    stream = FrameStream.from_bytes(open(args.stream, "rb").read())
+    blob = open(args.stream, "rb").read()
+    if blob[:4] == b"R3TS":
+        from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+        seq = SequenceReader(args.stream)
+        print(f"sequence of {len(seq)} frames; decoding frame "
+              f"{args.frame_index}")
+        stream = seq.frame(args.frame_index)
+    else:
+        stream = FrameStream.from_bytes(blob)
     ply = read_ply(args.positions)
     v = ply.vertices
     V = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float64)

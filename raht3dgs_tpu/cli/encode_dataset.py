@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-decode", action="store_true")
     p.add_argument(
+        "--save-sequence", default=None,
+        help="write all frames to one indexed .r3ts sequence file "
+        "(requires exactly one --steps value)",
+    )
+    p.add_argument(
         "--batch", type=int, default=0,
         help="encode this many frames per device dispatch (0 = frame loop); "
         "uses the batched codec, optionally sharded over all local devices",
@@ -55,6 +60,10 @@ def main(argv=None) -> int:
     if n_frames is None:
         return 1
     first, last = args.frames or (1, n_frames)
+    if args.save_sequence and len(args.steps) != 1:
+        print("--save-sequence requires exactly one --steps value",
+              file=sys.stderr)
+        return 2
 
     log = CsvLogger(args.csv or "results/runtime_dataset.csv", CSV_HEADER)
     dtype = jnp_dtype(args.dtype)
@@ -63,6 +72,7 @@ def main(argv=None) -> int:
     if args.batch > 0:
         return _run_batched(args, first, last, log, dtype)
 
+    seq_streams = []
     for frame in range(first, last + 1):
         out = get_pointcloud(args.dataset, args.sequence, frame, args.data_root)
         if out is None:
@@ -74,10 +84,19 @@ def main(argv=None) -> int:
             V, C, depth=depth, steps=args.steps, frame_index=frame,
             codec=codec, bucket=args.bucket, dtype=dtype,
             decode=not args.no_decode,
+            keep_streams=bool(args.save_sequence),
         ):
             log.row(pt.csv_row())
+            if args.save_sequence and pt.encoded is not None:
+                seq_streams.append(pt.encoded.stream)
         print(f"frame {frame} done")
     log.close()
+    if args.save_sequence:
+        from raht3dgs_tpu.codec.bitstream import write_sequence
+
+        total = write_sequence(args.save_sequence, seq_streams)
+        print(f"sequence: {len(seq_streams)} frames, {total} bytes "
+              f"-> {args.save_sequence}")
     return 0
 
 

@@ -127,3 +127,70 @@ class FrameStream:
             order_mode=_ORDER_MODES[(flags >> _ORDER_SHIFT) & 0x3],
             chunk=chunk,
         )
+
+
+# -- sequence container -------------------------------------------------------
+
+SEQ_MAGIC = b"R3TS"
+SEQ_VERSION = 1
+
+
+def write_sequence(path, streams) -> int:
+    """Write frames as an indexed ``R3TS`` sequence file.
+
+    Layout: ``'R3TS' | u8 version | u8+u16 reserved | u32 n_frames |
+    u64 offsets[n_frames+1] | frame blobs`` — the offset table up front
+    gives O(1) random access to any frame without scanning (the serving
+    pattern; the reference keeps per-frame byte dicts in driver memory and
+    never persists them). Each blob is a complete :class:`FrameStream`
+    container. ``streams`` may be FrameStream objects or raw bytes.
+    Returns the total bytes written.
+    """
+    blobs = [
+        s if isinstance(s, (bytes, bytearray)) else s.to_bytes()
+        for s in streams
+    ]
+    n = len(blobs)
+    head_len = 12 + 8 * (n + 1)
+    offsets = [head_len]
+    for b in blobs:
+        offsets.append(offsets[-1] + len(b))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sBBHI", SEQ_MAGIC, SEQ_VERSION, 0, 0, n))
+        f.write(struct.pack(f"<{n + 1}Q", *offsets))
+        for b in blobs:
+            f.write(b)
+    return offsets[-1]
+
+
+class SequenceReader:
+    """Random-access reader over an ``R3TS`` sequence (index loaded once;
+    each frame read is a single seek+read of that frame's slice)."""
+
+    def __init__(self, path):
+        self._path = path
+        with open(path, "rb") as f:
+            head = f.read(12)
+            magic, version, _, _, n = struct.unpack("<4sBBHI", head)
+            if magic != SEQ_MAGIC:
+                raise ValueError(f"bad sequence magic {magic!r}")
+            if version != SEQ_VERSION:
+                raise ValueError(f"unsupported sequence version {version}")
+            self._offsets = struct.unpack(f"<{n + 1}Q", f.read(8 * (n + 1)))
+
+    def __len__(self) -> int:
+        return len(self._offsets) - 1
+
+    def frame_bytes(self, i: int) -> bytes:
+        if not 0 <= i < len(self):
+            raise IndexError(f"frame {i} out of range [0, {len(self)})")
+        with open(self._path, "rb") as f:
+            f.seek(self._offsets[i])
+            return f.read(self._offsets[i + 1] - self._offsets[i])
+
+    def frame(self, i: int) -> "FrameStream":
+        return FrameStream.from_bytes(self.frame_bytes(i))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)

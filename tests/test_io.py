@@ -135,3 +135,52 @@ def test_gsplat_checkpoint_ingestion(tmp_path):
     assert out["scales"].min() > 0
     assert 0 <= out["opacities"].min() and out["opacities"].max() <= 1
     assert out["colors"].shape == (n, 48)
+
+
+# -- R3TS sequence container --------------------------------------------------
+
+def test_sequence_roundtrip(tmp_path, rng):
+    from raht3dgs_tpu.codec.bitstream import (
+        FrameStream, SequenceReader, write_sequence,
+    )
+
+    streams = []
+    for i in range(5):
+        n = 10 + i
+        streams.append(FrameStream(
+            depth=6, n_voxels=n, steps=np.array([float(i + 1)]),
+            channels=[bytes([i] * (3 + i)), bytes([99 - i])],
+        ))
+    path = tmp_path / "seq.r3ts"
+    total = write_sequence(path, streams)
+    assert total == path.stat().st_size
+
+    seq = SequenceReader(path)
+    assert len(seq) == 5
+    # random access, out of order
+    for i in (3, 0, 4, 2, 1):
+        fr = seq.frame(i)
+        assert fr.n_voxels == 10 + i
+        assert fr.steps[0] == i + 1
+        assert fr.channels == streams[i].channels
+    assert [f.n_voxels for f in seq] == [10, 11, 12, 13, 14]
+    with pytest.raises(IndexError):
+        seq.frame_bytes(5)
+
+
+def test_sequence_bad_magic(tmp_path):
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+    p = tmp_path / "junk.r3ts"
+    p.write_bytes(b"NOPE" + bytes(20))
+    with pytest.raises(ValueError, match="magic"):
+        SequenceReader(p)
+
+
+def test_sequence_accepts_raw_bytes(tmp_path):
+    from raht3dgs_tpu.codec.bitstream import SequenceReader, write_sequence
+
+    path = tmp_path / "raw.r3ts"
+    write_sequence(path, [b"abc", b"", b"defg"])
+    seq = SequenceReader(path)
+    assert [seq.frame_bytes(i) for i in range(3)] == [b"abc", b"", b"defg"]
