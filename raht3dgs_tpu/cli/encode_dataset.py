@@ -120,6 +120,7 @@ def _run_batched(args, first, last, log, dtype) -> int:
     mesh = make_mesh(n_dev, dp=n_dev, tp=1) if n_dev > 1 else None
 
     frames_idx = list(range(first, last + 1))
+    seq_streams = []
     for chunk_start in range(0, len(frames_idx), args.batch):
         chunk = frames_idx[chunk_start : chunk_start + args.batch]
         loaded = []
@@ -154,6 +155,8 @@ def _run_batched(args, first, last, log, dtype) -> int:
                     recs = None
                 else:
                     recs, timer = bc.decode(streams, frames, timer=timer)
+                if args.save_sequence:
+                    seq_streams.extend(streams[: len(chunk)])
                 for i, (fr, _) in enumerate(loaded[: len(chunk)]):
                     psnr = float("nan")
                     if recs is not None:
@@ -168,6 +171,12 @@ def _run_batched(args, first, last, log, dtype) -> int:
                     log.row(pt.csv_row())
         print(f"frames {chunk[0]}..{chunk[-1]} done (batched x{len(frames)})")
     log.close()
+    if args.save_sequence:
+        from raht3dgs_tpu.codec.bitstream import write_sequence
+
+        total = write_sequence(args.save_sequence, seq_streams)
+        print(f"sequence: {len(seq_streams)} frames, {total} bytes "
+              f"-> {args.save_sequence}")
     return 0
 
 
