@@ -7,6 +7,7 @@ Covers the full surface a reference user needs:
 3. 3DGS scene -> voxelize+merge -> 56-channel codec -> per-group PSNR
 4. rate-targeted encoding
 5. multi-frame batched encode
+6. indexed sequence file + chunked (parallel-decodable) entropy streams
 
 Run: python examples/end_to_end.py  (CPU by default; add --tpu for the
 default platform)
@@ -117,6 +118,25 @@ def main() -> int:
     print(
         f"[5] batched: {len(frames)} frames in one dispatch, "
         f"rates {[round(s.bpp(), 2) for s in streams]} bpp"
+    )
+    # ---- 6. sequence container + chunked entropy ----------------------
+    import tempfile
+
+    from raht3dgs_tpu.codec.bitstream import SequenceReader, write_sequence
+
+    with tempfile.TemporaryDirectory() as td:
+        seq_path = Path(td) / "frames.r3ts"
+        write_sequence(seq_path, streams)
+        seq = SequenceReader(seq_path)
+        fr2 = seq.frame(2)  # O(1) random access
+        print(
+            f"[6] sequence: {len(seq)} frames in {seq_path.stat().st_size} "
+            f"bytes; frame 2 has {fr2.n_voxels} voxels"
+        )
+    chunked = AttributeCodec(depth, chunk=4096).encode(frame, steps=4.0)
+    print(
+        f"    chunked entropy: {chunked.stream.bpp():.3f} bpp "
+        f"(vs {enc.stream.bpp():.3f} sequential; chunks decode in parallel)"
     )
     print("done.")
     return 0
