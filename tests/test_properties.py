@@ -82,3 +82,37 @@ def test_raht_invariants(data):
     rec_span = raht_inverse_span(span.coeffs, jnp.asarray(codes), w, depth)
     np.testing.assert_allclose(np.asarray(rec_dense), attrs, rtol=1e-7, atol=1e-7)
     np.testing.assert_allclose(np.asarray(rec_span), attrs, rtol=1e-7, atol=1e-7)
+
+
+def test_impl_agreement_fuzz(rng):
+    # Broad random sweep: all four forward implementations and both inverses
+    # agree across random depths, sizes, duplicate multiplicities and
+    # non-uniform weights.
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.ops.raht import get_forward_impl, raht_forward, raht_inverse
+    from raht3dgs_tpu.ops.raht_span import raht_inverse_span
+    from conftest import unique_voxel_cloud
+
+    impls = ["span", "compact", "scan"]
+    for trial in range(6):
+        depth = int(rng.integers(2, 12))
+        n = int(rng.integers(2, min(4 ** depth, 500)))
+        _, codes, attrs = unique_voxel_cloud(rng, n, depth)
+        n = len(codes)
+        # random positive integer weights emulate voxel multiplicities
+        w = jnp.asarray(rng.integers(1, 9, size=n).astype(np.float64))
+        ref = raht_forward(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        for name in impls:
+            res = get_forward_impl(name)(
+                jnp.asarray(codes), jnp.asarray(attrs), w, depth
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.coeffs), np.asarray(ref.coeffs),
+                rtol=0, atol=1e-9,
+                err_msg=f"trial {trial}: {name} vs dense (J={depth}, n={n})",
+            )
+        rec_d = raht_inverse(ref.coeffs, ref.structure, depth)
+        rec_s = raht_inverse_span(ref.coeffs, jnp.asarray(codes), w, depth)
+        np.testing.assert_allclose(np.asarray(rec_d), attrs, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(rec_s), attrs, rtol=0, atol=1e-9)
