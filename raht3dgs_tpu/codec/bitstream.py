@@ -93,6 +93,10 @@ class FrameStream:
     @classmethod
     def from_bytes(cls, data: bytes) -> "FrameStream":
         off = struct.calcsize("<4sBBBHQH")
+        if len(data) < off:
+            raise ValueError(
+                f"truncated stream: {len(data)} bytes, header needs {off}"
+            )
         magic, version, flags, depth, n_ch, n_vox, n_steps = struct.unpack(
             "<4sBBBHQH", data[:off]
         )
@@ -100,6 +104,9 @@ class FrameStream:
             raise ValueError(f"bad magic {magic!r}")
         if version != VERSION:
             raise ValueError(f"unsupported version {version}")
+        fixed = 8 * n_steps + 24 + 8 + (4 if flags & FLAG_CHUNKED else 0)
+        if len(data) < off + fixed:
+            raise ValueError("truncated stream: metadata section cut off")
         steps = np.frombuffer(data[off : off + 8 * n_steps], dtype=np.float64).copy()
         off += 8 * n_steps
         vmin = np.frombuffer(data[off : off + 24], dtype=np.float64).copy()
@@ -110,8 +117,15 @@ class FrameStream:
         if flags & FLAG_CHUNKED:
             (chunk,) = struct.unpack("<I", data[off : off + 4])
             off += 4
+        if len(data) < off + 4 * n_ch:
+            raise ValueError("truncated stream: channel length table cut off")
         lens = struct.unpack(f"<{n_ch}I", data[off : off + 4 * n_ch])
         off += 4 * n_ch
+        if len(data) < off + sum(lens):
+            raise ValueError(
+                f"truncated stream: payloads need {off + sum(lens)} bytes, "
+                f"have {len(data)}"
+            )
         channels = []
         for ln in lens:
             channels.append(data[off : off + ln])

@@ -184,3 +184,19 @@ def test_sequence_accepts_raw_bytes(tmp_path):
     write_sequence(path, [b"abc", b"", b"defg"])
     seq = SequenceReader(path)
     assert [seq.frame_bytes(i) for i in range(3)] == [b"abc", b"", b"defg"]
+
+
+def test_frame_stream_rejects_truncation(rng):
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    st = FrameStream(
+        depth=5, n_voxels=4, steps=np.array([1.0]),
+        channels=[b"abcd", b"xy"],
+    )
+    full = st.to_bytes()
+    rt = FrameStream.from_bytes(full)
+    assert rt.channels == st.channels
+    # every strict prefix must be rejected with a clear error, never parse
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            FrameStream.from_bytes(full[:cut])
