@@ -102,6 +102,14 @@ def main(argv=None) -> int:
             f"target {args.target_bpp:.3f} bpp -> step {res.step:.4f}, "
             f"actual {res.bpp:.3f} bpp ({res.probes} device probes)"
         )
+        if args.save_streams:
+            from pathlib import Path
+
+            out = Path(args.save_streams)
+            out.mkdir(parents=True, exist_ok=True)
+            dest = out / f"gs_bpp{args.target_bpp:g}.r3tc"
+            dest.write_bytes(res.encoded.stream.to_bytes())
+            print(f"stream -> {dest}")
         return 0
     with maybe_profile(args):
         points = encode_gs_frame(

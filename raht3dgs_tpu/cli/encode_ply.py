@@ -121,6 +121,14 @@ def main(argv=None) -> int:
                 f"{res.step:.4f}, actual {res.bpp:.3f} bpp "
                 f"({res.probes} device probes)"
             )
+            if args.save_streams:
+                from pathlib import Path
+
+                out = Path(args.save_streams)
+                out.mkdir(parents=True, exist_ok=True)
+                dest = out / f"frame{idx:04d}_bpp{args.target_bpp:g}.r3tc"
+                dest.write_bytes(res.encoded.stream.to_bytes())
+                print(f"frame {idx}: stream -> {dest}")
             continue
         points = encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=idx,
