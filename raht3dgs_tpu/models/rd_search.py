@@ -1,9 +1,11 @@
 """Rate-targeted encoding: find the quantization step hitting a bpp budget.
 
 Not present in the reference (its drivers sweep a fixed step grid and the
-user picks a point afterwards). Strategy: bisect the step on the on-device
-rate model (``ops/rate_model.py`` — no host round-trips, reuses the cached
-transform), then verify/refine with at most a couple of true encodes.
+user picks a point afterwards). Strategy: evaluate the on-device rate model
+(``ops/rate_model.py``) over a log-spaced step grid in ONE vmapped device
+call (sequential bisection would pay per-probe dispatch latency ~19 times;
+the grid is embarrassingly parallel and the model is monotone in step),
+then verify/refine with at most a couple of true encodes.
 """
 
 from __future__ import annotations
@@ -24,6 +26,14 @@ from raht3dgs_tpu.ops.rate_model import estimate_bpp
 def _estimate_bpp_at_step(coeffs, step, valid, n_voxels):
     q = quantize(coeffs, step)
     return estimate_bpp(q, n_voxels, valid=valid)
+
+
+@jax.jit
+def _estimate_bpp_grid(coeffs, steps_grid, valid, n_voxels):
+    """Rate estimates for a whole (S, D') grid of candidate steps at once."""
+    return jax.vmap(
+        lambda st: estimate_bpp(quantize(coeffs, st), n_voxels, valid=valid)
+    )(steps_grid)
 
 
 @dataclass
@@ -47,17 +57,18 @@ def search_step_for_bpp(
     codec: Optional[AttributeCodec] = None,
     lo: float = 0.25,
     hi: float = 4096.0,
-    iters: int = 18,
+    grid_size: int = 64,
     refine: int = 4,
     steps_fn=None,
 ) -> RateSearchResult:
     """Find the largest-quality (smallest) step with rate <= target_bpp.
 
-    Bisection on the device-side estimate (monotone in step), then up to
-    ``refine`` true encodes to correct the model's residual bias against
-    the actual RLGR size. ``steps_fn(step) -> scalar or (D,) vector`` maps
-    the searched scalar to per-channel steps (e.g. the 3DGS per-attribute
-    multipliers); identity by default.
+    One vmapped device call estimates the rate at ``grid_size`` log-spaced
+    candidate steps; the finest qualifying step seeds up to ``refine`` true
+    encodes that correct the model's residual bias against the actual RLGR
+    size. ``steps_fn(step) -> scalar or (D,) vector`` maps the searched
+    scalar to per-channel steps (e.g. the 3DGS per-attribute multipliers);
+    identity by default.
     """
     codec = codec or AttributeCodec(frame.depth)
     if steps_fn is None:
@@ -66,31 +77,20 @@ def search_step_for_bpp(
     valid = jnp.arange(frame.codes.shape[0]) < frame.n_voxels
     nvox = frame.n_voxels
 
-    probes = 0
     est_target = target_bpp * MODEL_CALIBRATION
 
-    def est(step: float) -> float:
-        nonlocal probes
-        probes += 1
-        return float(
-            _estimate_bpp_at_step(
-                coeffs,
-                jnp.atleast_1d(jnp.asarray(steps_fn(step), dtype=coeffs.dtype)),
-                valid, nvox,
-            )
-        )
-
-    a, b = lo, hi
-    if est(a) <= est_target:
-        b = a  # even the finest step fits
-    else:
-        for _ in range(iters):
-            mid = np.sqrt(a * b)  # geometric bisection (steps span decades)
-            if est(mid) > est_target:
-                a = mid
-            else:
-                b = mid
-    step = b
+    grid = np.geomspace(lo, hi, grid_size)
+    steps_mat = np.stack(
+        [np.atleast_1d(np.asarray(steps_fn(s), dtype=np.float64)) for s in grid]
+    )
+    ests = np.asarray(_estimate_bpp_grid(
+        coeffs, jnp.asarray(steps_mat, dtype=coeffs.dtype), valid, nvox
+    ))
+    probes = 1
+    fits = ests <= est_target
+    # estimates decrease with step: the first qualifying grid point is the
+    # finest (highest-quality) step within budget
+    step = float(grid[int(np.argmax(fits))]) if fits.any() else hi
 
     # refine against true encodes
     enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
