@@ -35,9 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output", required=True, help="reconstructed PLY path")
     p.add_argument(
-        "--color-space", choices=("yuv", "raw"), default="yuv",
+        "--color-space", choices=("yuv", "raw", "3dgs"), default="yuv",
         help="'yuv': stream holds BT.709 YUV (the encode_ply path) and is "
-        "converted back to RGB; 'raw': attributes written as-is",
+        "converted back to RGB; 'raw': attributes written as-is; "
+        "'3dgs': 56-channel stream re-packed as a renderable 3DGS PLY "
+        "(positions must be the compressed-3DGS PLY with voxel metadata)",
     )
     add_runtime_args(p)
     return p
@@ -53,6 +55,22 @@ def main(argv=None) -> int:
     from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
     from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
     from raht3dgs_tpu.ops.color import yuv_to_rgb
+
+    gs_meta = None
+    if args.color_space == "3dgs":
+        from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+
+        try:
+            V_int_gs, _, voxel_size, vmin_gs = read_compressed_3dgs_ply(
+                args.positions
+            )
+        except (ValueError, KeyError) as e:
+            raise SystemExit(
+                f"--color-space 3dgs: {args.positions} is not a "
+                f"compressed-3DGS PLY (needs rot_*/scale_*/opacity/f_dc_* "
+                f"properties): {e}"
+            )
+        gs_meta = (V_int_gs, voxel_size, vmin_gs)
 
     blob = open(args.stream, "rb").read()
     if blob[:4] == b"R3TS":
@@ -93,7 +111,36 @@ def main(argv=None) -> int:
     out_attrs = np.empty_like(rec)
     out_attrs[order] = rec
 
-    if args.color_space == "yuv" and stream.n_channels == 3:
+    if gs_meta is not None:
+        from raht3dgs_tpu.io.ply import save_ply_3dgs
+
+        if stream.n_channels < 8:
+            raise SystemExit(
+                f"--color-space 3dgs needs the 56-channel layout, stream "
+                f"has {stream.n_channels}"
+            )
+        # Compressed-3DGS convention (reference quality_eval.py writer /
+        # data_util.py reader): x/y/z hold INTEGER voxel coordinates; world
+        # positions are recovered as V*voxel_size+vmin from the header
+        # metadata. Writing the same convention keeps the reconstruction
+        # round-trippable through read_compressed_3dgs_ply and usable by
+        # eval/render (which does the world conversion).
+        V_int_gs, voxel_size, vmin_gs = gs_meta
+        quats = out_attrs[:, 0:4]
+        norm = np.linalg.norm(quats, axis=1, keepdims=True)
+        quats = np.where(norm > 1e-8, quats / np.maximum(norm, 1e-8),
+                         np.array([[1.0, 0, 0, 0]]))
+        save_ply_3dgs(
+            args.output,
+            means=V_int_gs.astype(np.float64),
+            quats=quats,
+            scales=np.abs(out_attrs[:, 4:7]),
+            opacities=np.clip(out_attrs[:, 7], 0.0, 1.0),
+            colors=out_attrs[:, 8:],
+            voxel_size=float(voxel_size),
+            vmin=vmin_gs,
+        )
+    elif args.color_space == "yuv" and stream.n_channels == 3:
         rgb = np.asarray(yuv_to_rgb(jnp.asarray(out_attrs)))
         save_ply_ascii(args.output, V, np.clip(rgb, 0, 255).astype(int))
     else:
