@@ -169,3 +169,54 @@ def test_render_comparison_detects_difference(rng):
                             backend="preview")
     assert np.isfinite(out["psnr_avg"])
     assert out["psnr_avg"] < 100
+
+
+def test_cli_decode_3dgs_roundtrip(tmp_path, rng):
+    # Full serving loop: synthetic 3DGS voxel frame -> compressed PLY ->
+    # encode_3dgs --target-bpp --save-streams -> decode --color-space 3dgs
+    # -> positions identical, attributes within the quantization bound.
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply, save_ply_3dgs
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    depth, n = 6, 800
+    pts = rng.integers(0, 2**depth, size=(2 * n, 3))
+    _, first = np.unique(morton_codes_np(pts, depth), return_index=True)
+    pts = pts[first[:n]]
+    n = len(pts)
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    save_ply_3dgs(
+        tmp_path / "scene.ply",
+        means=pts.astype(float), quats=quats,
+        scales=np.abs(rng.normal(size=(n, 3))),
+        opacities=rng.uniform(0.2, 1.0, size=n),
+        colors=rng.normal(size=(n, 48)),
+        voxel_size=0.02, vmin=np.array([-1.0, -1.0, -1.0]),
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_3dgs",
+         "--input", str(tmp_path / "scene.ply"), "--depth", str(depth),
+         "--target-bpp", "200", "--save-streams", str(tmp_path),
+         "--platform", "cpu", "--bucket", "1024"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "gs_bpp200.r3tc"),
+         "--positions", str(tmp_path / "scene.ply"),
+         "--output", str(tmp_path / "rec.ply"), "--color-space", "3dgs",
+         "--platform", "cpu", "--bucket", "1024"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    V, a, vs, vmin = read_compressed_3dgs_ply(tmp_path / "rec.ply")
+    V0, a0, vs0, _ = read_compressed_3dgs_ply(tmp_path / "scene.ply")
+    np.testing.assert_array_equal(np.sort(morton_codes_np(V, depth)),
+                                  np.sort(morton_codes_np(V0, depth)))
+    assert abs(vs - vs0) < 1e-9
+    perm = np.argsort(morton_codes_np(V, depth), kind="stable")
+    perm0 = np.argsort(morton_codes_np(V0, depth), kind="stable")
+    rmse = float(np.sqrt(np.mean((a[perm][:, 8:] - a0[perm0][:, 8:]) ** 2)))
+    assert rmse < 0.25  # within quantization error at the searched step
+    assert np.allclose(np.linalg.norm(a[:, 0:4], axis=1), 1.0, atol=1e-5)
