@@ -200,3 +200,34 @@ def test_frame_stream_rejects_truncation(rng):
     for cut in range(len(full)):
         with pytest.raises(ValueError):
             FrameStream.from_bytes(full[:cut])
+
+
+def test_cli_encode_dataset_mvub(tmp_path, rng):
+    # MVUB layout end-to-end: fixed J=9, red/green/blue properties.
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import save_ply_ascii
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    root = tmp_path / "data"
+    (root / "MVUB" / "andrew9" / "ply").mkdir(parents=True)
+    depth = 9
+    pts = rng.integers(0, 2**depth, size=(1200, 3))
+    _, first = np.unique(morton_codes_np(pts, depth), return_index=True)
+    pts = pts[first[:500]]
+    save_ply_ascii(
+        root / "MVUB" / "andrew9" / "ply" / "frame0000.ply",
+        pts.astype(float), (pts * 13 % 256).astype(int),
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_dataset",
+         "--dataset", "MVUB", "--sequence", "andrew9",
+         "--data-root", str(root), "--frames", "1", "1", "--steps", "8",
+         "--csv", str(tmp_path / "log.csv"), "--platform", "cpu",
+         "--bucket", "1024"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    lines = (tmp_path / "log.csv").read_text().strip().splitlines()
+    assert len(lines) == 2 and lines[1].startswith("1,8,")
