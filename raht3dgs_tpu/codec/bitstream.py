@@ -185,12 +185,25 @@ class SequenceReader:
         self._path = path
         with open(path, "rb") as f:
             head = f.read(12)
+            if len(head) < 12:
+                raise ValueError(
+                    f"truncated sequence: {len(head)} bytes, header needs 12"
+                )
             magic, version, _, _, n = struct.unpack("<4sBBHI", head)
             if magic != SEQ_MAGIC:
                 raise ValueError(f"bad sequence magic {magic!r}")
             if version != SEQ_VERSION:
                 raise ValueError(f"unsupported sequence version {version}")
-            self._offsets = struct.unpack(f"<{n + 1}Q", f.read(8 * (n + 1)))
+            table = f.read(8 * (n + 1))
+            if len(table) < 8 * (n + 1):
+                raise ValueError("truncated sequence: offset table cut off")
+            self._offsets = struct.unpack(f"<{n + 1}Q", table)
+            f.seek(0, 2)
+            if f.tell() < self._offsets[-1]:
+                raise ValueError(
+                    f"truncated sequence: frames need {self._offsets[-1]} "
+                    f"bytes, file has {f.tell()}"
+                )
 
     def __len__(self) -> int:
         return len(self._offsets) - 1

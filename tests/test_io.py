@@ -231,3 +231,15 @@ def test_cli_encode_dataset_mvub(tmp_path, rng):
     assert out.returncode == 0, out.stderr[-1500:]
     lines = (tmp_path / "log.csv").read_text().strip().splitlines()
     assert len(lines) == 2 and lines[1].startswith("1,8,")
+
+
+def test_sequence_rejects_truncation(tmp_path):
+    from raht3dgs_tpu.codec.bitstream import SequenceReader, write_sequence
+
+    path = tmp_path / "s.r3ts"
+    write_sequence(path, [b"aaaa", b"bbbbbb"])
+    full = path.read_bytes()
+    for cut in (5, 20, len(full) - 1):
+        (tmp_path / "cut.r3ts").write_bytes(full[:cut])
+        with pytest.raises(ValueError, match="truncated sequence"):
+            SequenceReader(tmp_path / "cut.r3ts")
