@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="frame to decode when --stream is an .r3ts sequence",
     )
     p.add_argument(
+        "--all-frames", action="store_true",
+        help="decode every frame of an .r3ts sequence; --positions and "
+        "--output must contain a '{i}' placeholder (0-based frame index)",
+    )
+    p.add_argument(
         "--positions", required=True,
         help="PLY carrying the voxel positions (x/y/z; other properties "
         "ignored)",
@@ -49,9 +54,38 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
 
+    blob = open(args.stream, "rb").read()
+    if blob[:4] == b"R3TS":
+        from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+        seq = SequenceReader(args.stream)
+        if args.all_frames:
+            if "{i}" not in args.positions or "{i}" not in args.output:
+                raise SystemExit(
+                    "--all-frames needs a '{i}' placeholder in both "
+                    "--positions and --output"
+                )
+            for i in range(len(seq)):
+                _decode_one(
+                    args, seq.frame(i),
+                    args.positions.format(i=i), args.output.format(i=i),
+                )
+            print(f"decoded all {len(seq)} frames of {args.stream}")
+            return 0
+        print(f"sequence of {len(seq)} frames; decoding frame "
+              f"{args.frame_index}")
+        stream = seq.frame(args.frame_index)
+    else:
+        from raht3dgs_tpu.codec.bitstream import FrameStream
+
+        stream = FrameStream.from_bytes(blob)
+    _decode_one(args, stream, args.positions, args.output)
+    return 0
+
+
+def _decode_one(args, stream, positions_path, output_path) -> None:
     import jax.numpy as jnp
 
-    from raht3dgs_tpu.codec.bitstream import FrameStream
     from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
     from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
     from raht3dgs_tpu.ops.color import yuv_to_rgb
@@ -62,32 +96,22 @@ def main(argv=None) -> int:
 
         try:
             V_int_gs, _, voxel_size, vmin_gs = read_compressed_3dgs_ply(
-                args.positions
+                positions_path
             )
         except (ValueError, KeyError) as e:
             raise SystemExit(
-                f"--color-space 3dgs: {args.positions} is not a "
+                f"--color-space 3dgs: {positions_path} is not a "
                 f"compressed-3DGS PLY (needs rot_*/scale_*/opacity/f_dc_* "
                 f"properties): {e}"
             )
         gs_meta = (V_int_gs, voxel_size, vmin_gs)
 
-    blob = open(args.stream, "rb").read()
-    if blob[:4] == b"R3TS":
-        from raht3dgs_tpu.codec.bitstream import SequenceReader
-
-        seq = SequenceReader(args.stream)
-        print(f"sequence of {len(seq)} frames; decoding frame "
-              f"{args.frame_index}")
-        stream = seq.frame(args.frame_index)
-    else:
-        stream = FrameStream.from_bytes(blob)
-    ply = read_ply(args.positions)
+    ply = read_ply(positions_path)
     v = ply.vertices
     V = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float64)
     if len(V) != stream.n_voxels:
         raise SystemExit(
-            f"stream encodes {stream.n_voxels} voxels but {args.positions} "
+            f"stream encodes {stream.n_voxels} voxels but {positions_path} "
             f"has {len(V)} points"
         )
 
@@ -131,7 +155,7 @@ def main(argv=None) -> int:
         quats = np.where(norm > 1e-8, quats / np.maximum(norm, 1e-8),
                          np.array([[1.0, 0, 0, 0]]))
         save_ply_3dgs(
-            args.output,
+            output_path,
             means=V_int_gs.astype(np.float64),
             quats=quats,
             scales=np.abs(out_attrs[:, 4:7]),
@@ -142,18 +166,17 @@ def main(argv=None) -> int:
         )
     elif args.color_space == "yuv" and stream.n_channels == 3:
         rgb = np.asarray(yuv_to_rgb(jnp.asarray(out_attrs)))
-        save_ply_ascii(args.output, V, np.clip(rgb, 0, 255).astype(int))
+        save_ply_ascii(output_path, V, np.clip(rgb, 0, 255).astype(int))
     else:
-        save_ply_ascii(args.output, V, None)
+        save_ply_ascii(output_path, V, None)
         # attributes sidecar for non-color payloads
-        np.save(args.output + ".attrs.npy", out_attrs)
-        print(f"attributes written to {args.output}.attrs.npy")
+        np.save(output_path + ".attrs.npy", out_attrs)
+        print(f"attributes written to {output_path}.attrs.npy")
     print(
         f"decoded {stream.n_voxels} voxels x {stream.n_channels} channels "
         f"(J={stream.depth}, steps={stream.steps.tolist()}, "
-        f"order={stream.order_mode}) -> {args.output}"
+        f"order={stream.order_mode}) -> {output_path}"
     )
-    return 0
 
 
 if __name__ == "__main__":
