@@ -158,8 +158,11 @@ def voxelize(
 
     sort_idx = jnp.argsort(M).astype(jnp.int32)
     Ms = M[sort_idx]
-    V0s = V0[sort_idx]
-    Cs = C[sort_idx]
+    # one wide (N, 3+D) row gather instead of two narrow ones — row gathers
+    # cost roughly the same regardless of width on TPU (docs/performance.md)
+    PCs = jnp.concatenate([V0, C], axis=1)[sort_idx]
+    V0s = PCs[:, :3]
+    Cs = PCs[:, 3:]
     valid_s = valid_in[sort_idx]  # == row < n_valid since pads sort last
 
     first = jnp.concatenate([jnp.ones((1,), bool), Ms[1:] != Ms[:-1]])
