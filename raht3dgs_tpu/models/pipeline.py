@@ -63,6 +63,33 @@ class EncodedFrame:
     # Decoder-side replay info is all derivable from the stream + positions.
 
 
+def _require_x64(dtype, depth: int) -> None:
+    """Fail loudly when the requested precision needs jax_enable_x64.
+
+    Without x64, float64 silently truncates to f32 and int64 Morton codes
+    (needed for depth > 10) truncate to int32 — both corrupt results with
+    only a drowned-out UserWarning. The CLI drivers enable x64 in
+    configure_runtime; library users get this check instead.
+    """
+    import jax
+
+    if jax.config.jax_enable_x64:
+        return
+    from raht3dgs_tpu.ops.raht import max_int32_levels
+
+    needs = []
+    if jnp.dtype(dtype) == jnp.dtype("float64"):
+        needs.append("dtype=float64")
+    if 3 * depth + 1 > max_int32_levels():
+        needs.append(f"depth={depth} (> 10 needs int64 Morton codes)")
+    if needs:
+        raise RuntimeError(
+            f"{' and '.join(needs)} require jax_enable_x64; call "
+            "jax.config.update('jax_enable_x64', True) before building "
+            "frames, or pass dtype=jnp.float32 / depth <= 10"
+        )
+
+
 def prepare_voxel_frame(
     positions: np.ndarray,
     attributes: np.ndarray,
@@ -80,6 +107,7 @@ def prepare_voxel_frame(
     pre-voxelized; use ``ops.voxelize`` for raw float clouds). Rows are
     Morton-sorted here; attribute rows follow the sort.
     """
+    _require_x64(dtype, depth)
     positions = np.asarray(positions)
     attributes = np.asarray(attributes)
     n = positions.shape[0]
@@ -186,6 +214,7 @@ class AttributeCodec:
     ):
         import os
 
+        _require_x64(dtype, depth)
         self.depth = depth
         self.dtype = dtype
         # Coefficient stream order: "ragft" (reference Python drivers),
