@@ -28,11 +28,13 @@ unique* codes the entire merge tree is determined in closed form:
   solved for every node simultaneously with ~log2(3J) pointer-doubling
   steps. Leaves read off as ``x0[k+1]`` or ``x1[k]``.
 
-Numerics: span sums are computed in float64 regardless of the I/O dtype —
-differences of long prefix sums in float32 would suffer catastrophic
-cancellation. Outputs match the level-loop implementations to ~1e-9 (f64);
-they are not bitwise identical (different summation order), so the "dense"
-impl remains the golden path for 1e-12 crosschecks.
+Numerics: naive float32 prefix sums would suffer catastrophic cancellation
+in the differences, so span sums run in compensated double-single float32
+by default (~48 mantissa bits at native f32 speed — f64 is emulated on
+TPU; ``RAHT3DGS_SPAN_SUMS=f64`` selects true float64 instead). Outputs
+match the level-loop implementations to ~1e-9 (f64 I/O); they are not
+bitwise identical (different summation order), so the "dense" impl remains
+the golden path for 1e-12 crosschecks.
 
 Padding behaves exactly as in ops/raht.py: zero-weight slots produce a=1,
 b=0 no-ops (guarded divisions) and sentinel codes keep them out of the real
