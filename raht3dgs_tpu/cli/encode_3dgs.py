@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--save-streams", default=None)
     p.add_argument(
+        "--entropy-chunk", type=int, default=0,
+        help="entropy-code each of the 56 channels in independent chunks "
+        "(parallel encode/decode on multi-core hosts; 0 = sequential)",
+    )
+    p.add_argument(
         "--target-bpp", type=float, default=None,
         help="search the step hitting this rate budget instead of sweeping "
         "--steps (honors --per-attribute multipliers)",
@@ -84,7 +89,8 @@ def main(argv=None) -> int:
             V_int, attrs.astype(np.float64), args.depth,
             bucket=args.bucket, dtype=dtype,
         )
-        codec = AttributeCodec(args.depth, dtype=dtype)
+        codec = AttributeCodec(args.depth, dtype=dtype,
+                               chunk=args.entropy_chunk)
         D = attrs.shape[1]
 
         def steps_fn(step):
@@ -112,10 +118,13 @@ def main(argv=None) -> int:
             print(f"stream -> {dest}")
         return 0
     with maybe_profile(args):
+        from raht3dgs_tpu.models.pipeline import AttributeCodec as _AC
+
         points = encode_gs_frame(
             V_int, attrs, depth=args.depth, steps=args.steps,
             group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
             keep_streams=bool(args.save_streams or args.render != "none"),
+            codec=_AC(args.depth, dtype=dtype, chunk=args.entropy_chunk),
         )
 
     log = CsvLogger(args.csv or "results/runtime_3dgs.csv", CSV_HEADER)
