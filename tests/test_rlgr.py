@@ -212,3 +212,31 @@ def test_adversarial_unsigned(rng):
         out, _ = rlgr_decode(s_native, len(v), signed=False, backend="native",
                              out=np.empty(len(v), np.int32))
         np.testing.assert_array_equal(out, v)
+
+
+def test_decoder_never_crashes_on_garbage(rng):
+    # Robustness contract: rlgr_decode on arbitrary bytes must terminate
+    # and fill exactly n symbols (past-end bits read as zeros) — a malformed
+    # or corrupted stream can produce wrong VALUES but never a crash, hang,
+    # or buffer overrun.
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode
+
+    for trial in range(50):
+        m = int(rng.integers(0, 200))
+        blob = rng.integers(0, 256, size=m, dtype=np.uint8).tobytes()
+        n = int(rng.integers(1, 500))
+        out = np.full(n + 8, 123456789, dtype=np.int32)  # canary tail
+        rlgr_decode(blob, n, out=out[:n + 8])
+        assert np.all(out[n:] == 123456789), "decoder wrote past n"
+
+
+def test_chunked_decoder_rejects_or_survives_garbage(rng):
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode_chunked
+
+    for trial in range(20):
+        m = int(rng.integers(8, 100))
+        blob = rng.integers(0, 256, size=m, dtype=np.uint8).tobytes()
+        try:
+            rlgr_decode_chunked(blob, int(rng.integers(1, 100)))
+        except Exception:
+            pass  # clean Python exception is acceptable; crash/hang is not
