@@ -238,7 +238,13 @@ def rlgr_decode_chunked(
     """Decode a :func:`rlgr_encode_chunked` stream; chunks in parallel."""
     import struct
 
+    if len(stream) < 8:
+        raise ValueError(
+            f"truncated chunked stream: {len(stream)} bytes, header needs 8"
+        )
     chunk, n_chunks = struct.unpack_from("<II", stream, 0)
+    if len(stream) < 8 + 4 * n_chunks:
+        raise ValueError("truncated chunked stream: length table cut off")
     lens = struct.unpack_from(f"<{n_chunks}I", stream, 8)
     offs = np.concatenate([[8 + 4 * n_chunks], 8 + 4 * n_chunks + np.cumsum(lens)])
     if out is None:
