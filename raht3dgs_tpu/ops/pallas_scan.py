@@ -16,6 +16,15 @@ carry in on-chip scratch and touches HBM exactly once per element:
 Numerics are the same error-free two-sum compensation as
 ``ops/raht_span._ds_cumsum`` (~48 mantissa bits). On CPU the kernel runs in
 interpreter mode so the test suite exercises it everywhere.
+
+Verdict after v5e measurement (end of round 1): BOTH variants are f64-exact
+on hardware but LOSE to ``lax.associative_scan`` at codec shapes — the
+(N, K) layout wastes 124/128 lanes (4.4 ms at (500k, 4)), and the
+transposed variant's sequential 256-step carry grid is iteration-bound
+(~27 ms kernel compute vs <5 ms for the associative scan). Kept as
+correctness-verified references behind ``RAHT3DGS_PALLAS=1/2``; the
+default path stays the associative scan. A future win would need to fuse
+the scan into the surrounding prefix-pack gathers in one kernel.
 """
 
 from __future__ import annotations
