@@ -344,28 +344,43 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     q = next_ge
     p_c = jnp.maximum(p, 0)
     q_c = jnp.minimum(q, N - 1)
+
+    # Pack everything a neighbor lookup needs into one per-node table so
+    # the p/q lookups are two WIDE row gathers — the previous formulation's
+    # seven 1-lane gathers (b[p_c], a[q_c], next_ge[p_c], ...) each waste
+    # 127/128 lanes on TPU (docs/performance.md). next_ge rides as a float
+    # lane: exact for N <= 2^24 (bucketed frames are far below; f64 mode is
+    # exact to 2^53).
+    nf = next_ge.astype(T64.dtype)
+    Z = jnp.concatenate([a[:, None], b[:, None], T64, nf[:, None]], axis=1)
+    Zp = Z[p_c]
+    Zq = Z[q_c]
+    a_p, b_p, T_p = Zp[:, 0], Zp[:, 1], Zp[:, 2 : 2 + D]
+    a_q, b_q, T_q = Zq[:, 0], Zq[:, 1], Zq[:, 2 : 2 + D]
     # last-merge test: i is its left partner's final merge iff the merged
     # span [p, q) is exactly p's own subtree span [p, next_ge[p])
-    last_merge = next_ge[p_c] == q
+    last_merge = Zp[:, 2 + D] == q.astype(T64.dtype)
 
     # Affine recursion Y[i] = g[i] * Y[par[i]] + d[i]:
     #   last merge, p > 0:  Y[i] = x1[p] = b_p Y[p] + a_p T[p]
     #   last merge, p == 0: Y[i] = DC = T[0]              (terminal)
     #   else:               Y[i] = x0[q] = a_q Y[q] - b_q T[q]
     par = jnp.where(last_merge, p_c, q_c).astype(jnp.int32)
-    g = jnp.where(last_merge, b[p_c], a[q_c])
+    g = jnp.where(last_merge, b_p, a_q)
     d = jnp.where(
         last_merge[:, None],
-        a[p_c, None] * T64[p_c],
-        -b[q_c, None] * T64[q_c],
+        a_p[:, None] * T_p,
+        -b_q[:, None] * T_q,
     )
     root_child = last_merge & (p == 0)
     g = jnp.where(root_child, 0.0, g)
     d = jnp.where(root_child[:, None], T64[0][None, :], d)
-    # node 0 itself: terminal no-op
-    g = g.at[0].set(0.0)
-    d = d.at[0].set(T64[0])
-    par = par.at[0].set(0)
+    # node 0 itself: terminal no-op (elementwise select — .at[0].set lowers
+    # to a scatter, which costs milliseconds on TPU; see docs/performance.md)
+    is0 = idx == 0
+    g = jnp.where(is0, jnp.zeros((), g.dtype), g)
+    d = jnp.where(is0[:, None], T64[0][None, :], d)
+    par = jnp.where(is0, jnp.int32(0), par).astype(jnp.int32)
 
     # pointer doubling: compose Y = g*(parent chain) + d until converged
     # (chain length = tree depth <= levels)
