@@ -240,3 +240,30 @@ def test_chunked_decoder_rejects_or_survives_garbage(rng):
             rlgr_decode_chunked(blob, int(rng.integers(1, 100)))
         except Exception:
             pass  # clean Python exception is acceptable; crash/hang is not
+
+
+def test_concurrent_encodes_are_thread_safe(rng):
+    # The native coder keeps all state function-local, so concurrent
+    # encode/decode from many threads must produce identical results (the
+    # channel/chunk thread pool relies on this; ctypes releases the GIL).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+
+    arrays = [
+        (rng.standard_normal(20_000) * (3 + i)).astype(np.int32)
+        for i in range(8)
+    ]
+    expected = [rlgr_encode(v)[0] for v in arrays]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _ in range(5):  # repeated rounds to shake out races
+            got = list(pool.map(lambda v: rlgr_encode(v)[0], arrays))
+            assert got == expected
+            outs = list(pool.map(
+                lambda se: rlgr_decode(se[0], len(se[1]),
+                                       out=np.empty(len(se[1]), np.int32))[0],
+                zip(expected, arrays),
+            ))
+            for o, v in zip(outs, arrays):
+                np.testing.assert_array_equal(o, v)
