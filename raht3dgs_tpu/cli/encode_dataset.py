@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-decode", action="store_true")
     p.add_argument(
+        "--entropy-chunk", type=int, default=0,
+        help="entropy-code each channel in independent chunks "
+        "(parallel encode/decode on multi-core hosts; 0 = sequential)",
+    )
+    p.add_argument(
         "--save-sequence", default=None,
         help="write all frames to one indexed .r3ts sequence file "
         "(requires exactly one --steps value)",
@@ -79,7 +84,9 @@ def main(argv=None) -> int:
             print(f"frame {frame}: load failed, skipping", file=sys.stderr)
             continue
         V, C, depth = out
-        codec = codec_cache.setdefault(depth, AttributeCodec(depth, dtype=dtype))
+        codec = codec_cache.setdefault(
+            depth, AttributeCodec(depth, dtype=dtype, chunk=args.entropy_chunk)
+        )
         for pt in encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=frame,
             codec=codec, bucket=args.bucket, dtype=dtype,
@@ -141,7 +148,8 @@ def _run_batched(args, first, last, log, dtype) -> int:
         ]
         frames = prepare_frame_batch(pos, yuv, depth, bucket=args.bucket,
                                      dtype=dtype)
-        bc = BatchAttributeCodec(depth, dtype=dtype, mesh=mesh)
+        bc = BatchAttributeCodec(depth, dtype=dtype, mesh=mesh,
+                                 chunk=args.entropy_chunk)
         if mesh is not None:
             ctx = mesh
         else:

@@ -56,11 +56,13 @@ class BatchAttributeCodec:
         dtype=jnp.float64,
         order_mode: str = "ragft",
         mesh=None,
+        chunk: int = 0,
     ):
         self.depth = depth
         self.dtype = dtype
         self.order_mode = order_mode
         self.mesh = mesh
+        self.chunk = int(chunk)
 
     def _stack(self, frames: Sequence[VoxelFrame]):
         codes = jnp.stack([f.codes for f in frames])
@@ -93,7 +95,8 @@ class BatchAttributeCodec:
         enc_ns = 0
         for i, f in enumerate(frames):
             channels, ns = rlgr_encode_channels(
-                q_np[i][:, : f.n_voxels], signed=True, channel_major=True
+                q_np[i][:, : f.n_voxels], signed=True, channel_major=True,
+                chunk=self.chunk,
             )
             enc_ns += ns
             streams.append(
@@ -105,6 +108,7 @@ class BatchAttributeCodec:
                     vmin=f.vmin,
                     width=f.width,
                     order_mode=self.order_mode,
+                    chunk=self.chunk,
                 )
             )
         timer.add("Entropy_enc_time", enc_ns / 1e9)
@@ -132,7 +136,9 @@ class BatchAttributeCodec:
         qfull = np.zeros((B, D, N), dtype=np.int32)
         dec_ns = 0
         for i, (s, f) in enumerate(zip(streams, frames)):
-            _, ns = rlgr_decode_channels(s.channels, s.n_voxels, out=qfull[i])
+            _, ns = rlgr_decode_channels(
+                s.channels, s.n_voxels, out=qfull[i], chunk=s.chunk
+            )
             dec_ns += ns
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 
