@@ -194,3 +194,22 @@ def test_pipeline_reference_default_depth(rng):
     rec, _ = codec.decode(rt, frame.codes, frame.weights)
     rmse = float(np.sqrt(np.mean((rec - np.asarray(frame.attributes)[:400]) ** 2)))
     assert rmse <= 0.5  # step/2 quantization bound
+
+
+def test_stream_format_frozen(rng):
+    # Golden byte hash of a fixed-seed encode: catches ANY accidental
+    # bitstream drift (container layout, quantization, coefficient order,
+    # entropy coding). A deliberate format change must update this hash
+    # and bump the container VERSION.
+    import hashlib
+
+    from conftest import unique_voxel_cloud
+
+    r = np.random.default_rng(42)
+    pts, _, _ = unique_voxel_cloud(r, 600, 6)
+    attrs = (pts * 7 % 256).astype(np.float64)
+    frame = prepare_voxel_frame(pts, attrs, 6, bucket=1024)
+    blob = AttributeCodec(6).encode(frame, steps=4.0).stream.to_bytes()
+    assert hashlib.sha256(blob).hexdigest() == (
+        "dc1d63b9576aafac1d589c895e65c68a56d6c399d56edb67b1185d78a93a37d2"
+    ), "bitstream format drifted — if intentional, bump VERSION + this hash"
