@@ -14,22 +14,25 @@ from pathlib import Path
 
 
 def add_runtime_args(p: argparse.ArgumentParser) -> None:
+    from raht3dgs_tpu.config import RuntimeConfig
+
+    rc = RuntimeConfig()
     p.add_argument(
         "--platform",
-        default=None,
+        default=rc.platform,
         help="JAX platform override (e.g. cpu, tpu); default: environment",
     )
     p.add_argument(
         "--dtype",
         choices=("float32", "float64"),
-        default="float64",
+        default=rc.dtype,
         help="transform precision (float64 matches the reference; float32 "
         "is the fast path on TPU)",
     )
     p.add_argument(
         "--bucket",
         type=int,
-        default=1 << 13,
+        default=rc.bucket,
         help="shape-bucket granularity for jit caching",
     )
     p.add_argument("--csv", default=None, help="CSV log path (default: results/...)")

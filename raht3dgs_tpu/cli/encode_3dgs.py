@@ -27,10 +27,12 @@ from raht3dgs_tpu.cli._common import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="voxelized 3DGS PLY")
-    p.add_argument("--depth", type=int, default=10)
+    from raht3dgs_tpu.config import GsCodecConfig
+
+    p.add_argument("--depth", type=int, default=GsCodecConfig.depth)
     p.add_argument(
         "--steps", type=float, nargs="+",
-        default=[1, 4, 8, 12, 16, 20, 24, 32, 64],
+        default=list(GsCodecConfig.steps),
     )
     p.add_argument(
         "--per-attribute", action="store_true",

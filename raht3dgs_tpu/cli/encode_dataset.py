@@ -29,9 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--frames", type=int, nargs=2, metavar=("FIRST", "LAST"), default=None,
         help="1-based inclusive frame range (default: whole sequence)",
     )
+    from raht3dgs_tpu.config import ColorCodecConfig
+
     p.add_argument(
         "--steps", type=float, nargs="+",
-        default=[1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64],
+        default=list(ColorCodecConfig.steps),
     )
     p.add_argument("--no-decode", action="store_true")
     p.add_argument(

@@ -31,9 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="octree depth J (default: from the PLY 'comment width' header, "
         "else 18 — the reference default)",
     )
+    from raht3dgs_tpu.config import ColorCodecConfig
+
     p.add_argument(
         "--steps", type=float, nargs="+",
-        default=[1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64],
+        default=list(ColorCodecConfig.steps),
         help="quantization step sweep (reference grid)",
     )
     p.add_argument(

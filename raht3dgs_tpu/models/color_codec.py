@@ -29,7 +29,9 @@ from raht3dgs_tpu.ops.color import rgb_to_yuv
 from raht3dgs_tpu.utils.timing import StageTimer
 
 # Reference RD operating points (encode_ply.py:27-29).
-DEFAULT_DEPTH = 18
+from raht3dgs_tpu.config import ColorCodecConfig as _CCC
+
+DEFAULT_DEPTH = _CCC.depth
 DEFAULT_STEPS = (1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64)
 
 # Reference 11-column CSV schema (encode_ply.py:57) — kept verbatim so the

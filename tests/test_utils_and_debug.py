@@ -114,3 +114,19 @@ def test_cli_debug_driver(tmp_path, rng):
     assert "QUANTIZATION STRATEGY ANALYSIS" in out.stdout
     assert "RENDERING ABLATION" in out.stdout
     assert "most impactful attribute:" in out.stdout
+
+
+def test_cli_defaults_come_from_config():
+    # config.py is the single source of driver defaults (SURVEY §5 config
+    # system); drivers must not drift from it.
+    from raht3dgs_tpu.cli.encode_3dgs import build_parser as gs_parser
+    from raht3dgs_tpu.cli.encode_ply import build_parser as ply_parser
+    from raht3dgs_tpu.config import ColorCodecConfig, GsCodecConfig, RuntimeConfig
+
+    p = ply_parser()
+    assert p.get_default("steps") == list(ColorCodecConfig.steps)
+    assert p.get_default("bucket") == RuntimeConfig.bucket
+    assert p.get_default("dtype") == RuntimeConfig.dtype
+    g = gs_parser()
+    assert g.get_default("depth") == GsCodecConfig.depth
+    assert g.get_default("steps") == list(GsCodecConfig.steps)
