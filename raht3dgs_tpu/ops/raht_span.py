@@ -382,11 +382,14 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     d = jnp.where(is0[:, None], T64[0][None, :], d)
     par = jnp.where(is0, jnp.int32(0), par).astype(jnp.int32)
 
-    # pointer doubling: compose Y = g*(parent chain) + d until converged
-    # (chain length = tree depth <= levels)
+    # pointer doubling: compose Y = g*(parent chain) + d until converged.
+    # A chain ascends >= 1 merge level per hop and terminates at node 0, so
+    # its length is <= levels; 2^steps >= levels suffices (at J=10 this is
+    # 5 rounds, not 6 — levels+1 = 32 is a power of two). The staircase
+    # test (test_span_inverse_maximum_chain_depth) pins this bound.
     import math
 
-    steps = max(1, math.ceil(math.log2(levels + 2)))
+    steps = max(1, math.ceil(math.log2(levels + 1)))
 
     acc = T64.dtype
 

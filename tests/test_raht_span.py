@@ -143,3 +143,24 @@ def test_span_deep_octree_matches_numpy_golden(rng):
     np.testing.assert_allclose(
         np.asarray(res.coeffs), golden, rtol=0, atol=1e-9
     )
+
+
+def test_span_inverse_maximum_chain_depth(rng):
+    # Adversarial "staircase": codes = {0} U {2^j} produce parent chains of
+    # maximal length (one merge per level) — stresses the pointer-doubling
+    # round count exactly at its bound.
+    from raht3dgs_tpu.ops.raht import raht_forward
+
+    for depth in (5, 10):
+        nbits = 3 * depth
+        codes = np.array([0] + [1 << j for j in range(nbits)], dtype=np.int64)
+        n = len(codes)
+        attrs = rng.standard_normal((n, 2))
+        w = jnp.ones(n, dtype=jnp.float64)
+        ref = raht_forward(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        res = raht_forward_span(jnp.asarray(codes), jnp.asarray(attrs), w, depth)
+        np.testing.assert_allclose(
+            np.asarray(res.coeffs), np.asarray(ref.coeffs), rtol=0, atol=1e-9
+        )
+        rec = raht_inverse_span(res.coeffs, jnp.asarray(codes), w, depth)
+        np.testing.assert_allclose(np.asarray(rec), attrs, rtol=0, atol=1e-9)
