@@ -405,7 +405,12 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
         par2 = gp[:, 1 + D].astype(jnp.int32)
         return par2, g2, d2
 
-    par, g, d = lax.fori_loop(0, steps, dbl, (par, g, d))
+    # static round count: unroll instead of fori_loop (a while-loop in HLO
+    # serializes against surrounding fusion; straight-line rounds pipeline)
+    state = (par, g, d)
+    for _ in range(steps):
+        state = dbl(0, state)
+    par, g, d = state
     Y = d  # all chains terminate at node 0 whose g == 0
 
     x0 = a[:, None] * Y - b[:, None] * T64
