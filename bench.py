@@ -126,16 +126,16 @@ def main() -> None:
         float(out[0, 0])
 
     # Sustained throughput: dispatch a burst of BURST frames through the
-    # same executable, then drain. Executions queue on-device and run
-    # back-to-back, so the host<->device round-trip latency (~25 ms through
-    # this environment's tunnel) is paid once per burst instead of once per
-    # frame — the same pipelining a production encoder uses.
+    # same executable, then drain. Executions on one device stream run
+    # in-order, so fetching a scalar from the LAST output bounds completion
+    # of the whole burst — fetching every output would pay the ~30 ms
+    # host<->device tunnel round-trip per frame and dominate the
+    # measurement (the same offline-throughput timing MLPerf uses).
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
         outs = [roundtrip(codes_j, attrs_j, weights_j) for _ in range(BURST)]
-        for o in outs:
-            float(o[0, 0])
+        float(outs[-1][0, 0])
         times.append((time.perf_counter() - t0) / BURST)
     out = outs[-1]
 
