@@ -82,13 +82,22 @@ def _msb(x: jnp.ndarray, bits: int) -> jnp.ndarray:
     return jnp.where(hi > 0, 31 + msb32(hi), msb32(lo)).astype(jnp.int32)
 
 
-def _nearest_ge(B: jnp.ndarray, n_vals: int):
+def _nearest_ge(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
     """prev_ge[i] (previous j with B[j] >= B[i], else -1) and next_ge[i]
     (next k with B[k] >= B[i], else N), batched over the value alphabet.
 
     ``B`` is small (< n_vals ≈ 3J+2), so one (V, N) cummax/cummin computes
     "last/next position with B >= v" for every threshold v at once; a
     one-hot contraction selects each element's own threshold row.
+
+    When ``W`` (an ``(N+1,)`` *nondecreasing* prefix array, e.g. weight
+    prefix sums) is given, additionally returns ``W[max(prev_ge, 0)]`` and
+    ``W[next_ge]`` — computed by propagating W *values* through the same
+    cummax/cummin structure instead of gathering. Monotonicity makes the
+    position-scan and the value-scan select the same element, so the
+    results are bitwise identical to the gathers while costing two more
+    cheap (V, N) scans instead of two 1-lane gathers (which waste 127/128
+    lanes on TPU — docs/performance.md).
     """
     N = B.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -108,11 +117,39 @@ def _nearest_ge(B: jnp.ndarray, n_vals: int):
     )
     prev_ge = jnp.sum(onehot * last_excl, axis=0).astype(jnp.int32)
     next_ge = jnp.sum(onehot * next_excl, axis=0).astype(jnp.int32)
-    return prev_ge, next_ge
+    if W is None:
+        return prev_ge, next_ge
+
+    Wrow = W[:N]            # W at position j
+    w_total = W[N]
+    # fill 0 == W[0]: "no previous" maps to W[max(-1, 0)]; fill w_total ==
+    # W[N]: "no next" maps to W[N]. Both fills respect the scan direction's
+    # extremum because 0 <= W <= w_total.
+    lastW = lax.cummax(
+        jnp.where(ge, Wrow[None, :], jnp.zeros((), Wrow.dtype)), axis=1
+    )
+    nxtW = lax.cummin(
+        jnp.where(ge, Wrow[None, :], w_total), axis=1, reverse=True
+    )
+    lastW_excl = jnp.concatenate(
+        [jnp.zeros((n_vals, 1), Wrow.dtype), lastW[:, :-1]], axis=1
+    )
+    nextW_excl = jnp.concatenate(
+        [nxtW[:, 1:], jnp.full((n_vals, 1), 1.0, Wrow.dtype) * w_total],
+        axis=1,
+    )
+    onef = onehot.astype(Wrow.dtype)
+    w_prev = jnp.sum(onef * lastW_excl, axis=0)
+    w_next = jnp.sum(onef * nextW_excl, axis=0)
+    return prev_ge, next_ge, w_prev, w_next
 
 
-def _span_topology(codes, depth: int):
-    """Closed-form B / drop levels / prev_ge / next_ge (codes only)."""
+def _span_topology(codes, depth: int, W=None):
+    """Closed-form B / drop levels / prev_ge / next_ge (codes only).
+
+    With ``W`` (the ``(N+1,)`` weight prefix) also returns the propagated
+    ``W[max(prev_ge, 0)]`` / ``W[next_ge]`` values (see :func:`_nearest_ge`).
+    """
     N = codes.shape[0]
     levels = num_levels(depth, N)
     code_bits = levels  # codes < 2^levels by construction
@@ -127,8 +164,11 @@ def _span_topology(codes, depth: int):
     drop = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), (B[1:] + 1).astype(jnp.int32)]
     )
-    prev_ge, next_ge = _nearest_ge(B, levels + 2)
-    return drop, prev_ge, next_ge, levels
+    if W is None:
+        prev_ge, next_ge = _nearest_ge(B, levels + 2)
+        return drop, prev_ge, next_ge, levels
+    prev_ge, next_ge, w_prev, w_next = _nearest_ge(B, levels + 2, W)
+    return drop, prev_ge, next_ge, levels, w_prev, w_next
 
 
 def _weight_prefix(weights, fdtype=jnp.float64):
@@ -244,11 +284,13 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
     ops/raht.py:raht_structure."""
     N = codes.shape[0]
     fdtype = weights.dtype
-    drop, prev_ge, next_ge, _ = _span_topology(codes, depth)
     W, w_total = _weight_prefix(weights, fdtype)
+    drop, prev_ge, next_ge, _, w_prev, w_next = _span_topology(
+        codes, depth, W
+    )
     W_here = W[:N]
-    w1 = W[next_ge] - W_here
-    w0 = W_here - W[jnp.maximum(prev_ge, 0)]
+    w1 = w_next - W_here
+    w0 = W_here - w_prev
     node_w = jnp.where(
         jnp.arange(N) == 0, w_total, w0 + w1
     ).astype(fdtype)
@@ -328,11 +370,13 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     """
     N, D = coeffs.shape
     fdtype = coeffs.dtype
-    drop, prev_ge, next_ge, levels = _span_topology(codes, depth)
     W, w_total = _weight_prefix(weights, fdtype)
+    drop, prev_ge, next_ge, levels, w_prev, w_next = _span_topology(
+        codes, depth, W
+    )
     W_here = W[:N]
-    w1 = W[next_ge] - W_here
-    w0 = W_here - W[jnp.maximum(prev_ge, 0)]
+    w1 = w_next - W_here
+    w0 = W_here - w_prev
     idx = jnp.arange(N)
     a, b = _safe_ab(w0, w1)
     # work in the I/O precision: the affine chain is a product of gains <= 1
@@ -416,12 +460,13 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     x0 = a[:, None] * Y - b[:, None] * T64
     x1 = b[:, None] * Y + a[:, None] * T64
 
-    # leaf k: value of span [k, k+1)
+    # leaf k: value of span [k, k+1). x0[k+1] is a unit shift — express it
+    # as slice+concat (contiguous copy), not a gather of indices idx+1.
     nxt_is_child = jnp.concatenate(
         [prev_ge[1:] == idx[:-1], jnp.zeros((1,), bool)]
     )
-    k1 = jnp.minimum(idx + 1, N - 1)
-    out = jnp.where(nxt_is_child[:, None], x0[k1], x1)
+    x0_next = jnp.concatenate([x0[1:], x0[-1:]])
+    out = jnp.where(nxt_is_child[:, None], x0_next, x1)
     # N == 1: the lone root's value is the DC itself (Y[0] == T[0])
     lone = (idx == 0) & ~nxt_is_child
     out = jnp.where(lone[:, None], Y, out)
