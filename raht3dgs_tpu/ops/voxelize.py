@@ -149,21 +149,29 @@ def voxelize(
         width = jnp.asarray(width, dtype=fdtype)
 
     voxel_size = width / (2 ** depth)
+    # clip in the float domain (floor yields integer-valued floats, exact in
+    # f32 below 2**24 >> 2**depth), then cast straight to int32 — coordinates
+    # fit int32 at every supported depth, and int64 elementwise is emulated
+    # on TPU (docs/performance.md)
     Vint = jnp.clip(
-        jnp.floor(V0 / voxel_size).astype(jnp.int64), 0, (1 << depth) - 1
-    )
+        jnp.floor(V0 / voxel_size), 0, (1 << depth) - 1
+    ).astype(jnp.int32)
     M = morton_encode(Vint, depth)
     # Invalid input rows get sentinel codes so they sort after every real code.
     M = jnp.where(valid_in, M, pad_code(depth, N, row))
 
-    sort_idx = jnp.argsort(M).astype(jnp.int32)
-    Ms = M[sort_idx]
+    # one sort yields both the sorted codes and the permutation (argsort
+    # alone would leave M[sort_idx] as an extra 1-lane gather)
+    Ms, sort_idx = jax.lax.sort((M, row), num_keys=1)
     # one wide (N, 3+D) row gather instead of two narrow ones — row gathers
     # cost roughly the same regardless of width on TPU (docs/performance.md)
     PCs = jnp.concatenate([V0, C], axis=1)[sort_idx]
     V0s = PCs[:, :3]
     Cs = PCs[:, 3:]
-    valid_s = valid_in[sort_idx]  # == row < n_valid since pads sort last
+    # pads carry sentinel codes that sort after every real code, so the
+    # sorted validity mask is simply a prefix test — no gather
+    n_valid_total = jnp.sum(valid_in.astype(jnp.int32))
+    valid_s = row < n_valid_total
 
     first = jnp.concatenate([jnp.ones((1,), bool), Ms[1:] != Ms[:-1]])
     point_voxel = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.int32)
