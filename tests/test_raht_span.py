@@ -164,3 +164,28 @@ def test_span_inverse_maximum_chain_depth(rng):
         )
         rec = raht_inverse_span(res.coeffs, jnp.asarray(codes), w, depth)
         np.testing.assert_allclose(np.asarray(rec), attrs, rtol=0, atol=1e-9)
+
+
+def test_nearest_ge_value_propagation_matches_gathers(rng):
+    # The W-value propagation inside _nearest_ge must be bitwise identical
+    # to gathering W at the returned indices (W nondecreasing => the
+    # position scan and the value scan pick the same element).
+    from raht3dgs_tpu.ops.raht_span import _nearest_ge
+
+    for trial in range(5):
+        n = int(rng.integers(3, 400))
+        n_vals = 34
+        B = jnp.asarray(rng.integers(0, n_vals, size=n), dtype=jnp.int32)
+        w = rng.integers(0, 5, size=n).astype(np.float32)
+        W = jnp.asarray(np.concatenate([[0.0], np.cumsum(w)]).astype(np.float32))
+        prev_ge, next_ge, w_prev, w_next = _nearest_ge(B, n_vals, W)
+        p2, q2 = _nearest_ge(B, n_vals)
+        np.testing.assert_array_equal(np.asarray(prev_ge), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(next_ge), np.asarray(q2))
+        Wn = np.asarray(W)
+        np.testing.assert_array_equal(
+            np.asarray(w_prev), Wn[np.maximum(np.asarray(prev_ge), 0)]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(w_next), Wn[np.asarray(next_ge)]
+        )
