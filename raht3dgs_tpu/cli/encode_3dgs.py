@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(encode_3dgs_debug strategy)",
     )
     p.add_argument(
-        "--render", choices=("auto", "gsplat", "preview", "none"),
+        "--render", choices=("auto", "gsplat", "jax", "preview", "none"),
         default="none", help="debug render comparison of the reconstruction",
     )
     p.add_argument("--save-streams", default=None)

@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--views", type=int, default=5)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument(
-        "--render", choices=("auto", "gsplat", "preview"), default="auto"
+        "--render", choices=("auto", "gsplat", "jax", "preview"), default="auto"
     )
     add_runtime_args(p)
     return p

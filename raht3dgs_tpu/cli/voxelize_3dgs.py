@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="merge with uniform member weights instead of opacity",
     )
     p.add_argument(
-        "--render", choices=("auto", "gsplat", "preview", "none"),
+        "--render", choices=("auto", "gsplat", "jax", "preview", "none"),
         default="auto", help="render-comparison backend",
     )
     p.add_argument("--views", type=int, default=5)

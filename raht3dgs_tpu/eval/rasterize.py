@@ -1,0 +1,572 @@
+"""TPU-native volumetric 3D Gaussian Splatting rasterizer (JAX/XLA).
+
+The reference evaluates rendering quality through ``gsplat``'s CUDA
+rasterizer (``/root/reference/python/quality_eval.py:283-353``), which has no
+TPU path. This module re-derives the same image formation model as a pure
+XLA program built from the framework's scatter-free primitives, so render
+PSNR — the reference's headline quality metric for 3DGS — runs natively on
+TPU (and on CPU in the test suite):
+
+- **Projection (EWA splatting).** 3D covariance ``Sigma = R S S^T R^T``
+  from the unit quaternion and per-axis scales; camera-space mean
+  ``t = W p + c``; perspective Jacobian ``J``; 2D covariance
+  ``Sigma' = J W Sigma W^T J^T + eps2d * I`` with the same ``eps2d = 0.3``
+  pixel dilation gsplat applies (no opacity compensation —
+  ``antialiased=False`` parity).
+- **Spherical harmonics** color evaluation up to degree 3 along the
+  camera->gaussian direction, with the 3DGS ``+0.5`` offset and
+  clamp-at-zero convention.
+- **Tile binning without scatters.** Gaussians are depth-sorted once
+  (ascending camera z), then expanded into a *static* ``(N, max_tiles)``
+  grid of (tile, gaussian) entries covering each footprint's tile bounding
+  box; a stable sort by tile id groups entries per tile while inheriting
+  the depth order (entries were emitted depth-first). Per-tile windows
+  come from two ``searchsorted`` calls — no scatter, no dynamic shapes.
+- **Front-to-back alpha compositing as a scan.** For each 16x16 tile the
+  sorted entries are processed in chunks: ``alpha = min(0.999, o *
+  exp(-0.5 d^T Sigma'^-1 d))`` (killed below 1/255, gsplat parity), and
+  the transmittance ``T_i = prod_{j<i} (1 - alpha_j)`` is an *exclusive
+  cumprod along the sorted axis* — the sequential per-pixel blending loop
+  of the CUDA implementation becomes a batched prefix product, and the
+  color accumulation ``sum_i c_i alpha_i T_i`` a tile-batched matmul.
+
+Exactness: away from the static capacity limits (``max_tiles_per_gauss``
+tiles per footprint, ``max_per_tile`` entries per tile — overflows are
+counted and returned, never silent) the tiled program computes the same
+sum as a dense per-pixel evaluation; :func:`rasterize_dense` is that dense
+reference and the test suite pins tiled == dense on randomized scenes.
+
+The entry point :func:`rasterize_gaussians` mirrors the gsplat call the
+reference makes (white background, one camera per call).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# 3DGS spherical-harmonics basis constants (degrees 0-3).
+_SH_C0 = 0.28209479177387814
+_SH_C1 = 0.4886025119029199
+_SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+_SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+_ALPHA_MIN = 1.0 / 255.0   # contribution cutoff (gsplat parity)
+_ALPHA_MAX = 0.999         # alpha clamp (gsplat parity)
+_NEAR_PLANE = 0.01         # near-plane cull (gsplat default)
+
+
+class RasterMeta(NamedTuple):
+    """Capacity diagnostics for one rasterized view (device scalars).
+
+    ``dup_clipped``: tile-footprint entries dropped because a gaussian
+    covered more than ``max_tiles_per_gauss`` tiles.
+    ``tile_clipped``: entries dropped because a tile held more than
+    ``max_per_tile`` gaussians. Both zero => the image is exactly the
+    dense blend (see :func:`rasterize_dense`)."""
+
+    dup_clipped: jnp.ndarray
+    tile_clipped: jnp.ndarray
+
+
+def eval_sh(colors: jnp.ndarray, dirs: jnp.ndarray, sh_degree: int) -> jnp.ndarray:
+    """Evaluate SH colors (N, K, 3) along unit directions (N, 3).
+
+    Standard 3DGS convention: ``rgb = clamp(SH(dir) + 0.5, min=0)``.
+    ``sh_degree`` in [0, 3]; K must be >= (sh_degree + 1)**2.
+    """
+    x = dirs[:, 0:1]
+    y = dirs[:, 1:2]
+    z = dirs[:, 2:3]
+    res = _SH_C0 * colors[:, 0]
+    if sh_degree >= 1:
+        res = (
+            res
+            - _SH_C1 * y * colors[:, 1]
+            + _SH_C1 * z * colors[:, 2]
+            - _SH_C1 * x * colors[:, 3]
+        )
+    if sh_degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        res = (
+            res
+            + _SH_C2[0] * xy * colors[:, 4]
+            + _SH_C2[1] * yz * colors[:, 5]
+            + _SH_C2[2] * (2.0 * zz - xx - yy) * colors[:, 6]
+            + _SH_C2[3] * xz * colors[:, 7]
+            + _SH_C2[4] * (xx - yy) * colors[:, 8]
+        )
+    if sh_degree >= 3:
+        res = (
+            res
+            + _SH_C3[0] * y * (3.0 * xx - yy) * colors[:, 9]
+            + _SH_C3[1] * xy * z * colors[:, 10]
+            + _SH_C3[2] * y * (4.0 * zz - xx - yy) * colors[:, 11]
+            + _SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * colors[:, 12]
+            + _SH_C3[4] * x * (4.0 * zz - xx - yy) * colors[:, 13]
+            + _SH_C3[5] * z * (xx - yy) * colors[:, 14]
+            + _SH_C3[6] * x * (xx - 3.0 * yy) * colors[:, 15]
+        )
+    return jnp.maximum(res + 0.5, 0.0)
+
+
+def _quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
+    """Unit-normalized quaternions (N, 4) wxyz -> rotation matrices (N, 3, 3).
+
+    Zero-norm quaternions fall back to identity (the cluster-merge
+    convention, ``models/gs_merge.py``)."""
+    norm = jnp.linalg.norm(quats, axis=1, keepdims=True)
+    safe = norm > 1e-12
+    q = jnp.where(
+        safe,
+        quats / jnp.where(safe, norm, 1.0),
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], quats.dtype)[None, :],
+    )
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                axis=1,
+            ),
+            jnp.stack(
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                axis=1,
+            ),
+            jnp.stack(
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                axis=1,
+            ),
+        ],
+        axis=1,
+    )
+
+
+def project_gaussians(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    Kmat: jnp.ndarray,
+    width: int,
+    height: int,
+    eps2d: float = 0.3,
+):
+    """EWA projection of 3D gaussians to 2D screen-space splats.
+
+    Returns (means2d (N,2), conics (N,3) = (A, B, C) of the inverse 2D
+    covariance [A B; B C], depths (N,), radii (N,), alive mask (N,),
+    viewdirs (N,3) camera->gaussian unit directions in world space).
+    """
+    R_w2c = viewmat[:3, :3]
+    t_w2c = viewmat[:3, 3]
+    cam = means @ R_w2c.T + t_w2c[None, :]
+    depths = cam[:, 2]
+    alive = depths > _NEAR_PLANE
+    zs = jnp.where(alive, depths, 1.0)
+
+    fx, fy = Kmat[0, 0], Kmat[1, 1]
+    cx, cy = Kmat[0, 2], Kmat[1, 2]
+    mx = fx * cam[:, 0] / zs + cx
+    my = fy * cam[:, 1] / zs + cy
+
+    # 3D covariance Sigma = R S S^T R^T, then camera frame M = W Sigma W^T.
+    Rg = _quat_to_rotmat(quats)
+    RS = Rg * scales[:, None, :]  # columns scaled
+    Sigma = RS @ jnp.swapaxes(RS, 1, 2)
+    M = R_w2c[None] @ Sigma @ R_w2c.T[None]
+
+    # Perspective Jacobian J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]].
+    # gsplat clamps the tangent-plane offsets to limit the linearization
+    # error for gaussians far outside the frustum; the clamp only affects
+    # off-screen splats so parity inside the image is unchanged.
+    lim_x = 1.3 * (width / 2.0) / fx
+    lim_y = 1.3 * (height / 2.0) / fy
+    tx = zs * jnp.clip(cam[:, 0] / zs, -lim_x, lim_x)
+    ty = zs * jnp.clip(cam[:, 1] / zs, -lim_y, lim_y)
+    z2 = zs * zs
+    zero = jnp.zeros_like(zs)
+    J = jnp.stack(
+        [
+            jnp.stack([fx / zs, zero, -fx * tx / z2], axis=1),
+            jnp.stack([zero, fy / zs, -fy * ty / z2], axis=1),
+        ],
+        axis=1,
+    )
+    cov2 = J @ M @ jnp.swapaxes(J, 1, 2)
+    a = cov2[:, 0, 0] + eps2d
+    c = cov2[:, 1, 1] + eps2d
+    b = cov2[:, 0, 1]
+
+    det = a * c - b * b
+    alive &= det > 0
+    det_s = jnp.where(det > 0, det, 1.0)
+    conic = jnp.stack([c / det_s, -b / det_s, a / det_s], axis=1)
+
+    # 3-sigma footprint radius from the larger eigenvalue.
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    alive &= radii > 0
+    # cull footprints entirely outside the image
+    alive &= (mx + radii > 0) & (mx - radii < width)
+    alive &= (my + radii > 0) & (my - radii < height)
+    alive &= opacities > 0.0
+
+    cam_pos = -R_w2c.T @ t_w2c
+    vd = means - cam_pos[None, :]
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=1, keepdims=True), 1e-12)
+    means2d = jnp.stack([mx, my], axis=1)
+    return means2d, conic, depths, radii, alive, vd
+
+
+def _colors_to_sh(colors: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """(N, 3K) or (N, K, 3) SH colors -> ((N, K, 3), inferred degree)."""
+    if colors.ndim == 2:
+        if colors.shape[1] % 3 != 0:
+            raise ValueError(f"color channels {colors.shape[1]} not a multiple of 3")
+        colors = colors.reshape(colors.shape[0], -1, 3)
+    K = colors.shape[1]
+    degree = int(np.sqrt(K)) - 1
+    if (degree + 1) ** 2 != K or not 0 <= degree <= 3:
+        raise ValueError(f"{K} SH coefficients is not a supported degree (0-3)")
+    return colors, degree
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "sh_degree",
+        "tile",
+        "max_tiles_per_gauss",
+        "max_per_tile",
+        "chunk",
+    ),
+)
+def _rasterize_tiled(
+    means,
+    quats,
+    scales,
+    opacities,
+    sh_colors,
+    viewmat,
+    Kmat,
+    background,
+    *,
+    width: int,
+    height: int,
+    sh_degree: int,
+    tile: int,
+    max_tiles_per_gauss: int,
+    max_per_tile: int,
+    chunk: int,
+):
+    N = means.shape[0]
+    f32 = jnp.float32
+    means2d, conic, depths, radii, alive, vd = project_gaussians(
+        means.astype(f32),
+        quats.astype(f32),
+        scales.astype(f32),
+        opacities.astype(f32).reshape(-1),
+        viewmat.astype(f32),
+        Kmat.astype(f32),
+        width,
+        height,
+    )
+    rgb = eval_sh(sh_colors.astype(f32), vd, sh_degree)
+    opac = opacities.astype(f32).reshape(-1)
+
+    # --- depth order (one sort; ties broken by index for determinism) ---
+    order = lax.sort(
+        (jnp.where(alive, depths, jnp.inf), jnp.arange(N, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )[1]
+    # per-gaussian render table in depth order, one wide row gather
+    table = jnp.concatenate(
+        [
+            means2d,
+            conic,
+            rgb,
+            opac[:, None],
+            alive.astype(f32)[:, None],
+        ],
+        axis=1,
+    )[order]
+    g_alive = table[:, 9] > 0
+
+    # --- tile footprint bounding boxes (depth order) ---
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    n_tiles = tiles_x * tiles_y
+    mx, my, r = table[:, 0], table[:, 1], radii[order]
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    tw = tx1 - tx0 + 1
+    th = ty1 - ty0 + 1
+    n_cover = jnp.where(g_alive, tw * th, 0)
+    dup_clipped = jnp.sum(jnp.maximum(n_cover - max_tiles_per_gauss, 0))
+
+    # static (N, M) duplication grid: entry j of gaussian i covers tile
+    # (ty0 + j // tw, tx0 + j % tw); invalid entries get sentinel tile id
+    j = jnp.arange(max_tiles_per_gauss, dtype=jnp.int32)[None, :]
+    tw_s = jnp.maximum(tw, 1)[:, None]
+    ety = ty0[:, None] + j // tw_s
+    etx = tx0[:, None] + j % tw_s
+    e_valid = (j < n_cover[:, None]) & g_alive[:, None]
+    e_tile = jnp.where(e_valid, ety * tiles_x + etx, n_tiles).astype(jnp.int32)
+    e_gauss = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], e_tile.shape
+    )
+    # stable sort by tile id: rows were emitted in depth order, so entries
+    # within a tile stay depth-sorted (row-major flatten preserves row order)
+    e_tile_s, e_gauss_s = lax.sort(
+        (e_tile.reshape(-1), e_gauss.reshape(-1)), num_keys=1, is_stable=True
+    )
+    E = e_tile_s.shape[0]
+
+    # --- per-tile windows (scatter-free: two binary searches) ---
+    tid = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(e_tile_s, tid, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(e_tile_s, tid, side="right").astype(jnp.int32)
+    seg_len = ends - starts
+    tile_clipped = jnp.sum(jnp.maximum(seg_len - max_per_tile, 0))
+
+    slot = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    slot_valid = slot < seg_len[:, None]                      # (T, K)
+    slot_idx = jnp.minimum(starts[:, None] + slot, E - 1)
+    slot_gauss = e_gauss_s[slot_idx]                          # (T, K)
+    rows = table[slot_gauss.reshape(-1)].reshape(
+        n_tiles, max_per_tile, table.shape[1]
+    )                                                          # (T, K, 10)
+
+    # --- per-tile pixel grid (pixel centers, gsplat convention) ---
+    tpx = (tid % tiles_x) * tile
+    tpy = (tid // tiles_x) * tile
+    p = jnp.arange(tile * tile, dtype=jnp.int32)
+    px = tpx[:, None] + (p % tile)[None, :]
+    py = tpy[:, None] + (p // tile)[None, :]
+    pxf = px.astype(f32) + 0.5
+    pyf = py.astype(f32) + 0.5
+
+    # --- front-to-back blend: scan over slot chunks, exclusive cumprod ---
+    P = tile * tile
+    n_chunks = (max_per_tile + chunk - 1) // chunk
+    pad_k = n_chunks * chunk - max_per_tile
+    if pad_k:
+        rows = jnp.pad(rows, ((0, 0), (0, pad_k), (0, 0)))
+        slot_valid = jnp.pad(slot_valid, ((0, 0), (0, pad_k)))
+    rows_c = rows.reshape(n_tiles, n_chunks, chunk, -1).transpose(1, 0, 2, 3)
+    valid_c = slot_valid.reshape(n_tiles, n_chunks, chunk).transpose(1, 0, 2)
+
+    def blend_chunk(state, xs):
+        acc, trans = state                    # (T, P, 3), (T, P)
+        rws, vld = xs                         # (T, C, 10), (T, C)
+        dx = pxf[:, :, None] - rws[:, None, :, 0]      # (T, P, C)
+        dy = pyf[:, :, None] - rws[:, None, :, 1]
+        A = rws[:, None, :, 2]
+        B = rws[:, None, :, 3]
+        Cc = rws[:, None, :, 4]
+        power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+        alpha = jnp.minimum(
+            rws[:, None, :, 8] * jnp.exp(jnp.minimum(power, 0.0)), _ALPHA_MAX
+        )
+        alpha = jnp.where(
+            vld[:, None, :] & (power <= 0) & (alpha >= _ALPHA_MIN), alpha, 0.0
+        )
+        one_m = 1.0 - alpha
+        t_excl = jnp.concatenate(
+            [jnp.ones_like(one_m[:, :, :1]), jnp.cumprod(one_m, axis=2)[:, :, :-1]],
+            axis=2,
+        )
+        w = alpha * t_excl * trans[:, :, None]          # (T, P, C)
+        acc = acc + jnp.einsum("tpc,tck->tpk", w, rws[:, :, 5:8])
+        trans = trans * jnp.prod(one_m, axis=2)
+        return (acc, trans), None
+
+    acc0 = jnp.zeros((n_tiles, P, 3), f32)
+    trans0 = jnp.ones((n_tiles, P), f32)
+    (acc, trans), _ = lax.scan(blend_chunk, (acc0, trans0), (rows_c, valid_c))
+
+    img_tiles = acc + trans[:, :, None] * background[None, None, :]
+    img = (
+        img_tiles.reshape(tiles_y, tiles_x, tile, tile, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(tiles_y * tile, tiles_x * tile, 3)
+    )[:height, :width]
+    return img, RasterMeta(dup_clipped, tile_clipped)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+def _rasterize_dense_jit(
+    means, quats, scales, opacities, sh_colors, viewmat, Kmat, background,
+    *, width: int, height: int, sh_degree: int,
+):
+    """Dense reference: every gaussian against every pixel, O(H*W*N).
+
+    Memory- and compute-unbounded in N — for tests and small crops only."""
+    N = means.shape[0]
+    f32 = jnp.float32
+    means2d, conic, depths, radii, alive, vd = project_gaussians(
+        means.astype(f32), quats.astype(f32), scales.astype(f32),
+        opacities.astype(f32).reshape(-1), viewmat.astype(f32),
+        Kmat.astype(f32), width, height,
+    )
+    rgb = eval_sh(sh_colors.astype(f32), vd, sh_degree)
+    opac = opacities.astype(f32).reshape(-1)
+
+    order = lax.sort(
+        (jnp.where(alive, depths, jnp.inf), jnp.arange(N, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )[1]
+    mx, my = means2d[order, 0], means2d[order, 1]
+    A, B, Cc = conic[order, 0], conic[order, 1], conic[order, 2]
+    col = rgb[order]
+    op = opac[order]
+    ok = alive[order]
+    r = radii[order]
+
+    # tile-membership cutoff, replicated exactly: the tiled program
+    # evaluates a gaussian on every pixel of every tile its footprint bbox
+    # covers, and the 3-sigma tail can still exceed the 1/255 alpha cutoff
+    # — so the dense golden must apply the *same* square cutoff, not a
+    # radius test, for bitwise tiled == dense parity.
+    tile = 16
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    px = xs.reshape(-1).astype(jnp.int32)
+    py = ys.reshape(-1).astype(jnp.int32)
+    pxf = px.astype(f32) + 0.5                          # (P,)
+    pyf = py.astype(f32) + 0.5
+    dx = pxf[:, None] - mx[None, :]                     # (P, N)
+    dy = pyf[:, None] - my[None, :]
+    ptx = (px // tile)[:, None]
+    pty = (py // tile)[:, None]
+    inside = (
+        (ptx >= tx0[None, :])
+        & (ptx <= tx1[None, :])
+        & (pty >= ty0[None, :])
+        & (pty <= ty1[None, :])
+    )
+    power = -0.5 * (A[None, :] * dx * dx + Cc[None, :] * dy * dy) - B[None, :] * dx * dy
+    alpha = jnp.minimum(op[None, :] * jnp.exp(jnp.minimum(power, 0.0)), _ALPHA_MAX)
+    alpha = jnp.where(
+        ok[None, :] & inside & (power <= 0) & (alpha >= _ALPHA_MIN), alpha, 0.0
+    )
+    one_m = 1.0 - alpha
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(one_m[:, :1]), jnp.cumprod(one_m, axis=1)[:, :-1]], axis=1
+    )
+    w = alpha * t_excl
+    img = w @ col + (t_excl[:, -1] * one_m[:, -1])[:, None] * background[None, :]
+    return img.reshape(height, width, 3)
+
+
+def rasterize_gaussians(
+    means,
+    quats,
+    scales,
+    opacities,
+    colors,
+    viewmat,
+    Kmat,
+    width: int,
+    height: int,
+    sh_degree: Optional[int] = None,
+    background: Optional[np.ndarray] = None,
+    tile: int = 16,
+    max_tiles_per_gauss: int = 32,
+    max_per_tile: int = 1024,
+    chunk: int = 128,
+) -> Tuple[np.ndarray, RasterMeta]:
+    """Render one view of a 3DGS scene on the default JAX backend.
+
+    Args:
+        means/quats/scales/opacities: (N,3)/(N,4 wxyz)/(N,3 linear)/(N,)
+            gaussian parameters (activations already applied, the pipeline
+            contract — ``/root/reference/python/test_voxelize_3dgs.py:58-114``).
+        colors: (N, 3K) flat or (N, K, 3) SH coefficients (K = 1 is the
+            DC-only case: ``rgb = max(C0 * sh + 0.5, 0)``).
+        viewmat: (4, 4) world-to-camera; Kmat: (3, 3) pinhole intrinsics.
+        sh_degree: SH degree; inferred from K when None (K=1 -> degree 0).
+        background: (3,) color, white default (reference parity).
+        tile / max_tiles_per_gauss / max_per_tile / chunk: capacity knobs;
+            overflow counts are returned in :class:`RasterMeta`.
+
+    Returns:
+        (image (H, W, 3) float32 numpy, RasterMeta).
+    """
+    sh, inferred = _colors_to_sh(jnp.asarray(colors))
+    if sh_degree is None:
+        sh_degree = inferred
+    if background is None:
+        background = np.ones((3,), np.float32)
+    img, meta = _rasterize_tiled(
+        jnp.asarray(means),
+        jnp.asarray(quats),
+        jnp.asarray(scales),
+        jnp.asarray(opacities),
+        sh,
+        jnp.asarray(viewmat),
+        jnp.asarray(Kmat),
+        jnp.asarray(background, dtype=jnp.float32),
+        width=width,
+        height=height,
+        sh_degree=sh_degree,
+        tile=tile,
+        max_tiles_per_gauss=max_tiles_per_gauss,
+        max_per_tile=max_per_tile,
+        chunk=chunk,
+    )
+    return img, meta
+
+
+def rasterize_dense(
+    means, quats, scales, opacities, colors, viewmat, Kmat,
+    width: int, height: int, sh_degree: Optional[int] = None,
+    background: Optional[np.ndarray] = None,
+):
+    """Dense (un-tiled) golden renderer — O(H*W*N), small scenes only."""
+    sh, inferred = _colors_to_sh(jnp.asarray(colors))
+    if sh_degree is None:
+        sh_degree = inferred
+    if background is None:
+        background = np.ones((3,), np.float32)
+    return _rasterize_dense_jit(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opacities), sh, jnp.asarray(viewmat), jnp.asarray(Kmat),
+        jnp.asarray(background, dtype=jnp.float32),
+        width=width, height=height, sh_degree=sh_degree,
+    )

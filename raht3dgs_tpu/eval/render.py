@@ -1,16 +1,17 @@
 """Rendering comparison for 3DGS quality evaluation.
 
-Two backends:
+Three backends:
 
 1. ``gsplat`` full rasterization when available (CUDA-only — same optional
    dependency and graceful degradation contract as the reference,
    ``/root/reference/python/quality_eval.py:283-353,519-521``).
-2. A TPU/CPU-friendly JAX **point-splat preview renderer**: each Gaussian is
-   projected and z-buffered as a point with its SH-DC color. This is not a
-   full volumetric rasterizer, but rendering original vs reconstructed
-   scenes through the *same* approximate renderer gives a meaningful
-   render-domain PSNR on machines without CUDA (the reference simply skips
-   evaluation there).
+2. ``jax`` — the framework's own TPU-native volumetric 3DGS rasterizer
+   (``eval/rasterize.py``): EWA projection, SH colors to degree 3, tiled
+   front-to-back alpha compositing with gsplat-parity constants. The
+   default on machines without CUDA, so render PSNR — the quality metric
+   the reference can only compute on a CUDA GPU — runs everywhere.
+3. A z-buffered JAX **point-splat preview renderer** (fast, approximate;
+   kept for quick-look comparisons and as the last-resort fallback).
 """
 
 from __future__ import annotations
@@ -78,6 +79,40 @@ def point_render(params: Dict[str, np.ndarray], viewmats, Ks, width, height):
     return np.stack(out)
 
 
+def volumetric_render(params: Dict[str, np.ndarray], viewmats, Ks, width, height):
+    """Render all views with the TPU-native volumetric rasterizer.
+
+    Returns (images (V, H, W, 3), meta dict with capacity-overflow counts
+    summed over views — nonzero means a capacity knob should be raised)."""
+    from raht3dgs_tpu.eval.rasterize import rasterize_gaussians
+
+    out = []
+    dup_clipped = 0
+    tile_clipped = 0
+    for i in range(len(viewmats)):
+        img, meta = rasterize_gaussians(
+            params["means"],
+            params["quats"],
+            params["scales"],
+            np.asarray(params["opacities"]).reshape(-1),
+            params["colors"],
+            viewmats[i],
+            Ks[i],
+            width,
+            height,
+        )
+        dup_clipped += int(meta.dup_clipped)
+        tile_clipped += int(meta.tile_clipped)
+        out.append(np.asarray(img))
+    if dup_clipped or tile_clipped:
+        warnings.warn(
+            f"rasterizer capacity overflow: {dup_clipped} footprint entries, "
+            f"{tile_clipped} tile entries dropped — raise max_tiles_per_gauss/"
+            "max_per_tile for exact images"
+        )
+    return np.stack(out)
+
+
 def _try_gsplat_render(params, viewmats, Ks, width, height):
     import gsplat  # noqa: F401  (optional CUDA dependency)
     import torch
@@ -123,8 +158,8 @@ def render_comparison(
     """Render both scenes from shared random views and report PSNR stats
     (reference ``try_render_comparison``, ``quality_eval.py:373-526``).
 
-    backend: 'auto' (gsplat if importable, else preview), 'gsplat',
-    'preview', or 'none'.
+    backend: 'auto' (gsplat if importable, else the TPU-native volumetric
+    rasterizer), 'gsplat', 'jax', 'preview', or 'none'.
     """
     if backend == "none":
         return {}
@@ -149,7 +184,14 @@ def render_comparison(
             if backend == "gsplat":
                 warnings.warn(f"gsplat rendering unavailable: {e}")
                 return {}
-            use = "preview"
+            use = "jax"
+    if use == "jax":
+        t0 = time.perf_counter()
+        imgs_o = volumetric_render(original, viewmats, Ks, W, H)
+        t_orig = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        imgs_r = volumetric_render(reconstructed, viewmats, Ks, W, H)
+        t_rec = time.perf_counter() - t0
     if use in ("auto", "preview"):
         t0 = time.perf_counter()
         imgs_o = point_render(original, viewmats, Ks, W, H)

@@ -1,0 +1,250 @@
+"""TPU-native 3DGS rasterizer: tiled vs dense parity + analytic checks.
+
+The tiled program (sort/searchsorted binning + cumprod compositing) must
+produce the same image as the dense per-pixel golden whenever no capacity
+limit is hit; compositing, SH evaluation, and depth ordering are pinned
+against closed-form expectations.
+"""
+
+import numpy as np
+import pytest
+
+from raht3dgs_tpu.eval.cameras import generate_random_cameras
+from raht3dgs_tpu.eval.rasterize import (
+    eval_sh,
+    rasterize_dense,
+    rasterize_gaussians,
+)
+
+
+def _random_scene(rng, n, sh_k=1, spread=1.0, scale_lo=0.02, scale_hi=0.12):
+    means = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(scale_lo, scale_hi, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 1.0, size=(n,)).astype(np.float32)
+    colors = rng.normal(0, 0.5, size=(n, sh_k * 3)).astype(np.float32)
+    return means, quats, scales, opac, colors
+
+
+def _front_cam(dist=3.0, width=64, height=64, focal_mult=1.2):
+    """Camera at -z looking at the origin (+z forward)."""
+    viewmat = np.eye(4, dtype=np.float32)
+    viewmat[2, 3] = dist  # world origin maps to z = dist in camera frame
+    K = np.array(
+        [
+            [focal_mult * width, 0, width / 2],
+            [0, focal_mult * width, height / 2],
+            [0, 0, 1],
+        ],
+        dtype=np.float32,
+    )
+    return viewmat, K
+
+
+@pytest.mark.parametrize("sh_k", [1, 16])
+def test_tiled_matches_dense(rng, sh_k):
+    n = 160
+    means, quats, scales, opac, colors = _random_scene(rng, n, sh_k=sh_k)
+    viewmats, Ks, W, H = generate_random_cameras(
+        np.zeros(3), 2.5, n_views=2, image_width=64, image_height=64, seed=3
+    )
+    for i in range(len(viewmats)):
+        img, meta = rasterize_gaussians(
+            means, quats, scales, opac, colors, viewmats[i], Ks[i], W, H
+        )
+        assert int(meta.dup_clipped) == 0 and int(meta.tile_clipped) == 0
+        ref = rasterize_dense(
+            means, quats, scales, opac, colors, viewmats[i], Ks[i], W, H
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
+
+
+def test_tiled_matches_dense_nonmultiple_size(rng):
+    """Image sizes that are not tile multiples crop correctly."""
+    means, quats, scales, opac, colors = _random_scene(rng, 120)
+    viewmat, K = _front_cam(width=70, height=50)
+    img, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 70, 50
+    )
+    assert img.shape == (50, 70, 3)
+    ref = rasterize_dense(means, quats, scales, opac, colors, viewmat, K, 70, 50)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
+
+
+def test_two_gaussian_compositing_closed_form():
+    """C = a1 c1 + (1-a1) a2 c2 + (1-a1)(1-a2) bg at the shared center."""
+    # two isotropic gaussians stacked along the view axis at the origin
+    means = np.array([[0, 0, 0], [0, 0, 0.5]], np.float32)  # z=0 nearer to cam at -3
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (2, 1))
+    scales = np.full((2, 3), 0.3, np.float32)
+    opac = np.array([0.6, 0.7], np.float32)
+    # SH DC for exact colors red / blue: rgb = C0 * sh + 0.5
+    C0 = 0.28209479177387814
+    c1 = np.array([1.0, 0.25, 0.25])
+    c2 = np.array([0.25, 0.25, 1.0])
+    colors = np.stack([(c1 - 0.5) / C0, (c2 - 0.5) / C0]).astype(np.float32)
+
+    W = H = 32
+    viewmat, K = _front_cam(dist=3.0, width=W, height=H)
+    img, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, W, H
+    )
+    img = np.asarray(img)
+
+    # center pixel (W/2 - 0.5 offset => pixel index W//2 - 1 and W//2 straddle
+    # the center; use the analytic alpha at the actual pixel sample position)
+    for px, py in [(W // 2, H // 2), (W // 2 - 1, H // 2 - 1)]:
+        x = px + 0.5 - K[0, 2]
+        y = py + 0.5 - K[1, 2]
+
+        def alpha_at(z_world, op):
+            z = 3.0 + z_world
+            sigma2 = (K[0, 0] * 0.3 / z) ** 2 + 0.3  # isotropic + dilation
+            d2 = x * x + y * y
+            return min(0.999, op * np.exp(-0.5 * d2 / sigma2))
+
+        a1 = alpha_at(0.0, 0.6)
+        a2 = alpha_at(0.5, 0.7)
+        expect = a1 * c1 + (1 - a1) * a2 * c2 + (1 - a1) * (1 - a2) * 1.0
+        np.testing.assert_allclose(img[py, px], expect, atol=1e-3)
+
+
+def test_depth_ordering_front_wins():
+    """An opaque front gaussian hides one behind it regardless of input order."""
+    means = np.array([[0, 0, 0.8], [0, 0, 0.0]], np.float32)  # [0] is FARTHER
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (2, 1))
+    scales = np.full((2, 3), 0.25, np.float32)
+    opac = np.array([1.0, 1.0], np.float32)
+    C0 = 0.28209479177387814
+    far_c = np.array([1.0, 0.0, 0.0])
+    near_c = np.array([0.0, 1.0, 0.0])
+    colors = np.stack([(far_c - 0.5) / C0, (near_c - 0.5) / C0]).astype(np.float32)
+    viewmat, K = _front_cam(dist=2.5, width=32, height=32)
+    img, _ = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 32, 32
+    )
+    center = np.asarray(img)[16, 16]
+    assert center[1] > 0.9 and center[0] < 0.1  # near (green) wins
+
+
+def test_sh_evaluation_matches_direct_formula(rng):
+    n = 50
+    sh = rng.normal(size=(n, 16, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    got = np.asarray(eval_sh(sh, d, 3))
+
+    # independent direct evaluation (classic 3DGS CUDA constant table)
+    x, y, z = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    xx, yy, zz, xy, yz, xz = x * x, y * y, z * z, x * y, y * z, x * z
+    basis = np.concatenate(
+        [
+            np.full_like(x, 0.28209479177387814),
+            -0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            -0.4886025119029199 * x,
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.31539156525252005 * (2 * zz - xx - yy),
+            -1.0925484305920792 * xz,
+            0.5462742152960396 * (xx - yy),
+            -0.5900435899266435 * y * (3 * xx - yy),
+            2.890611442640554 * xy * z,
+            -0.4570457994644658 * y * (4 * zz - xx - yy),
+            0.3731763325901154 * z * (2 * zz - 3 * xx - 3 * yy),
+            -0.4570457994644658 * x * (4 * zz - xx - yy),
+            1.445305721320277 * z * (xx - yy),
+            -0.5900435899266435 * x * (xx - 3 * yy),
+        ],
+        axis=1,
+    )  # (n, 16)
+    want = np.maximum(np.einsum("nk,nkc->nc", basis, sh) + 0.5, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_overflow_counters(rng):
+    """Capacity overflows are reported, never silent."""
+    # one huge gaussian covering many tiles
+    means = np.zeros((1, 3), np.float32)
+    quats = np.array([[1, 0, 0, 0]], np.float32)
+    scales = np.full((1, 3), 2.0, np.float32)
+    opac = np.array([1.0], np.float32)
+    colors = np.zeros((1, 3), np.float32)
+    viewmat, K = _front_cam(dist=3.0, width=64, height=64)
+    _, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 64, 64,
+        max_tiles_per_gauss=1,
+    )
+    assert int(meta.dup_clipped) > 0
+
+    # many gaussians in one tile
+    means = rng.normal(0, 0.01, size=(8, 3)).astype(np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (8, 1))
+    scales = np.full((8, 3), 0.02, np.float32)
+    opac = np.full((8,), 0.9, np.float32)
+    colors = np.zeros((8, 3), np.float32)
+    _, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 64, 64, max_per_tile=2
+    )
+    assert int(meta.tile_clipped) > 0
+
+
+def test_empty_and_behind_camera_scene():
+    """All-culled scenes render pure background."""
+    means = np.array([[0, 0, -10.0]], np.float32)  # behind the camera
+    quats = np.array([[1, 0, 0, 0]], np.float32)
+    scales = np.full((1, 3), 0.1, np.float32)
+    opac = np.array([1.0], np.float32)
+    colors = np.zeros((1, 3), np.float32)
+    viewmat, K = _front_cam(dist=3.0, width=32, height=32)
+    img, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 32, 32
+    )
+    np.testing.assert_allclose(np.asarray(img), 1.0, atol=1e-6)
+
+
+def test_anisotropic_rotation_changes_footprint(rng):
+    """A rotated anisotropic gaussian must render differently from unrotated."""
+    means = np.zeros((1, 3), np.float32)
+    scales = np.array([[0.5, 0.02, 0.02]], np.float32)
+    opac = np.array([1.0], np.float32)
+    colors = np.array([[-1.0, -1.0, -1.0]], np.float32)  # dark
+    viewmat, K = _front_cam(dist=3.0, width=64, height=64)
+    qid = np.array([[1, 0, 0, 0]], np.float32)
+    # 90 degrees about the view axis (z): (w, x, y, z)
+    qz = np.array([[np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]], np.float32)
+    img_a, _ = rasterize_gaussians(means, qid, scales, opac, colors, viewmat, K, 64, 64)
+    img_b, _ = rasterize_gaussians(means, qz, scales, opac, colors, viewmat, K, 64, 64)
+    a = np.asarray(img_a)
+    b = np.asarray(img_b)
+    # horizontal streak vs vertical streak: the long axis is darker off-center
+    assert a[32, 8, 0] < a[8, 32, 0] - 0.05
+    assert b[8, 32, 0] < b[32, 8, 0] - 0.05
+    # and the rotation is an exact transpose of the image for this symmetry
+    np.testing.assert_allclose(a, np.swapaxes(b, 0, 1), atol=1e-5)
+
+
+def test_render_comparison_jax_backend(rng):
+    """render_comparison wires the volumetric backend end to end."""
+    from raht3dgs_tpu.eval.render import render_comparison
+
+    n = 80
+    means, quats, scales, opac, colors = _random_scene(rng, n, sh_k=4)
+    params = {
+        "means": means,
+        "quats": quats,
+        "scales": scales,
+        "opacities": opac,
+        "colors": colors,
+    }
+    res_same = render_comparison(params, params, n_views=2, image_size=48,
+                                 backend="jax")
+    assert res_same["backend"] == "jax"
+    assert res_same["psnr_avg"] == float("inf") or res_same["psnr_avg"] > 80
+
+    params2 = dict(params)
+    params2["means"] = means + rng.normal(0, 0.05, means.shape).astype(np.float32)
+    res_diff = render_comparison(params, params2, n_views=2, image_size=48,
+                                 backend="jax")
+    assert np.isfinite(res_diff["psnr_avg"])
+    assert res_diff["psnr_avg"] < 60
