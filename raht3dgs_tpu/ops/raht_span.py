@@ -115,8 +115,10 @@ def _nearest_ge(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
     next_excl = jnp.concatenate(
         [nxt[:, 1:], jnp.full((n_vals, 1), N, jnp.int32)], axis=1
     )
-    prev_ge = jnp.sum(onehot * last_excl, axis=0).astype(jnp.int32)
-    next_ge = jnp.sum(onehot * next_excl, axis=0).astype(jnp.int32)
+    # dtype pinned: integer jnp.sum otherwise accumulates in int64 under
+    # jax_enable_x64 — emulated arithmetic on TPU for a (V, N) hot array
+    prev_ge = jnp.sum(onehot * last_excl, axis=0, dtype=jnp.int32)
+    next_ge = jnp.sum(onehot * next_excl, axis=0, dtype=jnp.int32)
     if W is None:
         return prev_ge, next_ge
 
@@ -292,9 +294,9 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
     w1 = w_next - W_here
     w0 = W_here - w_prev
     node_w = jnp.where(
-        jnp.arange(N) == 0, w_total, w0 + w1
+        jnp.arange(N, dtype=jnp.int32) == 0, w_total, w0 + w1
     ).astype(fdtype)
-    subtree = jnp.where(jnp.arange(N) == 0, w_total, w1).astype(fdtype)
+    subtree = jnp.where(jnp.arange(N, dtype=jnp.int32) == 0, w_total, w1).astype(fdtype)
     return RahtStructure(
         drop_level=drop, subtree_w=subtree, node_weights=node_w
     )
@@ -306,7 +308,7 @@ def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResu
     N, D = attributes.shape
     fdtype = attributes.dtype
     drop, prev_ge, next_ge, _ = _span_topology(codes, depth)
-    idx = jnp.arange(N)
+    idx = jnp.arange(N, dtype=jnp.int32)
 
     # Fused prefix pack: attribute sums (D) + weight sums (1) ride the same
     # two wide gathers (sqrt(w)-scaled values: the butterfly invariant).
@@ -377,7 +379,7 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     W_here = W[:N]
     w1 = w_next - W_here
     w0 = W_here - w_prev
-    idx = jnp.arange(N)
+    idx = jnp.arange(N, dtype=jnp.int32)
     a, b = _safe_ab(w0, w1)
     # work in the I/O precision: the affine chain is a product of gains <= 1
     # over <= levels steps (relative error ~levels*eps — negligible vs any
