@@ -168,9 +168,9 @@ def _span_topology(codes, depth: int, W=None):
     )
     if W is None:
         prev_ge, next_ge = _nearest_ge(B, levels + 2)
-        return drop, prev_ge, next_ge, levels
+        return drop, prev_ge, next_ge, levels, B
     prev_ge, next_ge, w_prev, w_next = _nearest_ge(B, levels + 2, W)
-    return drop, prev_ge, next_ge, levels, w_prev, w_next
+    return drop, prev_ge, next_ge, levels, w_prev, w_next, B
 
 
 def _weight_prefix(weights, fdtype=jnp.float64):
@@ -287,7 +287,7 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
     N = codes.shape[0]
     fdtype = weights.dtype
     W, w_total = _weight_prefix(weights, fdtype)
-    drop, prev_ge, next_ge, _, w_prev, w_next = _span_topology(
+    drop, prev_ge, next_ge, _, w_prev, w_next, _B = _span_topology(
         codes, depth, W
     )
     W_here = W[:N]
@@ -307,7 +307,7 @@ def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResu
     """Closed-form forward RAHT. Same contract as ops/raht.py:raht_forward."""
     N, D = attributes.shape
     fdtype = attributes.dtype
-    drop, prev_ge, next_ge, _ = _span_topology(codes, depth)
+    drop, prev_ge, next_ge, _, _B = _span_topology(codes, depth)
     idx = jnp.arange(N, dtype=jnp.int32)
 
     # Fused prefix pack: attribute sums (D) + weight sums (1) ride the same
@@ -361,19 +361,113 @@ def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResu
     )
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
-    """Closed-form inverse: affine pointer-doubling over the merge tree.
+def _last_write_fill(has, val, reverse: bool = False):
+    """Last-write-wins scan along axis 1.
 
-    Unlike ops/raht.py:raht_inverse (which replays structure from
-    drop/subtree arrays), this recomputes the closed-form structure from
-    ``codes``+``weights`` — the decoder has both — and resolves every
-    pair's parent-span value in O(log levels) doubling steps.
+    ``has``: (V, N) float {0, 1} write mask; ``val``: (V, N, D) written
+    values. Returns the inclusive forward (or backward) fill: at each
+    position, the value of the nearest write at-or-before (at-or-after when
+    ``reverse``) that position, 0 where no write has occurred yet.
+    """
+
+    def comb(x, y):
+        xh, xv = x
+        yh, yv = y
+        return jnp.maximum(xh, yh), jnp.where(yh[..., None] > 0, yv, xv)
+
+    return lax.associative_scan(comb, (has, val), axis=1, reverse=reverse)[1]
+
+
+def _raht_inverse_span_fill(coeffs, codes, weights, depth: int) -> jnp.ndarray:
+    """Scan-only inverse: the orthonormal expansion as interval sums.
+
+    The transform matrix ``A`` (``T = A c`` with ``A_ij = -b_i
+    sqrt(w_j)/sqrt(w0_i)`` on the left span, ``a_i sqrt(w_j)/sqrt(w1_i)``
+    on the right, ``sqrt(w_j)/sqrt(W)`` for the DC row) is orthogonal in
+    plain l2 — row norms telescope to ``a^2 + b^2 = 1`` because the
+    sqrt(w_j) factors sum to the side weights. Hence ``c = A^T T`` expands
+    each leaf as ``sqrt(w_k)`` times a sum of *interval-constant* node
+    contributions:
+
+        c_k = sqrt(w_k) * ( sum_{i: k in [p_i, i)} u_i
+              + sum_{i: k in [i, q_i)} v_i + T_0 / sqrt(W_total) )
+        u_i = -b_i T_i / sqrt(w0_i),   v_i = a_i T_i / sqrt(w1_i)
+
+    For a fixed merge level ``x``, the spans of nodes with ``B_i == x`` are
+    disjoint (consecutive ``B >= x`` positions), so for each leaf and level
+    at most one node contributes — and it is exactly the nearest position
+    with ``B >= x`` (before/after the leaf) *when that position's B equals
+    x*. Both selections are last-write-wins fills over the same (V, N)
+    threshold-row structure the topology pass already builds: two
+    associative scans and a V-axis reduction replace the pointer-doubling
+    chain (5 unrolled rounds of wide gathers) and the leaf shift entirely
+    — no gathers at all remain in the inverse.
+
+    Memory: the fill operand is (V, N, D); wide-channel workloads (3DGS
+    D=56) are chunked along D to bound the live footprint.
     """
     N, D = coeffs.shape
     fdtype = coeffs.dtype
     W, w_total = _weight_prefix(weights, fdtype)
-    drop, prev_ge, next_ge, levels, w_prev, w_next = _span_topology(
+    drop, prev_ge, next_ge, levels, w_prev, w_next, B = _span_topology(
+        codes, depth, W
+    )
+    W_here = W[:N]
+    w1 = w_next - W_here
+    w0 = W_here - w_prev
+    a, b = _safe_ab(w0, w1)
+    acc_dt = jnp.float64 if fdtype == jnp.float64 else jnp.float32
+    T = coeffs.astype(acc_dt)
+    a = a.astype(acc_dt)
+    b = b.astype(acc_dt)
+
+    inv_s0 = jnp.where(w0 > 0, 1.0 / jnp.sqrt(jnp.where(w0 > 0, w0, 1.0)), 0.0)
+    inv_s1 = jnp.where(w1 > 0, 1.0 / jnp.sqrt(jnp.where(w1 > 0, w1, 1.0)), 0.0)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    not0 = (idx != 0).astype(acc_dt)[:, None]
+    u = (-b * inv_s0.astype(acc_dt))[:, None] * T * not0
+    v = (a * inv_s1.astype(acc_dt))[:, None] * T * not0
+
+    n_vals = levels + 2
+    vals = jnp.arange(n_vals, dtype=B.dtype)
+    ge = B[None, :] >= vals[:, None]                       # (V, N)
+    eq = (B[None, :] == vals[:, None])[..., None]          # (V, N, 1)
+    has = ge.astype(jnp.float32)
+
+    # chunk the channel axis: the fill operand is (V, N, Dc)
+    max_elems = 1 << 27  # ~512 MB of f32 live per fill operand
+    dc = max(1, min(D, max_elems // max(1, n_vals * N)))
+    v_parts = []
+    u_parts = []
+    for c0 in range(0, D, dc):
+        vk = v[:, c0 : c0 + dc]
+        uk = u[:, c0 : c0 + dc]
+        vfill = _last_write_fill(has, jnp.where(eq, vk[None], 0.0))
+        v_parts.append(jnp.sum(vfill, axis=0))
+        ufill = _last_write_fill(has, jnp.where(eq, uk[None], 0.0), reverse=True)
+        u_parts.append(jnp.sum(ufill, axis=0))
+    v_sum = jnp.concatenate(v_parts, axis=1) if len(v_parts) > 1 else v_parts[0]
+    u_incl = jnp.concatenate(u_parts, axis=1) if len(u_parts) > 1 else u_parts[0]
+    # u intervals [p_i, i) exclude i itself: take the backward fill at k+1
+    u_sum = jnp.concatenate([u_incl[1:], jnp.zeros((1, D), u_incl.dtype)])
+
+    dc_term = T[0] / jnp.sqrt(jnp.where(w_total > 0, w_total, 1.0)).astype(acc_dt)
+    swk = jnp.sqrt(weights.astype(acc_dt))
+    out = (v_sum + u_sum + dc_term[None, :]) * swk[:, None]
+    return out.astype(fdtype)
+
+
+def _raht_inverse_span_chain(coeffs, codes, weights, depth: int) -> jnp.ndarray:
+    """Affine pointer-doubling inverse over the merge tree.
+
+    Recomputes the closed-form structure from ``codes``+``weights`` — the
+    decoder has both — and resolves every pair's parent-span value in
+    O(log levels) doubling steps.
+    """
+    N, D = coeffs.shape
+    fdtype = coeffs.dtype
+    W, w_total = _weight_prefix(weights, fdtype)
+    drop, prev_ge, next_ge, levels, w_prev, w_next, _B = _span_topology(
         codes, depth, W
     )
     W_here = W[:N]
@@ -473,3 +567,31 @@ def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     lone = (idx == 0) & ~nxt_is_child
     out = jnp.where(lone[:, None], Y, out)
     return out.astype(fdtype)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
+    """Closed-form inverse RAHT (decoder side of :func:`raht_forward_span`).
+
+    Two equivalent formulations, selected by ``RAHT3DGS_SPAN_INVERSE``
+    (read at trace time):
+
+    - ``chain`` (default): affine pointer-doubling along parent pointers
+      (see :func:`_raht_inverse_span_chain`).
+    - ``fill``: interval-sum expansion via last-write-wins scans — zero
+      gathers (see :func:`_raht_inverse_span_fill`). **Measured 180x
+      slower than chain on TPU v5e** (0.085 vs 15.3 Mpts/s roundtrip at
+      524k): ``lax.associative_scan`` with a custom pytree combiner lowers
+      to ~log2(N) odd/even slicing passes over the (V, N, D) operand,
+      which defeats TPU tiling — only ``cummax``/``cumsum``-class scans
+      get the native reduce-window lowering the topology pass relies on.
+      Kept as an independently-derived correctness oracle
+      (test_span_inverse_fill_matches_chain) and for non-TPU backends.
+
+    Both recompute the structure from ``codes``+``weights`` — exactly what
+    the decoder has after entropy-decoding positions.
+    """
+    mode = _os.environ.get("RAHT3DGS_SPAN_INVERSE", "chain")
+    if mode == "fill":
+        return _raht_inverse_span_fill(coeffs, codes, weights, depth)
+    return _raht_inverse_span_chain(coeffs, codes, weights, depth)

@@ -56,12 +56,12 @@ def main(pad_to):
 
     @jax.jit
     def topo(c):
-        drop, p, q, _ = rs._span_topology(c, DEPTH)
+        drop, p, q, _, _B = rs._span_topology(c, DEPTH)
         return (drop + p + q).astype(jnp.float32)
 
     @jax.jit
     def setup(c, w):
-        drop, p, q, levels = rs._span_topology(c, DEPTH)
+        drop, p, q, levels, _B = rs._span_topology(c, DEPTH)
         N = c.shape[0]
         W, w_total = rs._weight_prefix(w, jnp.float32)
         W_here = W[:N]

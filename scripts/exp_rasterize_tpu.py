@@ -1,0 +1,74 @@
+"""Rasterizer timing on the default platform (TPU) — per-view wall time.
+
+Scales N gradually with a fetch at each size (tunnel etiquette); burst
+timing with last-only fetch as in bench.py.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from raht3dgs_tpu.eval.rasterize import _rasterize_tiled, _colors_to_sh
+
+SIZE = 512
+
+
+def scene(rng, n, sh_k=16):
+    means = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(0.002, 0.02, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 1.0, size=(n,)).astype(np.float32)
+    colors = rng.normal(0, 0.3, size=(n, sh_k * 3)).astype(np.float32)
+    return means, quats, scales, opac, colors
+
+
+def main():
+    rng = np.random.default_rng(0)
+    viewmat = np.eye(4, dtype=np.float32)
+    viewmat[2, 3] = 3.0
+    K = np.array(
+        [[1.2 * SIZE, 0, SIZE / 2], [0, 1.2 * SIZE, SIZE / 2], [0, 0, 1]],
+        np.float32,
+    )
+    vm = jnp.asarray(viewmat)
+    Km = jnp.asarray(K)
+    bg = jnp.ones((3,), jnp.float32)
+
+    for n in (16384, 131072, 524288):
+        means, quats, scales, opac, colors = scene(rng, n)
+        sh, deg = _colors_to_sh(jnp.asarray(colors))
+        args = (
+            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), sh, vm, Km, bg,
+        )
+        kw = dict(width=SIZE, height=SIZE, sh_degree=deg, tile=16,
+                  max_tiles_per_gauss=16, max_per_tile=1024, chunk=128)
+        img, meta = _rasterize_tiled(*args, **kw)
+        float(img[0, 0, 0])  # warm + fetch
+        img, meta = _rasterize_tiled(*args, **kw)
+        float(img[0, 0, 0])
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [_rasterize_tiled(*args, **kw) for _ in range(4)]
+            float(outs[-1][0][0, 0, 0])
+            times.append((time.perf_counter() - t0) / 4)
+        print(json.dumps({
+            "n": n, "ms_per_view": round(min(times) * 1e3, 2),
+            "dup_clipped": int(meta.dup_clipped),
+            "tile_clipped": int(meta.tile_clipped),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -189,3 +189,36 @@ def test_nearest_ge_value_propagation_matches_gathers(rng):
         np.testing.assert_array_equal(
             np.asarray(w_next), Wn[np.asarray(next_ge)]
         )
+
+
+def test_span_inverse_fill_matches_chain(rng):
+    """The two inverse formulations (interval-sum fills vs pointer-doubling
+    chain) agree on fuzzed clouds with multiplicity weights and padding."""
+    from raht3dgs_tpu.ops.raht_span import (
+        _raht_inverse_span_chain,
+        _raht_inverse_span_fill,
+        raht_forward_span,
+    )
+    from raht3dgs_tpu.ops.morton import pad_code
+
+    for trial in range(6):
+        depth = int(rng.integers(2, 7))
+        want = int(rng.integers(1, 500))
+        pts, codes, attrs = unique_voxel_cloud(rng, want, depth, d_attr=3)
+        n = len(codes)
+        pad = int(rng.integers(0, 5))
+        total = n + pad
+        codes_p = np.concatenate(
+            [codes, np.asarray(pad_code(depth, total, jnp.arange(n, n + pad)))]
+        )
+        attrs_p = np.concatenate([attrs, np.zeros((pad, 3))]).astype(np.float32)
+        w = np.concatenate(
+            [rng.integers(1, 4, n), np.zeros(pad)]
+        ).astype(np.float32)
+        cj = jnp.asarray(codes_p)
+        wj = jnp.asarray(w)
+        res = raht_forward_span(cj, jnp.asarray(attrs_p), wj, depth)
+        rec_chain = np.asarray(_raht_inverse_span_chain(res.coeffs, cj, wj, depth))
+        rec_fill = np.asarray(_raht_inverse_span_fill(res.coeffs, cj, wj, depth))
+        np.testing.assert_allclose(rec_fill[:n], rec_chain[:n], rtol=0, atol=1e-4)
+        np.testing.assert_allclose(rec_fill[:n], attrs_p[:n], rtol=0, atol=1e-3)
