@@ -248,3 +248,26 @@ def test_render_comparison_jax_backend(rng):
                                  backend="jax")
     assert np.isfinite(res_diff["psnr_avg"])
     assert res_diff["psnr_avg"] < 60
+
+
+def test_sharded_views_match_sequential(rng):
+    """View-sharded rendering over the 8-device mesh == sequential renders."""
+    from raht3dgs_tpu.parallel.render import render_views_sharded
+    from raht3dgs_tpu.parallel.sharding import make_mesh
+
+    n = 100
+    means, quats, scales, opac, colors = _random_scene(rng, n, sh_k=4)
+    viewmats, Ks, W, H = generate_random_cameras(
+        np.zeros(3), 2.5, n_views=5, image_width=48, image_height=48, seed=9
+    )  # 5 views over 8 devices exercises the padding path
+    mesh = make_mesh(8)
+    imgs, meta = render_views_sharded(
+        means, quats, scales, opac, colors, viewmats, Ks, W, H, mesh=mesh
+    )
+    assert imgs.shape == (5, H, W, 3)
+    assert meta.dup_clipped.shape == (5,)
+    for i in range(5):
+        ref, _ = rasterize_gaussians(
+            means, quats, scales, opac, colors, viewmats[i], Ks[i], W, H
+        )
+        np.testing.assert_allclose(imgs[i], np.asarray(ref), atol=1e-5)
