@@ -422,10 +422,10 @@ def _rasterize_tiled(
     return img, RasterMeta(dup_clipped, tile_clipped)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree", "tile"))
 def _rasterize_dense_jit(
     means, quats, scales, opacities, sh_colors, viewmat, Kmat, background,
-    *, width: int, height: int, sh_degree: int,
+    *, width: int, height: int, sh_degree: int, tile: int,
 ):
     """Dense reference: every gaussian against every pixel, O(H*W*N).
 
@@ -455,9 +455,8 @@ def _rasterize_dense_jit(
     # tile-membership cutoff, replicated exactly: the tiled program
     # evaluates a gaussian on every pixel of every tile its footprint bbox
     # covers, and the 3-sigma tail can still exceed the 1/255 alpha cutoff
-    # — so the dense golden must apply the *same* square cutoff, not a
-    # radius test, for bitwise tiled == dense parity.
-    tile = 16
+    # — so the dense golden must apply the *same* square cutoff (for the
+    # same tile size), not a radius test, for tiled == dense parity.
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
@@ -526,7 +525,8 @@ def rasterize_gaussians(
             overflow counts are returned in :class:`RasterMeta`.
 
     Returns:
-        (image (H, W, 3) float32 numpy, RasterMeta).
+        (image (H, W, 3) float32 numpy array, RasterMeta of device
+        scalars — convert with ``int(...)`` to inspect).
     """
     sh, inferred = _colors_to_sh(jnp.asarray(colors))
     if sh_degree is None:
@@ -550,15 +550,19 @@ def rasterize_gaussians(
         max_per_tile=max_per_tile,
         chunk=chunk,
     )
-    return img, meta
+    return np.asarray(img), meta
 
 
 def rasterize_dense(
     means, quats, scales, opacities, colors, viewmat, Kmat,
     width: int, height: int, sh_degree: Optional[int] = None,
-    background: Optional[np.ndarray] = None,
+    background: Optional[np.ndarray] = None, tile: int = 16,
 ):
-    """Dense (un-tiled) golden renderer — O(H*W*N), small scenes only."""
+    """Dense (un-tiled) golden renderer — O(H*W*N), small scenes only.
+
+    ``tile`` must match the tiled call under comparison: the per-gaussian
+    evaluation cutoff is tile-bbox membership, which depends on the tile
+    size."""
     sh, inferred = _colors_to_sh(jnp.asarray(colors))
     if sh_degree is None:
         sh_degree = inferred
@@ -568,5 +572,5 @@ def rasterize_dense(
         jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
         jnp.asarray(opacities), sh, jnp.asarray(viewmat), jnp.asarray(Kmat),
         jnp.asarray(background, dtype=jnp.float32),
-        width=width, height=height, sh_degree=sh_degree,
+        width=width, height=height, sh_degree=sh_degree, tile=tile,
     )

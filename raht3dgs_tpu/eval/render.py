@@ -82,8 +82,9 @@ def point_render(params: Dict[str, np.ndarray], viewmats, Ks, width, height):
 def volumetric_render(params: Dict[str, np.ndarray], viewmats, Ks, width, height):
     """Render all views with the TPU-native volumetric rasterizer.
 
-    Returns (images (V, H, W, 3), meta dict with capacity-overflow counts
-    summed over views — nonzero means a capacity knob should be raised)."""
+    Returns images (V, H, W, 3). Capacity overflows (footprint/tile entries
+    dropped) are summed over views and surfaced as a warning — nonzero
+    means a capacity knob should be raised."""
     from raht3dgs_tpu.eval.rasterize import rasterize_gaussians
 
     out = []

@@ -378,6 +378,7 @@ def _last_write_fill(has, val, reverse: bool = False):
     return lax.associative_scan(comb, (has, val), axis=1, reverse=reverse)[1]
 
 
+@partial(jax.jit, static_argnames=("depth",))
 def _raht_inverse_span_fill(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     """Scan-only inverse: the orthonormal expansion as interval sums.
 
@@ -457,6 +458,7 @@ def _raht_inverse_span_fill(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     return out.astype(fdtype)
 
 
+@partial(jax.jit, static_argnames=("depth",))
 def _raht_inverse_span_chain(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     """Affine pointer-doubling inverse over the merge tree.
 
@@ -569,12 +571,13 @@ def _raht_inverse_span_chain(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     return out.astype(fdtype)
 
 
-@partial(jax.jit, static_argnames=("depth",))
 def raht_inverse_span(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     """Closed-form inverse RAHT (decoder side of :func:`raht_forward_span`).
 
     Two equivalent formulations, selected by ``RAHT3DGS_SPAN_INVERSE``
-    (read at trace time):
+    (read on every call — the dispatcher is deliberately un-jitted so a
+    mid-process env change cannot be shadowed by a stale jit cache entry;
+    each formulation is jitted separately):
 
     - ``chain`` (default): affine pointer-doubling along parent pointers
       (see :func:`_raht_inverse_span_chain`).

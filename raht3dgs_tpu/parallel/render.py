@@ -16,8 +16,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
 
 from raht3dgs_tpu.eval.rasterize import (
     RasterMeta,
@@ -73,7 +74,6 @@ def render_views_sharded(
         vms = np.concatenate([vms, np.repeat(vms[-1:], V_pad - V, axis=0)])
         Kms = np.concatenate([Kms, np.repeat(Kms[-1:], V_pad - V, axis=0)])
 
-    local = V_pad // ndev
     spec_rep = P()
     spec_v = P(axis)
 
@@ -82,21 +82,27 @@ def render_views_sharded(
         mesh=mesh,
         in_specs=(spec_rep,) * 6 + (spec_v, spec_v),
         out_specs=(spec_v, spec_v, spec_v),
-        check_rep=False,
+        # the blend scan's zero-initialized carries are unvarying while the
+        # per-device camera inputs vary over dp; vma checking would demand
+        # explicit pcasts inside the (shared) single-view program
+        check_vma=False,
     )
     def run(means_, quats_, scales_, opac_, sh_, bg_, vms_, Kms_):
-        imgs, dups, tiles = [], [], []
-        for i in range(local):
+        # scan over the local views: one copy of the rasterizer program
+        # regardless of views-per-device (an unrolled loop would emit
+        # ceil(V/ndev) copies of the sort+scan HLO)
+        def one(_, cam):
+            vm, Km = cam
             img, meta = _rasterize_tiled(
-                means_, quats_, scales_, opac_, sh_, vms_[i], Kms_[i], bg_,
+                means_, quats_, scales_, opac_, sh_, vm, Km, bg_,
                 width=width, height=height, sh_degree=sh_degree, tile=tile,
                 max_tiles_per_gauss=max_tiles_per_gauss,
                 max_per_tile=max_per_tile, chunk=chunk,
             )
-            imgs.append(img)
-            dups.append(meta.dup_clipped)
-            tiles.append(meta.tile_clipped)
-        return jnp.stack(imgs), jnp.stack(dups), jnp.stack(tiles)
+            return 0, (img, meta.dup_clipped, meta.tile_clipped)
+
+        _, (imgs, dups, tiles) = jax.lax.scan(one, 0, (vms_, Kms_))
+        return imgs, dups, tiles
 
     with mesh:
         imgs, dups, tiles = jax.jit(run)(
