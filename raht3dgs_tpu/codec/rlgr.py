@@ -35,7 +35,7 @@ _tried_build = False
 def _build_native() -> Optional[str]:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
+        "-pthread", _SRC, "-o", _LIB,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -85,8 +85,79 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
     ]
     lib.rlgr_decode32.restype = ctypes.c_int
+    _pu8 = ctypes.POINTER(ctypes.c_uint8)
+    _psz = ctypes.POINTER(ctypes.c_size_t)
+    lib.rlgr_encode_batch32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), _psz, _psz, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(_pu8), _psz,
+    ]
+    lib.rlgr_encode_batch32.restype = ctypes.c_int
+    lib.rlgr_decode_batch32.argtypes = [
+        _pu8, _psz, _psz, _psz, _psz, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rlgr_decode_batch32.restype = ctypes.c_int
     _lib = lib
     return _lib
+
+
+def _sz_array(values) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(values, dtype=np.uintp))
+
+
+def _sz_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t))
+
+
+def _encode_batch32(
+    flat: np.ndarray, offsets, ns, signed: bool, threads: int = 0
+) -> List[bytes]:
+    """Encode independent int32 jobs through ONE native call (internal C++
+    thread pool). ``flat`` is the shared contiguous symbol buffer; job j
+    covers ``flat[offsets[j]:offsets[j]+ns[j]]``."""
+    lib = _load()
+    assert lib is not None and flat.dtype == np.int32 and flat.flags.c_contiguous
+    count = len(ns)
+    offs = _sz_array(offsets)
+    nss = _sz_array(ns)
+    outs = (ctypes.POINTER(ctypes.c_uint8) * count)()
+    lens = np.zeros(count, dtype=np.uintp)
+    rc = lib.rlgr_encode_batch32(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _sz_ptr(offs), _sz_ptr(nss), count, int(signed), int(threads),
+        outs, _sz_ptr(lens),
+    )
+    if rc != 0:
+        raise RuntimeError(f"rlgr_encode_batch32 failed (rc={rc})")
+    streams = []
+    for j in range(count):
+        streams.append(ctypes.string_at(outs[j], int(lens[j])))
+        lib.rlgr_buffer_free(outs[j])
+    return streams
+
+
+def _decode_batch32(
+    buf: bytes, buf_offsets, buf_lens, ns, out_offsets, out_flat: np.ndarray,
+    signed: bool, threads: int = 0,
+) -> None:
+    """Decode independent jobs from one concatenated stream buffer into a
+    shared int32 output buffer through ONE native call."""
+    lib = _load()
+    assert lib is not None and out_flat.dtype == np.int32
+    assert out_flat.flags.c_contiguous
+    count = len(ns)
+    boffs = _sz_array(buf_offsets)
+    blens = _sz_array(buf_lens)
+    nss = _sz_array(ns)
+    ooffs = _sz_array(out_offsets)
+    rc = lib.rlgr_decode_batch32(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        _sz_ptr(boffs), _sz_ptr(blens), _sz_ptr(nss), _sz_ptr(ooffs),
+        count, int(signed), int(threads),
+        out_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"rlgr_decode_batch32 failed (rc={rc})")
 
 
 def native_available() -> bool:
@@ -175,6 +246,21 @@ def rlgr_decode(
         else:
             out[:n] = dec
     return out, time.perf_counter_ns() - t0
+
+
+def _use_batch(arr) -> bool:
+    """Whether the one-call native batch path applies: int32 C-contiguous
+    2-D buffer and the native library present. RAHT3DGS_RLGR_BATCH=0 forces
+    the per-stream composition (used by tests to pin byte-equality)."""
+    if os.environ.get("RAHT3DGS_RLGR_BATCH", "1") == "0":
+        return False
+    return (
+        isinstance(arr, np.ndarray)
+        and arr.dtype == np.int32
+        and arr.ndim == 2
+        and arr.flags.c_contiguous
+        and native_available()
+    )
 
 
 _pool = None
@@ -279,16 +365,44 @@ def rlgr_encode_channels(
     """
     payload = np.asarray(payload)
     rows = payload if channel_major else np.ascontiguousarray(payload.T)
+    D, n = rows.shape
     t0 = time.perf_counter_ns()
+    if _use_batch(rows):
+        # one native call for the whole frame: every (channel, chunk) job
+        # runs on the C++ thread pool, byte-identical streams
+        flat = rows.reshape(-1)
+        if chunk > 0:
+            import struct
+
+            c = max(int(chunk), 1)
+            n_chunks = max((n + c - 1) // c, 1)
+            offsets, ns = [], []
+            for d in range(D):
+                for i in range(n_chunks):
+                    offsets.append(d * n + i * c)
+                    ns.append(max(min(c, n - i * c), 0))
+            parts = _encode_batch32(flat, offsets, ns, signed)
+            streams = []
+            for d in range(D):
+                mine = parts[d * n_chunks : (d + 1) * n_chunks]
+                head = struct.pack(
+                    f"<II{n_chunks}I", c, n_chunks, *(len(p) for p in mine)
+                )
+                streams.append(head + b"".join(mine))
+        else:
+            streams = _encode_batch32(
+                flat, [d * n for d in range(D)], [n] * D, signed
+            )
+        return streams, time.perf_counter_ns() - t0
     if chunk > 0:
         streams = [
             rlgr_encode_chunked(np.ascontiguousarray(rows[d]), signed, chunk)[0]
-            for d in range(rows.shape[0])
+            for d in range(D)
         ]
     else:
         streams = _map_tasks(
             lambda d: rlgr_encode(np.ascontiguousarray(rows[d]), signed)[0],
-            list(range(rows.shape[0])),
+            list(range(D)),
         )
     return streams, time.perf_counter_ns() - t0
 
@@ -307,6 +421,47 @@ def rlgr_decode_channels(
     if out is None:
         out = np.empty((D, n), dtype=np.int32)
     t0 = time.perf_counter_ns()
+    if _use_batch(out):
+        # one native call for the whole frame: concatenate the channel
+        # streams into a single buffer and decode every (channel, chunk)
+        # job on the C++ thread pool, straight into the output rows
+        import struct
+
+        stride = out.shape[1]
+        buf = b"".join(streams)
+        base = 0
+        boffs, blens, ns, ooffs = [], [], [], []
+        for d, s in enumerate(streams):
+            if chunk > 0:
+                if len(s) < 8:
+                    raise ValueError(
+                        f"truncated chunked stream: {len(s)} bytes, header needs 8"
+                    )
+                c, n_chunks = struct.unpack_from("<II", s, 0)
+                if len(s) < 8 + 4 * n_chunks:
+                    raise ValueError(
+                        "truncated chunked stream: length table cut off"
+                    )
+                lens = struct.unpack_from(f"<{n_chunks}I", s, 8)
+                off = 8 + 4 * n_chunks
+                for i in range(n_chunks):
+                    m = max(min(c, n - i * c), 0)
+                    if m > 0:
+                        boffs.append(base + off)
+                        blens.append(lens[i])
+                        ns.append(m)
+                        ooffs.append(d * stride + i * c)
+                    off += lens[i]
+            else:
+                boffs.append(base)
+                blens.append(len(s))
+                ns.append(n)
+                ooffs.append(d * stride)
+            base += len(s)
+        _decode_batch32(
+            buf, boffs, blens, ns, ooffs, out.reshape(-1), signed
+        )
+        return out, time.perf_counter_ns() - t0
     if chunk > 0:
         for d in range(D):
             rlgr_decode_chunked(streams[d], n, signed, out=out[d])

@@ -11,9 +11,12 @@
 // Unlike the reference (per-channel std::vector<int64_t> copies through
 // pybind11), this API operates directly on caller-owned contiguous arrays.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -395,6 +398,78 @@ int rlgr_decode32(const uint8_t* buf, size_t len, int flag_signed,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched parallel entry points: run `count` independent coder jobs with an
+// internal thread pool — ONE ctypes crossing for a whole frame's entropy
+// stage (channels x chunks), instead of per-stream calls bouncing through
+// the Python GIL. Jobs are the same automaton as the single-stream API, so
+// every produced stream is byte-identical to a single-stream encode of the
+// same slice (chunk independence comes from the per-chunk automaton reset
+// the chunked container format already mandates).
+
+}  // extern "C" (the pool helper below is a template — C++ linkage)
+
+namespace {
+
+template <typename Fn>
+void run_jobs(size_t count, int n_threads, Fn&& fn) {
+  size_t hw = std::thread::hardware_concurrency();
+  size_t t = n_threads > 0 ? static_cast<size_t>(n_threads) : (hw ? hw : 1);
+  if (t > count) t = count;
+  if (t <= 1) {
+    for (size_t i = 0; i < count; i++) fn(i);
+    return;
+  }
+  std::atomic<size_t> next{0};
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (size_t w = 0; w < t; w++) {
+    pool.emplace_back([&] {
+      for (;;) {
+        size_t i = next.fetch_add(1, std::memory_order_relaxed);
+        if (i >= count) return;
+        fn(i);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode `count` jobs in parallel: job j codes ns[j] int32 symbols starting
+// at data + offsets[j]. On return outs[j] is a malloc'd stream of
+// out_lens[j] bytes (each freed with rlgr_buffer_free). n_threads <= 0
+// selects the hardware concurrency. Returns 0 iff every job succeeded.
+int rlgr_encode_batch32(const int32_t* data, const size_t* offsets,
+                        const size_t* ns, size_t count, int flag_signed,
+                        int n_threads, uint8_t** outs, size_t* out_lens) {
+  std::atomic<int> rc{0};
+  run_jobs(count, n_threads, [&](size_t j) {
+    if (rlgr_encode32(data + offsets[j], ns[j], flag_signed, &outs[j],
+                      &out_lens[j]) != 0)
+      rc.store(-1, std::memory_order_relaxed);
+  });
+  return rc.load();
+}
+
+// Decode `count` jobs in parallel: job j decodes ns[j] symbols from
+// buf + buf_offsets[j] (buf_lens[j] bytes) into out + out_offsets[j].
+int rlgr_decode_batch32(const uint8_t* buf, const size_t* buf_offsets,
+                        const size_t* buf_lens, const size_t* ns,
+                        const size_t* out_offsets, size_t count,
+                        int flag_signed, int n_threads, int32_t* out) {
+  std::atomic<int> rc{0};
+  run_jobs(count, n_threads, [&](size_t j) {
+    if (rlgr_decode32(buf + buf_offsets[j], buf_lens[j], flag_signed,
+                      out + out_offsets[j], ns[j]) != 0)
+      rc.store(-1, std::memory_order_relaxed);
+  });
+  return rc.load();
 }
 
 // Single Golomb-Rice codeword helpers (reference exposes grWrite/grRead on

@@ -19,6 +19,17 @@ int rlgr_decode(const uint8_t* buf, size_t len, int flag_signed, int64_t* seq,
 void rlgr_buffer_free(uint8_t* buf);
 int gr_encode_one(uint64_t value, unsigned k, uint8_t** out, size_t* out_len);
 uint64_t gr_decode_one(const uint8_t* buf, size_t len, unsigned k);
+int rlgr_encode32(const int32_t* seq, size_t n, int flag_signed, uint8_t** out,
+                  size_t* out_len);
+int rlgr_decode32(const uint8_t* buf, size_t len, int flag_signed,
+                  int32_t* seq, size_t n);
+int rlgr_encode_batch32(const int32_t* data, const size_t* offsets,
+                        const size_t* ns, size_t count, int flag_signed,
+                        int n_threads, uint8_t** outs, size_t* out_lens);
+int rlgr_decode_batch32(const uint8_t* buf, const size_t* buf_offsets,
+                        const size_t* buf_lens, const size_t* ns,
+                        const size_t* out_offsets, size_t count,
+                        int flag_signed, int n_threads, int32_t* out);
 }
 
 static int failures = 0;
@@ -82,6 +93,51 @@ int main() {
     rlgr_encode(v.data(), v.size(), 1, &buf, &len);
     CHECK(len < v.size() / 8);
     rlgr_buffer_free(buf);
+  }
+
+  // Batch API: per-job streams byte-identical to single-stream encodes of
+  // the same slices, parallel decode reconstructs exactly (forced 4 threads
+  // regardless of hardware so the pool path itself is exercised).
+  {
+    std::mt19937_64 gen(11);
+    const size_t kJobs = 13;
+    std::vector<int32_t> flat;
+    std::vector<size_t> offsets, ns;
+    std::uniform_int_distribution<int32_t> val(-500, 500);
+    for (size_t j = 0; j < kJobs; j++) {
+      offsets.push_back(flat.size());
+      size_t n = (j * 977) % 4000;  // includes a zero-length job (j == 0)
+      ns.push_back(n);
+      for (size_t i = 0; i < n; i++)
+        flat.push_back((i % 3) ? 0 : val(gen));
+    }
+    std::vector<uint8_t*> outs(kJobs, nullptr);
+    std::vector<size_t> lens(kJobs, 0);
+    CHECK(rlgr_encode_batch32(flat.data(), offsets.data(), ns.data(), kJobs,
+                              1, 4, outs.data(), lens.data()) == 0);
+    // byte-identity vs single-stream encodes
+    std::vector<uint8_t> cat;
+    std::vector<size_t> boffs, blens;
+    for (size_t j = 0; j < kJobs; j++) {
+      uint8_t* one = nullptr;
+      size_t one_len = 0;
+      CHECK(rlgr_encode32(flat.data() + offsets[j], ns[j], 1, &one,
+                          &one_len) == 0);
+      CHECK(one_len == lens[j]);
+      CHECK(std::memcmp(one, outs[j], one_len) == 0);
+      rlgr_buffer_free(one);
+      boffs.push_back(cat.size());
+      blens.push_back(lens[j]);
+      cat.insert(cat.end(), outs[j], outs[j] + lens[j]);
+      rlgr_buffer_free(outs[j]);
+    }
+    std::vector<int32_t> dec(flat.size() + 1, -12345);
+    CHECK(rlgr_decode_batch32(cat.data(), boffs.data(), blens.data(),
+                              ns.data(), offsets.data(), kJobs, 1, 4,
+                              dec.data()) == 0);
+    CHECK(std::memcmp(dec.data(), flat.data(),
+                      flat.size() * sizeof(int32_t)) == 0);
+    CHECK(dec.back() == -12345);  // no overrun
   }
 
   if (failures == 0) {

@@ -267,3 +267,47 @@ def test_concurrent_encodes_are_thread_safe(rng):
             ))
             for o, v in zip(outs, arrays):
                 np.testing.assert_array_equal(o, v)
+
+
+def test_native_batch_matches_per_stream_paths(rng, monkeypatch):
+    """The one-call native batch path must produce byte-identical streams
+    and identical decodes vs the per-stream composition, chunked or not."""
+    from raht3dgs_tpu.codec.rlgr import (
+        native_available,
+        rlgr_decode_channels,
+        rlgr_encode_channels,
+    )
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native backend unavailable")
+
+    for n, chunk in [(10_000, 0), (10_000, 4096), (5, 4096), (4096, 4096),
+                     (8193, 4096), (0, 0), (0, 1024)]:
+        payload = np.asarray(
+            np.round(rng.normal(0, 6, size=(3, n))), dtype=np.int32
+        )
+        monkeypatch.setenv("RAHT3DGS_RLGR_BATCH", "0")
+        ref_streams, _ = rlgr_encode_channels(
+            payload, channel_major=True, chunk=chunk
+        )
+        monkeypatch.setenv("RAHT3DGS_RLGR_BATCH", "1")
+        got_streams, _ = rlgr_encode_channels(
+            payload, channel_major=True, chunk=chunk
+        )
+        assert [bytes(a) for a in got_streams] == [bytes(a) for a in ref_streams], (
+            n, chunk,
+        )
+
+        # decode through both paths into strided outputs (extra columns)
+        out_a = np.full((3, n + 7), -1, dtype=np.int32)
+        out_b = np.full((3, n + 7), -1, dtype=np.int32)
+        monkeypatch.setenv("RAHT3DGS_RLGR_BATCH", "0")
+        rlgr_decode_channels(ref_streams, n, out=out_a, chunk=chunk)
+        monkeypatch.setenv("RAHT3DGS_RLGR_BATCH", "1")
+        rlgr_decode_channels(got_streams, n, out=out_b, chunk=chunk)
+        np.testing.assert_array_equal(out_a[:, :n], payload)
+        np.testing.assert_array_equal(out_b[:, :n], payload)
+        # untouched tail columns prove no out-of-row writes
+        np.testing.assert_array_equal(out_b[:, n:], -1)
