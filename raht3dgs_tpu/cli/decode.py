@@ -18,6 +18,7 @@ import sys
 import numpy as np
 
 from raht3dgs_tpu.cli._common import add_runtime_args, configure_runtime, jnp_dtype
+from raht3dgs_tpu.cli._common import maybe_profile
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
+    with maybe_profile(args):
+        return _run(args)
+
+
+def _run(args) -> int:
 
     blob = open(args.stream, "rb").read()
     if blob[:4] == b"R3TS":

@@ -16,6 +16,7 @@ from raht3dgs_tpu.cli._common import (
     CsvLogger,
     add_runtime_args,
     configure_runtime,
+    maybe_profile,
     jnp_dtype,
 )
 
@@ -58,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
+    with maybe_profile(args):
+        return _run(args)
+
+
+def _run(args) -> int:
 
     from raht3dgs_tpu.io.datasets import get_pointcloud, get_pointcloud_n_frames
     from raht3dgs_tpu.models.color_codec import CSV_HEADER, encode_color_frame

@@ -19,6 +19,7 @@ from raht3dgs_tpu.cli._common import (
     CsvLogger,
     add_runtime_args,
     configure_runtime,
+    maybe_profile,
 )
 
 # Reference 15-column schema (test_voxelize_3dgs.py:42-47).
@@ -76,6 +77,11 @@ def _load_params(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
+    with maybe_profile(args):
+        return _run(args)
+
+
+def _run(args) -> int:
 
     from raht3dgs_tpu.models.gs_voxelize import compress_to_nvox, world_positions
 
