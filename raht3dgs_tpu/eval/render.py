@@ -79,37 +79,52 @@ def point_render(params: Dict[str, np.ndarray], viewmats, Ks, width, height):
     return np.stack(out)
 
 
-def volumetric_render(params: Dict[str, np.ndarray], viewmats, Ks, width, height):
+def volumetric_render(
+    params: Dict[str, np.ndarray], viewmats, Ks, width, height,
+    max_retries: int = 2,
+):
     """Render all views with the TPU-native volumetric rasterizer.
 
-    Returns images (V, H, W, 3). Capacity overflows (footprint/tile entries
-    dropped) are summed over views and surfaced as a warning — nonzero
-    means a capacity knob should be raised."""
+    Returns images (V, H, W, 3). Views whose capacity limits overflow
+    (footprint or per-tile entries dropped) are automatically re-rendered
+    with 4x the overflowing capacity, up to ``max_retries`` times (each
+    retry compiles one new program per distinct capacity, cached after
+    that); a warning is raised only if overflow persists."""
     from raht3dgs_tpu.eval.rasterize import rasterize_gaussians
 
     out = []
     dup_clipped = 0
     tile_clipped = 0
     for i in range(len(viewmats)):
-        img, meta = rasterize_gaussians(
-            params["means"],
-            params["quats"],
-            params["scales"],
-            np.asarray(params["opacities"]).reshape(-1),
-            params["colors"],
-            viewmats[i],
-            Ks[i],
-            width,
-            height,
-        )
-        dup_clipped += int(meta.dup_clipped)
-        tile_clipped += int(meta.tile_clipped)
+        caps = dict(max_tiles_per_gauss=32, max_per_tile=1024)
+        for attempt in range(max_retries + 1):
+            img, meta = rasterize_gaussians(
+                params["means"],
+                params["quats"],
+                params["scales"],
+                np.asarray(params["opacities"]).reshape(-1),
+                params["colors"],
+                viewmats[i],
+                Ks[i],
+                width,
+                height,
+                **caps,
+            )
+            dup, tile = int(meta.dup_clipped), int(meta.tile_clipped)
+            if (not dup and not tile) or attempt == max_retries:
+                break
+            if dup:
+                caps["max_tiles_per_gauss"] *= 4
+            if tile:
+                caps["max_per_tile"] *= 4
+        dup_clipped += dup
+        tile_clipped += tile
         out.append(np.asarray(img))
     if dup_clipped or tile_clipped:
         warnings.warn(
-            f"rasterizer capacity overflow: {dup_clipped} footprint entries, "
-            f"{tile_clipped} tile entries dropped — raise max_tiles_per_gauss/"
-            "max_per_tile for exact images"
+            f"rasterizer capacity overflow after retries: {dup_clipped} "
+            f"footprint entries, {tile_clipped} tile entries dropped — raise "
+            "max_tiles_per_gauss/max_per_tile for exact images"
         )
     return np.stack(out)
 

@@ -125,17 +125,24 @@ def prepare_voxel_frame(
 
     n_padded = round_up_bucket(n, bucket)
     pad_slots = np.arange(n, n_padded)
+    # Codes and pad sentinels must share the exact code dtype BEFORE
+    # concatenation (mixing int64 with the uint64 sentinels of depth 21
+    # would promote to float64): int32 when the level count fits (int64 is
+    # emulated on TPU — always true for the 3DGS J=10 path), int64 up to
+    # depth 20, uint64 at depth 21 (sentinel needs bit 63).
+    from raht3dgs_tpu.ops.morton import code_dtype
+
+    cdt = np.dtype(code_dtype(depth, n_padded))
     codes_p = np.concatenate(
-        [codes, np.asarray(pad_code(depth, n_padded, jnp.asarray(pad_slots)))]
+        [
+            codes.astype(cdt),
+            np.asarray(
+                pad_code(depth, n_padded, jnp.asarray(pad_slots))
+            ).astype(cdt),
+        ]
     )
     attrs_p = pad_rows(attributes.astype(np.float64), n_padded)
     w_p = pad_rows(w, n_padded)
-
-    # int64 is emulated on TPU: narrow codes to int32 whenever the level
-    # count (payload bits + pad bit) fits — always true for the 3DGS J=10
-    # path and for color frames up to J=10.
-    if num_levels(depth, n_padded) <= max_int32_levels():
-        codes_p = codes_p.astype(np.int32)
     return VoxelFrame(
         codes=jnp.asarray(codes_p),
         attributes=jnp.asarray(attrs_p, dtype=dtype),

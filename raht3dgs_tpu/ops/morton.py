@@ -134,18 +134,26 @@ def internal_payload_bits(depth: int, n: int) -> int:
     """
     pad_index_bits = max(1, (max(n, 1) - 1).bit_length())
     bits = max(3 * depth, pad_index_bits)
-    if bits + 1 > 63:
+    if bits + 1 > 64:
         raise ValueError(
-            f"3*depth + pad bit = {bits + 1} exceeds int64 range (depth={depth})"
+            f"3*depth + pad bit = {bits + 1} exceeds uint64 range (depth={depth})"
         )
     return bits
 
 
 def code_dtype(depth: int, n: int):
-    """Narrowest dtype holding real + padding codes for this configuration."""
-    return (
-        jnp.int32 if internal_payload_bits(depth, n) + 1 <= 31 else jnp.int64
-    )
+    """Narrowest dtype holding real + padding codes for this configuration.
+
+    depth <= 10 stays int32 (native TPU arithmetic); up to depth 20 int64;
+    depth 21 — the reference's uint64 Morton ceiling
+    (``matlab/encode_ply.m:27``) — needs the sign bit for the padding
+    sentinel, hence uint64."""
+    bits = internal_payload_bits(depth, n) + 1
+    if bits <= 31:
+        return jnp.int32
+    if bits <= 63:
+        return jnp.int64
+    return jnp.uint64
 
 
 def pad_code(depth: int, n: int, slot: jnp.ndarray) -> jnp.ndarray:

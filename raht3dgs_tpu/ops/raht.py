@@ -107,17 +107,20 @@ def _pred_active(active: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-# Codes ride the wide gather as VALUE-exact float lanes (21-bit digits:
-# float32 represents integers < 2^24 exactly). Bitcasting would be cheaper
-# but XLA:TPU fusions canonicalize NaN/denormal bit patterns inside
-# concat+gather, corrupting bitcast payloads (observed on v5e).
-_DIGIT_BITS = 21
+# Codes ride the wide gather as VALUE-exact float lanes (22-bit digits:
+# float32 represents integers < 2^24 exactly; 3 x 22 = 66 bits covers the
+# depth-21 uint64 code space incl. the padding sentinel bit). Bitcasting
+# would be cheaper but XLA:TPU fusions canonicalize NaN/denormal bit
+# patterns inside concat+gather, corrupting bitcast payloads (observed on
+# v5e).
+_DIGIT_BITS = 22
 _DIGIT_MASK = (1 << _DIGIT_BITS) - 1
 
 
 def _code_lanes(codes: jnp.ndarray, fdtype) -> jnp.ndarray:
     """Split integer codes into (N, 3) exact float digits (low to high)."""
-    c = codes.astype(jnp.int64)
+    # uint64 (depth 21) must not round-trip through int64: bit 63 is live
+    c = codes if codes.dtype == jnp.uint64 else codes.astype(jnp.int64)
     return jnp.stack(
         [
             (c & _DIGIT_MASK).astype(fdtype),
@@ -130,9 +133,10 @@ def _code_lanes(codes: jnp.ndarray, fdtype) -> jnp.ndarray:
 
 def _lanes_code(lanes: jnp.ndarray, code_dtype, fdtype) -> jnp.ndarray:
     """Inverse of :func:`_code_lanes`."""
-    lo = lanes[:, 0].astype(jnp.int64)
-    mid = lanes[:, 1].astype(jnp.int64)
-    hi = lanes[:, 2].astype(jnp.int64)
+    idt = jnp.uint64 if code_dtype == jnp.uint64 else jnp.int64
+    lo = lanes[:, 0].astype(idt)
+    mid = lanes[:, 1].astype(idt)
+    hi = lanes[:, 2].astype(idt)
     c = lo | (mid << _DIGIT_BITS) | (hi << (2 * _DIGIT_BITS))
     return c.astype(code_dtype)
 
@@ -176,6 +180,10 @@ def _level_mask(code_dtype, j, levels: int):
     subtraction is computed in int64 and narrowed: values are < 2^31 for
     the int32 case, so the cast is exact.
     """
+    if code_dtype == jnp.uint64:
+        # levels == 64: 2^64 wraps to 0 in uint64, so 0 - 2^j IS the mask
+        # with bits j..63 set
+        return jnp.uint64(0) - (jnp.uint64(1) << j.astype(jnp.uint64))
     m = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << j.astype(jnp.int64))
     return m.astype(code_dtype)
 

@@ -71,15 +71,19 @@ def _msb(x: jnp.ndarray, bits: int) -> jnp.ndarray:
             (lax.bitcast_convert_type(vf, jnp.int32) >> 23) & 0xFF
         ) - 127
         e = jnp.clip(e, 0, 31).astype(jnp.int32)
-        carry = (v >> e) == 0  # rounded up: true msb is e-1
+        # shift dtype must match v: uint64 >> int32 would promote to f64
+        carry = (v >> e.astype(v.dtype)) == 0  # rounded up: true msb is e-1
         return jnp.where(carry, e - 1, e)
 
     if bits <= 31:
         return msb32(x & jnp.asarray(0x7FFFFFFF, dtype=x.dtype))
-    x = x.astype(jnp.int64)
-    hi = (x >> 31).astype(jnp.int64)  # keep 31-bit halves (sign-safe)
-    lo = x & 0x7FFFFFFF
-    return jnp.where(hi > 0, 31 + msb32(hi), msb32(lo)).astype(jnp.int32)
+    # 32..64-bit inputs (uint64 covers the depth-21 sentinel bit 63):
+    # split into two 32-bit halves — msb32's clip+carry logic is exact for
+    # values up to 2^32 - 1
+    xu = x.astype(jnp.uint64)
+    hi = xu >> 32
+    lo = xu & 0xFFFFFFFF
+    return jnp.where(hi > 0, 32 + msb32(hi), msb32(lo)).astype(jnp.int32)
 
 
 def _nearest_ge(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):

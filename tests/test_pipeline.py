@@ -213,3 +213,34 @@ def test_stream_format_frozen(rng):
     assert hashlib.sha256(blob).hexdigest() == (
         "dc1d63b9576aafac1d589c895e65c68a56d6c399d56edb67b1185d78a93a37d2"
     ), "bitstream format drifted — if intentional, bump VERSION + this hash"
+
+
+def test_codec_at_maximum_depth_21(rng):
+    """J=21 — the int64 Morton ceiling (the MATLAB reference caps J there,
+    matlab/encode_ply.m:27). Full encode->stream->decode roundtrip."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+
+    depth = 21
+    n = 300
+    pos = rng.integers(0, 2**depth, (4 * n, 3)).astype(np.int64)
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    codes = morton_codes_np(pos, depth)
+    _, first = np.unique(codes, return_index=True)
+    pos = pos[first[:n]]
+    attrs = rng.uniform(0, 255, (len(pos), 3))
+
+    codec = AttributeCodec(depth, dtype=jnp.float64)
+    frame = prepare_voxel_frame(pos, attrs, depth, bucket=512,
+                                dtype=jnp.float64)
+    assert frame.codes.dtype == jnp.uint64  # 3*21+1 bits: sentinel needs bit 63
+    enc = codec.encode(frame, 2.0)
+    blob = enc.stream.to_bytes()
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    stream = FrameStream.from_bytes(blob)
+    rec, _ = codec.decode(stream, frame.codes, frame.weights)
+    ref = np.asarray(frame.attributes)[: frame.n_voxels]
+    assert np.abs(rec - ref).max() < 2.0 * 1.1

@@ -222,3 +222,47 @@ def test_span_inverse_fill_matches_chain(rng):
         rec_fill = np.asarray(_raht_inverse_span_fill(res.coeffs, cj, wj, depth))
         np.testing.assert_allclose(rec_fill[:n], rec_chain[:n], rtol=0, atol=1e-4)
         np.testing.assert_allclose(rec_fill[:n], attrs_p[:n], rtol=0, atol=1e-3)
+
+
+def test_span_depth21_uint64_matches_dense(rng):
+    """Depth 21 — the uint64 ceiling (reference caps J there). The span and
+    dense implementations must agree through the sentinel-bit code space."""
+    import jax
+
+    from raht3dgs_tpu.ops.morton import pad_code
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+    from raht3dgs_tpu.ops.raht import raht_forward, raht_inverse
+    from raht3dgs_tpu.ops.raht_span import raht_forward_span, raht_inverse_span
+
+    depth, n, pad = 21, 200, 5
+    pts = rng.integers(0, 2**depth, (4 * n, 3)).astype(np.int64)
+    codes = np.unique(morton_codes_np(pts, depth))[:n]
+    total = n + pad
+    codes_p = np.concatenate(
+        [
+            codes.astype(np.uint64),
+            np.asarray(pad_code(depth, total, jnp.arange(n, n + pad))),
+        ]
+    )
+    assert codes_p.dtype == np.uint64
+    attrs = np.concatenate(
+        [rng.normal(0, 50, (n, 3)), np.zeros((pad, 3))]
+    )
+    w = np.concatenate([np.ones(n), np.zeros(pad)])
+    cj = jnp.asarray(codes_p)
+    aj = jnp.asarray(attrs, dtype=jnp.float64)
+    wj = jnp.asarray(w, dtype=jnp.float64)
+
+    ref = raht_forward(cj, aj, wj, depth)
+    res = raht_forward_span(cj, aj, wj, depth)
+    np.testing.assert_allclose(
+        np.asarray(res.coeffs)[:n], np.asarray(ref.coeffs)[:n],
+        rtol=0, atol=1e-9,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.structure.drop_level), np.asarray(ref.structure.drop_level)
+    )
+    rec = raht_inverse_span(res.coeffs, cj, wj, depth)
+    np.testing.assert_allclose(np.asarray(rec)[:n], attrs[:n], rtol=0, atol=1e-8)
+    rec_d = raht_inverse(ref.coeffs, ref.structure, depth)
+    np.testing.assert_allclose(np.asarray(rec_d)[:n], attrs[:n], rtol=0, atol=1e-8)

@@ -271,3 +271,30 @@ def test_sharded_views_match_sequential(rng):
             means, quats, scales, opac, colors, viewmats[i], Ks[i], W, H
         )
         np.testing.assert_allclose(imgs[i], np.asarray(ref), atol=1e-5)
+
+
+def test_volumetric_render_auto_retry_on_overflow(rng):
+    """volumetric_render bumps capacity and re-renders overflowing views."""
+    import warnings as _warnings
+
+    from raht3dgs_tpu.eval.render import volumetric_render
+    from raht3dgs_tpu.eval.cameras import generate_random_cameras
+
+    # a dense clump forces max_per_tile overflow at the default-less caps?
+    # use a tight cluster so the default 1024/tile would be fine, then
+    # monkey the path by rendering MANY gaussians into one tile
+    n = 1500
+    means = rng.normal(0, 0.004, size=(n, 3)).astype(np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.002, np.float32)
+    opac = np.full((n,), 0.05, np.float32)
+    colors = rng.normal(0, 0.2, size=(n, 3)).astype(np.float32)
+    params = {"means": means, "quats": quats, "scales": scales,
+              "opacities": opac, "colors": colors}
+    viewmats, Ks, W, H = generate_random_cameras(
+        np.zeros(3), 1.5, n_views=1, image_width=32, image_height=32, seed=1
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any overflow warning -> failure
+        imgs = volumetric_render(params, viewmats, Ks, W, H)
+    assert imgs.shape == (1, H, W, 3)
