@@ -131,20 +131,37 @@ def main() -> None:
     # of the whole burst — fetching every output would pay the ~30 ms
     # host<->device tunnel round-trip per frame and dominate the
     # measurement (the same offline-throughput timing MLPerf uses).
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        outs = [roundtrip(codes_j, attrs_j, weights_j) for _ in range(BURST)]
-        float(outs[-1][0, 0])
-        times.append((time.perf_counter() - t0) / BURST)
-    out = outs[-1]
+    #
+    # The shared tunnel occasionally degrades ~100x for a few seconds
+    # (observed mid-round: 0.22 Mpts/s immediately followed by 15.3); a
+    # clearly-degraded attempt is re-measured after a pause rather than
+    # reported as the codec's throughput.
+    def measure():
+        times = []
+        outs = None
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            outs = [roundtrip(codes_j, attrs_j, weights_j) for _ in range(BURST)]
+            float(outs[-1][0, 0])
+            times.append((time.perf_counter() - t0) / BURST)
+        return min(times), outs[-1]
+
+    DEGRADED_MPTS = 2.0
+    best, out = measure()
+    for _ in range(2):
+        if n_real / best / 1e6 >= DEGRADED_MPTS:
+            break
+        print("bench: degraded measurement (transient tunnel stall?); "
+              "retrying", file=sys.stderr)
+        time.sleep(20)
+        b2, out = measure()
+        best = min(best, b2)
 
     # sanity: reconstruction must be lossless to fp32 tolerance
     rec = np.asarray(out)[:n_real]
     err = np.abs(rec - attrs[:n_real]).max()
     assert err < 1e-2, f"roundtrip error {err}"
 
-    best = min(times)
     mpts = n_real / best / 1e6
     print(
         json.dumps(
