@@ -138,6 +138,25 @@ def main() -> int:
         f"    chunked entropy: {chunked.stream.bpp():.3f} bpp "
         f"(vs {enc.stream.bpp():.3f} sequential; chunks decode in parallel)"
     )
+
+    # ---- 7. render-PSNR via the TPU-native volumetric rasterizer ------
+    from raht3dgs_tpu.eval.render import render_comparison
+
+    voxel_scene = {
+        "means": (gs.positions_int[r] + 0.5) * float(gs.voxel_size)
+        + np.asarray(gs.vmin),
+        "quats": gs.quats[r],
+        "scales": gs.scales[r],
+        "opacities": gs.opacities[r],
+        "colors": gs.colors[r],
+    }
+    metrics = render_comparison(
+        scene, voxel_scene, n_views=2, image_size=128, backend="jax"
+    )
+    print(
+        f"[7] render PSNR (volumetric, {metrics['backend']}): "
+        f"{metrics['psnr_avg']:.2f} dB over {len(metrics['psnr_per_view'])} views"
+    )
     print("done.")
     return 0
 
