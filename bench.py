@@ -146,7 +146,9 @@ def main() -> None:
             times.append((time.perf_counter() - t0) / BURST)
         return min(times), outs[-1]
 
-    DEGRADED_MPTS = 2.0
+    # the threshold targets transient tunnel stalls on the TPU platform;
+    # an explicit CPU run is legitimately slower than it
+    DEGRADED_MPTS = 0.0 if os.environ.get("RAHT3DGS_BENCH_PLATFORM") == "cpu" else 2.0
     best, out = measure()
     for _ in range(2):
         if n_real / best / 1e6 >= DEGRADED_MPTS:

@@ -286,6 +286,43 @@ def _map_tasks(fn, tasks):
     return [fn(t) for t in tasks]
 
 
+def _pack_chunk_header(chunk: int, lens) -> bytes:
+    """Chunked-stream framing: ``u32 chunk | u32 n_chunks | u32 len[i]...``.
+
+    The single definition shared by the per-stream and native-batch
+    encoders — the byte-identity invariant between those paths depends on
+    this layout living in exactly one place."""
+    import struct
+
+    return struct.pack(f"<II{len(lens)}I", chunk, len(lens), *lens)
+
+
+def _parse_chunk_header(stream: bytes):
+    """Parse and validate chunked framing; returns (chunk, lens, payload_off).
+
+    Raises ValueError on any truncation — including a length table whose
+    payloads would run past the end of the buffer (the native batch
+    decoder reads exactly [off, off+len) with no Python slicing to clamp
+    for it)."""
+    import struct
+
+    if len(stream) < 8:
+        raise ValueError(
+            f"truncated chunked stream: {len(stream)} bytes, header needs 8"
+        )
+    chunk, n_chunks = struct.unpack_from("<II", stream, 0)
+    if len(stream) < 8 + 4 * n_chunks:
+        raise ValueError("truncated chunked stream: length table cut off")
+    lens = struct.unpack_from(f"<{n_chunks}I", stream, 8)
+    payload_off = 8 + 4 * n_chunks
+    if payload_off + sum(lens) > len(stream):
+        raise ValueError(
+            "truncated chunked stream: payloads exceed the buffer "
+            f"({payload_off + sum(lens)} > {len(stream)} bytes)"
+        )
+    return chunk, lens, payload_off
+
+
 def rlgr_encode_chunked(
     values: np.ndarray, signed: bool = True, chunk: int = 65536
 ) -> Tuple[bytes, int]:
@@ -309,11 +346,7 @@ def rlgr_encode_chunked(
     t0 = time.perf_counter_ns()
     results = _map_tasks(lambda p: rlgr_encode(p, signed)[0], parts)
     elapsed = time.perf_counter_ns() - t0
-    import struct
-
-    head = struct.pack(
-        f"<II{n_chunks}I", chunk, n_chunks, *(len(r) for r in results)
-    )
+    head = _pack_chunk_header(chunk, [len(r) for r in results])
     return head + b"".join(results), elapsed
 
 
@@ -322,17 +355,9 @@ def rlgr_decode_chunked(
     out: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int]:
     """Decode a :func:`rlgr_encode_chunked` stream; chunks in parallel."""
-    import struct
-
-    if len(stream) < 8:
-        raise ValueError(
-            f"truncated chunked stream: {len(stream)} bytes, header needs 8"
-        )
-    chunk, n_chunks = struct.unpack_from("<II", stream, 0)
-    if len(stream) < 8 + 4 * n_chunks:
-        raise ValueError("truncated chunked stream: length table cut off")
-    lens = struct.unpack_from(f"<{n_chunks}I", stream, 8)
-    offs = np.concatenate([[8 + 4 * n_chunks], 8 + 4 * n_chunks + np.cumsum(lens)])
+    chunk, lens, payload_off = _parse_chunk_header(stream)
+    n_chunks = len(lens)
+    offs = np.concatenate([[payload_off], payload_off + np.cumsum(lens)])
     if out is None:
         out = np.empty(n, dtype=np.int32)
     t0 = time.perf_counter_ns()
@@ -372,8 +397,6 @@ def rlgr_encode_channels(
         # runs on the C++ thread pool, byte-identical streams
         flat = rows.reshape(-1)
         if chunk > 0:
-            import struct
-
             c = max(int(chunk), 1)
             n_chunks = max((n + c - 1) // c, 1)
             offsets, ns = [], []
@@ -385,10 +408,10 @@ def rlgr_encode_channels(
             streams = []
             for d in range(D):
                 mine = parts[d * n_chunks : (d + 1) * n_chunks]
-                head = struct.pack(
-                    f"<II{n_chunks}I", c, n_chunks, *(len(p) for p in mine)
+                streams.append(
+                    _pack_chunk_header(c, [len(p) for p in mine])
+                    + b"".join(mine)
                 )
-                streams.append(head + b"".join(mine))
         else:
             streams = _encode_batch32(
                 flat, [d * n for d in range(D)], [n] * D, signed
@@ -424,26 +447,18 @@ def rlgr_decode_channels(
     if _use_batch(out):
         # one native call for the whole frame: concatenate the channel
         # streams into a single buffer and decode every (channel, chunk)
-        # job on the C++ thread pool, straight into the output rows
-        import struct
-
+        # job on the C++ thread pool, straight into the output rows.
+        # _parse_chunk_header bounds-checks the untrusted length tables —
+        # the native reader consumes exactly [off, off+len) with no Python
+        # slicing to clamp an oversized len.
         stride = out.shape[1]
         buf = b"".join(streams)
         base = 0
         boffs, blens, ns, ooffs = [], [], [], []
         for d, s in enumerate(streams):
             if chunk > 0:
-                if len(s) < 8:
-                    raise ValueError(
-                        f"truncated chunked stream: {len(s)} bytes, header needs 8"
-                    )
-                c, n_chunks = struct.unpack_from("<II", s, 0)
-                if len(s) < 8 + 4 * n_chunks:
-                    raise ValueError(
-                        "truncated chunked stream: length table cut off"
-                    )
-                lens = struct.unpack_from(f"<{n_chunks}I", s, 8)
-                off = 8 + 4 * n_chunks
+                c, lens, off = _parse_chunk_header(s)
+                n_chunks = len(lens)
                 for i in range(n_chunks):
                     m = max(min(c, n - i * c), 0)
                     if m > 0:

@@ -33,7 +33,7 @@ from raht3dgs_tpu.codec.rlgr import (
 )
 from raht3dgs_tpu.ops.morton import morton_encode, pad_code
 from raht3dgs_tpu.ops.quantize import dequantize, quantize
-from raht3dgs_tpu.ops.raht import get_forward_impl, max_int32_levels, num_levels
+from raht3dgs_tpu.ops.raht import get_forward_impl
 from raht3dgs_tpu.ops.reorder import coefficient_order
 from raht3dgs_tpu.utils.padding import pad_rows, round_up_bucket
 from raht3dgs_tpu.utils.timing import StageTimer

@@ -182,8 +182,12 @@ def _level_mask(code_dtype, j, levels: int):
     """
     if code_dtype == jnp.uint64:
         # levels == 64: 2^64 wraps to 0 in uint64, so 0 - 2^j IS the mask
-        # with bits j..63 set
-        return jnp.uint64(0) - (jnp.uint64(1) << j.astype(jnp.uint64))
+        # with bits j..63 set. The final level j == 64 must be an explicit
+        # 0 ("merge everything"): shift counts >= the bit width are
+        # implementation-defined in XLA (x86 masks them mod 64).
+        ju = jnp.minimum(j, 63).astype(jnp.uint64)
+        m = jnp.uint64(0) - (jnp.uint64(1) << ju)
+        return jnp.where(j >= 64, jnp.uint64(0), m)
     m = (jnp.int64(1) << jnp.int64(levels)) - (jnp.int64(1) << j.astype(jnp.int64))
     return m.astype(code_dtype)
 

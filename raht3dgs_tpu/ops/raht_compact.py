@@ -48,6 +48,12 @@ def raht_forward_compact(
 ) -> RahtForwardResult:
     """Forward RAHT via per-level compaction. Same contract as
     ops/raht.py:raht_forward (sorted unique codes; zero-weight padding)."""
+    if codes.dtype == jnp.uint64:
+        raise NotImplementedError(
+            "the compact formulation does not support the uint64 depth-21 code "
+            "tier (its -1 sentinels and signed guards assume a signed "
+            "dtype); use the span or dense implementation"
+        )
     N, D = attributes.shape
     levels = num_levels(depth, N)
     fdtype = attributes.dtype

@@ -79,6 +79,12 @@ def raht_forward_scan(
 ) -> RahtForwardResult:
     """Forward RAHT with scan-propagated neighbor values. Same contract as
     ops/raht.py:raht_forward."""
+    if codes.dtype == jnp.uint64:
+        raise NotImplementedError(
+            "the scan formulation does not support the uint64 depth-21 code "
+            "tier (its -1 sentinels and signed guards assume a signed "
+            "dtype); use the span or dense implementation"
+        )
     N, D = attributes.shape
     levels = num_levels(depth, N)
     fdtype = attributes.dtype

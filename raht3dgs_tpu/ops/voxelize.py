@@ -157,6 +157,10 @@ def voxelize(
         jnp.floor(V0 / voxel_size), 0, (1 << depth) - 1
     ).astype(jnp.int32)
     M = morton_encode(Vint, depth)
+    # Codes and sentinels must share the exact code dtype BEFORE the where:
+    # mixing int64 codes with the uint64 depth-21 sentinels would promote
+    # to float64 and round 63-bit codes (silent corruption).
+    M = M.astype(code_dtype(depth, N))
     # Invalid input rows get sentinel codes so they sort after every real code.
     M = jnp.where(valid_in, M, pad_code(depth, N, row))
 

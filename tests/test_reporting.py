@@ -31,6 +31,8 @@ def driver_csvs(tmp_path, rng):
     save_ply_ascii(ply, pts.astype(float), cols.astype(float),
                    width=2**depth - 1)
 
+    torch = pytest.importorskip("torch")
+
     from raht3dgs_tpu.cli.encode_ply import main as ply_main
 
     raht_csv = tmp_path / "runtime_ply.csv"
@@ -38,8 +40,6 @@ def driver_csvs(tmp_path, rng):
         "--input", str(ply), "--steps", "4", "8", "--platform", "cpu",
         "--csv", str(raht_csv),
     ]) == 0
-
-    import torch
 
     n = 500
     splats = {

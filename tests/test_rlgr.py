@@ -311,3 +311,23 @@ def test_native_batch_matches_per_stream_paths(rng, monkeypatch):
         np.testing.assert_array_equal(out_b[:, :n], payload)
         # untouched tail columns prove no out-of-row writes
         np.testing.assert_array_equal(out_b[:, n:], -1)
+
+
+def test_batch_decode_rejects_oversized_length_table(rng):
+    """A corrupt chunk length table must raise, not read past the buffer
+    (the native batch reader has no Python slice to clamp it)."""
+    from raht3dgs_tpu.codec.rlgr import (
+        native_available,
+        rlgr_decode_channels,
+        rlgr_encode_channels,
+    )
+
+    if not native_available():
+        pytest.skip("native backend unavailable")
+    payload = np.asarray(rng.integers(-50, 50, (2, 3000)), dtype=np.int32)
+    streams, _ = rlgr_encode_channels(payload, channel_major=True, chunk=1024)
+    # corrupt channel 0's first chunk length to a huge value
+    bad = bytearray(streams[0])
+    bad[8:12] = (2**31).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="truncated chunked stream"):
+        rlgr_decode_channels([bytes(bad), streams[1]], 3000, chunk=1024)

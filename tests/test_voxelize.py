@@ -119,3 +119,32 @@ def test_legacy_voxelize_pc_wrapper(tmp_path, rng):
     assert (tmp_path / "out_vox.ply").exists()
     header = (tmp_path / "out_data.txt").read_text().splitlines()[0].split()
     assert int(header[5]) == len(PCvox)
+
+
+def test_voxelize_depth21_uint64_codes_exact(rng):
+    """Depth 21: codes and pad sentinels must share the uint64 dtype — a
+    mixed int64/uint64 where() would promote to float64 and round 63-bit
+    codes (caught by review; this pins the fix)."""
+    n = 500
+    pts = rng.uniform(0, 2.0**21, (n, 3))
+    PC = np.concatenate([pts, rng.uniform(0, 255, (n, 3))], axis=1)
+    res = voxelize(jnp.asarray(PC), 21)
+    assert res.codes.dtype == jnp.uint64
+    nv = int(res.nvox)
+    codes = np.asarray(res.codes)[:nv]
+
+    # exact integer recomputation (python ints are arbitrary precision)
+    vs = float(res.width) / 2**21
+    vmin = np.asarray(res.vmin)
+    Vint = np.clip(np.floor((pts - vmin) / vs), 0, 2**21 - 1).astype(np.int64)
+    want = set()
+    for x, y, z in Vint:
+        c = 0
+        for b in range(21):
+            c |= ((int(z) >> b) & 1) << (3 * b)
+            c |= ((int(y) >> b) & 1) << (3 * b + 1)
+            c |= ((int(x) >> b) & 1) << (3 * b + 2)
+        want.add(c)
+    assert set(int(c) for c in codes) == want
+    # ascending and unique
+    assert np.all(np.diff(codes.astype(np.uint64)) > 0)
