@@ -331,3 +331,38 @@ def test_batch_decode_rejects_oversized_length_table(rng):
     bad[8:12] = (2**31).to_bytes(4, "little")
     with pytest.raises(ValueError, match="truncated chunked stream"):
         rlgr_decode_channels([bytes(bad), streams[1]], 3000, chunk=1024)
+
+
+def test_concurrent_batch_calls_are_thread_safe(rng):
+    """Parallel Python threads each driving the native batch API (which
+    spawns its own C++ pool) must produce the same streams as serial."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from raht3dgs_tpu.codec.rlgr import (
+        native_available,
+        rlgr_decode_channels,
+        rlgr_encode_channels,
+    )
+
+    if not native_available():
+        pytest.skip("native backend unavailable")
+    payloads = [
+        np.asarray(rng.integers(-100, 100, (4, 5000)), dtype=np.int32)
+        for _ in range(6)
+    ]
+    serial = [
+        rlgr_encode_channels(p, channel_major=True, chunk=1024)[0]
+        for p in payloads
+    ]
+
+    def work(p):
+        streams, _ = rlgr_encode_channels(p, channel_major=True, chunk=1024)
+        out = np.empty((4, 5000), np.int32)
+        rlgr_decode_channels(streams, 5000, out=out, chunk=1024)
+        return streams, out
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(work, payloads))
+    for (streams, out), ref_streams, p in zip(results, serial, payloads):
+        assert [bytes(s) for s in streams] == [bytes(s) for s in ref_streams]
+        np.testing.assert_array_equal(out, p)
