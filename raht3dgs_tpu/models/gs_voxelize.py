@@ -61,11 +61,17 @@ def _voxelize_merge_device(
     vox = voxelize(means, depth)
     sort_idx = vox.sort_idx
 
-    q_s = quats[sort_idx]
-    s_s = scales[sort_idx]
-    o_s = opacities[sort_idx]
-    c_s = colors[sort_idx]
-    m_s = means[sort_idx]
+    # ONE wide (N, 11+C) row gather instead of five with identical indices
+    # — row gathers cost per-row DMA regardless of width, and XLA does not
+    # merge separate gather ops (docs/performance.md)
+    packed = jnp.concatenate(
+        [quats, scales, opacities[:, None], colors, means], axis=1
+    )[sort_idx]
+    q_s = packed[:, 0:4]
+    s_s = packed[:, 4:7]
+    o_s = packed[:, 7]
+    c_s = packed[:, 8 : 8 + colors.shape[1]]
+    m_s = packed[:, 8 + colors.shape[1] :]
 
     w = o_s if weight_by_opacity else jnp.ones_like(o_s)
     first = jnp.concatenate(
