@@ -298,3 +298,36 @@ def test_volumetric_render_auto_retry_on_overflow(rng):
         _warnings.simplefilter("error")  # any overflow warning -> failure
         imgs = volumetric_render(params, viewmats, Ks, W, H)
     assert imgs.shape == (1, H, W, 3)
+
+
+def test_tiled_matches_dense_fuzz():
+    """Hypothesis sweep: tiled == dense across image sizes, tile sizes, and
+    scene spreads (compile cost bounded by reusing few distinct shapes)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        wh=st.sampled_from([(48, 48), (64, 32), (50, 70)]),
+        tile=st.sampled_from([16, 32]),
+        sh_k=st.sampled_from([1, 4]),
+        spread=st.floats(0.3, 1.5),
+    )
+    def check(seed, wh, tile, sh_k, spread):
+        rng = np.random.default_rng(seed)
+        W, H = wh
+        means, quats, scales, opac, colors = _random_scene(
+            rng, 100, sh_k=sh_k, spread=spread
+        )
+        viewmat, K = _front_cam(dist=2.5, width=W, height=H)
+        img, meta = rasterize_gaussians(
+            means, quats, scales, opac, colors, viewmat, K, W, H, tile=tile
+        )
+        if int(meta.dup_clipped) or int(meta.tile_clipped):
+            return  # capacity-limited scenes are exercised elsewhere
+        ref = rasterize_dense(
+            means, quats, scales, opac, colors, viewmat, K, W, H, tile=tile
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=3e-5)
+
+    check()
