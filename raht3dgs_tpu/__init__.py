@@ -17,8 +17,9 @@ A brand-new framework with the capabilities of the reference RAHT-3DGS-codec
   Malvar DCC'06 automaton (reference: python/PyRLGR/src/libs/rlgr/membuf.cpp),
   implemented as a native C++ module (ctypes) with a numpy fallback.
 
-int64 Morton codes (3*J bits, J up to 20 in padded mode / 21 exact) require
-JAX x64 mode; it is enabled on package import.
+Morton codes use int32 (J <= 10), int64 (J <= 20), or uint64 (J = 21, the
+reference's MATLAB ceiling — the padding sentinel occupies bit 63); the
+wide tiers require JAX x64 mode, enabled on package import.
 """
 
 import jax as _jax
@@ -35,6 +36,11 @@ from raht3dgs_tpu.ops.raht import (  # noqa: E402
     raht_inverse,
     raht_structure,
 )
+from raht3dgs_tpu.ops.raht_span import (  # noqa: E402
+    raht_forward_span,
+    raht_inverse_span,
+    raht_structure_span,
+)
 
 __all__ = [
     "morton_encode",
@@ -45,5 +51,8 @@ __all__ = [
     "raht_forward",
     "raht_inverse",
     "raht_structure",
+    "raht_forward_span",
+    "raht_inverse_span",
+    "raht_structure_span",
     "__version__",
 ]
