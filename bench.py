@@ -27,7 +27,7 @@ ITERS = 3
 BURST = 8
 
 
-def _platform_healthy(timeout_s: float = 90.0, attempts: int = 3) -> bool:
+def _platform_healthy(timeout_s: float = 90.0, attempts: int = 6) -> bool:
     """The TPU tunnel in this environment can wedge (in-flight fetches hang
     forever and block_until_ready returns without waiting). Probe with a
     real value fetch under a watchdog thread before committing to it.
@@ -62,7 +62,7 @@ def _platform_healthy(timeout_s: float = 90.0, attempts: int = 3) -> bool:
                 f"bench: platform probe attempt {attempt + 1} failed; retrying",
                 file=sys.stderr,
             )
-            time.sleep(15)
+            time.sleep(30)
     return False
 
 
