@@ -243,3 +243,36 @@ def test_sequence_rejects_truncation(tmp_path):
         (tmp_path / "cut.r3ts").write_bytes(full[:cut])
         with pytest.raises(ValueError, match="truncated sequence"):
             SequenceReader(tmp_path / "cut.r3ts")
+
+
+def test_ply_reader_malformed_inputs(tmp_path, rng):
+    """Malformed PLY files raise specific errors (never hang or crash)."""
+    from raht3dgs_tpu.io.ply import read_ply as read_ply_file
+
+    cases = {
+        "not_ply.ply": b"OFF\n0 0 0\n",
+        "unterminated.ply": b"ply\nformat ascii 1.0\nelement vertex 3\n",
+        "bad_format.ply": (
+            b"ply\nformat binary_middle_endian 1.0\nelement vertex 1\n"
+            b"property float x\nend_header\n\x00\x00\x00\x00"
+        ),
+        "list_prop.ply": (
+            b"ply\nformat ascii 1.0\nelement face 1\n"
+            b"property list uchar int vertex_index\nend_header\n3 0 1 2\n"
+        ),
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        with pytest.raises(ValueError):
+            read_ply_file(p)
+
+    # truncated binary payload: fewer records than the header claims
+    good = tmp_path / "good.ply"
+    hdr = (
+        b"ply\nformat binary_little_endian 1.0\nelement vertex 10\n"
+        b"property float x\nproperty float y\nproperty float z\nend_header\n"
+    )
+    good.write_bytes(hdr + b"\x00" * (12 * 3))  # only 3 of 10 records
+    with pytest.raises(Exception):
+        read_ply_file(good)
