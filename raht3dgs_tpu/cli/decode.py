@@ -60,8 +60,9 @@ def main(argv=None) -> int:
 
 def _run(args) -> int:
 
-    blob = open(args.stream, "rb").read()
-    if blob[:4] == b"R3TS":
+    with open(args.stream, "rb") as f:
+        magic = f.read(4)
+    if magic == b"R3TS":
         from raht3dgs_tpu.codec.bitstream import SequenceReader
 
         seq = SequenceReader(args.stream)
@@ -84,7 +85,8 @@ def _run(args) -> int:
     else:
         from raht3dgs_tpu.codec.bitstream import FrameStream
 
-        stream = FrameStream.from_bytes(blob)
+        with open(args.stream, "rb") as f:
+            stream = FrameStream.from_bytes(f.read())
     _decode_one(args, stream, args.positions, args.output)
     return 0
 
@@ -112,9 +114,14 @@ def _decode_one(args, stream, positions_path, output_path) -> None:
             )
         gs_meta = (V_int_gs, voxel_size, vmin_gs)
 
-    ply = read_ply(positions_path)
-    v = ply.vertices
-    V = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float64)
+    if gs_meta is not None:
+        # positions were already parsed by read_compressed_3dgs_ply — the
+        # integer voxel coordinates ARE the x/y/z columns
+        V = np.asarray(V_int_gs, dtype=np.float64)
+    else:
+        ply = read_ply(positions_path)
+        v = ply.vertices
+        V = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float64)
     if len(V) != stream.n_voxels:
         raise SystemExit(
             f"stream encodes {stream.n_voxels} voxels but {positions_path} "

@@ -83,7 +83,10 @@ class FrameStream:
             steps.shape[0],
         )
         head += steps.tobytes()
-        head += np.asarray(self.vmin, dtype=np.float64).tobytes()
+        vmin = np.asarray(self.vmin, dtype=np.float64)
+        if vmin.shape != (3,):
+            raise ValueError(f"vmin must have shape (3,), got {vmin.shape}")
+        head += vmin.tobytes()
         head += struct.pack("<d", float(self.width))
         if self.chunk > 0:
             head += struct.pack("<I", int(self.chunk))
@@ -104,6 +107,14 @@ class FrameStream:
             raise ValueError(f"bad magic {magic!r}")
         if version != VERSION:
             raise ValueError(f"unsupported version {version}")
+        order_bits = (flags >> _ORDER_SHIFT) & 0x3
+        if order_bits >= len(_ORDER_MODES):
+            raise ValueError(f"corrupt stream: unknown order mode {order_bits}")
+        if n_steps not in (1, n_ch) or n_steps == 0:
+            raise ValueError(
+                f"corrupt stream: {n_steps} steps for {n_ch} channels "
+                "(must be 1 or one per channel)"
+            )
         fixed = 8 * n_steps + 24 + 8 + (4 if flags & FLAG_CHUNKED else 0)
         if len(data) < off + fixed:
             raise ValueError("truncated stream: metadata section cut off")
@@ -138,7 +149,7 @@ class FrameStream:
             vmin=vmin,
             width=width,
             signed=bool(flags & FLAG_SIGNED),
-            order_mode=_ORDER_MODES[(flags >> _ORDER_SHIFT) & 0x3],
+            order_mode=_ORDER_MODES[order_bits],
             chunk=chunk,
         )
 
@@ -198,6 +209,12 @@ class SequenceReader:
             if len(table) < 8 * (n + 1):
                 raise ValueError("truncated sequence: offset table cut off")
             self._offsets = struct.unpack(f"<{n + 1}Q", table)
+            if any(
+                self._offsets[i + 1] < self._offsets[i] for i in range(n)
+            ):
+                raise ValueError(
+                    "corrupt sequence: offset table not nondecreasing"
+                )
             f.seek(0, 2)
             if f.tell() < self._offsets[-1]:
                 raise ValueError(

@@ -151,7 +151,7 @@ class BatchAttributeCodec:
             "iRAHT_time",
             batched_decode_step,
             codes, weights, jnp.asarray(qfull), inv_b, steps, self.depth,
-            streams[0].order_mode, self.dtype,
+            self.dtype,
         )
         rec_np = np.asarray(rec)
         return [rec_np[i][: f.n_voxels] for i, f in enumerate(frames)], timer

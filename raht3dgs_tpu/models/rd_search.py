@@ -23,12 +23,6 @@ from raht3dgs_tpu.ops.rate_model import estimate_bpp
 
 
 @jax.jit
-def _estimate_bpp_at_step(coeffs, step, valid, n_voxels):
-    q = quantize(coeffs, step)
-    return estimate_bpp(q, n_voxels, valid=valid)
-
-
-@jax.jit
 def _estimate_bpp_grid(coeffs, steps_grid, valid, n_voxels):
     """Rate estimates for a whole (S, D') grid of candidate steps at once."""
     return jax.vmap(
@@ -70,6 +64,8 @@ def search_step_for_bpp(
     scalar to per-channel steps (e.g. the 3DGS per-attribute multipliers);
     identity by default.
     """
+    if not np.isfinite(target_bpp) or target_bpp <= 0:
+        raise ValueError(f"target_bpp must be positive, got {target_bpp}")
     codec = codec or AttributeCodec(frame.depth)
     if steps_fn is None:
         steps_fn = lambda s: s  # noqa: E731
@@ -101,11 +97,14 @@ def search_step_for_bpp(
         ratio = actual / target_bpp
         if ratio <= 1.0 and step <= lo:
             break
-        step = float(np.clip(step * ratio**1.4, lo, hi))
+        new_step = float(np.clip(step * ratio**1.4, lo, hi))
+        if new_step == step:
+            break  # pinned at a bound: re-encoding is byte-identical
+        step = new_step
         enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     # guarantee the budget if possible
     while enc.stream.bpp() > target_bpp and step < hi:
-        step *= 1.3
+        step = float(min(step * 1.3, hi))
         enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     return RateSearchResult(
         step=float(step),

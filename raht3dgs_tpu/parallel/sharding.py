@@ -105,9 +105,9 @@ def batched_transform_step(codes, attrs, weights, steps, depth,
     return jax.vmap(one)(codes, attrs, weights, nvox)
 
 
-@partial(jax.jit, static_argnames=("depth", "order_mode", "dtype"))
+@partial(jax.jit, static_argnames=("depth", "dtype"))
 def batched_decode_step(codes, weights, qfull, inv, steps, depth,
-                        order_mode="ragft", dtype=jnp.float64):
+                        dtype=jnp.float64):
     """Dequantize + inverse RAHT for a batch of frames.
 
     ``qfull`` is (B, D, N) channel-major decoded stream values (pads-last);
