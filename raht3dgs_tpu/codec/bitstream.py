@@ -29,7 +29,10 @@ VERSION = 1
 FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
 _ORDER_SHIFT = 1
-_ORDER_MODES = ("ragft", "weight_desc", "morton")
+# single source of truth for the mode <-> flag-bits mapping: the index is
+# serialized into on-disk stream flags, so a second diverging tuple would
+# silently corrupt streams
+from raht3dgs_tpu.ops.reorder import ORDER_MODES as _ORDER_MODES
 FLAG_CHUNKED = 1 << 3
 
 

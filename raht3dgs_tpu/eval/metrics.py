@@ -8,11 +8,11 @@ framework's packed layouts.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
-from raht3dgs_tpu.ops.quantize import GS_ATTRIBUTE_GROUPS
+from raht3dgs_tpu.ops.quantize import GS_ATTRIBUTE_GROUPS, gs_attribute_groups
 
 
 def compute_attribute_metrics(
@@ -58,13 +58,18 @@ def compute_attribute_metrics(
 def gs_group_psnr(
     original: np.ndarray,
     reconstructed: np.ndarray,
-    groups: Mapping[str, Tuple[int, int]] = GS_ATTRIBUTE_GROUPS,
+    groups: Optional[Mapping[str, Tuple[int, int]]] = None,
 ) -> Dict[str, float]:
-    """Overall + per-group PSNR over a packed (N, 56) attribute matrix.
+    """Overall + per-group PSNR over a packed (N, D) attribute matrix.
 
     PSNR definition matches the reference exactly:
-    ``-10 * log10(mse + 1e-10)`` (``encode_3dgs.py:297-310``).
+    ``-10 * log10(mse + 1e-10)`` (``encode_3dgs.py:297-310``). Groups
+    default to the reference layout adapted to the payload width
+    (colors = (8, D); groups past D are skipped) so non-56-channel
+    payloads neither drop channels nor average empty slices.
     """
+    if groups is None:
+        groups = gs_attribute_groups(original.shape[1])
     out: Dict[str, float] = {}
 
     def psnr(a, b):

@@ -32,7 +32,7 @@ from raht3dgs_tpu.utils.timing import StageTimer
 from raht3dgs_tpu.config import ColorCodecConfig as _CCC
 
 DEFAULT_DEPTH = _CCC.depth
-DEFAULT_STEPS = (1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64)
+DEFAULT_STEPS = _CCC.steps
 
 # Reference 11-column CSV schema (encode_ply.py:57) — kept verbatim so the
 # reporting scripts consume our logs unchanged.
@@ -62,7 +62,9 @@ class RDPoint:
             f"{t.get('Quant_time', 0.0):.6f},"
             f"{t.get('Entropy_enc_time', 0.0):.6f},"
             f"{t.get('Entropy_dec_time', 0.0):.6f},"
-            f"{t.get('Dequant_time', 0.0):.6f},"
+            # 11-col reference schema has no decode-reorder column: fold it
+            # into Dequant (both are decode-side coefficient prep)
+            f"{t.get('Dequant_time', 0.0) + t.get('Coeff_reorder_dec_time', 0.0):.6f},"
             f"{t.get('iRAHT_time', 0.0):.6f},"
             f"{self.psnr:.6f}"
         )
@@ -109,7 +111,9 @@ def encode_color_frame(
 
     codec = codec or AttributeCodec(depth, dtype=dtype)
     coeffs, order, structure, timer = codec.transform(frame, timer)
-    coeffs_np = np.asarray(coeffs)[: frame.n_voxels]
+    # coefficient fetch only on the coeff-domain-PSNR path (decode=False):
+    # on the default path it is a pointless blocking device->host transfer
+    coeffs_np = None if decode else np.asarray(coeffs)[: frame.n_voxels]
     # Reference signal in the codec's (Morton-sorted) order.
     yuv_sorted = np.asarray(frame.attributes)[: frame.n_voxels]
 

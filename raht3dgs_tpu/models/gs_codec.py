@@ -62,6 +62,7 @@ class GsRDPoint:
         dec = (
             t.get("Entropy_dec_time", 0.0)
             + t.get("Dequant_time", 0.0)
+            + t.get("Coeff_reorder_dec_time", 0.0)
             + t.get("iRAHT_time", 0.0)
         )
         pipeline = t.get("RAHT_prelude_time", 0.0) + enc + dec
@@ -74,7 +75,7 @@ class GsRDPoint:
             f"{t.get('Entropy_enc_time', 0.0):.6f},"
             f"{t.get('Entropy_dec_time', 0.0):.6f},"
             f"{t.get('Dequant_time', 0.0):.6f},"
-            f"0.000000,"  # reorder fused into iRAHT path
+            f"{t.get('Coeff_reorder_dec_time', 0.0):.6f},"
             f"{t.get('iRAHT_time', 0.0):.6f},"
             f"{enc:.6f},{dec:.6f},{pipeline:.6f},"
             f"{self.psnr['psnr_all']:.6f},{self.psnr['psnr_quats']:.6f},"

@@ -317,8 +317,11 @@ class AttributeCodec:
                 "match this stream"
             )
 
+        # decode-side structure rebuild + stream-order inversion: its own
+        # key (the reference's Coeff_reorder_dec column) — NOT the
+        # encoder's RAHT_prelude_time, which StageTimer would accumulate
         inv = timer.time(
-            "RAHT_prelude_time", _inverse_order_device, codes, weights,
+            "Coeff_reorder_dec_time", _inverse_order_device, codes, weights,
             jnp.int32(nvox), self.depth, stream.order_mode,
         )
 

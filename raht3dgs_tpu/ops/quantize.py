@@ -23,6 +23,20 @@ GS_ATTRIBUTE_GROUPS: Dict[str, Tuple[int, int]] = {
     "colors": (8, 56),
 }
 
+
+def gs_attribute_groups(n_channels: int) -> Dict[str, Tuple[int, int]]:
+    """Attribute groups for an ``n_channels``-wide payload.
+
+    The reference derives ``colors = (8, n_channels)`` and skips groups
+    that start past the payload (``encode_3dgs_debug.py:328-333``); the
+    fixed 56-channel table above is the common case."""
+    out: Dict[str, Tuple[int, int]] = {}
+    for name, (lo, hi) in GS_ATTRIBUTE_GROUPS.items():
+        if lo >= n_channels:
+            continue
+        out[name] = (lo, n_channels if name == "colors" else min(hi, n_channels))
+    return out
+
 # Rendering-PSNR ablation results used as importance weights (reference
 # encode_3dgs_debug.py:338-343): lower PSNR when reconstructed alone => the
 # attribute matters more => finer quantization.
@@ -67,17 +81,20 @@ def importance_allocated_steps(
 ) -> np.ndarray:
     """Distribute a total quantization-level budget across attribute groups.
 
-    Follows the reference's importance-weighted allocation
-    (``encode_3dgs_debug.py:338-371``): importance ∝ 1/ablation-PSNR, levels
-    per group ∝ importance, per-group step = range / levels. ``coeff_ranges``
-    maps group name -> coefficient dynamic range (defaults to 1.0, i.e. the
-    returned steps are relative and can be rescaled by the caller).
+    Follows the reference's importance-weighted allocation EXACTLY
+    (``encode_3dgs_debug.py:338-371``): importance ∝ 1/ablation-PSNR,
+    ``levels = int(budget * importance / total)`` (integer truncation),
+    per-group ``step = range / max(levels - 1, 1)``. The same formula as
+    ``models/gs_quant_analysis.strategy_importance_weighted`` (tested to
+    agree). ``coeff_ranges`` maps group name -> coefficient dynamic range
+    (defaults to 1.0, i.e. the returned steps are relative and can be
+    rescaled by the caller).
     """
     importance = {k: 1.0 / ablation_psnr[k] for k in groups}
     total = sum(importance.values())
     steps: Dict[str, float] = {}
     for name in groups:
-        levels = max(1.0, level_budget * importance[name] / total)
+        levels = int(level_budget * importance[name] / total)
         rng = 1.0 if coeff_ranges is None else float(coeff_ranges[name])
-        steps[name] = rng / levels
+        steps[name] = rng / max(levels - 1, 1)
     return channel_steps(n_channels, 1.0, steps, groups)

@@ -91,7 +91,7 @@ def test_timer_stages_populated(rng):
     for k in ("RAHT_transform_time", "Quant_time", "Entropy_enc_time"):
         assert enc.timer.get(k) > 0
     _, t = codec.decode(enc.stream, frame.codes, frame.weights)
-    for k in ("RAHT_prelude_time", "Entropy_dec_time", "iRAHT_time"):
+    for k in ("Coeff_reorder_dec_time", "Entropy_dec_time", "iRAHT_time"):
         assert t.get(k) > 0
 
 

@@ -130,3 +130,36 @@ def test_cli_defaults_come_from_config():
     g = gs_parser()
     assert g.get_default("depth") == GsCodecConfig.depth
     assert g.get_default("steps") == list(GsCodecConfig.steps)
+
+
+def test_importance_steps_match_reference_formula():
+    """ops.quantize.importance_allocated_steps must agree with the faithful
+    driver-side port of the reference allocation (int-truncated levels,
+    step = range/(levels-1))."""
+    from raht3dgs_tpu.models.gs_quant_analysis import strategy_importance_weighted
+    from raht3dgs_tpu.ops.quantize import (
+        GS_ATTRIBUTE_GROUPS,
+        importance_allocated_steps,
+    )
+
+    ranges = {"quats": 2.0, "scales": 0.5, "opacity": 1.0, "colors": 3.0}
+    want, _levels = strategy_importance_weighted(ranges, 1024)
+    got = importance_allocated_steps(56, 1024.0, coeff_ranges=ranges)
+    for name, (lo, hi) in GS_ATTRIBUTE_GROUPS.items():
+        np.testing.assert_allclose(got[lo:hi], want[name], rtol=1e-12)
+
+
+def test_gs_groups_adapt_to_channel_count():
+    from raht3dgs_tpu.eval.metrics import gs_group_psnr
+    from raht3dgs_tpu.ops.quantize import gs_attribute_groups
+
+    assert gs_attribute_groups(56)["colors"] == (8, 56)
+    assert gs_attribute_groups(20)["colors"] == (8, 20)
+    assert "colors" not in gs_attribute_groups(8)
+    assert gs_attribute_groups(6) == {"quats": (0, 4), "scales": (4, 6)}
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(50, 8))  # no color channels at all
+    out = gs_group_psnr(a, a + 0.01)
+    assert "psnr_colors" not in out
+    assert np.isfinite(out["psnr_all"]) and np.isfinite(out["psnr_quats"])
