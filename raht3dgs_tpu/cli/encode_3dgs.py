@@ -61,7 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
+    with maybe_profile(args):
+        return _run(args)
 
+
+def _run(args) -> int:
     from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
     from raht3dgs_tpu.models.gs_codec import CSV_HEADER, encode_gs_frame
     from raht3dgs_tpu.ops.quantize import GS_ABLATION_PSNR_DB
@@ -81,7 +85,9 @@ def main(argv=None) -> int:
 
     dtype = jnp_dtype(args.dtype)
     if args.target_bpp is not None:
-        if args.steps != build_parser().get_default("steps"):
+        from raht3dgs_tpu.config import GsCodecConfig
+
+        if tuple(args.steps) != tuple(GsCodecConfig.steps):
             print("note: --steps ignored in --target-bpp mode", file=sys.stderr)
         from raht3dgs_tpu.models.pipeline import prepare_voxel_frame, AttributeCodec
         from raht3dgs_tpu.models.rd_search import search_step_for_bpp
@@ -119,15 +125,15 @@ def main(argv=None) -> int:
             dest.write_bytes(res.encoded.stream.to_bytes())
             print(f"stream -> {dest}")
         return 0
-    with maybe_profile(args):
-        from raht3dgs_tpu.models.pipeline import AttributeCodec as _AC
+    from raht3dgs_tpu.models.pipeline import AttributeCodec as _AC
 
-        points = encode_gs_frame(
-            V_int, attrs, depth=args.depth, steps=args.steps,
-            group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
-            keep_streams=bool(args.save_streams or args.render != "none"),
-            codec=_AC(args.depth, dtype=dtype, chunk=args.entropy_chunk),
-        )
+    codec = _AC(args.depth, dtype=dtype, chunk=args.entropy_chunk)
+    points = encode_gs_frame(
+        V_int, attrs, depth=args.depth, steps=args.steps,
+        group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
+        keep_streams=bool(args.save_streams or args.render != "none"),
+        codec=codec,
+    )
 
     log = CsvLogger(args.csv or "results/runtime_3dgs.csv", CSV_HEADER)
     for pt in points:
@@ -150,15 +156,15 @@ def main(argv=None) -> int:
 
     if args.render != "none":
         from raht3dgs_tpu.eval.render import render_comparison
-        from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+        from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
 
         # Reconstruct at the finest step and render against the input scene.
-        finest = points[0]
+        finest = min(points, key=lambda p: p.step)
         frame = prepare_voxel_frame(V_int, attrs.astype(np.float64), args.depth,
                                     bucket=args.bucket, dtype=dtype)
-        codec = AttributeCodec(args.depth, dtype=dtype)
         rec, _ = codec.decode(finest.encoded.stream, frame.codes, frame.weights)
-        world = V_int.astype(np.float64) * voxel_size + vmin
+        # voxel CENTERS — the reference's world mapping (encode_3dgs.py:323)
+        world = (V_int.astype(np.float64) + 0.5) * voxel_size + vmin
         # decoded rows are in Morton-sorted order; re-sort the originals too
         from raht3dgs_tpu.ops.prelude import morton_codes_np
 

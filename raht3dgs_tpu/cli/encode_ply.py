@@ -83,8 +83,20 @@ def main(argv=None) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
-    ctx = maybe_profile(args)
-    ctx.__enter__()
+    # context managers (not open-coded enter/exit): the trace and the CSV
+    # must finalize even when a frame raises mid-sweep
+    import contextlib
+
+    with maybe_profile(args), contextlib.closing(log):
+        _sweep(args, log, dtype, codec_cache)
+    return 0
+
+
+def _sweep(args, log, dtype, codec_cache) -> None:
+    from raht3dgs_tpu.io.ply import read_ply_8i
+    from raht3dgs_tpu.models.color_codec import DEFAULT_DEPTH, encode_color_frame
+    from raht3dgs_tpu.models.pipeline import AttributeCodec
+
     for idx, path in enumerate(args.input, start=1):
         V, C, header_depth = read_ply_8i(path)
         depth = args.depth or header_depth or DEFAULT_DEPTH
@@ -150,9 +162,6 @@ def main(argv=None) -> int:
                 out.mkdir(parents=True, exist_ok=True)
                 fn = out / f"frame{idx:04d}_step{pt.step:g}.r3tc"
                 fn.write_bytes(pt.encoded.stream.to_bytes())
-    ctx.__exit__(None, None, None)
-    log.close()
-    return 0
 
 
 if __name__ == "__main__":

@@ -61,11 +61,19 @@ def _load_params(args):
         if params is None:
             raise SystemExit(f"could not load checkpoint {args.ckpt}")
         return params, os.path.basename(args.ckpt)
-    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+    from raht3dgs_tpu.io.ply import read_3dgs_scene_ply
 
-    V, attrs, voxel_size, vmin = read_compressed_3dgs_ply(args.ply)
+    # Raw scenes keep their float world coordinates (truncating through the
+    # integer-voxel reader would collapse everything onto an integer
+    # lattice); pre-voxelized PLYs reconstruct voxel CENTERS, the
+    # reference convention ((V + 0.5) * voxel_size + vmin,
+    # test_voxelize_3dgs.py:274).
+    means, attrs, voxel_meta = read_3dgs_scene_ply(args.ply)
+    if voxel_meta is not None:
+        voxel_size, vmin = voxel_meta
+        means = (np.floor(means) + 0.5) * voxel_size + vmin
     params = {
-        "means": V.astype(np.float64) * voxel_size + vmin,
+        "means": means,
         "quats": attrs[:, 0:4].astype(np.float64),
         "scales": attrs[:, 4:7].astype(np.float64),
         "opacities": attrs[:, 7].astype(np.float64),

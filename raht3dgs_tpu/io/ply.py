@@ -100,6 +100,16 @@ def read_ply(path) -> PlyData:
                 flat = np.loadtxt(
                     _io.BytesIO(txt), dtype=np.float64, ndmin=2
                 )
+                # count == 0 or a truncated body gives loadtxt output of the
+                # wrong shape — validate BEFORE column assignment, which
+                # would otherwise raise raw Index/broadcast errors
+                flat = flat.reshape(-1, len(props)) if flat.size else \
+                    np.zeros((0, len(props)))
+                if flat.shape[0] != count:
+                    raise ValueError(
+                        f"{path}: expected {count} '{name}' records, got "
+                        f"{flat.shape[0]}"
+                    )
                 data = np.zeros(count, dtype=dtype)
                 for i, (p, t) in enumerate(props):
                     data[p] = flat[:, i].astype(t)
@@ -139,16 +149,11 @@ def _sh_rest_names():
     return [f"f_rest_{i}" for i in range(45)]
 
 
-def read_compressed_3dgs_ply(path):
-    """Voxelized-3DGS PLY (reference layout ``data_util.py:272-382``).
-
-    Returns ``(V_int (N,3) int64, attributes (N,56) float32, voxel_size,
-    vmin (3,))`` with attributes packed [quats, scales, opacity, SH colors].
-    """
-    ply = read_ply(path)
+def _gs_vertices(ply):
+    """Positions (float) + packed 56-channel attributes of a 3DGS PLY."""
     v = ply.vertices
     fields = set(v.dtype.names)
-    V_int = _columns(v, ("x", "y", "z")).astype(np.int64)
+    pos = _columns(v, ("x", "y", "z"))
     quats = _columns(v, ("rot_0", "rot_1", "rot_2", "rot_3"))
     scales = _columns(v, ("scale_0", "scale_1", "scale_2"))
     opacity = v["opacity"].astype(np.float64)[:, None]
@@ -168,7 +173,41 @@ def read_compressed_3dgs_ply(path):
         )
         sh = _columns(v, dc_names)
     attrs = np.concatenate([quats, scales, opacity, sh], axis=1)
+    return pos, attrs.astype(np.float32)
 
+
+def read_3dgs_scene_ply(path):
+    """Raw 3DGS scene PLY (float world coordinates, e.g. a gsplat export).
+
+    Returns ``(means (N,3) float64, attributes (N,56) float32,
+    voxel_metadata)`` where ``voxel_metadata`` is ``(voxel_size, vmin)``
+    when the header carries the compressed-PLY comments, else None.
+    Positions are NEVER truncated to integers here — use
+    :func:`read_compressed_3dgs_ply` for the integer-voxel contract.
+    """
+    ply = read_ply(path)
+    pos, attrs = _gs_vertices(ply)
+    vs_tok = ply.comment_value("voxel_size")
+    if vs_tok:
+        vmin_tok = ply.comment_value("vmin")
+        vmin = (
+            np.array([float(t) for t in vmin_tok[:3]])
+            if vmin_tok
+            else np.zeros(3)
+        )
+        return pos.astype(np.float64), attrs, (float(vs_tok[0]), vmin)
+    return pos.astype(np.float64), attrs, None
+
+
+def read_compressed_3dgs_ply(path):
+    """Voxelized-3DGS PLY (reference layout ``data_util.py:272-382``).
+
+    Returns ``(V_int (N,3) int64, attributes (N,56) float32, voxel_size,
+    vmin (3,))`` with attributes packed [quats, scales, opacity, SH colors].
+    """
+    ply = read_ply(path)
+    pos, attrs = _gs_vertices(ply)
+    V_int = pos.astype(np.int64)
     vs_tok = ply.comment_value("voxel_size")
     voxel_size = float(vs_tok[0]) if vs_tok else 1.0
     vmin_tok = ply.comment_value("vmin")
@@ -177,7 +216,7 @@ def read_compressed_3dgs_ply(path):
         if vmin_tok
         else np.zeros(3)
     )
-    return V_int, attrs.astype(np.float32), voxel_size, vmin
+    return V_int, attrs, voxel_size, vmin
 
 
 def save_ply_3dgs(

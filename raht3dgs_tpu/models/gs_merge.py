@@ -125,8 +125,14 @@ def merge_gaussian_clusters_with_indices(
     k = len(cluster_offsets) - 1
     sizes = np.diff(cluster_offsets)
     member_cluster = np.repeat(np.arange(k), sizes)
-    # cluster_indices maps CSR slots -> original rows; invert to per-row ids.
-    ids = np.empty(len(cluster_indices), dtype=np.int64)
+    # cluster_indices maps CSR slots -> original rows; invert to per-row
+    # ids over ALL N rows. The reference contract allows a PARTIAL CSR
+    # (total_clustered <= N, cuda/merge_cluster_cuda/__init__.py:149-204):
+    # rows outside the CSR get the merge's trash slot id (= k) and are
+    # dropped — an np.empty sized by the CSR would crash on subset input
+    # and leave garbage ids on duplicates.
+    n = int(np.asarray(means).shape[0])
+    ids = np.full(n, k, dtype=np.int64)
     ids[cluster_indices] = member_cluster
     return merge_gaussian_clusters(
         jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),

@@ -40,8 +40,11 @@ def coefficient_ranges(
 def strategy_range_normalized(
     ranges: Mapping[str, float], target_levels: int = 256
 ) -> Dict[str, float]:
-    """Equal level count per group: step = range / (levels - 1)."""
-    return {k: r / (target_levels - 1) for k, r in ranges.items()}
+    """Equal level count per group: step = range / (levels - 1).
+
+    Steps are floored at 1e-6 — the reference's guard for degenerate
+    (constant) groups (``encode_3dgs_debug.py:363-365``)."""
+    return {k: max(r / (target_levels - 1), 1e-6) for k, r in ranges.items()}
 
 
 def strategy_importance_weighted(
@@ -52,10 +55,14 @@ def strategy_importance_weighted(
     """Split a total level budget by importance = 1/ablation-PSNR."""
     importance = {k: 1.0 / ablation_psnr[k] for k in ranges}
     total = sum(importance.values())
+    # reference guards: levels floored at 2, steps at 1e-6
+    # (encode_3dgs_debug.py:363-365) — a constant group (range 0) must not
+    # produce a zero step
     levels = {
-        k: int(total_levels_budget * importance[k] / total) for k in ranges
+        k: max(int(total_levels_budget * importance[k] / total), 2)
+        for k in ranges
     }
-    steps = {k: ranges[k] / max(levels[k] - 1, 1) for k in ranges}
+    steps = {k: max(ranges[k] / max(levels[k] - 1, 1), 1e-6) for k in ranges}
     return steps, levels
 
 

@@ -94,7 +94,7 @@ def importance_allocated_steps(
     total = sum(importance.values())
     steps: Dict[str, float] = {}
     for name in groups:
-        levels = int(level_budget * importance[name] / total)
+        levels = max(int(level_budget * importance[name] / total), 2)
         rng = 1.0 if coeff_ranges is None else float(coeff_ranges[name])
-        steps[name] = rng / max(levels - 1, 1)
+        steps[name] = max(rng / max(levels - 1, 1), 1e-6)
     return channel_steps(n_channels, 1.0, steps, groups)

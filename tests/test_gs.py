@@ -220,3 +220,40 @@ def test_cli_decode_3dgs_roundtrip(tmp_path, rng):
     rmse = float(np.sqrt(np.mean((a[perm][:, 8:] - a0[perm0][:, 8:]) ** 2)))
     assert rmse < 0.25  # within quantization error at the searched step
     assert np.allclose(np.linalg.norm(a[:, 0:4], axis=1), 1.0, atol=1e-5)
+
+
+def test_raw_scene_ply_keeps_float_positions(tmp_path, rng):
+    """A raw (unvoxelized) 3DGS scene PLY must keep float world coordinates
+    — truncating through the integer-voxel reader collapsed every gaussian
+    onto the integer lattice (caught by review; this pins the fix)."""
+    from raht3dgs_tpu.io.ply import read_3dgs_scene_ply, save_ply_3dgs
+
+    n = 50
+    means = rng.uniform(-2, 2, (n, 3))
+    quats = rng.normal(size=(n, 4))
+    scales = np.abs(rng.normal(size=(n, 3))) * 0.01
+    opac = rng.uniform(0, 1, n)
+    colors = rng.normal(size=(n, 48))
+    raw = tmp_path / "scene.ply"
+    save_ply_3dgs(raw, means, quats, scales, opac, colors)  # no voxel meta
+    pos, attrs, meta = read_3dgs_scene_ply(raw)
+    assert meta is None
+    np.testing.assert_allclose(pos, means, atol=1e-6)
+
+    # the CLI loader: raw scenes float through; pre-voxelized ones map to
+    # voxel centers
+    import argparse
+
+    from raht3dgs_tpu.cli.voxelize_3dgs import _load_params
+
+    args = argparse.Namespace(ckpt=None, ply=str(raw))
+    params, _ = _load_params(args)
+    np.testing.assert_allclose(params["means"], means, atol=1e-6)
+
+    vox = tmp_path / "voxelized.ply"
+    save_ply_3dgs(vox, np.floor(means + 2.0), quats, scales, opac, colors,
+                  voxel_size=0.5, vmin=np.array([-2.0, -2.0, -2.0]))
+    args = argparse.Namespace(ckpt=None, ply=str(vox))
+    params, _ = _load_params(args)
+    want = (np.floor(means + 2.0) + 0.5) * 0.5 + np.array([-2.0, -2.0, -2.0])
+    np.testing.assert_allclose(params["means"], want, atol=1e-6)
