@@ -106,7 +106,8 @@ def _run(args) -> int:
         print(f"  {k}: {psnr[k]:.2f} dB")
 
     if args.ablation:
-        world = V_int[sort].astype(np.float64) * voxel_size + vmin
+        # voxel CENTERS — the reference's world mapping (encode_3dgs_debug.py:471)
+        world = (V_int[sort].astype(np.float64) + 0.5) * voxel_size + vmin
         print("\n=== RENDERING ABLATION (one reconstructed group at a time) ===")
         result = attribute_ablation(
             world, ref_sorted, rec, n_views=args.views,

@@ -136,56 +136,30 @@ def _run_batched(args, first, last, log, dtype) -> int:
 
     frames_idx = list(range(first, last + 1))
     seq_streams = []
+    codec_cache = {}
     for chunk_start in range(0, len(frames_idx), args.batch):
         chunk = frames_idx[chunk_start : chunk_start + args.batch]
         loaded = []
         for fr in chunk:
             out = get_pointcloud(args.dataset, args.sequence, fr, args.data_root)
-            if out is not None:
+            if out is None:
+                print(f"frame {fr}: load failed, skipping", file=sys.stderr)
+            else:
                 loaded.append((fr, out))
         if not loaded:
             continue
-        depth = loaded[0][1][2]
-        # batch shapes must match: pad the chunk to a multiple of dp
-        while mesh is not None and len(loaded) % n_dev != 0:
-            loaded.append(loaded[-1])
-        pos = [np.floor(np.asarray(v)).astype(np.int64) for _, (v, c, j) in loaded]
-        yuv = [
-            np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(c)), dtype=dtype))
-            for _, (v, c, j) in loaded
-        ]
-        frames = prepare_frame_batch(pos, yuv, depth, bucket=args.bucket,
-                                     dtype=dtype)
-        bc = BatchAttributeCodec(depth, dtype=dtype, mesh=mesh,
-                                 chunk=args.entropy_chunk)
-        if mesh is not None:
-            ctx = mesh
-        else:
-            import contextlib
-
-            ctx = contextlib.nullcontext()
-        with ctx:
-            for step in args.steps:
-                streams, timer = bc.encode(frames, steps=float(step))
-                if args.no_decode:
-                    recs = None
-                else:
-                    recs, timer = bc.decode(streams, frames, timer=timer)
-                if args.save_sequence:
-                    seq_streams.extend(streams[: len(chunk)])
-                for i, (fr, _) in enumerate(loaded[: len(chunk)]):
-                    psnr = float("nan")
-                    if recs is not None:
-                        ref = np.asarray(frames[i].attributes)[: frames[i].n_voxels]
-                        psnr = y_psnr_db(ref[:, 0], recs[i][:, 0])
-                    pt = RDPoint(
-                        frame=fr, step=float(step), bpp=streams[i].bpp(),
-                        psnr=psnr, n_voxels=streams[i].n_voxels,
-                        stream_bytes=streams[i].payload_bytes,
-                        times=dict(timer.stages),
-                    )
-                    log.row(pt.csv_row())
-        print(f"frames {chunk[0]}..{chunk[-1]} done (batched x{len(frames)})")
+        # per-frame depth comes from the PLY header (same contract as the
+        # frame-loop path): sub-batch frames sharing a depth — mixing
+        # depths in one device batch would truncate the deeper frames
+        by_depth = {}
+        for fr, out in loaded:
+            by_depth.setdefault(out[2], []).append((fr, out))
+        for depth, members in by_depth.items():
+            _encode_depth_batch(
+                args, members, depth, mesh, n_dev, dtype, log, seq_streams,
+                codec_cache,
+            )
+        print(f"frames {chunk[0]}..{chunk[-1]} done (batched)")
     log.close()
     if args.save_sequence:
         from raht3dgs_tpu.codec.bitstream import write_sequence
@@ -194,6 +168,71 @@ def _run_batched(args, first, last, log, dtype) -> int:
         print(f"sequence: {len(seq_streams)} frames, {total} bytes "
               f"-> {args.save_sequence}")
     return 0
+
+
+def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
+                        seq_streams, codec_cache) -> None:
+    """Encode one equal-depth batch of loaded frames through the batched
+    codec, logging per-frame rows (no padding duplicates leak out)."""
+    import contextlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raht3dgs_tpu.models.batch_codec import (
+        BatchAttributeCodec,
+        prepare_frame_batch,
+    )
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+
+    n_real = len(members)
+    padded = list(members)
+    # batch shapes must match: pad to a multiple of dp; the padding frames
+    # are encoded but sliced off every output below
+    while mesh is not None and len(padded) % n_dev != 0:
+        padded.append(padded[-1])
+    pos = [np.floor(np.asarray(v)).astype(np.int64) for _, (v, c, j) in padded]
+    yuv = [
+        np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(c)), dtype=dtype))
+        for _, (v, c, j) in padded
+    ]
+    frames = prepare_frame_batch(pos, yuv, depth, bucket=args.bucket,
+                                 dtype=dtype)
+    bc = codec_cache.setdefault(
+        depth,
+        BatchAttributeCodec(depth, dtype=dtype, mesh=mesh,
+                            chunk=args.entropy_chunk),
+    )
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        # transform once, reuse across the whole quantization-step sweep
+        coeffs, orderp, _ = bc.transform(frames)
+        for step in args.steps:
+            timer = None
+            streams, timer = bc.encode(frames, steps=float(step),
+                                       coeffs=coeffs, orderp=orderp)
+            if args.no_decode:
+                recs = None
+            else:
+                recs, timer = bc.decode(streams, frames, timer=timer)
+            if args.save_sequence:
+                seq_streams.extend(streams[:n_real])
+            # stage times cover the whole batch: report the per-frame share
+            B = len(frames)
+            per_frame_times = {k: v / B for k, v in timer.stages.items()}
+            for i, (fr, _) in enumerate(members):
+                psnr = float("nan")
+                if recs is not None:
+                    ref = np.asarray(frames[i].attributes)[: frames[i].n_voxels]
+                    psnr = y_psnr_db(ref[:, 0], recs[i][:, 0])
+                pt = RDPoint(
+                    frame=fr, step=float(step), bpp=streams[i].bpp(),
+                    psnr=psnr, n_voxels=streams[i].n_voxels,
+                    stream_bytes=streams[i].payload_bytes,
+                    times=per_frame_times,
+                )
+                log.row(pt.csv_row())
 
 
 if __name__ == "__main__":

@@ -375,14 +375,17 @@ def rlgr_decode_chunked(
 
 def rlgr_encode_channels(
     payload: np.ndarray, signed: bool = True, channel_major: bool = False,
-    chunk: int = 0,
+    chunk: int = 0, n: Optional[int] = None,
 ) -> Tuple[List[bytes], int]:
     """Encode each channel of a payload as its own RLGR stream.
 
     ``payload`` is (N, D) sample-major by default (transposed here), or
     (D, N) channel-major with ``channel_major=True`` — the pipeline has the
     device emit that layout so every channel is a zero-copy contiguous
-    int32 row. ``chunk > 0`` switches each channel to the self-contained
+    int32 row. ``n`` limits each channel to its first n symbols (the
+    pads-last layout's real prefix) WITHOUT slicing: a column-sliced view
+    is non-contiguous and would silently disqualify the one-call native
+    batch path. ``chunk > 0`` switches each channel to the self-contained
     chunked layout (:func:`rlgr_encode_chunked`) so entropy coding
     parallelizes within a channel as well as across channels. Returns
     (streams, wall-clock coder ns — the entropy-stage time the reference
@@ -390,7 +393,8 @@ def rlgr_encode_channels(
     """
     payload = np.asarray(payload)
     rows = payload if channel_major else np.ascontiguousarray(payload.T)
-    D, n = rows.shape
+    D, row_len = rows.shape
+    n = row_len if n is None else min(int(n), row_len)
     t0 = time.perf_counter_ns()
     if _use_batch(rows):
         # one native call for the whole frame: every (channel, chunk) job
@@ -402,7 +406,7 @@ def rlgr_encode_channels(
             offsets, ns = [], []
             for d in range(D):
                 for i in range(n_chunks):
-                    offsets.append(d * n + i * c)
+                    offsets.append(d * row_len + i * c)
                     ns.append(max(min(c, n - i * c), 0))
             parts = _encode_batch32(flat, offsets, ns, signed)
             streams = []
@@ -414,17 +418,19 @@ def rlgr_encode_channels(
                 )
         else:
             streams = _encode_batch32(
-                flat, [d * n for d in range(D)], [n] * D, signed
+                flat, [d * row_len for d in range(D)], [n] * D, signed
             )
         return streams, time.perf_counter_ns() - t0
     if chunk > 0:
         streams = [
-            rlgr_encode_chunked(np.ascontiguousarray(rows[d]), signed, chunk)[0]
+            rlgr_encode_chunked(
+                np.ascontiguousarray(rows[d][:n]), signed, chunk
+            )[0]
             for d in range(D)
         ]
     else:
         streams = _map_tasks(
-            lambda d: rlgr_encode(np.ascontiguousarray(rows[d]), signed)[0],
+            lambda d: rlgr_encode(np.ascontiguousarray(rows[d][:n]), signed)[0],
             list(range(D)),
         )
     return streams, time.perf_counter_ns() - t0

@@ -37,8 +37,15 @@ def load_gsplat_checkpoint(path) -> Optional[Dict[str, np.ndarray]]:
         warnings.warn("torch unavailable — cannot read gsplat checkpoints")
         return None
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    splats = ckpt["splats"] if "splats" in ckpt else ckpt
+    try:
+        # weights_only: never unpickle arbitrary objects from a checkpoint
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        splats = ckpt["splats"] if "splats" in ckpt else ckpt
+        if "means" not in splats:
+            raise KeyError("no 'means' in checkpoint")
+    except Exception as e:
+        warnings.warn(f"could not parse gsplat checkpoint {path}: {e}")
+        return None
 
     def grab(key):
         t = splats[key]

@@ -23,8 +23,9 @@ from raht3dgs_tpu.codec.rlgr import (
 from raht3dgs_tpu.models.pipeline import VoxelFrame, prepare_voxel_frame
 from raht3dgs_tpu.parallel.sharding import (
     batched_decode_step,
+    batched_forward,
     batched_inverse_order,
-    batched_transform_step,
+    batched_quant_reorder,
     shard_batch,
 )
 from raht3dgs_tpu.utils.padding import round_up_bucket
@@ -72,31 +73,46 @@ class BatchAttributeCodec:
             codes, attrs, weights = shard_batch(self.mesh, codes, attrs, weights)
         return codes, attrs, weights
 
+    def transform(
+        self,
+        frames: Sequence[VoxelFrame],
+        timer: Optional[StageTimer] = None,
+    ):
+        """Step-independent half of the encode (forward RAHT + stream
+        order), reusable across a quantization-step sweep."""
+        timer = timer or StageTimer()
+        codes, attrs, weights = self._stack(frames)
+        nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
+        coeffs, orderp = timer.time(
+            "RAHT_transform_time",
+            batched_forward,
+            codes, attrs, weights, self.depth, self.order_mode, nvox,
+        )
+        return coeffs, orderp, timer
+
     def encode(
         self,
         frames: Sequence[VoxelFrame],
         steps,
+        coeffs=None,
+        orderp=None,
         timer: Optional[StageTimer] = None,
     ) -> Tuple[List[FrameStream], StageTimer]:
         timer = timer or StageTimer()
-        codes, attrs, weights = self._stack(frames)
+        if coeffs is None or orderp is None:
+            coeffs, orderp, timer = self.transform(frames, timer)
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
-
-        nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
         q_b = timer.time(
-            "RAHT_transform_time",
-            batched_transform_step,
-            codes, attrs, weights, steps_arr, self.depth, self.order_mode,
-            nvox,
+            "Quant_time", batched_quant_reorder, coeffs, steps_arr, orderp
         )
-        q_np = np.asarray(q_b)  # (B, D, N) channel-major
+        q_np = np.asarray(q_b)  # (B, D, N) channel-major, C-contiguous
 
         streams: List[FrameStream] = []
         enc_ns = 0
         for i, f in enumerate(frames):
             channels, ns = rlgr_encode_channels(
-                q_np[i][:, : f.n_voxels], signed=True, channel_major=True,
-                chunk=self.chunk,
+                q_np[i], signed=True, channel_major=True,
+                chunk=self.chunk, n=f.n_voxels,
             )
             enc_ns += ns
             streams.append(
@@ -122,10 +138,23 @@ class BatchAttributeCodec:
     ) -> Tuple[List[np.ndarray], StageTimer]:
         """Decode a batch; frames supply the (losslessly known) positions."""
         timer = timer or StageTimer()
+        # the batched device path dequantizes the whole stack with ONE step
+        # vector and one order mode: mixed-parameter streams would silently
+        # reconstruct with the wrong steps
+        for s in streams[1:]:
+            if (
+                not np.array_equal(s.steps, streams[0].steps)
+                or s.order_mode != streams[0].order_mode
+            ):
+                raise ValueError(
+                    "batched decode requires homogeneous steps/order_mode "
+                    "across streams — decode mixed streams frame by frame "
+                    "(AttributeCodec.decode)"
+                )
         codes, _, weights = self._stack(frames)
         nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
         inv_b = timer.time(
-            "RAHT_prelude_time",
+            "Coeff_reorder_dec_time",
             batched_inverse_order,
             codes, weights, nvox, self.depth, streams[0].order_mode,
         )

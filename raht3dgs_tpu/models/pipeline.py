@@ -270,11 +270,13 @@ class AttributeCodec:
             "Quant_time", _quant_reorder_device, coeffs, steps_arr, order,
             jnp.int32(frame.n_voxels),
         )
-        # Single device->host transfer; each channel is a contiguous
-        # zero-copy row prefix (pads-last ordering).
-        q_np = np.asarray(q_T)[:, : frame.n_voxels]
+        # Single device->host transfer; the full (D, Np) matrix stays
+        # C-contiguous (a column slice would disqualify the one-call native
+        # batch path) and each channel encodes its real [:n_voxels] prefix.
+        q_np = np.asarray(q_T)
         channels, enc_ns = rlgr_encode_channels(
-            q_np, signed=True, channel_major=True, chunk=self.chunk
+            q_np, signed=True, channel_major=True, chunk=self.chunk,
+            n=frame.n_voxels,
         )
         timer.add("Entropy_enc_time", enc_ns / 1e9)
 

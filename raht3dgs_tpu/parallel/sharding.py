@@ -82,15 +82,12 @@ def shard_batch(mesh: Mesh, codes, attrs, weights):
 
 
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
-def batched_transform_step(codes, attrs, weights, steps, depth,
-                           order_mode="ragft", nvox=None):
-    """Forward RAHT + quantize + pads-last coefficient reorder per frame.
+def batched_forward(codes, attrs, weights, depth, order_mode="ragft",
+                    nvox=None):
+    """Forward RAHT + pads-last coefficient order per frame (no quant).
 
-    codes (B, N) int64 | attrs (B, N, D) | weights (B, N) | steps scalar/(D,)
-    | nvox (B,) real voxel counts. Returns channel-major (B, D, N) int32 —
-    each frame's channel is a contiguous row whose [:nvox] prefix is the
-    entropy-coder payload.
-    """
+    Returns (coeffs (B, N, D), order (B, N) int32) — the step-independent
+    half of the encode, reusable across a quantization-step sweep."""
     if nvox is None:
         nvox = jnp.full((codes.shape[0],), codes.shape[1], dtype=jnp.int32)
 
@@ -99,10 +96,37 @@ def batched_transform_step(codes, attrs, weights, steps, depth,
     def one(codes_f, attrs_f, w_f, nvox_f):
         res = get_forward_impl("span")(codes_f, attrs_f, w_f, depth)
         order = coefficient_order(res.structure, order_mode)
-        q = quantize(res.coeffs, steps)
-        return q[_pads_last(order, nvox_f)].T
+        return res.coeffs, _pads_last(order, nvox_f).astype(jnp.int32)
 
     return jax.vmap(one)(codes, attrs, weights, nvox)
+
+
+@jax.jit
+def batched_quant_reorder(coeffs, steps, orderp):
+    """Quantize + apply the per-frame pads-last order; (B, D, N) int32."""
+
+    def one(coeffs_f, orderp_f):
+        return quantize(coeffs_f, steps)[orderp_f].T
+
+    return jax.vmap(one)(coeffs, orderp)
+
+
+@partial(jax.jit, static_argnames=("depth", "order_mode"))
+def batched_transform_step(codes, attrs, weights, steps, depth,
+                           order_mode="ragft", nvox=None):
+    """Forward RAHT + quantize + pads-last coefficient reorder per frame.
+
+    codes (B, N) int64 | attrs (B, N, D) | weights (B, N) | steps scalar/(D,)
+    | nvox (B,) real voxel counts. Returns channel-major (B, D, N) int32 —
+    each frame's channel is a contiguous row whose [:nvox] prefix is the
+    entropy-coder payload. (One-shot fusion of :func:`batched_forward` +
+    :func:`batched_quant_reorder`; sweeps should use the split pair to
+    reuse the transform across steps.)
+    """
+    coeffs, orderp = batched_forward(
+        codes, attrs, weights, depth, order_mode, nvox
+    )
+    return batched_quant_reorder(coeffs, steps, orderp)
 
 
 @partial(jax.jit, static_argnames=("depth", "dtype"))

@@ -15,6 +15,21 @@ from typing import Any, Dict
 import jax
 
 
+def _force_completion(out: Any) -> Any:
+    """Wait for device results. On the remote-tunnel platform ("axon")
+    ``block_until_ready`` returns before execution finishes (CLAUDE.md "TPU
+    etiquette"), so there a one-element fetch of the first array leaf
+    bounds completion instead (executions on one device stream retire in
+    order)."""
+    out = jax.block_until_ready(out)
+    if jax.default_backend() == "axon":
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "size") and leaf.size:
+                leaf.reshape(-1)[0].item()  # one-element fetch = barrier
+                break
+    return out
+
+
 class StageTimer:
     """Collects named stage durations (seconds)."""
 
@@ -24,7 +39,7 @@ class StageTimer:
     def time(self, name: str, fn, *args, **kwargs) -> Any:
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        out = _force_completion(out)
         self.stages[name] = self.stages.get(name, 0.0) + time.perf_counter() - t0
         return out
 
