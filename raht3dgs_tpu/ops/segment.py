@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def segment_starts(first: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -72,7 +73,15 @@ def sorted_segment_sums(
         )  # (N+1, K): row i = sum over [:i)
         acc_dt = jnp.float64
         pk = K
-    if extra_rows is not None:
+    # extras ride the boundary gather ONLY when the accumulator dtype holds
+    # them exactly (f32 carries 24 mantissa bits: values < 2^24). Wider
+    # extras (e.g. float64 cluster ids beyond 16.7M) take a separate exact
+    # gather instead of being silently rounded into neighboring segments.
+    fuse_extras = extra_rows is not None and (
+        not use_ds or extra_rows.dtype == np.float32
+        or extra_rows.dtype == jnp.float32
+    )
+    if fuse_extras:
         E = extra_rows.shape[1]
         pad = jnp.zeros((1, E), extra_rows.dtype)
         pack = jnp.concatenate(
@@ -86,15 +95,23 @@ def sorted_segment_sums(
     ends = jnp.concatenate([starts_c[1:], jnp.full((1,), N, jnp.int32)])
     g_start = pack[starts_c]
     g_end = prefix[jnp.minimum(ends, N)]
+    if extra_rows is not None and not fuse_extras:
+        extra_pad = jnp.concatenate(
+            [extra_rows, jnp.zeros((1, extra_rows.shape[1]), extra_rows.dtype)]
+        )
+        extra_exact = extra_pad[starts_c]
 
     valid = (jnp.arange(N, dtype=jnp.int32) < n_seg)[:, None]
     if use_ds:
-        from raht3dgs_tpu.ops.raht_span import _two_sum
-
         sm, er = _two_sum(g_end[:, :K], -g_start[:, :K])
         er = er + (g_end[:, K : 2 * K] - g_start[:, K : 2 * K])
         sums = jnp.where(valid, sm + er, 0.0)
     else:
         sums = jnp.where(valid, g_end - g_start[:, :K], 0.0)
-    extra = g_start[:, pk:] if extra_rows is not None else None
+    if extra_rows is None:
+        extra = None
+    elif fuse_extras:
+        extra = g_start[:, pk:]
+    else:
+        extra = extra_exact
     return sums, extra, starts, n_seg

@@ -13,6 +13,10 @@ from __future__ import annotations
 import argparse
 import sys
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -33,14 +37,21 @@ def main(argv=None) -> int:
     v = ply.vertices
     V = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float64)
 
+    # shift to the bounding-box origin before encoding (the reference
+    # normalizes the same way) — negative coordinates would otherwise feed
+    # two's-complement bits into the interleave and the verdict would be
+    # meaningless. A nonnegative shift preserves the Morton order iff the
+    # shift is uniform, which the per-axis min is NOT in general — but the
+    # reference's verdict is defined on exactly this normalization.
+    Vs = V - V.min(axis=0, keepdims=True)
     depth = args.depth
     if depth is None:
         tok = ply.comment_value("width")
         if tok:
             depth = int(np.log2(int(tok[0]) + 1))
         else:
-            depth = max(1, int(np.ceil(np.log2(V.max() + 1))))
-    codes = morton_codes_np(np.floor(V).astype(np.int64), depth)
+            depth = max(1, int(np.ceil(np.log2(Vs.max() + 1))))
+    codes = morton_codes_np(np.floor(Vs).astype(np.int64), depth)
 
     bad = int(np.sum(codes[1:] < codes[:-1]))
     dup = int(np.sum(codes[1:] == codes[:-1]))

@@ -11,6 +11,10 @@ from __future__ import annotations
 import argparse
 import sys
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def compare_values(name, a, b, rtol, atol):
     import numpy as np
@@ -32,10 +36,16 @@ def compare_values(name, a, b, rtol, atol):
     if a.size == 0:
         print(f"  {name}: empty  OK")
         return True
+    if a.dtype.kind in "USO" or b.dtype.kind in "USO":
+        # char/string/object variables (MATLAB metadata): exact comparison
+        ok = bool(np.array_equal(a, b))
+        print(f"  {name}: {'OK  ' if ok else 'FAIL'} (non-numeric)")
+        return ok
     af = a.astype(np.float64)
     bf = b.astype(np.float64)
     diff = np.abs(af - bf)
-    close = np.isclose(af, bf, rtol=rtol, atol=atol)
+    # equal_nan: bitwise-identical NaNs diff clean (reference behavior)
+    close = np.isclose(af, bf, rtol=rtol, atol=atol, equal_nan=True)
     frac = float(close.mean())
     ok = bool(close.all())
     print(
