@@ -158,6 +158,12 @@ def main() -> None:
         time.sleep(20)
         b2, out = measure()
         best = min(best, b2)
+    if DEGRADED_MPTS and n_real / best / 1e6 < DEGRADED_MPTS:
+        print(
+            "bench: WARNING - throughput still degraded after retries; the "
+            "reported number reflects a stalled device link, not the codec",
+            file=sys.stderr,
+        )
 
     # sanity: reconstruction must be lossless to fp32 tolerance
     rec = np.asarray(out)[:n_real]

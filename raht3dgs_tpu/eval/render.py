@@ -42,8 +42,10 @@ def _point_render_device(means, colors_dc, opacities, viewmat, K, width, height)
     valid = z > 1e-6
     zs = jnp.where(valid, z, 1.0)
     uvw = cam[:, :3] @ K.T
-    u = (uvw[:, 0] / zs).astype(jnp.int32)
-    v = (uvw[:, 1] / zs).astype(jnp.int32)
+    # floor (not int cast): truncation would pull points in (-1, 0) onto
+    # the first row/column
+    u = jnp.floor(uvw[:, 0] / zs).astype(jnp.int32)
+    v = jnp.floor(uvw[:, 1] / zs).astype(jnp.int32)
     inside = valid & (u >= 0) & (u < width) & (v >= 0) & (v < height)
     inside &= opacities > 0.01
     pix = jnp.where(inside, v * width + u, width * height)  # overflow bin
@@ -179,6 +181,11 @@ def render_comparison(
     """
     if backend == "none":
         return {}
+    if backend not in ("auto", "gsplat", "jax", "preview"):
+        raise ValueError(
+            f"unknown render backend {backend!r} "
+            "(choose auto/gsplat/jax/preview/none)"
+        )
     means = np.asarray(original["means"])
     center = means.mean(axis=0)
     radius = float((means.max(axis=0) - means.min(axis=0)).max()) * 1.5
@@ -208,14 +215,13 @@ def render_comparison(
         t0 = time.perf_counter()
         imgs_r = volumetric_render(reconstructed, viewmats, Ks, W, H)
         t_rec = time.perf_counter() - t0
-    if use in ("auto", "preview"):
+    if use == "preview":
         t0 = time.perf_counter()
         imgs_o = point_render(original, viewmats, Ks, W, H)
         t_orig = time.perf_counter() - t0
         t0 = time.perf_counter()
         imgs_r = point_render(reconstructed, viewmats, Ks, W, H)
         t_rec = time.perf_counter() - t0
-        use = "preview"
 
     psnrs = [image_psnr(imgs_o[i], imgs_r[i]) for i in range(n_views)]
     if output_dir is not None:

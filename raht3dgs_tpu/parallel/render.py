@@ -20,11 +20,54 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map
 
+from functools import lru_cache
+
 from raht3dgs_tpu.eval.rasterize import (
     RasterMeta,
     _colors_to_sh,
     _rasterize_tiled,
 )
+
+
+@lru_cache(maxsize=32)
+def _sharded_render_program(mesh, axis, width, height, sh_degree, tile,
+                            max_tiles_per_gauss, max_per_tile, chunk):
+    """Build (once per static config) the jitted shard_map render program.
+
+    A fresh closure per call would miss the jit cache and re-trace/compile
+    every invocation — exactly what the multi-view speedup exists to avoid.
+    """
+    spec_rep = P()
+    spec_v = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_rep,) * 6 + (spec_v, spec_v),
+        out_specs=(spec_v, spec_v, spec_v),
+        # the blend scan's zero-initialized carries are unvarying while the
+        # per-device camera inputs vary over dp; vma checking would demand
+        # explicit pcasts inside the (shared) single-view program
+        check_vma=False,
+    )
+    def run(means_, quats_, scales_, opac_, sh_, bg_, vms_, Kms_):
+        # scan over the local views: one copy of the rasterizer program
+        # regardless of views-per-device (an unrolled loop would emit
+        # ceil(V/ndev) copies of the sort+scan HLO)
+        def one(_, cam):
+            vm, Km = cam
+            img, meta = _rasterize_tiled(
+                means_, quats_, scales_, opac_, sh_, vm, Km, bg_,
+                width=width, height=height, sh_degree=sh_degree, tile=tile,
+                max_tiles_per_gauss=max_tiles_per_gauss,
+                max_per_tile=max_per_tile, chunk=chunk,
+            )
+            return 0, (img, meta.dup_clipped, meta.tile_clipped)
+
+        _, (imgs, dups, tiles) = jax.lax.scan(one, 0, (vms_, Kms_))
+        return imgs, dups, tiles
+
+    return jax.jit(run)
 
 
 def render_views_sharded(
@@ -74,38 +117,12 @@ def render_views_sharded(
         vms = np.concatenate([vms, np.repeat(vms[-1:], V_pad - V, axis=0)])
         Kms = np.concatenate([Kms, np.repeat(Kms[-1:], V_pad - V, axis=0)])
 
-    spec_rep = P()
-    spec_v = P(axis)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_rep,) * 6 + (spec_v, spec_v),
-        out_specs=(spec_v, spec_v, spec_v),
-        # the blend scan's zero-initialized carries are unvarying while the
-        # per-device camera inputs vary over dp; vma checking would demand
-        # explicit pcasts inside the (shared) single-view program
-        check_vma=False,
+    run = _sharded_render_program(
+        mesh, axis, width, height, sh_degree, tile, max_tiles_per_gauss,
+        max_per_tile, chunk,
     )
-    def run(means_, quats_, scales_, opac_, sh_, bg_, vms_, Kms_):
-        # scan over the local views: one copy of the rasterizer program
-        # regardless of views-per-device (an unrolled loop would emit
-        # ceil(V/ndev) copies of the sort+scan HLO)
-        def one(_, cam):
-            vm, Km = cam
-            img, meta = _rasterize_tiled(
-                means_, quats_, scales_, opac_, sh_, vm, Km, bg_,
-                width=width, height=height, sh_degree=sh_degree, tile=tile,
-                max_tiles_per_gauss=max_tiles_per_gauss,
-                max_per_tile=max_per_tile, chunk=chunk,
-            )
-            return 0, (img, meta.dup_clipped, meta.tile_clipped)
-
-        _, (imgs, dups, tiles) = jax.lax.scan(one, 0, (vms_, Kms_))
-        return imgs, dups, tiles
-
     with mesh:
-        imgs, dups, tiles = jax.jit(run)(
+        imgs, dups, tiles = run(
             jnp.asarray(means, jnp.float32),
             jnp.asarray(quats, jnp.float32),
             jnp.asarray(scales, jnp.float32),

@@ -142,6 +142,10 @@ def main():
     t_fetch = min(r[2] for r in rows)
     total = t_ent + t_dev + t_fetch
     image = rows[-1][3]
+    meta = rows[-1][4]
+    assert int(meta.dup_clipped) == 0 and int(meta.tile_clipped) == 0, (
+        "rasterizer capacity overflow — the timed image is incomplete"
+    )
     assert image.std() > 0.01, "blank render"
     print(json.dumps({
         "n_voxels": stream.n_voxels,
