@@ -219,8 +219,10 @@ def raht_forward(
     Args:
         codes: ``(N,)`` int64, strictly increasing; padding slots must carry
             sentinel codes (``pad_code``) and ``weights == 0``.
-        attributes: ``(N, D)`` float attributes (pad rows: anything; their
-            coefficients stay untouched and are reported as-is).
+        attributes: ``(N, D)`` float attributes. Pad rows must be FINITE
+            (zeros recommended — ``prepare_voxel_frame`` zero-fills): the
+            identity butterfly still multiplies them by 0, and 0 * NaN
+            poisons the real coefficients.
         weights: ``(N,)`` float initial weights (voxel point counts; 1 for
             unit-weight voxels, 0 for padding).
         depth: octree depth J (static).

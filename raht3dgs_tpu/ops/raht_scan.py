@@ -17,7 +17,7 @@ Cost per level: 2 scans carrying D+3 lanes + O(N·D) elementwise — best for
 small/medium D (the 3-channel color path); for D=56 prefer the other
 formulations.
 
-Bit-exact the same pairing and arithmetic as ops/raht.py; verified in tests.
+Same pairing as ops/raht.py (bitwise-identical structure); coefficients agree to 1e-12 (fp contraction differs between compiled programs) — verified in tests.
 """
 
 from __future__ import annotations

@@ -202,7 +202,8 @@ def _weight_prefix(weights, fdtype=jnp.float64):
 # not cancel catastrophically). An error-free two-sum compensated pair of
 # float32s carries ~48 mantissa bits at native-f32 speed. XLA does not
 # reassociate floating point, so the two-sum identities hold compiled.
-# Selected via RAHT3DGS_SPAN_SUMS=ds|f64 (read at trace time).
+# Selected via RAHT3DGS_SPAN_SUMS=ds|f64 — read ONCE at import; set it
+# before importing the package (jitted programs cache per traced mode).
 # ---------------------------------------------------------------------------
 import os as _os
 
@@ -275,13 +276,7 @@ def _prefix_diff(g_hi_row, g_lo_row, h_hi_row, h_lo_row):
     return s + e
 
 
-def _safe_ab(w0, w1):
-    denom = w0 + w1
-    safe = denom > 0
-    d = jnp.where(safe, denom, 1.0)
-    a = jnp.where(safe, jnp.sqrt(w0 / d), 1.0)
-    b = jnp.where(safe, jnp.sqrt(w1 / d), 0.0)
-    return a, b
+from raht3dgs_tpu.ops.raht import _butterfly_ab as _safe_ab  # one definition
 
 
 @partial(jax.jit, static_argnames=("depth",))
@@ -308,43 +303,52 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
 
 @partial(jax.jit, static_argnames=("depth",))
 def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResult:
-    """Closed-form forward RAHT. Same contract as ops/raht.py:raht_forward."""
+    """Closed-form forward RAHT. Same contract as ops/raht.py:raht_forward.
+
+    The butterfly/structure weights (w0, w1) come from the SAME collapsed-W
+    propagation as :func:`raht_structure_span` and the inverse — bitwise
+    identity between the encoder's and decoder's node weights is what the
+    ``weight_desc`` stream order depends on (a second, ds-exact derivation
+    here diverged for fractional float32 weights and silently desynced the
+    permutations). Attribute sums keep the compensated double-single path.
+    """
     N, D = attributes.shape
     fdtype = attributes.dtype
-    drop, prev_ge, next_ge, _, _B = _span_topology(codes, depth)
-    idx = jnp.arange(N, dtype=jnp.int32)
-
-    # Fused prefix pack: attribute sums (D) + weight sums (1) ride the same
-    # two wide gathers (sqrt(w)-scaled values: the butterfly invariant).
-    # float32 mode uses double-single compensated sums (native speed, ~48
-    # mantissa bits); float64 mode keeps plain f64 sums for crosscheck work.
     use_ds = fdtype == jnp.float32 and _SUM_MODE != "f64"
     acc_dt = jnp.float32 if use_ds else jnp.float64
+
+    W, w_total = _weight_prefix(weights, fdtype)
+    drop, prev_ge, next_ge, _, w_prev, w_next, _B = _span_topology(
+        codes, depth, W
+    )
+    W_here = W[:N]
+    w1 = (w_next - W_here).astype(acc_dt)
+    w0 = (W_here - w_prev).astype(acc_dt)
+    w_total = w_total.astype(acc_dt)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    # Fused prefix pack: attribute sums ride two wide gathers
+    # (sqrt(w)-scaled values: the butterfly invariant). float32 mode uses
+    # double-single compensated sums (native speed, ~48 mantissa bits);
+    # float64 mode keeps plain f64 sums for crosscheck work.
     w_acc = weights.astype(acc_dt)
     sw = jnp.sqrt(w_acc)[:, None]
-    body = jnp.concatenate([sw * attributes.astype(acc_dt), w_acc[:, None]], axis=1)
-    K = D + 1
+    body = sw * attributes.astype(acc_dt)
+    K = D
     SW = _prefix_pack(body, use_ds)
 
     SW_here = SW[:N]                        # slice, not a gather
     g_next = SW[next_ge]                    # one wide gather
     g_prev = SW[jnp.maximum(prev_ge, 0)]    # one wide gather
     if use_ds:
-        sub = _prefix_diff(g_next[:, :K], g_next[:, K:],
-                           SW_here[:, :K], SW_here[:, K:])
-        sub1, w1 = sub[:, :D], sub[:, D]
-        sub = _prefix_diff(SW_here[:, :K], SW_here[:, K:],
-                           g_prev[:, :K], g_prev[:, K:])
-        sub0, w0 = sub[:, :D], sub[:, D]
-        totals = SW[N, :K] + SW[N, K:]
-        w_total = totals[D]
-        total_S = totals[:D]
+        sub1 = _prefix_diff(g_next[:, :K], g_next[:, K:],
+                            SW_here[:, :K], SW_here[:, K:])
+        sub0 = _prefix_diff(SW_here[:, :K], SW_here[:, K:],
+                            g_prev[:, :K], g_prev[:, K:])
+        total_S = SW[N, :K] + SW[N, K:]
     else:
         sub1 = g_next[:, :D] - SW_here[:, :D]
         sub0 = SW_here[:, :D] - g_prev[:, :D]
-        w1 = g_next[:, D] - SW_here[:, D]
-        w0 = SW_here[:, D] - g_prev[:, D]
-        w_total = SW[N, D]
         total_S = SW[N, :D]
     x1 = jnp.where(w1[:, None] > 0, sub1 / jnp.sqrt(jnp.where(w1 > 0, w1, 1.0))[:, None], 0.0)
     x0 = jnp.where(w0[:, None] > 0, sub0 / jnp.sqrt(jnp.where(w0 > 0, w0, 1.0))[:, None], 0.0)
@@ -496,7 +500,13 @@ def _raht_inverse_span_chain(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     # seven 1-lane gathers (b[p_c], a[q_c], next_ge[p_c], ...) each waste
     # 127/128 lanes on TPU (docs/performance.md). next_ge rides as a float
     # lane: exact for N <= 2^24 (bucketed frames are far below; f64 mode is
-    # exact to 2^53).
+    # exact to 2^53). Enforced:
+    if T64.dtype == jnp.float32 and N > (1 << 24):
+        raise NotImplementedError(
+            f"float32 chain inverse supports N <= 2^24 slots (got {N}): "
+            "pointer lanes ride as exact f32 values — use float64 I/O or "
+            "RAHT3DGS_SPAN_INVERSE=fill"
+        )
     nf = next_ge.astype(T64.dtype)
     Z = jnp.concatenate([a[:, None], b[:, None], T64, nf[:, None]], axis=1)
     Zp = Z[p_c]

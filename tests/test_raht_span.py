@@ -266,3 +266,37 @@ def test_span_depth21_uint64_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(rec)[:n], attrs[:n], rtol=0, atol=1e-8)
     rec_d = raht_inverse(ref.coeffs, ref.structure, depth)
     np.testing.assert_allclose(np.asarray(rec_d)[:n], attrs[:n], rtol=0, atol=1e-8)
+
+
+def test_weight_desc_fractional_weights_roundtrip(rng):
+    """Encoder and decoder must derive bitwise-identical node weights —
+    fractional float32 weights under order_mode='weight_desc' previously
+    desynced the stream permutations (caught by review; pins the fix)."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+    from raht3dgs_tpu.ops.raht_span import (
+        raht_forward_span,
+        raht_structure_span,
+    )
+
+    depth = 6
+    pts, codes, attrs = unique_voxel_cloud(rng, 800, depth)
+    w = rng.uniform(0.1, 3.0, len(pts))  # fractional weights
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth,
+                                bucket=1024, dtype=jnp.float32, weights=w)
+    fwd = raht_forward_span(frame.codes, frame.attributes, frame.weights,
+                            depth)
+    st = raht_structure_span(frame.codes, frame.weights, depth)
+    np.testing.assert_array_equal(
+        np.asarray(fwd.structure.node_weights), np.asarray(st.node_weights)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fwd.structure.subtree_w), np.asarray(st.subtree_w)
+    )
+
+    codec = AttributeCodec(depth, dtype=jnp.float32, order_mode="weight_desc")
+    enc = codec.encode(frame, steps=1.0)
+    rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+    ref = np.asarray(frame.attributes)[: frame.n_voxels]
+    assert np.abs(rec - ref).max() < 1.5  # bounded by the quant step
