@@ -45,7 +45,7 @@ from raht3dgs_tpu.ops.raht_span import raht_inverse_span
 DEPTH = 10
 N = int(os.environ.get("RAHT3DGS_SERVING_N", 131_072))
 SIZE = int(os.environ.get("RAHT3DGS_SERVING_SIZE", 512))
-STEP = 0.02
+STEP = 0.002  # fine enough for the scale channels (0.002-0.01 world units)
 
 
 # Two device programs (not one fused): both shapes match programs the
@@ -75,13 +75,19 @@ def render_scene(scene, viewmat, Kmat, bg, width, height):
     return _rasterize_tiled(
         means, quats, scales, opac, colors, viewmat, Kmat, bg,
         width=width, height=height, sh_degree=3, tile=16,
-        max_tiles_per_gauss=16, max_per_tile=1024, chunk=128,
+        max_tiles_per_gauss=16, max_per_tile=8192, chunk=128,
     )
 
 
 def main():
     rng = np.random.default_rng(0)
-    pts = rng.integers(0, 2**DEPTH, (4 * N, 3))
+    # surface-like scene (unit-ish shell): realistic splat depth complexity
+    # — a uniform volume at this density overflows any per-tile budget
+    dirs = rng.normal(size=(6 * N, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    r = 1.0 + rng.normal(0, 0.02, (6 * N, 1))
+    shell = (dirs * r * 0.45 + 0.5) * 2**DEPTH
+    pts = np.clip(shell.astype(np.int64), 0, 2**DEPTH - 1)
     codes = np.unique(morton_codes_np(pts, DEPTH))[:N]
     pos = np.asarray(morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
     attrs = np.concatenate(
