@@ -194,6 +194,49 @@ def _weight_prefix(weights, fdtype=jnp.float64):
     return W, Wincl[-1]
 
 
+def _pair_weights(codes, weights, depth: int, fdtype):
+    """Per-pair side weights (w0, w1, w_total) plus topology — BITWISE
+    identical to the values :func:`raht_forward_span` derives from its
+    fused prefix pack (the pack's weight column is an independent ds
+    cumsum column, so a standalone ds prefix + boundary gathers reproduces
+    it exactly; in f64 mode the monotone-W propagation equals the gathers
+    bitwise, pinned by test_nearest_ge_value_propagation_matches_gathers).
+    The ``weight_desc`` stream order depends on this encoder==decoder
+    bitwise identity.
+
+    Returns (drop, prev_ge, next_ge, levels, B, w0, w1, w_total).
+    """
+    N = codes.shape[0]
+    use_ds = fdtype == jnp.float32 and _SUM_MODE != "f64"
+    if use_ds:
+        drop, prev_ge, next_ge, levels, B = _span_topology(codes, depth)
+        hi, lo = _ds_cumsum(weights.astype(jnp.float32)[:, None])
+        P = jnp.concatenate(
+            [jnp.zeros((1, 2), jnp.float32),
+             jnp.concatenate([hi, lo], axis=1)]
+        )  # (N+1, 2): [hi, lo] exclusive prefix
+        here = P[:N]
+        g_next = P[next_ge]
+        g_prev = P[jnp.maximum(prev_ge, 0)]
+        w1 = _prefix_diff(
+            g_next[:, :1], g_next[:, 1:], here[:, :1], here[:, 1:]
+        )[:, 0]
+        w0 = _prefix_diff(
+            here[:, :1], here[:, 1:], g_prev[:, :1], g_prev[:, 1:]
+        )[:, 0]
+        w_total = P[N, 0] + P[N, 1]
+        return drop, prev_ge, next_ge, levels, B, w0, w1, w_total
+    W, w_total = _weight_prefix(weights, fdtype)
+    drop, prev_ge, next_ge, levels, w_prev, w_next, B = _span_topology(
+        codes, depth, W
+    )
+    W_here = W[:N]
+    return (
+        drop, prev_ge, next_ge, levels, B,
+        W_here - w_prev, w_next - W_here, w_total,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Double-single (two-float32) prefix sums.
 #
@@ -285,13 +328,9 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
     ops/raht.py:raht_structure."""
     N = codes.shape[0]
     fdtype = weights.dtype
-    W, w_total = _weight_prefix(weights, fdtype)
-    drop, prev_ge, next_ge, _, w_prev, w_next, _B = _span_topology(
-        codes, depth, W
+    drop, _, _, _, _, w0, w1, w_total = _pair_weights(
+        codes, weights, depth, fdtype
     )
-    W_here = W[:N]
-    w1 = w_next - W_here
-    w0 = W_here - w_prev
     node_w = jnp.where(
         jnp.arange(N, dtype=jnp.int32) == 0, w_total, w0 + w1
     ).astype(fdtype)
@@ -305,50 +344,47 @@ def raht_structure_span(codes, weights, depth: int) -> RahtStructure:
 def raht_forward_span(codes, attributes, weights, depth: int) -> RahtForwardResult:
     """Closed-form forward RAHT. Same contract as ops/raht.py:raht_forward.
 
-    The butterfly/structure weights (w0, w1) come from the SAME collapsed-W
-    propagation as :func:`raht_structure_span` and the inverse — bitwise
-    identity between the encoder's and decoder's node weights is what the
-    ``weight_desc`` stream order depends on (a second, ds-exact derivation
-    here diverged for fractional float32 weights and silently desynced the
-    permutations). Attribute sums keep the compensated double-single path.
+    The weight column rides the fused prefix pack; its values are bitwise
+    reproducible by the decoder through :func:`_pair_weights` (standalone
+    ds prefix + boundary gathers), which is what the ``weight_desc``
+    stream order depends on.
     """
     N, D = attributes.shape
     fdtype = attributes.dtype
-    use_ds = fdtype == jnp.float32 and _SUM_MODE != "f64"
-    acc_dt = jnp.float32 if use_ds else jnp.float64
-
-    W, w_total = _weight_prefix(weights, fdtype)
-    drop, prev_ge, next_ge, _, w_prev, w_next, _B = _span_topology(
-        codes, depth, W
-    )
-    W_here = W[:N]
-    w1 = (w_next - W_here).astype(acc_dt)
-    w0 = (W_here - w_prev).astype(acc_dt)
-    w_total = w_total.astype(acc_dt)
+    drop, prev_ge, next_ge, _, _B = _span_topology(codes, depth)
     idx = jnp.arange(N, dtype=jnp.int32)
 
-    # Fused prefix pack: attribute sums ride two wide gathers
-    # (sqrt(w)-scaled values: the butterfly invariant). float32 mode uses
-    # double-single compensated sums (native speed, ~48 mantissa bits);
-    # float64 mode keeps plain f64 sums for crosscheck work.
+    # Fused prefix pack: attribute sums (D) + weight sums (1) ride the same
+    # two wide gathers (sqrt(w)-scaled values: the butterfly invariant).
+    # float32 mode uses double-single compensated sums (native speed, ~48
+    # mantissa bits); float64 mode keeps plain f64 sums for crosscheck work.
+    use_ds = fdtype == jnp.float32 and _SUM_MODE != "f64"
+    acc_dt = jnp.float32 if use_ds else jnp.float64
     w_acc = weights.astype(acc_dt)
     sw = jnp.sqrt(w_acc)[:, None]
-    body = sw * attributes.astype(acc_dt)
-    K = D
+    body = jnp.concatenate([sw * attributes.astype(acc_dt), w_acc[:, None]], axis=1)
+    K = D + 1
     SW = _prefix_pack(body, use_ds)
 
     SW_here = SW[:N]                        # slice, not a gather
     g_next = SW[next_ge]                    # one wide gather
     g_prev = SW[jnp.maximum(prev_ge, 0)]    # one wide gather
     if use_ds:
-        sub1 = _prefix_diff(g_next[:, :K], g_next[:, K:],
-                            SW_here[:, :K], SW_here[:, K:])
-        sub0 = _prefix_diff(SW_here[:, :K], SW_here[:, K:],
-                            g_prev[:, :K], g_prev[:, K:])
-        total_S = SW[N, :K] + SW[N, K:]
+        sub = _prefix_diff(g_next[:, :K], g_next[:, K:],
+                           SW_here[:, :K], SW_here[:, K:])
+        sub1, w1 = sub[:, :D], sub[:, D]
+        sub = _prefix_diff(SW_here[:, :K], SW_here[:, K:],
+                           g_prev[:, :K], g_prev[:, K:])
+        sub0, w0 = sub[:, :D], sub[:, D]
+        totals = SW[N, :K] + SW[N, K:]
+        w_total = totals[D]
+        total_S = totals[:D]
     else:
         sub1 = g_next[:, :D] - SW_here[:, :D]
         sub0 = SW_here[:, :D] - g_prev[:, :D]
+        w1 = g_next[:, D] - SW_here[:, D]
+        w0 = SW_here[:, D] - g_prev[:, D]
+        w_total = SW[N, D]
         total_S = SW[N, :D]
     x1 = jnp.where(w1[:, None] > 0, sub1 / jnp.sqrt(jnp.where(w1 > 0, w1, 1.0))[:, None], 0.0)
     x0 = jnp.where(w0[:, None] > 0, sub0 / jnp.sqrt(jnp.where(w0 > 0, w0, 1.0))[:, None], 0.0)
@@ -417,6 +453,9 @@ def _raht_inverse_span_fill(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     """
     N, D = coeffs.shape
     fdtype = coeffs.dtype
+    # propagation-based weights: the butterfly gains have NO bitwise
+    # requirement (only the structure pass's node_weights order does — see
+    # _pair_weights); the (V, N) propagation is the cheap path here
     W, w_total = _weight_prefix(weights, fdtype)
     drop, prev_ge, next_ge, levels, w_prev, w_next, B = _span_topology(
         codes, depth, W
@@ -476,6 +515,8 @@ def _raht_inverse_span_chain(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     """
     N, D = coeffs.shape
     fdtype = coeffs.dtype
+    # propagation-based weights (see the fill inverse's note: no bitwise
+    # requirement on butterfly gains; cheapest shared topology pass)
     W, w_total = _weight_prefix(weights, fdtype)
     drop, prev_ge, next_ge, levels, w_prev, w_next, _B = _span_topology(
         codes, depth, W
