@@ -300,3 +300,44 @@ def test_weight_desc_fractional_weights_roundtrip(rng):
     rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
     ref = np.asarray(frame.attributes)[: frame.n_voxels]
     assert np.abs(rec - ref).max() < 1.5  # bounded by the quant step
+
+
+def test_pair_weights_bitwise_identity_fuzz(rng):
+    """The decoder's _pair_weights reproduction of the forward's fused-pack
+    weights must be bitwise exact across shapes, pads, and weight kinds."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.ops.morton import pad_code
+    from raht3dgs_tpu.ops.raht_span import (
+        raht_forward_span,
+        raht_structure_span,
+    )
+
+    for trial in range(5):
+        depth = int(rng.integers(3, 8))
+        want = int(rng.integers(2, 700))
+        pts, codes, attrs = unique_voxel_cloud(rng, want, depth, d_attr=2)
+        n = len(codes)
+        pad = int(rng.integers(0, 7))
+        total = n + pad
+        codes_p = np.concatenate(
+            [codes, np.asarray(pad_code(depth, total, jnp.arange(n, n + pad)))]
+        )
+        if trial % 2:
+            w = rng.uniform(0.05, 5.0, n)          # fractional
+        else:
+            w = rng.integers(1, 9, n).astype(float)  # counts
+        w_p = np.concatenate([w, np.zeros(pad)]).astype(np.float32)
+        a_p = np.concatenate([attrs, np.zeros((pad, 2))]).astype(np.float32)
+        cj, wj = jnp.asarray(codes_p), jnp.asarray(w_p)
+        fwd = raht_forward_span(cj, jnp.asarray(a_p), wj, depth)
+        st = raht_structure_span(cj, wj, depth)
+        np.testing.assert_array_equal(
+            np.asarray(fwd.structure.node_weights), np.asarray(st.node_weights)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fwd.structure.subtree_w), np.asarray(st.subtree_w)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fwd.structure.drop_level), np.asarray(st.drop_level)
+        )
