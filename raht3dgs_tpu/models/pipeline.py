@@ -158,7 +158,22 @@ def prepare_voxel_frame(
 def _transform_device(codes, attrs, weights, depth, order_mode="ragft",
                       impl="dense"):
     res = get_forward_impl(impl)(codes, attrs, weights, depth)
-    order = coefficient_order(res.structure, order_mode)
+    if order_mode == "weight_desc":
+        # the stream permutation must be BITWISE identical between encoder
+        # and decoder. The decoder always rebuilds it from
+        # raht_structure_span; the level-loop forwards accumulate node
+        # weights in a different summation order (bitwise-divergent for
+        # fractional float weights), so the ordering — and only the
+        # ordering — is always derived from the same structure function
+        # the decoder uses. drop_level-based orders (ragft/morton) are
+        # integer and bitwise-equal across implementations.
+        from raht3dgs_tpu.ops.raht_span import raht_structure_span
+
+        order = coefficient_order(
+            raht_structure_span(codes, weights, depth), order_mode
+        )
+    else:
+        order = coefficient_order(res.structure, order_mode)
     return res.coeffs, order, res.structure
 
 def _pads_last(order, nvox):

@@ -210,11 +210,10 @@ def _pair_weights(codes, weights, depth: int, fdtype):
     use_ds = fdtype == jnp.float32 and _SUM_MODE != "f64"
     if use_ds:
         drop, prev_ge, next_ge, levels, B = _span_topology(codes, depth)
-        hi, lo = _ds_cumsum(weights.astype(jnp.float32)[:, None])
-        P = jnp.concatenate(
-            [jnp.zeros((1, 2), jnp.float32),
-             jnp.concatenate([hi, lo], axis=1)]
-        )  # (N+1, 2): [hi, lo] exclusive prefix
+        # the SAME layout helper the forward's fused pack uses — the
+        # bitwise-identity contract must live in exactly one place
+        P = _prefix_pack(weights.astype(jnp.float32)[:, None], True)
+        # (N+1, 2): [hi, lo] exclusive prefix
         here = P[:N]
         g_next = P[next_ge]
         g_prev = P[jnp.maximum(prev_ge, 0)]
@@ -542,11 +541,12 @@ def _raht_inverse_span_chain(coeffs, codes, weights, depth: int) -> jnp.ndarray:
     # 127/128 lanes on TPU (docs/performance.md). next_ge rides as a float
     # lane: exact for N <= 2^24 (bucketed frames are far below; f64 mode is
     # exact to 2^53). Enforced:
-    if T64.dtype == jnp.float32 and N > (1 << 24):
+    lane_limit = 1 << (jnp.finfo(T64.dtype).nmant + 1)
+    if N > lane_limit:
         raise NotImplementedError(
-            f"float32 chain inverse supports N <= 2^24 slots (got {N}): "
-            "pointer lanes ride as exact f32 values — use float64 I/O or "
-            "RAHT3DGS_SPAN_INVERSE=fill"
+            f"{T64.dtype} chain inverse supports N <= {lane_limit} slots "
+            f"(got {N}): pointer lanes ride as exact float values — use "
+            "float64 I/O or RAHT3DGS_SPAN_INVERSE=fill"
         )
     nf = next_ge.astype(T64.dtype)
     Z = jnp.concatenate([a[:, None], b[:, None], T64, nf[:, None]], axis=1)

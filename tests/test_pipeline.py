@@ -244,3 +244,24 @@ def test_codec_at_maximum_depth_21(rng):
     rec, _ = codec.decode(stream, frame.codes, frame.weights)
     ref = np.asarray(frame.attributes)[: frame.n_voxels]
     assert np.abs(rec - ref).max() < 2.0 * 1.1
+
+
+def test_weight_desc_order_consistent_across_impls(rng):
+    """weight_desc decode must work for EVERY forward implementation: the
+    stream permutation derives from the shared structure function on both
+    sides (level-loop forwards accumulate node weights in a different
+    summation order — bitwise-divergent for fractional f32 weights)."""
+    import jax.numpy as jnp
+
+    depth = 6
+    pts, codes, attrs = unique_voxel_cloud(rng, 900, depth)
+    w = rng.uniform(0.1, 3.0, len(pts))
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth,
+                                bucket=1024, dtype=jnp.float32, weights=w)
+    ref = np.asarray(frame.attributes)[: frame.n_voxels]
+    for impl in ("dense", "span", "compact", "scan"):
+        codec = AttributeCodec(depth, dtype=jnp.float32,
+                               order_mode="weight_desc", impl=impl)
+        enc = codec.encode(frame, steps=1.0)
+        rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+        assert np.abs(rec - ref).max() < 1.5, impl
