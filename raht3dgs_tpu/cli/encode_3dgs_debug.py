@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--views", type=int, default=5)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument(
-        "--render", choices=("auto", "gsplat", "jax", "preview"), default="auto"
+        "--render", choices=("auto", "gsplat", "jax", "preview", "none"),
+        default="auto"
     )
     add_runtime_args(p)
     return p
