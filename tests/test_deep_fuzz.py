@@ -1,0 +1,63 @@
+"""Opt-in deep fuzz (RAHT3DGS_DEEP_FUZZ=1): hundreds of randomized trials
+of span==dense forward agreement, lossless inverse, and exact RLGR
+roundtrips across depths/pads. Skipped by default to keep the suite fast;
+run it after any transform or coder change:
+
+    RAHT3DGS_DEEP_FUZZ=1 python -m pytest tests/test_deep_fuzz.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RAHT3DGS_DEEP_FUZZ") != "1",
+    reason="set RAHT3DGS_DEEP_FUZZ=1 for the deep fuzz run (~5 min)",
+)
+
+
+def test_deep_fuzz_transform_and_coder():
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+    from raht3dgs_tpu.ops.morton import pad_code
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+    from raht3dgs_tpu.ops.raht import raht_forward
+    from raht3dgs_tpu.ops.raht_span import raht_forward_span, raht_inverse_span
+
+    rng = np.random.default_rng(12345)
+    shapes = [(3, 64, 0), (4, 200, 5), (5, 333, 3), (6, 700, 0), (7, 511, 9)]
+    for depth, n_want, pad in shapes:
+        for _ in range(60):
+            pts = rng.integers(0, 2**depth, (4 * n_want, 3))
+            codes = np.unique(morton_codes_np(pts, depth))[:n_want]
+            n = len(codes)
+            total = n + pad
+            codes_p = np.concatenate(
+                [codes, np.asarray(pad_code(depth, total, jnp.arange(n, total)))]
+            )
+            w = np.concatenate(
+                [rng.integers(1, 5, n), np.zeros(pad)]
+            ).astype(np.float64)
+            attrs = np.concatenate(
+                [rng.normal(0, 100, (n, 2)), np.zeros((pad, 2))]
+            )
+            cj = jnp.asarray(codes_p)
+            aj = jnp.asarray(attrs)
+            wj = jnp.asarray(w)
+            d = raht_forward(cj, aj, wj, depth)
+            s = raht_forward_span(cj, aj, wj, depth)
+            np.testing.assert_allclose(
+                np.asarray(s.coeffs)[:n], np.asarray(d.coeffs)[:n],
+                rtol=0, atol=1e-9,
+            )
+            rec = np.asarray(raht_inverse_span(s.coeffs, cj, wj, depth))[:n]
+            np.testing.assert_allclose(rec, attrs[:n], rtol=0, atol=1e-8)
+            q = np.asarray(
+                np.floor(np.asarray(d.coeffs)[:n, 0] / 2.0 + 0.5),
+                dtype=np.int32,
+            )
+            st, _ = rlgr_encode(q)
+            back, _ = rlgr_decode(st, n, out=np.empty(n, np.int32))
+            np.testing.assert_array_equal(back[:n], q)
