@@ -11,7 +11,16 @@ see BASELINE.md — the repo publishes no transform-throughput numbers of its
 own, and its GPU figures cover voxelization only).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "Mpts/s", "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": "Mpts/s", "vs_baseline": ...,
+   "platform": "tpu"|"cpu"|..., "fallback": bool, "probe_attempts": N}
+
+Provenance fields: ``platform`` is the backend that actually produced the
+number; ``fallback`` is true iff the default platform failed its health
+probes and the run re-executed on CPU — a fallback number measures this
+machine's CPU, not the codec's TPU throughput. The persistent compilation
+cache is partitioned per platform so a CPU fallback can never load an AOT
+entry compiled elsewhere (the round-1 failure mode: a cross-machine XLA:CPU
+cache hit ran at 0.23 Mpts/s vs 0.79 measured natively).
 """
 
 import json
@@ -27,14 +36,17 @@ ITERS = 3
 BURST = 8
 
 
-def _platform_healthy(timeout_s: float = 90.0, attempts: int = 6) -> bool:
+def _platform_healthy(timeout_s: float = 150.0, attempts: int = 8) -> int:
     """The TPU tunnel in this environment can wedge (in-flight fetches hang
     forever and block_until_ready returns without waiting). Probe with a
     real value fetch under a watchdog thread before committing to it.
 
     Retries: the tunnel also fails probes transiently (e.g. right after
     another client process exits), which must not be mistaken for a wedge —
-    a false fallback to CPU under-reports by ~7x.
+    a false fallback to CPU under-reports by ~31x (the round-1 record).
+
+    Returns the number of probe attempts made; > ``attempts`` means all
+    failed (unhealthy).
     """
     import threading
 
@@ -54,7 +66,7 @@ def _platform_healthy(timeout_s: float = 90.0, attempts: int = 6) -> bool:
         t.start()
         t.join(timeout_s)
         if ok[0]:
-            return True
+            return attempt + 1
         if attempt + 1 < attempts:
             import sys
 
@@ -63,7 +75,7 @@ def _platform_healthy(timeout_s: float = 90.0, attempts: int = 6) -> bool:
                 file=sys.stderr,
             )
             time.sleep(30)
-    return False
+    return attempts + 1
 
 
 def main() -> None:
@@ -71,25 +83,35 @@ def main() -> None:
     import sys
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    probe_attempts = int(os.environ.get("RAHT3DGS_BENCH_PROBES", "0"))
+    fallback = bool(os.environ.get("RAHT3DGS_BENCH_FALLBACK"))
+    if os.environ.get("RAHT3DGS_BENCH_PLATFORM"):
+        plat = os.environ["RAHT3DGS_BENCH_PLATFORM"]
+        jax.config.update("jax_platforms", plat)
+        # Partition the persistent cache per platform: a CPU (fallback) run
+        # must never load an XLA:CPU AOT entry compiled on another machine.
+        cache_dir = "/root/.jax_cache" if plat != "cpu" else "/root/.jax_cache_cpu"
+    else:
+        cache_dir = "/root/.jax_cache"
+        probe_attempts = _platform_healthy()
+        if probe_attempts > 8:
+            print(
+                "bench: default platform unresponsive after 8 probes; "
+                "falling back to CPU (provenance recorded in JSON)",
+                file=sys.stderr,
+            )
+            os.execvpe(
+                sys.executable,
+                [sys.executable, os.path.abspath(__file__)],
+                {**os.environ, "RAHT3DGS_BENCH_PLATFORM": "cpu",
+                 "JAX_PLATFORMS": "cpu",
+                 "RAHT3DGS_BENCH_FALLBACK": "1",
+                 "RAHT3DGS_BENCH_PROBES": str(probe_attempts)},
+            )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
-    if os.environ.get("RAHT3DGS_BENCH_PLATFORM"):
-        jax.config.update(
-            "jax_platforms", os.environ["RAHT3DGS_BENCH_PLATFORM"]
-        )
-    elif not _platform_healthy():
-        print(
-            "bench: default platform unresponsive; falling back to CPU",
-            file=sys.stderr,
-        )
-        os.execvpe(
-            sys.executable,
-            [sys.executable, os.path.abspath(__file__)],
-            {**os.environ, "RAHT3DGS_BENCH_PLATFORM": "cpu",
-             "JAX_PLATFORMS": "cpu"},
-        )
 
     import jax.numpy as jnp
     import numpy as np
@@ -178,6 +200,9 @@ def main() -> None:
                 "value": round(mpts, 4),
                 "unit": "Mpts/s",
                 "vs_baseline": round(mpts / REFERENCE_CPU_MPTS, 2),
+                "platform": jax.devices()[0].platform,
+                "fallback": fallback,
+                "probe_attempts": probe_attempts,
             }
         )
     )

@@ -55,6 +55,13 @@ def make_mesh(
     """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but the {devs[0].platform} backend "
+            f"has {len(devs)}. For a virtual mesh, set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before jax "
+            "initializes (see tests/conftest.py)."
+        )
     devs = devs[:n]
     if dp is None and tp is None:
         dp, tp = n // sp, 1
