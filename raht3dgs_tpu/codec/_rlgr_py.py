@@ -123,10 +123,15 @@ def encode(seq: Sequence[int], signed: bool = True) -> bytes:
                 k_p += UP_RUN
                 run = 0
         else:
+            # The reference decrements u in place (membuf.cpp `u--`), which
+            # aliases the trailing-flush test below: a final run-terminating
+            # symbol whose mapped value is exactly 1 leaves u == 0 and
+            # triggers a (spurious but byte-contractual) flush.
+            u -= 1
             sink.put(0, 1)
             sink.put(run, k)
-            _gr_put(sink, u - 1, k_r)
-            k_rp = _adapt_krp(k_rp, u - 1, k_r)
+            _gr_put(sink, u, k_r)
+            k_rp = _adapt_krp(k_rp, u, k_r)
             k_p = max(k_p - DOWN_RUN, 0)
             run = 0
     if k and u == 0:

@@ -251,11 +251,16 @@ int rlgr_encode(const int64_t* seq, size_t n, int flag_signed, uint8_t** out,
         run = 0;
       }
     } else {
-      // Run mode, nonzero symbol terminates the partial run.
+      // Run mode, nonzero symbol terminates the partial run. The in-place
+      // decrement mirrors the reference's `u--` (membuf.cpp:359), which
+      // aliases the trailing-flush test below: a final mapped value of
+      // exactly 1 leaves u == 0 and triggers a spurious-but-contractual
+      // flush that byte-identity requires.
+      u -= 1;
       sink.put_bits(0, 1);
       sink.put_bits(run, static_cast<unsigned>(k));
-      gr_put(sink, u - 1, k_r);
-      adapt_krp(k_rp, u - 1, k_r);
+      gr_put(sink, u, k_r);
+      adapt_krp(k_rp, u, k_r);
       k_p = (k_p < kDownRun) ? 0 : k_p - kDownRun;
       run = 0;
     }
@@ -343,10 +348,11 @@ int rlgr_encode32(const int32_t* seq, size_t n, int flag_signed, uint8_t** out,
         run = 0;
       }
     } else {
+      u -= 1;  // mirrors the reference's aliasing `u--` (see rlgr_encode)
       sink.put_bits(0, 1);
       sink.put_bits(run, static_cast<unsigned>(k));
-      gr_put(sink, u - 1, k_r);
-      adapt_krp(k_rp, u - 1, k_r);
+      gr_put(sink, u, k_r);
+      adapt_krp(k_rp, u, k_r);
       k_p = (k_p < kDownRun) ? 0 : k_p - kDownRun;
       run = 0;
     }
