@@ -1,6 +1,7 @@
 from raht3dgs_tpu.parallel.sharding import (
     batched_roundtrip_step,
     batched_transform_step,
+    batched_transform_step_tp,
     make_mesh,
     shard_batch,
 )
@@ -9,5 +10,6 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "batched_transform_step",
+    "batched_transform_step_tp",
     "batched_roundtrip_step",
 ]

@@ -15,11 +15,19 @@ rather than a port. The codec's natural parallel axes are:
   gathers, all of which XLA lowers to collective-assisted forms over sp
   (verified exact vs unsharded on a virtual mesh).
 
-With batch over dp and channels over tp, every gather/scan in the transform
-runs along the *unsharded* N axis — the encode step compiles with no
-cross-chip collectives on the hot path (ICI traffic only at input/output
-resharding). sp trades that for capacity. A reduction like mean-PSNR over
-the batch lets XLA insert the final psum over dp.
+With batch over dp, every gather/scan in the transform runs along the
+*unsharded* N axis — the encode step compiles with no cross-chip
+collectives on the hot path (``tests/test_sharding.py::
+test_dp_hot_path_collective_free`` greps the compiled HLO to pin this).
+For tp the fused prefix pack concatenates the weight column onto the
+channel axis, which under GSPMD sharding forces an all-to-all reshard;
+:func:`batched_transform_step_tp` therefore drives the per-frame transform
+through ``shard_map`` instead — each device runs the fused pack on its
+local channel slice with its own (replicated, cheap) weight/structure
+pass, which compiles to ZERO collectives and is bitwise identical to the
+unsharded program. sp trades collective-freedom for capacity (XLA inserts
+the sharded-scan collectives). A reduction like mean-PSNR over the batch
+lets XLA insert the final psum over dp.
 
 Sharded frames must share a bucketed shape; zero-weight padding makes that
 exact (ops/raht.py).
@@ -134,6 +142,55 @@ def batched_transform_step(codes, attrs, weights, steps, depth,
         codes, attrs, weights, depth, order_mode, nvox
     )
     return batched_quant_reorder(coeffs, steps, orderp)
+
+
+@partial(jax.jit, static_argnames=("mesh", "depth", "order_mode"))
+def batched_transform_step_tp(mesh, codes, attrs, weights, steps, depth,
+                              order_mode="ragft", nvox=None):
+    """Channel-parallel encode with ZERO collectives: shard_map over
+    (dp, tp).
+
+    Each device receives its frames' local channel slice (D/tp channels)
+    and runs the SAME fused per-frame transform the single-chip path uses —
+    including its own copy of the one-column weight/structure pass, which
+    is bitwise identical on every tp shard (cheap: one extra scan). Nothing
+    ever crosses ICI, unlike the GSPMD route where the fused pack's
+    channel-axis concatenate forces an all-to-all.
+
+    ``steps`` may be a scalar or a (D,) per-channel vector (sharded over
+    tp alongside the channels). Requires ``mesh`` with sp == 1. Output is
+    channel-major (B, D, N) int32, identical to
+    :func:`batched_transform_step`.
+    """
+    if mesh.shape["sp"] != 1:
+        raise ValueError(
+            "batched_transform_step_tp shards channels, not points; use the "
+            "GSPMD batched_transform_step for sp > 1"
+        )
+    if nvox is None:
+        nvox = jnp.full((codes.shape[0],), codes.shape[1], dtype=jnp.int32)
+    steps = jnp.asarray(steps)
+    step_spec = P("tp") if steps.ndim == 1 else P()
+
+    from raht3dgs_tpu.models.pipeline import _pads_last
+
+    def local(codes_l, attrs_l, w_l, steps_l, nvox_l):
+        def one(codes_f, attrs_f, w_f, nvox_f):
+            res = get_forward_impl("span")(codes_f, attrs_f, w_f, depth)
+            order = _pads_last(
+                coefficient_order(res.structure, order_mode), nvox_f
+            ).astype(jnp.int32)
+            return quantize(res.coeffs, steps_l)[order].T
+
+        return jax.vmap(one)(codes_l, attrs_l, w_l, nvox_l)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp", None, "tp"), P("dp"), step_spec, P("dp")),
+        out_specs=P("dp", "tp"),
+    )
+    return f(codes, attrs, weights, steps, nvox)
 
 
 @partial(jax.jit, static_argnames=("depth", "dtype"))

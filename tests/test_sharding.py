@@ -82,3 +82,130 @@ def test_graft_entry_api():
 
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
+
+
+_COLLECTIVES = (
+    "all-gather", "all-reduce", "collective-permute", "all-to-all",
+    "reduce-scatter",
+)
+
+
+def _collective_lines(hlo_text):
+    """Lines that DEFINE a collective op (not ones naming one as operand)."""
+    import re
+
+    pat = re.compile(r"= \S+ (" + "|".join(_COLLECTIVES) + r")(-start)?\(")
+    return [ln.strip() for ln in hlo_text.splitlines() if pat.search(ln)]
+
+
+def _dp_batch(depth, n, d, batch):
+    frames = [ge._synthetic_frame(n, depth, d, seed=s) for s in range(batch)]
+    codes = np.stack([f[0] for f in frames])
+    attrs = np.stack([f[1] for f in frames]).astype(np.float32)
+    weights = np.stack([f[2] for f in frames]).astype(np.float32)
+    return codes, attrs, weights
+
+
+def test_dp_hot_path_collective_free():
+    """Pin the sharding.py docstring's promise: with frames over dp, the
+    encode step compiles with NO cross-chip collectives on the hot path —
+    ICI traffic only at input/output resharding. Greps the compiled HLO
+    for every collective op."""
+    depth, n, d = 5, 512, 8
+    codes, attrs, weights = _dp_batch(depth, n, d, batch=8)
+
+    mesh = make_mesh(8)
+    cs, as_, ws = shard_batch(mesh, codes, attrs, weights)
+    with mesh:
+        compiled = batched_transform_step.lower(
+            cs, as_, ws, jnp.float32(4.0), depth
+        ).compile()
+    colls = _collective_lines(compiled.as_text())
+    assert not colls, (
+        f"encode hot path has collectives on mesh {mesh.shape}:\n"
+        + "\n".join(colls[:10])
+    )
+
+
+def test_tp_shard_map_collective_free_and_bitwise():
+    """The shard_map channel-parallel encode compiles to ZERO collectives
+    on a (dp, tp) mesh and its output is bitwise identical to the
+    unsharded program (each tp shard recomputes the one-column weight
+    pass, so no resharding of the fused pack is ever needed)."""
+    from raht3dgs_tpu.parallel.sharding import batched_transform_step_tp
+
+    depth, n, d = 5, 512, 8
+    codes, attrs, weights = _dp_batch(depth, n, d, batch=8)
+    mesh = make_mesh(8, dp=4, tp=2)
+    cs = jax.device_put(codes, jax.NamedSharding(mesh, jax.P("dp")))
+    as_ = jax.device_put(attrs, jax.NamedSharding(mesh, jax.P("dp", None, "tp")))
+    ws = jax.device_put(weights, jax.NamedSharding(mesh, jax.P("dp")))
+
+    steps = jnp.full((d,), 4.0, dtype=jnp.float32)  # per-channel, tp-sharded
+    with mesh:
+        compiled = batched_transform_step_tp.lower(
+            mesh, cs, as_, ws, steps, depth
+        ).compile()
+        colls = _collective_lines(compiled.as_text())
+        assert not colls, "\n".join(colls[:10])
+        q_tp = np.asarray(batched_transform_step_tp(
+            mesh, cs, as_, ws, steps, depth
+        ))
+
+    q_ref = np.asarray(batched_transform_step(
+        jnp.asarray(codes), jnp.asarray(attrs), jnp.asarray(weights),
+        steps, depth,
+    ))
+    np.testing.assert_array_equal(q_tp, q_ref)
+
+
+def test_dp_roundtrip_single_psum_only():
+    """The batched roundtrip (the dry-run/bench program) may reduce the
+    final scalar MSE across dp — but nothing else."""
+    depth, n, d = 5, 512, 4
+    codes, attrs, weights = _dp_batch(depth, n, d, batch=8)
+    mesh = make_mesh(8)
+    cs, as_, ws = shard_batch(mesh, codes, attrs, weights)
+    with mesh:
+        compiled = batched_roundtrip_step.lower(
+            cs, as_, ws, jnp.float32(2.0), depth
+        ).compile()
+    colls = _collective_lines(compiled.as_text())
+    non_reduce = [ln for ln in colls if "all-reduce" not in ln]
+    assert not non_reduce, "\n".join(non_reduce[:10])
+    # the all-reduces present must all be scalar-shaped (the final MSE psum
+    # and its s64 element-count companion)
+    import re
+
+    bad = [ln for ln in colls
+           if "all-reduce" in ln and not re.search(r"= \w+\[\] all-reduce", ln)]
+    assert not bad, "\n".join(bad[:10])
+
+
+def test_dp_scaling_shape():
+    """Weak scaling: the per-device encode program at dp=8 (8 frames, one
+    per device) does the same work as the single-device program on one
+    frame — within a few percent of identical FLOPs (no replicated or
+    gathered work hiding in the sharded compile)."""
+    depth, n, d = 5, 512, 8
+
+    codes, attrs, weights = _dp_batch(depth, n, d, batch=8)
+    mesh = make_mesh(8)
+    cs, as_, ws = shard_batch(mesh, codes, attrs, weights)
+    with mesh:
+        c8 = batched_transform_step.lower(
+            cs, as_, ws, jnp.float32(4.0), depth
+        ).compile()
+
+    codes1, attrs1, weights1 = _dp_batch(depth, n, d, batch=1)
+    mesh1 = make_mesh(1)
+    cs1, as1, ws1 = shard_batch(mesh1, codes1, attrs1, weights1)
+    with mesh1:
+        c1 = batched_transform_step.lower(
+            cs1, as1, ws1, jnp.float32(4.0), depth
+        ).compile()
+
+    f8 = c8.cost_analysis().get("flops", 0.0)
+    f1 = c1.cost_analysis().get("flops", 0.0)
+    assert f1 > 0 and f8 > 0
+    assert abs(f8 - f1) / f1 < 0.05, (f8, f1)
