@@ -207,11 +207,19 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         # transform once, reuse across the whole quantization-step sweep
-        coeffs, orderp, _ = bc.transform(frames)
+        coeffs, orderp, t_timer = bc.transform(frames)
+        # the shared transform is amortized across the sweep: each step's
+        # rows carry transform_time / n_steps so summed stage columns still
+        # account for the full pipeline time (reporting-script contract)
+        transform_share = {
+            k: v / len(args.steps) for k, v in t_timer.stages.items()
+        }
         for step in args.steps:
             timer = None
             streams, timer = bc.encode(frames, steps=float(step),
                                        coeffs=coeffs, orderp=orderp)
+            for k, v in transform_share.items():
+                timer.add(k, v)
             if args.no_decode:
                 recs = None
             else:

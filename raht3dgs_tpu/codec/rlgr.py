@@ -357,6 +357,13 @@ def rlgr_decode_chunked(
     """Decode a :func:`rlgr_encode_chunked` stream; chunks in parallel."""
     chunk, lens, payload_off = _parse_chunk_header(stream)
     n_chunks = len(lens)
+    if n_chunks * chunk < n:
+        # An internally consistent header with too few chunks would decode
+        # partially and silently leave np.empty garbage in the tail.
+        raise ValueError(
+            f"truncated chunked stream: {n_chunks} chunks of {chunk} cover "
+            f"{n_chunks * chunk} symbols, need {n}"
+        )
     offs = np.concatenate([[payload_off], payload_off + np.cumsum(lens)])
     if out is None:
         out = np.empty(n, dtype=np.int32)
@@ -465,6 +472,12 @@ def rlgr_decode_channels(
             if chunk > 0:
                 c, lens, off = _parse_chunk_header(s)
                 n_chunks = len(lens)
+                if n_chunks * c < n:
+                    raise ValueError(
+                        f"truncated chunked stream (channel {d}): "
+                        f"{n_chunks} chunks of {c} cover {n_chunks * c} "
+                        f"symbols, need {n}"
+                    )
                 for i in range(n_chunks):
                     m = max(min(c, n - i * c), 0)
                     if m > 0:

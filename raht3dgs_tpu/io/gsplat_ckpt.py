@@ -44,7 +44,12 @@ def load_gsplat_checkpoint(path) -> Optional[Dict[str, np.ndarray]]:
         if "means" not in splats:
             raise KeyError("no 'means' in checkpoint")
     except Exception as e:
-        warnings.warn(f"could not parse gsplat checkpoint {path}: {e}")
+        warnings.warn(
+            f"could not parse gsplat checkpoint {path}: {e} — if this is a "
+            "weights_only unpickling failure, the checkpoint contains "
+            "non-tensor entries (configs/optimizer state); re-save it with "
+            "tensors only, or extract the 'splats' dict yourself"
+        )
         return None
 
     def grab(key):

@@ -1,10 +1,12 @@
 """Gaussian cluster merging as XLA segmented reductions.
 
 TPU-native replacement for the reference's custom CUDA kernel
-(``/root/reference/cuda/merge_cluster.cu`` + its wrapper/Python API): one
-thread-per-cluster member loops become ``jax.ops.segment_sum`` over cluster
-ids — fully fused, no custom kernel needed, and it vectorizes over any
-number of attribute channels.
+(``/root/reference/cuda/merge_cluster.cu`` + its wrapper/Python API): the
+one-thread-per-cluster member loops become scatter-free sorted segment
+reductions (``ops/segment.py:sorted_segment_sums`` — segment-boundary
+prefix-sum differences, which XLA lowers far better on TPU than
+``segment_sum``'s scatter-adds; see docs/performance.md) — no custom
+kernel needed, and it vectorizes over any number of attribute channels.
 
 Merge semantics (matching the kernel):
 - member weight = opacity (``weight_by_opacity=True``) or 1;

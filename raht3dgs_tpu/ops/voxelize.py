@@ -96,7 +96,10 @@ def voxelize_pc(PC, param: dict):
             # the writer's uchar columns need 0..255: the reference
             # normalizes to [0, 1] when max > 1 (voxelize_pc.py:251-253)
             # and its PLY layer rescales — net effect reproduced here
-            c01 = colors / 255.0 if colors.max() > 1.0 else colors
+            c01 = (
+                colors / 255.0
+                if colors.size and colors.max() > 1.0 else colors
+            )
             colors = np.clip(np.round(c01 * 255.0), 0, 255)
         save_ply_ascii(f"{filename}_vox.ply", centers, colors)
         with open(f"{filename}_data.txt", "w") as f:

@@ -23,9 +23,23 @@ def _force_completion(out: Any) -> Any:
     order)."""
     out = jax.block_until_ready(out)
     if jax.default_backend() == "axon":
+        # One fetch per *device* (not just the first leaf): with sharded
+        # outputs each device has its own stream, and only a fetch from a
+        # shard resident on that device bounds its completion.
+        seen = set()
+        ndev = jax.device_count()
         for leaf in jax.tree_util.tree_leaves(out):
-            if hasattr(leaf, "size") and leaf.size:
-                leaf.reshape(-1)[0].item()  # one-element fetch = barrier
+            if not (hasattr(leaf, "size") and leaf.size):
+                continue
+            for sh in getattr(leaf, "addressable_shards", None) or []:
+                if sh.device in seen or not sh.data.size:
+                    continue
+                sh.data.reshape(-1)[0].item()  # one-element fetch = barrier
+                seen.add(sh.device)
+            if not seen:
+                leaf.reshape(-1)[0].item()
+                seen.add(None)
+            if len(seen) >= ndev:
                 break
     return out
 

@@ -366,3 +366,54 @@ def test_concurrent_batch_calls_are_thread_safe(rng):
     for (streams, out), ref_streams, p in zip(results, serial, payloads):
         assert [bytes(s) for s in streams] == [bytes(s) for s in ref_streams]
         np.testing.assert_array_equal(out, p)
+
+
+def test_chunked_truncated_header_raises(rng):
+    """A header whose chunks cover fewer symbols than requested must raise,
+    not silently leave np.empty garbage in the output tail."""
+    import pytest
+
+    from raht3dgs_tpu.codec.rlgr import (
+        _pack_chunk_header,
+        _parse_chunk_header,
+        rlgr_decode_chunked,
+        rlgr_encode_chunked,
+    )
+
+    n = 300
+    v = rng.integers(-50, 50, size=n).astype(np.int32)
+    stream, _ = rlgr_encode_chunked(v, chunk=100)
+    chunk, lens, off = _parse_chunk_header(stream)
+    assert len(lens) == 3
+    # drop the last chunk but keep the header internally consistent
+    truncated = (
+        _pack_chunk_header(chunk, lens[:2])
+        + stream[off:off + lens[0] + lens[1]]
+    )
+    with pytest.raises(ValueError, match="truncated chunked stream"):
+        rlgr_decode_chunked(truncated, n)
+
+
+def test_batch_chunked_truncated_header_raises(rng):
+    import pytest
+
+    from raht3dgs_tpu.codec.rlgr import (
+        _pack_chunk_header,
+        _parse_chunk_header,
+        native_available,
+        rlgr_decode_channels,
+        rlgr_encode_chunked,
+    )
+
+    if not native_available():
+        pytest.skip("native batch path unavailable")
+    n = 300
+    v = rng.integers(-50, 50, size=(2, n)).astype(np.int32)
+    streams = [rlgr_encode_chunked(v[d], chunk=100)[0] for d in range(2)]
+    chunk, lens, off = _parse_chunk_header(streams[1])
+    streams[1] = (
+        _pack_chunk_header(chunk, lens[:2])
+        + streams[1][off:off + lens[0] + lens[1]]
+    )
+    with pytest.raises(ValueError, match="truncated chunked stream"):
+        rlgr_decode_channels(streams, n, chunk=100)
