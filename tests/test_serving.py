@@ -1,0 +1,143 @@
+"""Fused serving program: decode+render in one dispatch.
+
+Pins: fused == split (decode then per-view rasterize) to 1-ulp (different
+XLA programs fuse fma differently); int16 upload narrowing changes
+nothing; the view-sharded variant equals the single-device program."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raht3dgs_tpu.codec.rlgr import rlgr_decode_channels
+from raht3dgs_tpu.eval.cameras import generate_random_cameras
+from raht3dgs_tpu.eval.rasterize import _rasterize_tiled
+from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+from raht3dgs_tpu.models.serving import (
+    build_inverse_order,
+    decode_scene_device,
+    quantized_upload_array,
+    serve_frame,
+    serve_views_sharded,
+)
+from raht3dgs_tpu.ops.morton import morton_decode
+from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+DEPTH = 5
+SIZE = 64
+RASTER = dict(sh_degree=3, tile=16, max_tiles_per_gauss=16,
+              max_per_tile=1024, chunk=64)
+
+
+def _make_served_frame(rng, n=400, step=0.002):
+    pts = rng.integers(0, 2**DEPTH, size=(4 * n, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:n]
+    pos = np.asarray(morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(codes)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.08, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32)
+    frame = prepare_voxel_frame(pos, attrs, DEPTH, bucket=max(n, 1),
+                                dtype=jnp.float32)
+    enc = codec.encode(frame, step)
+    stream = enc.stream
+    vals_T = np.zeros((stream.n_channels, frame.codes.shape[0]),
+                      dtype=np.int32)
+    rlgr_decode_channels(stream.channels, stream.n_voxels, out=vals_T,
+                         chunk=stream.chunk)
+    inv = build_inverse_order(frame.codes, frame.weights,
+                              jnp.int32(stream.n_voxels), DEPTH,
+                              stream.order_mode)
+    voxel_size = jnp.float32(2.0 / 2**DEPTH)
+    vmin = jnp.asarray([-1.0, -1.0, -1.0], jnp.float32)
+    return frame, vals_T, inv, jnp.float32(step), voxel_size, vmin
+
+
+def _cameras(v):
+    viewmats, Ks, _, _ = generate_random_cameras(
+        np.zeros(3), 2.5, n_views=v, image_width=SIZE, image_height=SIZE,
+        seed=3,
+    )
+    return (jnp.asarray(viewmats, jnp.float32), jnp.asarray(Ks, jnp.float32))
+
+
+def test_fused_equals_split(rng):
+    frame, vals_T, inv, steps, vs, vmin = _make_served_frame(rng)
+    vms, Kms = _cameras(3)
+    bg = jnp.ones((3,), jnp.float32)
+
+    imgs, dups, tiles = serve_frame(
+        jnp.asarray(vals_T), inv, steps, frame.codes, frame.weights, vs,
+        vmin, vms, Kms, bg, depth=DEPTH, width=SIZE, height=SIZE, **RASTER,
+    )
+    assert imgs.shape == (3, SIZE, SIZE, 3)
+    assert int(dups.sum()) == 0 and int(tiles.sum()) == 0
+
+    scene = decode_scene_device(
+        jnp.asarray(vals_T), inv, steps, frame.codes, frame.weights, vs,
+        vmin, depth=DEPTH,
+    )
+    for i in range(3):
+        img, meta = _rasterize_tiled(
+            *scene, vms[i], Kms[i], bg, width=SIZE, height=SIZE, **RASTER,
+        )
+        np.testing.assert_allclose(
+            np.asarray(imgs[i]), np.asarray(img), atol=1e-5, rtol=0
+        )
+
+    std = float(np.asarray(imgs).std())
+    assert std > 1e-4, "blank renders"
+
+
+def test_int16_upload_bitwise(rng):
+    frame, vals_T, inv, steps, vs, vmin = _make_served_frame(rng)
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    narrow = quantized_upload_array(vals_T)
+    assert narrow.dtype == np.int16  # step 0.002 on unit-scale attrs fits
+
+    a = serve_frame(jnp.asarray(vals_T), inv, steps, frame.codes,
+                    frame.weights, vs, vmin, vms, Kms, bg,
+                    depth=DEPTH, width=SIZE, height=SIZE, **RASTER)
+    b = serve_frame(jnp.asarray(narrow), inv, steps, frame.codes,
+                    frame.weights, vs, vmin, vms, Kms, bg,
+                    depth=DEPTH, width=SIZE, height=SIZE, **RASTER)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_int16_narrowing_declines_wide_values():
+    wide = np.full((2, 4), 40_000, dtype=np.int32)
+    assert quantized_upload_array(wide).dtype == np.int32
+
+
+def test_sharded_serving_matches_single(rng):
+    from raht3dgs_tpu.parallel.sharding import make_mesh
+
+    frame, vals_T, inv, steps, vs, vmin = _make_served_frame(rng)
+    v = 5  # not a multiple of the axis size: exercises view padding
+    vms, Kms = _cameras(v)
+    bg = jnp.ones((3,), jnp.float32)
+
+    ref, dups, tiles = serve_frame(
+        jnp.asarray(vals_T), inv, steps, frame.codes, frame.weights, vs,
+        vmin, vms, Kms, bg, depth=DEPTH, width=SIZE, height=SIZE, **RASTER,
+    )
+    mesh = make_mesh(8)
+    imgs, dups_s, tiles_s = serve_views_sharded(
+        vals_T, inv, steps, frame.codes, frame.weights, vs, vmin,
+        np.asarray(vms), np.asarray(Kms), mesh=mesh, depth=DEPTH,
+        width=SIZE, height=SIZE, **RASTER,
+    )
+    assert imgs.shape == (v, SIZE, SIZE, 3)
+    np.testing.assert_allclose(
+        np.asarray(imgs), np.asarray(ref), atol=1e-5, rtol=0
+    )
+    np.testing.assert_array_equal(np.asarray(dups_s), np.asarray(dups))
