@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from raht3dgs_tpu.ops.morton import (
     code_dtype,
-    morton_decode,
     morton_encode,
     pad_code,
 )
@@ -193,7 +192,10 @@ def voxelize(
     slot = row
     # Scatter-free per-voxel reduction: points are Morton-sorted, so voxel
     # sums are prefix differences at run boundaries (ops/segment.py); the
-    # voxel's code rides the same gather as exact float digit lanes.
+    # voxel's code AND its integer coordinates ride the same gather as
+    # exact float lanes (< 2**24, exact in f32), so no morton_decode pass
+    # is needed at all — the sorted points' own quantized coordinates are
+    # bitwise the codes' decode (same clip(floor(.)) on the same values).
     vals = jnp.concatenate(
         [
             jnp.where(valid_s[:, None], Cs, 0),
@@ -201,19 +203,31 @@ def voxelize(
         ],
         axis=1,
     )
-    code_digits = _code_lanes(Ms, fdtype)
-    sums, digit_rows, _, _ = sorted_segment_sums(vals, first, code_digits)
+    Vint_f = jnp.floor(V0s / voxel_size)  # shared with `corner` below
+    extra = jnp.concatenate(
+        [
+            _code_lanes(Ms, fdtype),
+            jnp.clip(Vint_f, 0, (1 << depth) - 1).astype(fdtype),
+        ],
+        axis=1,
+    )
+    sums, extra_rows, _, _ = sorted_segment_sums(vals, first, extra)
     counts = sums[:, D].astype(fdtype)
     Cvox = (sums[:, :D] / jnp.maximum(sums[:, D], 1.0)[:, None]).astype(fdtype)
 
     real = slot < nvox
-    codes = _lanes_code(digit_rows, code_dtype(depth, N), fdtype)
+    codes = _lanes_code(extra_rows[:, :3], code_dtype(depth, N), fdtype)
     codes = jnp.where(real, codes, pad_code(depth, N, slot))
-    positions = jnp.where(real[:, None], morton_decode(codes, depth), 0)
+    pos_dtype = (
+        jnp.int32 if code_dtype(depth, N) == jnp.int32 else jnp.int64
+    )
+    positions = jnp.where(
+        real[:, None], extra_rows[:, 3:].astype(pos_dtype), 0
+    )
     counts = jnp.where(real, counts, 0)
     Cvox = jnp.where(real[:, None], Cvox, 0)
 
-    corner = voxel_size * jnp.floor(V0s / voxel_size)
+    corner = voxel_size * Vint_f
     delta_pos = jnp.where(valid_s[:, None], V0s - corner, 0)
     delta_attr = jnp.where(valid_s[:, None], Cs - Cvox[point_voxel], 0)
 

@@ -148,3 +148,23 @@ def test_voxelize_depth21_uint64_codes_exact(rng):
     assert set(int(c) for c in codes) == want
     # ascending and unique
     assert np.all(np.diff(codes.astype(np.uint64)) > 0)
+
+
+def test_positions_equal_decoded_codes(rng):
+    """The lane-gathered positions must equal morton_decode of the codes
+    (the voxelizer derives them from the sorted points' own quantized
+    coordinates instead of running a decode pass)."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.ops.morton import morton_decode
+    from raht3dgs_tpu.ops.voxelize import voxelize
+
+    for depth in (4, 11):  # int32 and int64 code tiers
+        pts = rng.uniform(0, 100.0, size=(500, 3))
+        attrs = rng.uniform(0, 255, size=(500, 2))
+        res = voxelize(jnp.asarray(np.concatenate([pts, attrs], 1)), depth)
+        nv = int(res.nvox)
+        got = np.asarray(res.positions)[:nv]
+        want = np.asarray(morton_decode(res.codes, depth))[:nv]
+        np.testing.assert_array_equal(got, want)
+        assert got.dtype == want.dtype
