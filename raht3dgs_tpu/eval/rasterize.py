@@ -493,6 +493,51 @@ def _rasterize_dense_jit(
     return img.reshape(height, width, 3)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "tile"))
+def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
+                    width, height, tile):
+    """Max tiles any alive gaussian covers in this view (same bbox formula
+    as the binning pass). A tiny program used to pick the duplication-grid
+    budget adaptively."""
+    f32 = jnp.float32
+    means2d, conic, depths, radii, alive, vd = project_gaussians(
+        means.astype(f32), quats.astype(f32), scales.astype(f32),
+        opacities.astype(f32).reshape(-1), viewmat.astype(f32),
+        Kmat.astype(f32), width, height,
+    )
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    mx, my, r = means2d[:, 0], means2d[:, 1], radii
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    n_cover = jnp.where(alive, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+    return jnp.max(n_cover)
+
+
+def auto_tile_budget(means, quats, scales, opacities, viewmat, Kmat, *,
+                     width: int, height: int, tile: int = 16,
+                     cap: int = 256) -> int:
+    """Adaptive ``max_tiles_per_gauss``: the view's actual per-gaussian max
+    tile coverage, rounded up to a power of two (floor 4, capped).
+
+    Typical voxel-grid scenes have tiny splats (coverage 1-4), so the
+    binning sort's E = N * budget shrinks 4-8x vs the generous static
+    default while keeping the zero-overflow exactness guarantee (budget >=
+    the true max, so ``dup_clipped == 0``). One compiled program per
+    distinct power of two."""
+    need = int(_max_tile_cover(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opacities), jnp.asarray(viewmat), jnp.asarray(Kmat),
+        width=width, height=height, tile=tile,
+    ))
+    budget = 4
+    while budget < need and budget < cap:
+        budget *= 2
+    return budget
+
+
 def rasterize_gaussians(
     means,
     quats,
@@ -506,7 +551,7 @@ def rasterize_gaussians(
     sh_degree: Optional[int] = None,
     background: Optional[np.ndarray] = None,
     tile: int = 16,
-    max_tiles_per_gauss: int = 32,
+    max_tiles_per_gauss=32,
     max_per_tile: int = 1024,
     chunk: int = 128,
 ) -> Tuple[np.ndarray, RasterMeta]:
@@ -523,11 +568,19 @@ def rasterize_gaussians(
         background: (3,) color, white default (reference parity).
         tile / max_tiles_per_gauss / max_per_tile / chunk: capacity knobs;
             overflow counts are returned in :class:`RasterMeta`.
+            ``max_tiles_per_gauss="auto"`` measures this view's actual max
+            coverage first (:func:`auto_tile_budget`) — smaller binning
+            sort, still exact.
 
     Returns:
         (image (H, W, 3) float32 numpy array, RasterMeta of device
         scalars — convert with ``int(...)`` to inspect).
     """
+    if max_tiles_per_gauss == "auto":
+        max_tiles_per_gauss = auto_tile_budget(
+            means, quats, scales, opacities, viewmat, Kmat,
+            width=width, height=height, tile=tile,
+        )
     sh, inferred = _colors_to_sh(jnp.asarray(colors))
     if sh_degree is None:
         sh_degree = inferred

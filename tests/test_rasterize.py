@@ -331,3 +331,33 @@ def test_tiled_matches_dense_fuzz():
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=3e-5)
 
     check()
+
+
+def test_auto_tile_budget_exact_and_tight():
+    """'auto' max_tiles_per_gauss covers the view's true max coverage (so
+    dup_clipped == 0 and the image equals the generous-budget render) while
+    picking a smaller duplication grid for small-splat scenes."""
+    from raht3dgs_tpu.eval.rasterize import auto_tile_budget
+
+    rng = np.random.default_rng(5)
+    means, quats, scales, opac, colors = _random_scene(rng, 150, sh_k=1,
+                                                       spread=0.8)
+    scales = scales * 0.3  # small splats: typical voxel-grid regime
+    viewmat, K = _front_cam(dist=2.5, width=64, height=64)
+
+    budget = auto_tile_budget(means, quats, scales, opac, viewmat, K,
+                              width=64, height=64, tile=16)
+    assert 4 <= budget <= 16  # 64x64/16px = 4x4 tiles; small splats
+
+    img_auto, meta_auto = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 64, 64,
+        max_tiles_per_gauss="auto",
+    )
+    assert int(meta_auto.dup_clipped) == 0
+    img_big, meta_big = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 64, 64,
+        max_tiles_per_gauss=32,
+    )
+    assert int(meta_big.dup_clipped) == 0
+    np.testing.assert_allclose(np.asarray(img_auto), np.asarray(img_big),
+                               atol=3e-5)
