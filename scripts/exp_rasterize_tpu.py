@@ -14,19 +14,32 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-from raht3dgs_tpu.eval.rasterize import _rasterize_tiled, _colors_to_sh
+from raht3dgs_tpu.eval.rasterize import (
+    _colors_to_sh,
+    _rasterize_tiled,
+    auto_tile_budget,
+)
+
+# max_tiles_per_gauss: an int, or "auto" to probe per scene/view
+MTPG = os.environ.get("RAHT3DGS_RASTER_MTPG", "16")
 
 SIZE = 512
+
+
+SCALE_LO = float(os.environ.get("RAHT3DGS_RASTER_SCALE_LO", 0.002))
+SCALE_HI = float(os.environ.get("RAHT3DGS_RASTER_SCALE_HI", 0.02))
 
 
 def scene(rng, n, sh_k=16):
     means = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
-    scales = rng.uniform(0.002, 0.02, size=(n, 3)).astype(np.float32)
+    scales = rng.uniform(SCALE_LO, SCALE_HI, size=(n, 3)).astype(np.float32)
     opac = rng.uniform(0.2, 1.0, size=(n,)).astype(np.float32)
     colors = rng.normal(0, 0.3, size=(n, sh_k * 3)).astype(np.float32)
     return means, quats, scales, opac, colors
@@ -51,8 +64,13 @@ def main():
             jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
             jnp.asarray(opac), sh, vm, Km, bg,
         )
+        if MTPG == "auto":
+            mtpg = auto_tile_budget(means, quats, scales, opac, viewmat, K,
+                                    width=SIZE, height=SIZE, tile=16)
+        else:
+            mtpg = int(MTPG)
         kw = dict(width=SIZE, height=SIZE, sh_degree=deg, tile=16,
-                  max_tiles_per_gauss=16, max_per_tile=1024, chunk=128)
+                  max_tiles_per_gauss=mtpg, max_per_tile=1024, chunk=128)
         img, meta = _rasterize_tiled(*args, **kw)
         float(img[0, 0, 0])  # warm + fetch
         img, meta = _rasterize_tiled(*args, **kw)
@@ -64,7 +82,8 @@ def main():
             float(outs[-1][0][0, 0, 0])
             times.append((time.perf_counter() - t0) / 4)
         print(json.dumps({
-            "n": n, "ms_per_view": round(min(times) * 1e3, 2),
+            "n": n, "max_tiles_per_gauss": mtpg,
+            "ms_per_view": round(min(times) * 1e3, 2),
             "dup_clipped": int(meta.dup_clipped),
             "tile_clipped": int(meta.tile_clipped),
         }), flush=True)
