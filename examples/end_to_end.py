@@ -8,6 +8,8 @@ Covers the full surface a reference user needs:
 4. rate-targeted encoding
 5. multi-frame batched encode
 6. indexed sequence file + chunked (parallel-decodable) entropy streams
+7. render-PSNR evaluation via the TPU-native volumetric rasterizer
+8. fused serving: stream -> decode + multi-view render in ONE program
 
 Run: python examples/end_to_end.py  (CPU by default; add --tpu for the
 default platform)
@@ -156,6 +158,52 @@ def main() -> int:
     print(
         f"[7] render PSNR (volumetric, {metrics['backend']}): "
         f"{metrics['psnr_avg']:.2f} dB over {len(metrics['psnr_per_view'])} views"
+    )
+
+    # ---- 8. fused serving: stream -> decode+render, ONE program -------
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode_channels
+    from raht3dgs_tpu.eval.cameras import generate_random_cameras
+    from raht3dgs_tpu.models.serving import (
+        build_inverse_order,
+        quantized_upload_array,
+        serve_frame,
+    )
+
+    gs_frame = prepare_voxel_frame(
+        gs.positions_int[r].astype(np.int64),
+        np.concatenate(
+            [gs.quats[r], gs.scales[r], gs.opacities[r][:, None],
+             gs.colors[r]], axis=1,
+        ).astype(np.float32),
+        7, bucket=int(gs.n_voxels), dtype=jnp.float32,
+    )
+    gs_codec = AttributeCodec(7, dtype=jnp.float32)
+    senc = gs_codec.encode(gs_frame, 0.005)
+    vals = np.zeros((senc.stream.n_channels, gs_frame.codes.shape[0]),
+                    dtype=np.int32)
+    rlgr_decode_channels(senc.stream.channels, senc.stream.n_voxels,
+                         out=vals, chunk=senc.stream.chunk)
+    vals = quantized_upload_array(vals)  # int16 when representable
+    inv = build_inverse_order(gs_frame.codes, gs_frame.weights,
+                              jnp.int32(senc.stream.n_voxels), 7,
+                              senc.stream.order_mode)
+    vms, Kms, _, _ = generate_random_cameras(
+        np.zeros(3), 3.0, n_views=2, image_width=128, image_height=128,
+        seed=2,
+    )
+    imgs, dups, tiles = serve_frame(
+        jnp.asarray(vals), inv, jnp.float32(0.005), gs_frame.codes,
+        gs_frame.weights, jnp.float32(float(gs.voxel_size)),
+        jnp.asarray(np.asarray(gs.vmin), jnp.float32),
+        jnp.asarray(vms, jnp.float32), jnp.asarray(Kms, jnp.float32),
+        jnp.ones((3,), jnp.float32), depth=7, width=128, height=128,
+        max_per_tile=16384,
+    )
+    print(
+        f"[8] fused serving: {senc.stream.n_voxels} voxels decoded + "
+        f"{imgs.shape[0]} views rendered in one dispatch "
+        f"(upload dtype {np.asarray(vals).dtype}, overflow "
+        f"{int(np.asarray(dups).sum()) + int(np.asarray(tiles).sum())})"
     )
     print("done.")
     return 0
