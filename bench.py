@@ -36,7 +36,11 @@ ITERS = 3
 BURST = 8
 
 
-def _platform_healthy(timeout_s: float = 150.0, attempts: int = 8) -> int:
+PROBE_ATTEMPTS = 8
+
+
+def _platform_healthy(timeout_s: float = 150.0,
+                      attempts: int = PROBE_ATTEMPTS) -> int:
     """The TPU tunnel in this environment can wedge (in-flight fetches hang
     forever and block_until_ready returns without waiting). Probe with a
     real value fetch under a watchdog thread before committing to it.
@@ -95,10 +99,10 @@ def main() -> None:
     else:
         cache_dir = "/root/.jax_cache"
         probe_attempts = _platform_healthy()
-        if probe_attempts > 8:
+        if probe_attempts > PROBE_ATTEMPTS:
             print(
-                "bench: default platform unresponsive after 8 probes; "
-                "falling back to CPU (provenance recorded in JSON)",
+                f"bench: default platform unresponsive after {PROBE_ATTEMPTS}"
+                " probes; falling back to CPU (provenance recorded in JSON)",
                 file=sys.stderr,
             )
             os.execvpe(

@@ -254,6 +254,21 @@ def _colors_to_sh(colors: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
     return colors, degree
 
 
+def _tile_bbox(mx, my, r, tile, tiles_x, tiles_y):
+    """Tile-footprint bounding box of each gaussian (clipped to the grid).
+
+    THE bbox formula: the binning pass, the dense golden's membership
+    cutoff, and the auto tile budget all call this one definition — the
+    tiled==dense and budget>=true-max guarantees depend on them never
+    diverging.
+    """
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    return tx0, tx1, ty0, ty1
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -323,10 +338,7 @@ def _rasterize_tiled(
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
     mx, my, r = table[:, 0], table[:, 1], radii[order]
-    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    tx0, tx1, ty0, ty1 = _tile_bbox(mx, my, r, tile, tiles_x, tiles_y)
     tw = tx1 - tx0 + 1
     th = ty1 - ty0 + 1
     n_cover = jnp.where(g_alive, tw * th, 0)
@@ -459,10 +471,7 @@ def _rasterize_dense_jit(
     # same tile size), not a radius test, for tiled == dense parity.
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
-    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    tx0, tx1, ty0, ty1 = _tile_bbox(mx, my, r, tile, tiles_x, tiles_y)
 
     ys, xs = jnp.mgrid[0:height, 0:width]
     px = xs.reshape(-1).astype(jnp.int32)
@@ -508,10 +517,7 @@ def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     mx, my, r = means2d[:, 0], means2d[:, 1], radii
-    tx0 = jnp.clip(jnp.floor((mx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((my - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((my + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    tx0, tx1, ty0, ty1 = _tile_bbox(mx, my, r, tile, tiles_x, tiles_y)
     n_cover = jnp.where(alive, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     return jnp.max(n_cover)
 

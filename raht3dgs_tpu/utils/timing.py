@@ -27,6 +27,7 @@ def _force_completion(out: Any) -> Any:
         # outputs each device has its own stream, and only a fetch from a
         # shard resident on that device bounds its completion.
         seen = set()
+        fallback_fetched = False
         ndev = jax.device_count()
         for leaf in jax.tree_util.tree_leaves(out):
             if not (hasattr(leaf, "size") and leaf.size):
@@ -36,9 +37,9 @@ def _force_completion(out: Any) -> Any:
                     continue
                 sh.data.reshape(-1)[0].item()  # one-element fetch = barrier
                 seen.add(sh.device)
-            if not seen:
+            if not seen and not fallback_fetched:
                 leaf.reshape(-1)[0].item()
-                seen.add(None)
+                fallback_fetched = True
             if len(seen) >= ndev:
                 break
     return out

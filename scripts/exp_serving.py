@@ -116,6 +116,7 @@ def main():
     def serve_fused():
         t0 = time.perf_counter()
         vals = entropy_decode()
+        upload_dtype[0] = str(vals.dtype)
         t_ent = time.perf_counter() - t0
         t0 = time.perf_counter()
         imgs, dups, tiles = serve_frame(
@@ -132,8 +133,10 @@ def main():
         return t_ent, t_dev, t_fetch, images, overflow
 
     def serve_split():
+        # round-1 protocol: int32 upload, no narrowing
         t0 = time.perf_counter()
         vals = entropy_decode().astype(np.int32)
+        upload_dtype[0] = str(vals.dtype)
         t_ent = time.perf_counter() - t0
         t0 = time.perf_counter()
         scene = decode_scene_device(
@@ -151,6 +154,7 @@ def main():
         overflow = int(meta.dup_clipped) + int(meta.tile_clipped)
         return t_ent, t_dev, t_fetch, images, overflow
 
+    upload_dtype = [None]  # provenance: dtype the timed path actually uploads
     serve = serve_fused if MODE == "fused" else serve_split
     n_views = VIEWS if MODE == "fused" else 1
 
@@ -170,7 +174,7 @@ def main():
         "n_voxels": stream.n_voxels,
         "views": n_views,
         "bytes": sum(len(c) for c in stream.channels),
-        "upload_dtype": str(entropy_decode().dtype),
+        "upload_dtype": upload_dtype[0],
         "entropy_ms": round(t_ent * 1e3, 1),
         "device_ms_incl_upload": round(t_dev * 1e3, 1),
         "image_fetch_ms": round(t_fetch * 1e3, 1),
