@@ -1,0 +1,70 @@
+"""encode_dataset CLI end-to-end on a synthetic 8iVFBv2 tree.
+
+Pins the batched path's CSV contract: rows only for real frames (a
+missing frame in range must not leak padding duplicates), and the shared
+transform's time is amortized into every step's rows (summed stage
+columns account for the full pipeline — the reporting-script contract)."""
+
+import csv
+import io
+import os
+
+import numpy as np
+import pytest
+
+from raht3dgs_tpu.io.ply import save_ply_ascii
+from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+
+@pytest.fixture
+def dataset_tree(tmp_path, rng):
+    """<root>/8iVFBv2/loot/Ply/loot_vox10_NNNN.ply, frames 1000..1003 with
+    1002 missing."""
+    depth = 5
+    d = tmp_path / "8iVFBv2" / "loot" / "Ply"
+    d.mkdir(parents=True)
+    for fr in (1000, 1001, 1003):
+        pts = rng.integers(0, 2**depth, (800, 3))
+        _, first = np.unique(morton_codes_np(pts, depth), return_index=True)
+        pts = pts[first]
+        cols = rng.integers(0, 255, (len(pts), 3))
+        save_ply_ascii(
+            d / f"loot_vox10_{fr:04d}.ply", pts.astype(float),
+            cols.astype(float), width=2**depth - 1,
+        )
+    return tmp_path
+
+
+def _run(dataset_tree, tmp_path, extra):
+    from raht3dgs_tpu.cli.encode_dataset import main
+
+    out = tmp_path / "runtime.csv"
+    rc = main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(dataset_tree), "--frames", "1", "4",
+        "--steps", "4", "8", "--platform", "cpu", "--csv", str(out),
+        *extra,
+    ])
+    assert rc == 0
+    with open(out) as f:
+        return list(csv.DictReader(f))
+
+
+def test_batched_rows_and_amortized_transform(dataset_tree, tmp_path):
+    rows = _run(dataset_tree, tmp_path, ["--batch", "2"])
+    # 3 real frames x 2 steps; the missing frame 1002 (and any padding
+    # duplicate) must not produce rows
+    assert len(rows) == 6
+    frames = sorted({r["Frame"] for r in rows})
+    assert frames == ["1", "2", "4"]
+    # the shared transform is amortized into every step's rows
+    t = [float(r["RAHT_transform_time"]) for r in rows]
+    assert all(x > 0 for x in t), t
+
+
+def test_sequential_matches_batched_rates(dataset_tree, tmp_path):
+    rows_b = _run(dataset_tree, tmp_path, ["--batch", "2"])
+    rows_s = _run(dataset_tree, tmp_path, [])
+    rb = {(r["Frame"], r["Quantization_Step"]): r["Rate_bpp"] for r in rows_b}
+    rs = {(r["Frame"], r["Quantization_Step"]): r["Rate_bpp"] for r in rows_s}
+    assert rb == rs  # deterministic codec: identical rates either path
