@@ -1,0 +1,89 @@
+"""Full 3DGS CLI chain: checkpoint -> voxelize_3dgs -> encode_3dgs ->
+decode (the reference's preprocessing->codec handoff via the compressed
+PLY, SURVEY.md §1 data flow), plus the debug driver's strategies."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture
+def ckpt(tmp_path, rng):
+    n = 600
+    splats = {
+        "means": torch.tensor(rng.uniform(-1, 1, (n, 3)), dtype=torch.float32),
+        "quats": torch.tensor(rng.normal(size=(n, 4)), dtype=torch.float32),
+        "scales": torch.tensor(
+            np.log(rng.uniform(0.01, 0.05, (n, 3))), dtype=torch.float32
+        ),
+        "opacities": torch.tensor(rng.normal(size=(n,)), dtype=torch.float32),
+        "sh0": torch.tensor(rng.normal(size=(n, 1, 3)), dtype=torch.float32),
+        "shN": torch.tensor(
+            rng.normal(size=(n, 15, 3)) * 0.1, dtype=torch.float32
+        ),
+    }
+    path = tmp_path / "ckpt.pt"
+    torch.save({"splats": splats}, path)
+    return path
+
+
+def test_voxelize_encode_decode_chain(ckpt, tmp_path):
+    from raht3dgs_tpu.cli.decode import main as decode_main
+    from raht3dgs_tpu.cli.encode_3dgs import main as enc_main
+    from raht3dgs_tpu.cli.voxelize_3dgs import main as vox_main
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+
+    outdir = tmp_path / "vox"
+    assert vox_main([
+        "--ckpt", str(ckpt), "--depth", "6", "--output-dir", str(outdir),
+        "--render", "none", "--platform", "cpu",
+    ]) == 0
+    plys = glob.glob(str(outdir / "*compressed*.ply"))
+    assert plys, os.listdir(outdir)
+    voxply = plys[0]
+
+    streams_dir = tmp_path / "streams"
+    assert enc_main([
+        "--input", voxply, "--steps", "0.01", "--platform", "cpu",
+        "--save-streams", str(streams_dir),
+    ]) == 0
+    saved = glob.glob(str(streams_dir / "*.r3tc"))
+    assert len(saved) == 1 and os.path.getsize(saved[0]) > 0
+    stream = saved[0]
+
+    recon = tmp_path / "recon.ply"
+    assert decode_main([
+        "--stream", str(stream), "--positions", voxply,
+        "--output", str(recon), "--color-space", "3dgs",
+        "--platform", "cpu",
+    ]) == 0
+    # the reconstruction is itself a readable compressed-3DGS PLY whose
+    # attributes sit within quantization error of the voxelized originals
+    v0, a0, vs0, vmin0 = read_compressed_3dgs_ply(voxply)
+    v1, a1, vs1, vmin1 = read_compressed_3dgs_ply(str(recon))
+    assert v0.shape == v1.shape and a0.shape == a1.shape
+    np.testing.assert_array_equal(v0, v1)
+    err = np.abs(a0 - a1).max()
+    assert err < 0.02, err  # step 0.01 bound (plus fp32 transform noise)
+
+
+def test_encode_3dgs_per_attribute(ckpt, tmp_path):
+    from raht3dgs_tpu.cli.encode_3dgs import main as enc_main
+    from raht3dgs_tpu.cli.voxelize_3dgs import main as vox_main
+
+    outdir = tmp_path / "vox"
+    assert vox_main([
+        "--ckpt", str(ckpt), "--depth", "6", "--output-dir", str(outdir),
+        "--render", "none", "--platform", "cpu",
+    ]) == 0
+    voxply = glob.glob(str(outdir / "*compressed*.ply"))[0]
+    csv_out = tmp_path / "gs.csv"
+    assert enc_main([
+        "--input", voxply, "--steps", "8", "--per-attribute",
+        "--platform", "cpu", "--csv", str(csv_out),
+    ]) == 0
+    assert csv_out.stat().st_size > 0
