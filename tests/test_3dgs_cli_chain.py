@@ -87,3 +87,26 @@ def test_encode_3dgs_per_attribute(ckpt, tmp_path):
         "--platform", "cpu", "--csv", str(csv_out),
     ]) == 0
     assert csv_out.stat().st_size > 0
+
+
+def test_encode_3dgs_debug_strategies_and_ablation(ckpt, tmp_path, capsys):
+    from raht3dgs_tpu.cli.encode_3dgs_debug import main as dbg_main
+    from raht3dgs_tpu.cli.voxelize_3dgs import main as vox_main
+
+    outdir = tmp_path / "vox"
+    assert vox_main([
+        "--ckpt", str(ckpt), "--depth", "6", "--output-dir", str(outdir),
+        "--render", "none", "--platform", "cpu",
+    ]) == 0
+    voxply = glob.glob(str(outdir / "*compressed*.ply"))[0]
+    assert dbg_main([
+        "--input", voxply, "--platform", "cpu", "--ablation",
+        "--views", "2", "--image-size", "64", "--render", "jax",
+    ]) == 0
+    out = capsys.readouterr().out
+    # the three step-allocation strategies of the reference debug driver
+    for word in ("range", "importance", "hybrid"):
+        assert word in out
+    # ablation reports one PSNR per attribute group
+    for grp in ("quats", "scales", "opacity", "colors"):
+        assert grp in out
