@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -209,3 +211,28 @@ def test_dp_scaling_shape():
     f1 = c1.cost_analysis().get("flops", 0.0)
     assert f1 > 0 and f8 > 0
     assert abs(f8 - f1) / f1 < 0.05, (f8, f1)
+
+
+def test_dryrun_multichip_bootstraps_from_one_device():
+    """The round-1 driver failure mode: dryrun_multichip invoked in a
+    process whose jax backend is already frozen at ONE device must
+    re-enter via subprocess and still pass (MULTICHIP_r01.json was
+    ok:false because no bootstrap existed)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {repo!r});\n"
+         "import jax\n"
+         "assert len(jax.devices()) == 1  # freeze backend at 1 device\n"
+         "from __graft_entry__ import dryrun_multichip\n"
+         "dryrun_multichip(8)\n"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip OK" in r.stdout
