@@ -47,16 +47,8 @@ __all__ = [
 build_inverse_order = _inverse_order_device
 
 
-def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
-    """Narrow the (D, N) int32 quantized channel matrix to int16 when every
-    value fits — halves the host->device upload, which dominates the frame
-    cost on remote-host links. The device program widens back to int32
-    before dequantization, so results are bitwise unchanged."""
-    if vals_T.dtype == np.int32 and np.abs(vals_T, dtype=np.int64).max(
-        initial=0
-    ) < (1 << 15):
-        return vals_T.astype(np.int16)
-    return vals_T
+# canonical definition lives beside the decode pipeline it serves
+from raht3dgs_tpu.models.pipeline import quantized_upload_array  # noqa: F401
 
 
 @partial(jax.jit, static_argnames=("depth",))
