@@ -176,11 +176,13 @@ class BatchAttributeCodec:
             else streams[0].steps[0],
             dtype=self.dtype,
         )
+        from raht3dgs_tpu.models.pipeline import quantized_upload_array
+
         rec = timer.time(
             "iRAHT_time",
             batched_decode_step,
-            codes, weights, jnp.asarray(qfull), inv_b, steps, self.depth,
-            self.dtype,
+            codes, weights, jnp.asarray(quantized_upload_array(qfull)),
+            inv_b, steps, self.depth, self.dtype,
         )
         rec_np = np.asarray(rec)
         return [rec_np[i][: f.n_voxels] for i, f in enumerate(frames)], timer
