@@ -68,3 +68,27 @@ def test_sequential_matches_batched_rates(dataset_tree, tmp_path):
     rb = {(r["Frame"], r["Quantization_Step"]): r["Rate_bpp"] for r in rows_b}
     rs = {(r["Frame"], r["Quantization_Step"]): r["Rate_bpp"] for r in rows_s}
     assert rb == rs  # deterministic codec: identical rates either path
+
+
+def test_encode_ply_voxelize_and_target_bpp(tmp_path, rng):
+    """encode_ply's float-input voxelize path and rate-targeted mode."""
+    from raht3dgs_tpu.cli.encode_ply import main as ply_main
+
+    depth = 5
+    pts = rng.uniform(0, 2**depth - 1, (3000, 3))
+    cols = rng.integers(0, 255, (3000, 3))
+    ply = tmp_path / "float.ply"
+    save_ply_ascii(ply, pts, cols.astype(float), width=2**depth - 1)
+
+    out = tmp_path / "runtime.csv"
+    assert ply_main([
+        "--input", str(ply), "--voxelize", "--steps", "4",
+        "--platform", "cpu", "--csv", str(out), "--depth", str(depth),
+    ]) == 0
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) == 2  # header + one step row
+
+    assert ply_main([
+        "--input", str(ply), "--voxelize", "--target-bpp", "2.0",
+        "--platform", "cpu", "--depth", str(depth),
+    ]) == 0
