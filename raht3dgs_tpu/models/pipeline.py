@@ -18,6 +18,7 @@ Per-stage timings mirror the reference CSV schema names.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -204,6 +205,35 @@ def _inverse_order_device(codes, weights, nvox, depth, order_mode="ragft"):
     return jnp.argsort(order2).astype(jnp.int32)
 
 
+@jax.jit
+def _maxabs_i64(q):
+    return jnp.max(jnp.abs(q.astype(jnp.int64)), initial=0)
+
+
+@jax.jit
+def _cast_i16(q):
+    return q.astype(jnp.int16)
+
+
+def _narrow_fetch_enabled() -> bool:
+    """Halving the big device->host coefficient fetch pays on remote-host
+    links (the axon tunnel moves ~20-50 MB/s) but costs an extra scalar
+    round trip that a local PCIe/DMA host would only lose on. Default:
+    on for the tunnel backend, overridable via RAHT3DGS_NARROW_FETCH."""
+    env = os.environ.get("RAHT3DGS_NARROW_FETCH")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() == "axon"
+
+
+def _narrow_fetch(q_T):
+    """Fetch the quantized channel matrix as int16 when every value fits
+    (checked on device first — exact by construction)."""
+    if _narrow_fetch_enabled() and int(_maxabs_i64(q_T)) < (1 << 15):
+        return _cast_i16(q_T)
+    return q_T
+
+
 def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
     """Narrow the (D, N) int32 quantized channel matrix to int16 when every
     value fits — halves the host->device upload, which dominates the frame
@@ -300,7 +330,10 @@ class AttributeCodec:
         # Single device->host transfer; the full (D, Np) matrix stays
         # C-contiguous (a column slice would disqualify the one-call native
         # batch path) and each channel encodes its real [:n_voxels] prefix.
-        q_np = np.asarray(q_T)
+        q_np = np.asarray(_narrow_fetch(q_T))
+        if q_np.dtype == np.int16:
+            # host-side widen keeps the copy-free int32 native batch path
+            q_np = q_np.astype(np.int32)
         channels, enc_ns = rlgr_encode_channels(
             q_np, signed=True, channel_major=True, chunk=self.chunk,
             n=frame.n_voxels,

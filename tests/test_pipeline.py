@@ -265,3 +265,33 @@ def test_weight_desc_order_consistent_across_impls(rng):
         enc = codec.encode(frame, steps=1.0)
         rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
         assert np.abs(rec - ref).max() < 1.5, impl
+
+
+def test_narrow_fetch_streams_identical(rng, monkeypatch):
+    """The int16 narrow fetch (tunnel optimization) must be stream-invisible:
+    forcing it on produces byte-identical containers."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    depth = 5
+    pts = rng.integers(0, 2**depth, (1200, 3))
+    _, first = np.unique(morton_codes_np(pts, depth), return_index=True)
+    pts = pts[first]
+    attrs = rng.uniform(0, 255, (len(pts), 3))
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth)
+    codec = AttributeCodec(depth)
+
+    monkeypatch.setenv("RAHT3DGS_NARROW_FETCH", "0")
+    a = codec.encode(frame, steps=8.0).stream.to_bytes()
+    monkeypatch.setenv("RAHT3DGS_NARROW_FETCH", "1")
+    b = codec.encode(frame, steps=8.0).stream.to_bytes()
+    assert a == b
+
+    # huge coefficients must decline the narrow path and still be exact
+    frame_big = prepare_voxel_frame(pts.astype(np.int64), attrs * 1e4, depth)
+    big = codec.encode(frame_big, steps=0.25)
+    rec, _ = codec.decode(big.stream, frame_big.codes, frame_big.weights)
+    ref = np.asarray(frame_big.attributes)[: frame_big.n_voxels]
+    assert np.abs(rec - ref).max() < 0.25 + 1e-3
