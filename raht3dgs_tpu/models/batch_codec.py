@@ -105,7 +105,11 @@ class BatchAttributeCodec:
         q_b = timer.time(
             "Quant_time", batched_quant_reorder, coeffs, steps_arr, orderp
         )
-        q_np = np.asarray(q_b)  # (B, D, N) channel-major, C-contiguous
+        from raht3dgs_tpu.models.pipeline import _narrow_fetch
+
+        q_np = np.asarray(_narrow_fetch(q_b))  # (B, D, N) channel-major
+        if q_np.dtype == np.int16:
+            q_np = q_np.astype(np.int32)  # keep the copy-free native path
 
         streams: List[FrameStream] = []
         enc_ns = 0
