@@ -19,16 +19,27 @@ TPU (and on CPU in the test suite):
 - **Tile binning without scatters.** Gaussians are depth-sorted once
   (ascending camera z), then expanded into a *static* ``(N, max_tiles)``
   grid of (tile, gaussian) entries covering each footprint's tile bounding
-  box; a stable sort by tile id groups entries per tile while inheriting
-  the depth order (entries were emitted depth-first). Per-tile windows
-  come from two ``searchsorted`` calls — no scatter, no dynamic shapes.
-- **Front-to-back alpha compositing as a scan.** For each 16x16 tile the
-  sorted entries are processed in chunks: ``alpha = min(0.999, o *
-  exp(-0.5 d^T Sigma'^-1 d))`` (killed below 1/255, gsplat parity), and
-  the transmittance ``T_i = prod_{j<i} (1 - alpha_j)`` is an *exclusive
-  cumprod along the sorted axis* — the sequential per-pixel blending loop
-  of the CUDA implementation becomes a batched prefix product, and the
-  color accumulation ``sum_i c_i alpha_i T_i`` a tile-batched matmul.
+  box; sorting the entries by tile id groups them per tile while
+  inheriting the depth order. When ``(n_tiles + 1) * 2^ceil(log2(N))``
+  fits 32 bits (every codec-scale config) the (tile, depth-rank) pair is
+  packed into ONE uint32 key — a single-operand unstable sort with unique
+  keys, half the sort bandwidth of the stable (key, value) form — else it
+  falls back to a stable two-operand sort. Per-tile windows come from two
+  ``searchsorted`` calls — no scatter, no dynamic shapes.
+- **Front-to-back alpha compositing with exact early exit.** For each
+  16x16 tile the sorted entries are processed in chunks: ``alpha =
+  min(0.999, o * exp(-0.5 d^T Sigma'^-1 d))`` (killed below 1/255, gsplat
+  parity), and the transmittance ``T_i = prod_{j<i} (1 - alpha_j)`` is an
+  *exclusive cumprod along the sorted axis* — the sequential per-pixel
+  blending loop of the CUDA implementation becomes a batched prefix
+  product, and the color accumulation ``sum_i c_i alpha_i T_i`` a
+  tile-batched matmul. The chunk loop is a ``while_loop`` that stops once
+  every tile has either exhausted its entries or fully saturated
+  (``trans == 0`` for all pixels — in f32 the transmittance *underflows to
+  exactly 0*, after which further chunks add exactly 0.0): the result is
+  bitwise identical to the full loop, but a mostly-empty tile grid costs
+  its true occupancy, not ``max_per_tile``, and table rows are gathered
+  per executed chunk instead of materializing the ``(T, K, 10)`` slab.
 
 Exactness: away from the static capacity limits (``max_tiles_per_gauss``
 tiles per footprint, ``max_per_tile`` entries per tile — overflows are
@@ -352,30 +363,44 @@ def _rasterize_tiled(
     etx = tx0[:, None] + j % tw_s
     e_valid = (j < n_cover[:, None]) & g_alive[:, None]
     e_tile = jnp.where(e_valid, ety * tiles_x + etx, n_tiles).astype(jnp.int32)
-    e_gauss = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], e_tile.shape
-    )
-    # stable sort by tile id: rows were emitted in depth order, so entries
-    # within a tile stay depth-sorted (row-major flatten preserves row order)
-    e_tile_s, e_gauss_s = lax.sort(
-        (e_tile.reshape(-1), e_gauss.reshape(-1)), num_keys=1, is_stable=True
-    )
-    E = e_tile_s.shape[0]
 
-    # --- per-tile windows (scatter-free: two binary searches) ---
+    # --- binning sort + per-tile windows (scatter-free) ---
+    # Preferred form: pack (tile id, depth rank) into one uint32 key.  The
+    # duplication grid's row index IS the depth rank (rows are in depth
+    # order), keys are unique, so a single-operand unstable sort groups
+    # tiles while preserving front-to-back order — half the bandwidth of
+    # the stable (tile, gauss) pair sort, which is kept as the fallback
+    # for configs whose (tile, rank) product overflows 32 bits.
+    rank_bits = max(1, int(N - 1).bit_length())
     tid = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(e_tile_s, tid, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(e_tile_s, tid, side="right").astype(jnp.int32)
-    seg_len = ends - starts
+    if (n_tiles + 1) << rank_bits <= 1 << 32:
+        ranks = jnp.arange(N, dtype=jnp.uint32)[:, None]
+        packed = (e_tile.astype(jnp.uint32) << rank_bits) | ranks
+        packed_s = lax.sort(packed.reshape(-1))
+        e_gauss_s = (packed_s & ((1 << rank_bits) - 1)).astype(jnp.int32)
+        bounds = (tid.astype(jnp.uint32) << rank_bits)
+        starts = jnp.searchsorted(packed_s, bounds, side="left")
+        ends = jnp.searchsorted(
+            packed_s, bounds + (1 << rank_bits), side="left"
+        )
+    else:
+        e_gauss = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[:, None], e_tile.shape
+        )
+        # stable sort by tile id: rows were emitted in depth order, so
+        # entries within a tile stay depth-sorted (row-major flatten
+        # preserves row order)
+        e_tile_s, e_gauss_s = lax.sort(
+            (e_tile.reshape(-1), e_gauss.reshape(-1)), num_keys=1,
+            is_stable=True,
+        )
+        starts = jnp.searchsorted(e_tile_s, tid, side="left")
+        ends = jnp.searchsorted(e_tile_s, tid, side="right")
+    starts = starts.astype(jnp.int32)
+    E = e_gauss_s.shape[0]
+    seg_len = ends.astype(jnp.int32) - starts
     tile_clipped = jnp.sum(jnp.maximum(seg_len - max_per_tile, 0))
-
-    slot = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    slot_valid = slot < seg_len[:, None]                      # (T, K)
-    slot_idx = jnp.minimum(starts[:, None] + slot, E - 1)
-    slot_gauss = e_gauss_s[slot_idx]                          # (T, K)
-    rows = table[slot_gauss.reshape(-1)].reshape(
-        n_tiles, max_per_tile, table.shape[1]
-    )                                                          # (T, K, 10)
+    seg_capped = jnp.minimum(seg_len, max_per_tile)
 
     # --- per-tile pixel grid (pixel centers, gsplat convention) ---
     tpx = (tid % tiles_x) * tile
@@ -386,19 +411,34 @@ def _rasterize_tiled(
     pxf = px.astype(f32) + 0.5
     pyf = py.astype(f32) + 0.5
 
-    # --- front-to-back blend: scan over slot chunks, exclusive cumprod ---
+    # --- front-to-back blend: while_loop over slot chunks ---
+    # Exact early exit: a chunk only changes (acc, trans) for tiles that
+    # still have entries (seg_capped > i*chunk) AND are not saturated.
+    # Saturation is *exact* in f32 — the transmittance prefix product
+    # underflows to 0.0, after which every later contribution is
+    # alpha * t * 0.0 == 0.0 — so stopping is bitwise identical to
+    # running all chunks, while a mostly-empty or quickly-opaque tile
+    # grid pays its true depth, not max_per_tile.  Rows are gathered per
+    # executed chunk (never a (T, max_per_tile, 10) slab).
     P = tile * tile
     n_chunks = (max_per_tile + chunk - 1) // chunk
-    pad_k = n_chunks * chunk - max_per_tile
-    if pad_k:
-        rows = jnp.pad(rows, ((0, 0), (0, pad_k), (0, 0)))
-        slot_valid = jnp.pad(slot_valid, ((0, 0), (0, pad_k)))
-    rows_c = rows.reshape(n_tiles, n_chunks, chunk, -1).transpose(1, 0, 2, 3)
-    valid_c = slot_valid.reshape(n_tiles, n_chunks, chunk).transpose(1, 0, 2)
+    slot_c = jnp.arange(chunk, dtype=jnp.int32)
 
-    def blend_chunk(state, xs):
-        acc, trans = state                    # (T, P, 3), (T, P)
-        rws, vld = xs                         # (T, C, 10), (T, C)
+    def blend_cond(state):
+        i, _, trans = state
+        live = jnp.any(trans > 0.0, axis=1)            # (T,)
+        remaining = seg_capped > i * chunk             # (T,)
+        return (i < n_chunks) & jnp.any(live & remaining)
+
+    def blend_chunk(state):
+        acc, trans = state[1], state[2]                # (T, P, 3), (T, P)
+        i = state[0]
+        s = i * chunk + slot_c                         # (C,)
+        idx = jnp.minimum(starts[:, None] + s[None, :], E - 1)
+        rws = table[e_gauss_s[idx].reshape(-1)].reshape(
+            n_tiles, chunk, table.shape[1]
+        )                                              # (T, C, 10)
+        vld = s[None, :] < seg_capped[:, None]         # (T, C)
         dx = pxf[:, :, None] - rws[:, None, :, 0]      # (T, P, C)
         dy = pyf[:, :, None] - rws[:, None, :, 1]
         A = rws[:, None, :, 2]
@@ -419,11 +459,13 @@ def _rasterize_tiled(
         w = alpha * t_excl * trans[:, :, None]          # (T, P, C)
         acc = acc + jnp.einsum("tpc,tck->tpk", w, rws[:, :, 5:8])
         trans = trans * jnp.prod(one_m, axis=2)
-        return (acc, trans), None
+        return (i + 1, acc, trans)
 
     acc0 = jnp.zeros((n_tiles, P, 3), f32)
     trans0 = jnp.ones((n_tiles, P), f32)
-    (acc, trans), _ = lax.scan(blend_chunk, (acc0, trans0), (rows_c, valid_c))
+    _, acc, trans = lax.while_loop(
+        blend_cond, blend_chunk, (jnp.int32(0), acc0, trans0)
+    )
 
     img_tiles = acc + trans[:, :, None] * background[None, None, :]
     img = (
