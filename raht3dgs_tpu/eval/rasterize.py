@@ -53,6 +53,7 @@ reference makes (white background, one camera per call).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -373,7 +374,12 @@ def _rasterize_tiled(
     # for configs whose (tile, rank) product overflows 32 bits.
     rank_bits = max(1, int(N - 1).bit_length())
     tid = jnp.arange(n_tiles, dtype=jnp.int32)
-    if (n_tiles + 1) << rank_bits <= 1 << 32:
+    use_packed = (n_tiles + 1) << rank_bits <= 1 << 32
+    if os.environ.get("RAHT3DGS_RASTER_PAIR_SORT"):
+        # A/B escape hatch (read at trace time — pair it with distinct
+        # shapes or ``_rasterize_tiled.clear_cache()`` when toggling)
+        use_packed = False
+    if use_packed:
         ranks = jnp.arange(N, dtype=jnp.uint32)[:, None]
         packed = (e_tile.astype(jnp.uint32) << rank_bits) | ranks
         packed_s = lax.sort(packed.reshape(-1))

@@ -361,3 +361,30 @@ def test_auto_tile_budget_exact_and_tight():
     assert int(meta_big.dup_clipped) == 0
     np.testing.assert_allclose(np.asarray(img_auto), np.asarray(img_big),
                                atol=3e-5)
+
+
+def test_pair_sort_fallback_matches_packed(rng, monkeypatch):
+    """The stable (tile, gauss) pair sort — the fallback for configs whose
+    packed (tile, rank) key overflows 32 bits — must bin identically to
+    the packed single-key sort (keys are unique, so the unstable packed
+    sort is deterministic and order-equivalent)."""
+    from raht3dgs_tpu.eval.rasterize import _rasterize_tiled
+
+    W = H = 48
+    scene = _random_scene(rng, 300, sh_k=1)
+    viewmat, K = _front_cam(width=W, height=H)
+    kw = dict(width=W, height=H)
+
+    img_packed, meta_packed = rasterize_gaussians(
+        *scene, viewmat, K, **kw)
+    monkeypatch.setenv("RAHT3DGS_RASTER_PAIR_SORT", "1")
+    _rasterize_tiled.clear_cache()
+    try:
+        img_pair, meta_pair = rasterize_gaussians(*scene, viewmat, K, **kw)
+    finally:
+        monkeypatch.delenv("RAHT3DGS_RASTER_PAIR_SORT")
+        _rasterize_tiled.clear_cache()
+
+    assert int(meta_packed.dup_clipped) == int(meta_pair.dup_clipped)
+    assert int(meta_packed.tile_clipped) == int(meta_pair.tile_clipped)
+    np.testing.assert_array_equal(img_packed, img_pair)
