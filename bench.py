@@ -111,7 +111,8 @@ def main() -> None:
                 {**os.environ, "RAHT3DGS_BENCH_PLATFORM": "cpu",
                  "JAX_PLATFORMS": "cpu",
                  "RAHT3DGS_BENCH_FALLBACK": "1",
-                 "RAHT3DGS_BENCH_PROBES": str(probe_attempts)},
+                 # report the probes actually made, not the > sentinel
+                 "RAHT3DGS_BENCH_PROBES": str(PROBE_ATTEMPTS)},
             )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

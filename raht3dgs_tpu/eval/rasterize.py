@@ -375,7 +375,7 @@ def _rasterize_tiled(
     rank_bits = max(1, int(N - 1).bit_length())
     tid = jnp.arange(n_tiles, dtype=jnp.int32)
     use_packed = (n_tiles + 1) << rank_bits <= 1 << 32
-    if os.environ.get("RAHT3DGS_RASTER_PAIR_SORT"):
+    if os.environ.get("RAHT3DGS_RASTER_PAIR_SORT", "0") not in ("", "0"):
         # A/B escape hatch (read at trace time — pair it with distinct
         # shapes or ``_rasterize_tiled.clear_cache()`` when toggling)
         use_packed = False
@@ -417,7 +417,7 @@ def _rasterize_tiled(
     pxf = px.astype(f32) + 0.5
     pyf = py.astype(f32) + 0.5
 
-    # --- front-to-back blend: while_loop over slot chunks ---
+    # --- front-to-back blend: shrinking-width while_loops over chunks ---
     # Exact early exit: a chunk only changes (acc, trans) for tiles that
     # still have entries (seg_capped > i*chunk) AND are not saturated.
     # Saturation is *exact* in f32 — the transmittance prefix product
@@ -426,27 +426,41 @@ def _rasterize_tiled(
     # running all chunks, while a mostly-empty or quickly-opaque tile
     # grid pays its true depth, not max_per_tile.  Rows are gathered per
     # executed chunk (never a (T, max_per_tile, 10) slab).
+    #
+    # Lockstep refinement: tiles are sorted by capped occupancy
+    # descending and processed in statically-sized prefix bands
+    # (T, ceil(T/4), ceil(T/16), ...).  Each band's while_loop runs until
+    # every tile OUTSIDE the next band is finished, then the working set
+    # shrinks — so the deep chunks of a few high-depth-complexity tiles
+    # (a surface shell's limb tiles) run on 1/4^s of the grid instead of
+    # dragging every tile through every chunk.  The chunk counter carries
+    # across stages; per-tile math is unchanged, so the image is still
+    # bitwise the full-loop result.
     P = tile * tile
     n_chunks = (max_per_tile + chunk - 1) // chunk
     slot_c = jnp.arange(chunk, dtype=jnp.int32)
 
-    def blend_cond(state):
-        i, _, trans = state
-        live = jnp.any(trans > 0.0, axis=1)            # (T,)
-        remaining = seg_capped > i * chunk             # (T,)
-        return (i < n_chunks) & jnp.any(live & remaining)
+    occ_perm = lax.sort((-seg_capped, tid), num_keys=1, is_stable=True)[1]
+    inv_perm = jnp.argsort(occ_perm)
+    starts_o = starts[occ_perm]
+    seg_o = seg_capped[occ_perm]
+    pxf_o = pxf[occ_perm]
+    pyf_o = pyf[occ_perm]
 
-    def blend_chunk(state):
-        acc, trans = state[1], state[2]                # (T, P, 3), (T, P)
-        i = state[0]
+    widths = [n_tiles]
+    while widths[-1] > 8:
+        widths.append(-(-widths[-1] // 4))
+
+    def _blend_chunk(i, acc, trans, st_w, sg_w, pxf_w, pyf_w):
+        W = st_w.shape[0]
         s = i * chunk + slot_c                         # (C,)
-        idx = jnp.minimum(starts[:, None] + s[None, :], E - 1)
+        idx = jnp.minimum(st_w[:, None] + s[None, :], E - 1)
         rws = table[e_gauss_s[idx].reshape(-1)].reshape(
-            n_tiles, chunk, table.shape[1]
-        )                                              # (T, C, 10)
-        vld = s[None, :] < seg_capped[:, None]         # (T, C)
-        dx = pxf[:, :, None] - rws[:, None, :, 0]      # (T, P, C)
-        dy = pyf[:, :, None] - rws[:, None, :, 1]
+            W, chunk, table.shape[1]
+        )                                              # (W, C, 10)
+        vld = s[None, :] < sg_w[:, None]               # (W, C)
+        dx = pxf_w[:, :, None] - rws[:, None, :, 0]    # (W, P, C)
+        dy = pyf_w[:, :, None] - rws[:, None, :, 1]
         A = rws[:, None, :, 2]
         B = rws[:, None, :, 3]
         Cc = rws[:, None, :, 4]
@@ -462,16 +476,40 @@ def _rasterize_tiled(
             [jnp.ones_like(one_m[:, :, :1]), jnp.cumprod(one_m, axis=2)[:, :, :-1]],
             axis=2,
         )
-        w = alpha * t_excl * trans[:, :, None]          # (T, P, C)
+        w = alpha * t_excl * trans[:, :, None]          # (W, P, C)
         acc = acc + jnp.einsum("tpc,tck->tpk", w, rws[:, :, 5:8])
         trans = trans * jnp.prod(one_m, axis=2)
-        return (i + 1, acc, trans)
+        return acc, trans
 
-    acc0 = jnp.zeros((n_tiles, P, 3), f32)
-    trans0 = jnp.ones((n_tiles, P), f32)
-    _, acc, trans = lax.while_loop(
-        blend_cond, blend_chunk, (jnp.int32(0), acc0, trans0)
-    )
+    i_cur = jnp.int32(0)
+    acc_cur = jnp.zeros((n_tiles, P, 3), f32)
+    trans_cur = jnp.ones((n_tiles, P), f32)
+    done_acc, done_trans = [], []
+    for si, Ws in enumerate(widths):
+        Wn = widths[si + 1] if si + 1 < len(widths) else 0
+        st_w, sg_w = starts_o[:Ws], seg_o[:Ws]
+        pxf_w, pyf_w = pxf_o[:Ws], pyf_o[:Ws]
+
+        def cond(state, sg_w=sg_w, Wn=Wn):
+            i, _, trans = state
+            band_live = jnp.any(trans[Wn:] > 0.0, axis=1)
+            band_rem = sg_w[Wn:] > i * chunk
+            return (i < n_chunks) & jnp.any(band_live & band_rem)
+
+        def body(state, st_w=st_w, sg_w=sg_w, pxf_w=pxf_w, pyf_w=pyf_w):
+            i, acc, trans = state
+            acc, trans = _blend_chunk(i, acc, trans, st_w, sg_w, pxf_w, pyf_w)
+            return (i + 1, acc, trans)
+
+        i_cur, acc_w, trans_w = lax.while_loop(
+            cond, body, (i_cur, acc_cur[:Ws], trans_cur[:Ws])
+        )
+        done_acc.append(acc_w[Wn:])
+        done_trans.append(trans_w[Wn:])
+        acc_cur, trans_cur = acc_w[:Wn], trans_w[:Wn]
+
+    acc = jnp.concatenate(done_acc[::-1], axis=0)[inv_perm]
+    trans = jnp.concatenate(done_trans[::-1], axis=0)[inv_perm]
 
     img_tiles = acc + trans[:, :, None] * background[None, None, :]
     img = (

@@ -21,7 +21,6 @@ per device; zero collectives).
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +157,9 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
     """Fused serving with views sharded over ``mesh[axis]``.
 
     V is padded to a multiple of the axis size (padding views rendered and
-    discarded). Images are bitwise identical to :func:`serve_frame`."""
+    discarded). Images match :func:`serve_frame` to ~1 ulp (it is a
+    different XLA program, so fusion may differ in the last bit —
+    ``tests/test_serving.py`` pins atol=1e-5), not bitwise."""
     ndev = mesh.shape[axis]
     V = len(viewmats)
     V_pad = ((V + ndev - 1) // ndev) * ndev

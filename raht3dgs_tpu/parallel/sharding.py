@@ -170,7 +170,17 @@ def batched_transform_step_tp(mesh, codes, attrs, weights, steps, depth,
     if nvox is None:
         nvox = jnp.full((codes.shape[0],), codes.shape[1], dtype=jnp.int32)
     steps = jnp.asarray(steps)
-    step_spec = P("tp") if steps.ndim == 1 else P()
+    if steps.ndim == 0 or (steps.ndim == 1 and steps.shape[0] == 1):
+        # scalar (incl. the (1,) form jnp.atleast_1d produces): replicate
+        steps = steps.reshape(())
+        step_spec = P()
+    elif steps.ndim == 1 and steps.shape[0] == attrs.shape[2]:
+        step_spec = P("tp")  # per-channel vector rides the channel shards
+    else:
+        raise ValueError(
+            f"steps must be a scalar or a ({attrs.shape[2]},) per-channel "
+            f"vector, got shape {steps.shape}"
+        )
 
     from raht3dgs_tpu.models.pipeline import _pads_last
 
