@@ -214,16 +214,23 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
         transform_share = {
             k: v / len(args.steps) for k, v in t_timer.stages.items()
         }
-        for step in args.steps:
-            timer = None
-            streams, timer = bc.encode(frames, steps=float(step),
-                                       coeffs=coeffs, orderp=orderp)
+        # the decode-side permutation is step-independent: one per batch
+        inv_b = None if args.no_decode else bc.inverse_order(frames)
+        # pipelined sweep: all steps' device programs dispatch up front,
+        # host entropy drains behind the async fetches (byte-identical
+        # to the serial per-step path; see BatchAttributeCodec.encode_sweep)
+        sweep = bc.encode_sweep(
+            frames, [float(s) for s in args.steps],
+            coeffs=coeffs, orderp=orderp,
+        )
+        for step, (streams, timer) in zip(args.steps, sweep):
             for k, v in transform_share.items():
                 timer.add(k, v)
             if args.no_decode:
                 recs = None
             else:
-                recs, timer = bc.decode(streams, frames, timer=timer)
+                recs, timer = bc.decode(streams, frames, timer=timer,
+                                        inv=inv_b)
             if args.save_sequence:
                 seq_streams.extend(streams[:n_real])
             # stage times cover the whole batch: report the per-frame share

@@ -134,13 +134,108 @@ class BatchAttributeCodec:
         timer.add("Entropy_enc_time", enc_ns / 1e9)
         return streams, timer
 
+    def encode_sweep(
+        self,
+        frames: Sequence[VoxelFrame],
+        steps_list: Sequence,
+        coeffs=None,
+        orderp=None,
+    ) -> List[Tuple[List[FrameStream], StageTimer]]:
+        """Encode one quantization-step sweep with host/device overlap.
+
+        Pipelined equivalent of ``[self.encode(frames, s, ...) for s in
+        steps_list]`` (byte-identical streams): every step's quantize+
+        reorder program is dispatched up front (JAX async dispatch queues
+        them on the device), the device->host copies are started
+        asynchronously in dispatch order, and only then does the host
+        drain the entropy coder — so step k's RLGR overlaps step k+1's
+        device work and transfer instead of serializing behind it. The
+        reference sweep is strictly serial per step
+        (``/root/reference/python/encode_ply.py:147-220``).
+
+        Per-step "Quant_time" reports the *wait* for that step's device
+        result + fetch (overlapped portions show up as ~0); the native
+        entropy nanoseconds are exact. Summed stage columns therefore
+        track the true pipelined wall time rather than double-counting
+        overlapped work.
+        """
+        if coeffs is None or orderp is None:
+            coeffs, orderp, _ = self.transform(frames)
+        from raht3dgs_tpu.models.pipeline import (
+            _cast_i16,
+            _maxabs_i64,
+            _narrow_fetch_enabled,
+        )
+
+        narrow = _narrow_fetch_enabled()
+        # phase 1: dispatch the whole sweep (async)
+        pend = []
+        for s in steps_list:
+            sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
+            q = batched_quant_reorder(coeffs, sa, orderp)
+            pend.append((s, q, _maxabs_i64(q) if narrow else None))
+        # phase 2: narrow + start async host copies in dispatch order
+        bufs = []
+        for s, q, m in pend:
+            if m is not None and int(m) < (1 << 15):
+                q = _cast_i16(q)
+            try:
+                q.copy_to_host_async()
+            except AttributeError:  # non-Array backends (older jax)
+                pass
+            bufs.append((s, q))
+        # phase 3: drain — fetch (mostly complete) + host entropy
+        out: List[Tuple[List[FrameStream], StageTimer]] = []
+        for s, q in bufs:
+            timer = StageTimer()
+            q_np = timer.time("Quant_time", lambda q=q: np.asarray(q))
+            if q_np.dtype == np.int16:
+                q_np = q_np.astype(np.int32)  # copy-free native path
+            streams: List[FrameStream] = []
+            enc_ns = 0
+            for i, f in enumerate(frames):
+                channels, ns = rlgr_encode_channels(
+                    q_np[i], signed=True, channel_major=True,
+                    chunk=self.chunk, n=f.n_voxels,
+                )
+                enc_ns += ns
+                streams.append(
+                    FrameStream(
+                        depth=self.depth,
+                        n_voxels=f.n_voxels,
+                        steps=np.atleast_1d(np.asarray(s, dtype=np.float64)),
+                        channels=channels,
+                        vmin=f.vmin,
+                        width=f.width,
+                        order_mode=self.order_mode,
+                        chunk=self.chunk,
+                    )
+                )
+            timer.add("Entropy_enc_time", enc_ns / 1e9)
+            out.append((streams, timer))
+        return out
+
+    def inverse_order(self, frames: Sequence[VoxelFrame], order_mode=None):
+        """Step-independent decode-side stream->transform permutation,
+        reusable across a sweep (``decode(..., inv=...)``)."""
+        codes, _, weights = self._stack(frames)
+        nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
+        return batched_inverse_order(
+            codes, weights, nvox, self.depth, order_mode or self.order_mode
+        )
+
     def decode(
         self,
         streams: Sequence[FrameStream],
         frames: Sequence[VoxelFrame],
         timer: Optional[StageTimer] = None,
+        inv=None,
     ) -> Tuple[List[np.ndarray], StageTimer]:
-        """Decode a batch; frames supply the (losslessly known) positions."""
+        """Decode a batch; frames supply the (losslessly known) positions.
+
+        ``inv``: optional precomputed :meth:`inverse_order` result — it
+        only depends on the frame geometry/order mode, so sweeps compute
+        it once instead of once per step."""
         timer = timer or StageTimer()
         # the batched device path dequantizes the whole stack with ONE step
         # vector and one order mode: mixed-parameter streams would silently
@@ -156,12 +251,16 @@ class BatchAttributeCodec:
                     "(AttributeCodec.decode)"
                 )
         codes, _, weights = self._stack(frames)
-        nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
-        inv_b = timer.time(
-            "Coeff_reorder_dec_time",
-            batched_inverse_order,
-            codes, weights, nvox, self.depth, streams[0].order_mode,
-        )
+        if inv is None:
+            nvox = jnp.asarray([f.n_voxels for f in frames], dtype=jnp.int32)
+            inv_b = timer.time(
+                "Coeff_reorder_dec_time",
+                batched_inverse_order,
+                codes, weights, nvox, self.depth, streams[0].order_mode,
+            )
+        else:
+            inv_b = inv
+            timer.add("Coeff_reorder_dec_time", 0.0)
 
         B = len(frames)
         N = frames[0].codes.shape[0]

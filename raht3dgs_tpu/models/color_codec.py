@@ -118,12 +118,16 @@ def encode_color_frame(
     yuv_sorted = np.asarray(frame.attributes)[: frame.n_voxels]
 
     points: List[RDPoint] = []
-    for step in steps:
-        st = StageTimer()
-        st.stages.update(timer.stages)  # shared per-frame stage costs
-        enc = codec.encode(
-            frame, steps=float(step), coeffs=coeffs, order=order, timer=st
-        )
+    # pipelined sweep: every step's device program dispatches up front and
+    # the host drains entropy behind the async fetches — byte-identical to
+    # per-step encode (AttributeCodec.encode_sweep)
+    sweep = codec.encode_sweep(
+        frame, [float(s) for s in steps], coeffs=coeffs, order=order
+    )
+    for step, enc in zip(steps, sweep):
+        st = enc.timer
+        for k, v in timer.stages.items():  # shared per-frame stage costs
+            st.add(k, v)
         if decode:
             rec, st = codec.decode(enc.stream, frame.codes, frame.weights, timer=st)
             # PSNR in signal domain on the decoded Y channel.

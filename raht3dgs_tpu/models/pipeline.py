@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -351,6 +351,69 @@ class AttributeCodec:
             chunk=self.chunk,
         )
         return EncodedFrame(stream=stream, timer=timer)
+
+    def encode_sweep(
+        self,
+        frame: VoxelFrame,
+        steps_list,
+        coeffs=None,
+        order=None,
+    ) -> List[EncodedFrame]:
+        """Pipelined quantization-step sweep (byte-identical streams).
+
+        Equivalent to ``[self.encode(frame, s, coeffs, order) for s in
+        steps_list]`` but with host/device overlap: all steps' quantize+
+        reorder programs are dispatched first (JAX async dispatch), the
+        device->host copies start asynchronously in dispatch order, and
+        the host then drains the RLGR coder — step k's entropy overlaps
+        step k+1's device work and transfer. The reference sweep is
+        strictly serial (``/root/reference/python/encode_ply.py:147-188``).
+
+        Per-step "Quant_time" is the *wait* for that step's result
+        (overlap shows up as ~0), so summed stage columns track the
+        pipelined wall time without double counting.
+        """
+        if coeffs is None or order is None:
+            coeffs, order, _, _ = self.transform(frame)
+        narrow = _narrow_fetch_enabled()
+        nvox = jnp.int32(frame.n_voxels)
+        pend = []
+        for s in steps_list:
+            sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
+            q_T = _quant_reorder_device(coeffs, sa, order, nvox)
+            pend.append((s, q_T, _maxabs_i64(q_T) if narrow else None))
+        bufs = []
+        for s, q_T, m in pend:
+            if m is not None and int(m) < (1 << 15):
+                q_T = _cast_i16(q_T)
+            try:
+                q_T.copy_to_host_async()
+            except AttributeError:
+                pass
+            bufs.append((s, q_T))
+        out: List[EncodedFrame] = []
+        for s, q_T in bufs:
+            timer = StageTimer()
+            q_np = timer.time("Quant_time", lambda q=q_T: np.asarray(q))
+            if q_np.dtype == np.int16:
+                q_np = q_np.astype(np.int32)
+            channels, enc_ns = rlgr_encode_channels(
+                q_np, signed=True, channel_major=True, chunk=self.chunk,
+                n=frame.n_voxels,
+            )
+            timer.add("Entropy_enc_time", enc_ns / 1e9)
+            stream = FrameStream(
+                depth=self.depth,
+                n_voxels=frame.n_voxels,
+                steps=np.atleast_1d(np.asarray(s, dtype=np.float64)),
+                channels=channels,
+                vmin=frame.vmin,
+                width=frame.width,
+                order_mode=self.order_mode,
+                chunk=self.chunk,
+            )
+            out.append(EncodedFrame(stream=stream, timer=timer))
+        return out
 
     # -- decoding ---------------------------------------------------------
 

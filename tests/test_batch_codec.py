@@ -61,3 +61,31 @@ def test_shared_bucket(rng):
     pos, attrs = _batch(rng, [100, 50], depth)
     frames = prepare_frame_batch(pos, attrs, depth, bucket=64)
     assert frames[0].codes.shape == frames[1].codes.shape
+
+
+def test_encode_sweep_matches_per_step(rng):
+    """The pipelined sweep (async dispatch + async fetch + drained
+    entropy) must produce byte-identical streams to the serial per-step
+    encode, and decode with a precomputed inverse order must equal the
+    per-step decode."""
+    depth = 5
+    steps = [1.0, 4.0, 16.0]
+    pos, attrs = _batch(rng, [300, 450, 200], depth)
+    frames = prepare_frame_batch(pos, attrs, depth, bucket=512)
+    bc = BatchAttributeCodec(depth)
+    coeffs, orderp, _ = bc.transform(frames)
+
+    sweep = bc.encode_sweep(frames, steps, coeffs=coeffs, orderp=orderp)
+    assert len(sweep) == len(steps)
+    inv_b = bc.inverse_order(frames)
+    for s, (streams, timer) in zip(steps, sweep):
+        ref_streams, _ = bc.encode(frames, steps=s, coeffs=coeffs,
+                                   orderp=orderp)
+        for got, ref in zip(streams, ref_streams):
+            assert got.channels == ref.channels, f"sweep stream differs @ {s}"
+            assert got.steps.tolist() == ref.steps.tolist()
+        assert timer.stages.get("Entropy_enc_time", 0) > 0
+        recs, _ = bc.decode(streams, frames, inv=inv_b)
+        ref_recs, _ = bc.decode(ref_streams, frames)
+        for a, b in zip(recs, ref_recs):
+            np.testing.assert_array_equal(a, b)

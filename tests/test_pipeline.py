@@ -295,3 +295,20 @@ def test_narrow_fetch_streams_identical(rng, monkeypatch):
     rec, _ = codec.decode(big.stream, frame_big.codes, frame_big.weights)
     ref = np.asarray(frame_big.attributes)[: frame_big.n_voxels]
     assert np.abs(rec - ref).max() < 0.25 + 1e-3
+
+
+def test_encode_sweep_matches_per_step(rng):
+    """AttributeCodec.encode_sweep (pipelined: async dispatch + async
+    fetch + drained entropy) must be byte-identical to serial per-step
+    encodes across the sweep."""
+    frame = _frame(rng, 400, 5)
+    codec = AttributeCodec(frame.depth)
+    coeffs, order, _, _ = codec.transform(frame)
+    steps = [1.0, 4.0, 16.0, 64.0]
+    sweep = codec.encode_sweep(frame, steps, coeffs=coeffs, order=order)
+    assert len(sweep) == len(steps)
+    for s, enc in zip(steps, sweep):
+        ref = codec.encode(frame, steps=s, coeffs=coeffs, order=order)
+        assert enc.stream.channels == ref.stream.channels
+        assert enc.stream.steps.tolist() == ref.stream.steps.tolist()
+        assert enc.timer.stages.get("Entropy_enc_time", 0) > 0
