@@ -119,19 +119,22 @@ def encode_gs_frame(
     D = attributes.shape[1]
 
     points: List[GsRDPoint] = []
+    step_vecs = []
     for step in steps:
-        st = StageTimer()
-        st.stages.update(timer.stages)
         if group_step_scales:
-            step_vec = channel_steps(
+            step_vecs.append(channel_steps(
                 D, float(step),
                 {k: float(step) * s for k, s in group_step_scales.items()},
-            )
+            ))
         else:
-            step_vec = float(step)
-        enc = codec.encode(
-            frame, steps=step_vec, coeffs=coeffs, order=order, timer=st
-        )
+            step_vecs.append(float(step))
+    # pipelined sweep: byte-identical to per-step encode, host entropy
+    # overlaps device work/fetches (AttributeCodec.encode_sweep)
+    sweep = codec.encode_sweep(frame, step_vecs, coeffs=coeffs, order=order)
+    for step, enc in zip(steps, sweep):
+        st = enc.timer
+        for k, v in timer.stages.items():
+            st.add(k, v)
         rec, st = codec.decode(enc.stream, frame.codes, frame.weights, timer=st)
         psnr = gs_group_psnr(ref_sorted, rec)
         points.append(
