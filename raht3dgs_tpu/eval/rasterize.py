@@ -189,7 +189,10 @@ def project_gaussians(
 
     Returns (means2d (N,2), conics (N,3) = (A, B, C) of the inverse 2D
     covariance [A B; B C], depths (N,), radii (N,), alive mask (N,),
-    viewdirs (N,3) camera->gaussian unit directions in world space).
+    viewdirs (N,3) camera->gaussian unit directions in world space,
+    lam1 (N,) larger eigenvalue of the dilated 2D covariance — the
+    reciprocal of the conic's smaller eigenvalue, used for conservative
+    per-tile contribution bounds).
     """
     R_w2c = viewmat[:3, :3]
     t_w2c = viewmat[:3, 3]
@@ -250,7 +253,7 @@ def project_gaussians(
     vd = means - cam_pos[None, :]
     vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=1, keepdims=True), 1e-12)
     means2d = jnp.stack([mx, my], axis=1)
-    return means2d, conic, depths, radii, alive, vd
+    return means2d, conic, depths, radii, alive, vd, lam1
 
 
 def _colors_to_sh(colors: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -313,7 +316,7 @@ def _rasterize_tiled(
 ):
     N = means.shape[0]
     f32 = jnp.float32
-    means2d, conic, depths, radii, alive, vd = project_gaussians(
+    means2d, conic, depths, radii, alive, vd, lam1 = project_gaussians(
         means.astype(f32),
         quats.astype(f32),
         scales.astype(f32),
@@ -363,6 +366,39 @@ def _rasterize_tiled(
     ety = ty0[:, None] + j // tw_s
     etx = tx0[:, None] + j % tw_s
     e_valid = (j < n_cover[:, None]) & g_alive[:, None]
+
+    # --- exact-zero per-entry tile culling ---
+    # The blend zeroes every contribution below the 1/255 cutoff, so an
+    # entry whose *maximum achievable* alpha anywhere on its tile's
+    # pixel-center rectangle provably stays below the cutoff adds exactly
+    # 0.0 to that tile (acc += 0, trans *= 1).  Dropping it shortens the
+    # tile's sorted segment (fewer blend chunks; capacity no longer
+    # wasted on zero entries).  Only f32 reduction *grouping* changes:
+    # compaction shifts later entries across chunk boundaries, regrouping
+    # the blockwise sums/products — the same invariance class as changing
+    # ``chunk`` (observed deltas ~1e-7); tiled==dense stays pinned by
+    # tests/test_rasterize.py.  Bound: the conic's smallest eigenvalue is
+    # 1/lam1, so
+    #   alpha <= min(o, ALPHA_MAX) * exp(-0.5 * D^2 / lam1)
+    # with D the distance from the splat mean to the rectangle of pixel
+    # centers.  A 2x safety factor absorbs f32 rounding in both this
+    # bound and the blend's own quadratic (a ~6% tighter distance
+    # threshold — negligible cull-rate cost).  The test runs in the log
+    # domain — cull iff D^2 > 2*lam1*log(2*o/ALPHA_MIN) — so the only
+    # transcendental is an N-sized log, never an E-sized exp (zero or
+    # sub-cutoff opacities give a -inf threshold: always culled, and
+    # their entries were dead via the alive mask anyway).
+    if os.environ.get("RAHT3DGS_RASTER_CULL", "1") not in ("", "0"):
+        lam1_o = jnp.maximum(lam1[order], 1e-12)
+        o_eff = jnp.minimum(table[:, 8], _ALPHA_MAX)
+        thr = 2.0 * lam1_o * jnp.log((2.0 / _ALPHA_MIN) * o_eff)
+        rx0 = etx.astype(f32) * tile + 0.5
+        ry0 = ety.astype(f32) * tile + 0.5
+        ddx = mx[:, None] - jnp.clip(mx[:, None], rx0, rx0 + (tile - 1))
+        ddy = my[:, None] - jnp.clip(my[:, None], ry0, ry0 + (tile - 1))
+        d2 = ddx * ddx + ddy * ddy
+        e_valid &= d2 <= thr[:, None]
+
     e_tile = jnp.where(e_valid, ety * tiles_x + etx, n_tiles).astype(jnp.int32)
 
     # --- binning sort + per-tile windows (scatter-free) ---
@@ -530,7 +566,7 @@ def _rasterize_dense_jit(
     Memory- and compute-unbounded in N — for tests and small crops only."""
     N = means.shape[0]
     f32 = jnp.float32
-    means2d, conic, depths, radii, alive, vd = project_gaussians(
+    means2d, conic, depths, radii, alive, vd, _ = project_gaussians(
         means.astype(f32), quats.astype(f32), scales.astype(f32),
         opacities.astype(f32).reshape(-1), viewmat.astype(f32),
         Kmat.astype(f32), width, height,
@@ -595,7 +631,7 @@ def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
     as the binning pass). A tiny program used to pick the duplication-grid
     budget adaptively."""
     f32 = jnp.float32
-    means2d, conic, depths, radii, alive, vd = project_gaussians(
+    means2d, conic, depths, radii, alive, vd, _ = project_gaussians(
         means.astype(f32), quats.astype(f32), scales.astype(f32),
         opacities.astype(f32).reshape(-1), viewmat.astype(f32),
         Kmat.astype(f32), width, height,

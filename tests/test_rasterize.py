@@ -388,3 +388,33 @@ def test_pair_sort_fallback_matches_packed(rng, monkeypatch):
     assert int(meta_packed.dup_clipped) == int(meta_pair.dup_clipped)
     assert int(meta_packed.tile_clipped) == int(meta_pair.tile_clipped)
     np.testing.assert_array_equal(img_packed, img_pair)
+
+
+def test_tile_cull_matches_uncull(rng, monkeypatch):
+    """Per-entry tile culling (drop entries whose alpha bound over the
+    tile's pixel-center rect is provably below the 1/255 cutoff) removes
+    only exact-zero contributions — the image may differ from the uncull
+    program solely by f32 reduction regrouping (segment compaction shifts
+    entries across blend-chunk boundaries), so it must agree to ~1e-6,
+    far below the tiled==dense tolerance.  Big anisotropic splats make
+    the bbox corner tiles the interesting case."""
+    from raht3dgs_tpu.eval.rasterize import _rasterize_tiled
+
+    W = H = 64
+    scene = _random_scene(rng, 250, sh_k=4, scale_lo=0.02, scale_hi=0.5)
+    viewmat, K = _front_cam(width=W, height=H)
+    kw = dict(width=W, height=H, max_tiles_per_gauss=64)
+
+    img_cull, meta_cull = rasterize_gaussians(*scene, viewmat, K, **kw)
+    monkeypatch.setenv("RAHT3DGS_RASTER_CULL", "0")
+    _rasterize_tiled.clear_cache()
+    try:
+        img_full, meta_full = rasterize_gaussians(*scene, viewmat, K, **kw)
+    finally:
+        monkeypatch.delenv("RAHT3DGS_RASTER_CULL")
+        _rasterize_tiled.clear_cache()
+
+    assert int(meta_cull.dup_clipped) == int(meta_full.dup_clipped)
+    # culling frees capacity, so it can only reduce tile overflow
+    assert int(meta_cull.tile_clipped) <= int(meta_full.tile_clipped)
+    np.testing.assert_allclose(img_cull, img_full, atol=2e-6)
