@@ -144,6 +144,17 @@ def test_gs_codec_rd(rng):
         assert np.isfinite(pts[0].psnr[key])
     row = pts[0].csv_row()
     assert len(row.split(",")) == 20  # frame + 19 reference columns
+    # the pipelined sweep must carry the shared stage times into every
+    # point exactly once (encode_gs_frame merges the prelude/transform
+    # timer into each step's own timer)
+    for p in pts:
+        assert p.times["RAHT_prelude_time"] > 0
+        assert p.times["RAHT_transform_time"] > 0
+        assert p.times["Quant_time"] >= 0
+        assert p.times["Entropy_enc_time"] > 0
+    assert (
+        pts[0].times["RAHT_prelude_time"] == pts[1].times["RAHT_prelude_time"]
+    )
 
 
 def test_point_render_smoke(rng):
