@@ -95,30 +95,39 @@ def _render_views(scene, viewmats, Ks, bg, *, width, height, sh_degree,
 
 @partial(jax.jit, static_argnames=(
     "depth", "width", "height", "sh_degree", "tile", "max_tiles_per_gauss",
-    "max_per_tile", "chunk"))
+    "max_per_tile", "chunk", "image_dtype"))
 def serve_frame(vals_T, inv, steps, codes, weights, voxel_size, vmin,
                 viewmats, Ks, bg, *, depth: int, width: int, height: int,
                 sh_degree: int = 3, tile: int = 16,
                 max_tiles_per_gauss: int = 16, max_per_tile: int = 8192,
-                chunk: int = 128):
+                chunk: int = 128, image_dtype=jnp.float32):
     """The fused serving program: decode once, render all V views.
 
     Returns (images (V, H, W, 3), dup_clipped (V,), tile_clipped (V,)).
+
+    ``image_dtype=jnp.uint8`` quantizes the images on device with the
+    display/PNG convention (``clip(img, 0, 1) * 255`` — eval/render.py)
+    so a serving fetch moves 1/4 of the bytes; keep the float32 default
+    for evaluation (PSNR is defined on the float render).
     """
     scene = decode_scene_device(
         vals_T, inv, steps, codes, weights, voxel_size, vmin, depth=depth
     )
-    return _render_views(
+    imgs, dups, tiles = _render_views(
         scene, viewmats, Ks, bg, width=width, height=height,
         sh_degree=sh_degree, tile=tile,
         max_tiles_per_gauss=max_tiles_per_gauss, max_per_tile=max_per_tile,
         chunk=chunk,
     )
+    if image_dtype != jnp.float32:
+        imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(image_dtype)
+    return imgs, dups, tiles
 
 
 @lru_cache(maxsize=16)
 def _sharded_serve_program(mesh, axis, depth, width, height, sh_degree,
-                           tile, max_tiles_per_gauss, max_per_tile, chunk):
+                           tile, max_tiles_per_gauss, max_per_tile, chunk,
+                           image_dtype=jnp.float32):
     spec_rep = P()
     spec_v = P(axis)
 
@@ -138,12 +147,15 @@ def _sharded_serve_program(mesh, axis, depth, width, height, sh_degree,
             vals_T, inv, steps, codes, weights, voxel_size, vmin,
             depth=depth,
         )
-        return _render_views(
+        imgs, dups, tiles = _render_views(
             scene, vms, Kms, bg, width=width, height=height,
             sh_degree=sh_degree, tile=tile,
             max_tiles_per_gauss=max_tiles_per_gauss,
             max_per_tile=max_per_tile, chunk=chunk,
         )
+        if image_dtype != jnp.float32:
+            imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(image_dtype)
+        return imgs, dups, tiles
 
     return jax.jit(run)
 
@@ -153,7 +165,8 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
                         width: int, height: int, sh_degree: int = 3,
                         axis: str = "dp", tile: int = 16,
                         max_tiles_per_gauss: int = 16,
-                        max_per_tile: int = 8192, chunk: int = 128):
+                        max_per_tile: int = 8192, chunk: int = 128,
+                        image_dtype=jnp.float32):
     """Fused serving with views sharded over ``mesh[axis]``.
 
     V is padded to a multiple of the axis size (padding views rendered and
@@ -173,7 +186,7 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
 
     run = _sharded_serve_program(
         mesh, axis, depth, width, height, sh_degree, tile,
-        max_tiles_per_gauss, max_per_tile, chunk,
+        max_tiles_per_gauss, max_per_tile, chunk, image_dtype,
     )
     with mesh:
         imgs, dups, tiles = run(

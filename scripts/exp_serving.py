@@ -55,6 +55,8 @@ N = int(os.environ.get("RAHT3DGS_SERVING_N", 131_072))
 SIZE = int(os.environ.get("RAHT3DGS_SERVING_SIZE", 512))
 VIEWS = int(os.environ.get("RAHT3DGS_SERVING_VIEWS", 8))
 MODE = os.environ.get("RAHT3DGS_SERVING_MODE", "fused")
+# uint8 on-device image quantization (display convention) — 1/4 the fetch
+U8 = os.environ.get("RAHT3DGS_SERVING_U8", "0") not in ("", "0")
 STEP = 0.002  # fine enough for the scale channels (0.002-0.01 world units)
 RASTER = dict(sh_degree=3, tile=16, max_tiles_per_gauss=16,
               max_per_tile=8192, chunk=128)
@@ -122,7 +124,8 @@ def main():
         imgs, dups, tiles = serve_frame(
             jnp.asarray(vals), inv, steps, frame.codes, frame.weights,
             voxel_size, vmin, vms, Kms, bg,
-            depth=DEPTH, width=SIZE, height=SIZE, **RASTER,
+            depth=DEPTH, width=SIZE, height=SIZE,
+            image_dtype=jnp.uint8 if U8 else jnp.float32, **RASTER,
         )
         float(imgs[0, 0, 0, 0])
         t_dev = time.perf_counter() - t0
@@ -175,6 +178,7 @@ def main():
         "views": n_views,
         "bytes": sum(len(c) for c in stream.channels),
         "upload_dtype": upload_dtype[0],
+        "image_dtype": "uint8" if U8 and MODE == "fused" else "float32",
         "entropy_ms": round(t_ent * 1e3, 1),
         "device_ms_incl_upload": round(t_dev * 1e3, 1),
         "image_fetch_ms": round(t_fetch * 1e3, 1),

@@ -141,3 +141,43 @@ def test_sharded_serving_matches_single(rng):
         np.asarray(imgs), np.asarray(ref), atol=1e-5, rtol=0
     )
     np.testing.assert_array_equal(np.asarray(dups_s), np.asarray(dups))
+
+
+def test_uint8_image_fetch_matches_host_convention(rng):
+    """On-device uint8 quantization must match the display/PNG convention
+    (eval/render.py: ``(clip(img,0,1)*255).astype(uint8)``) to within one
+    code (XLA's float->int convert may round where numpy truncates), for
+    both the single-device and view-sharded programs."""
+    from raht3dgs_tpu.parallel.sharding import make_mesh
+
+    frame, vals_T, inv, steps, vs, vmin = _make_served_frame(rng)
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    kw = dict(depth=DEPTH, width=SIZE, height=SIZE, **RASTER)
+
+    ref, _, _ = serve_frame(
+        jnp.asarray(vals_T), inv, steps, frame.codes, frame.weights, vs,
+        vmin, vms, Kms, bg, **kw,
+    )
+    host_u8 = (np.clip(np.asarray(ref), 0, 1) * 255).astype(np.uint8)
+
+    u8, dups, tiles = serve_frame(
+        jnp.asarray(vals_T), inv, steps, frame.codes, frame.weights, vs,
+        vmin, vms, Kms, bg, image_dtype=jnp.uint8, **kw,
+    )
+    assert u8.dtype == jnp.uint8
+    assert (
+        np.abs(u8.astype(np.int32) - host_u8.astype(np.int32)).max() <= 1
+    )
+
+    mesh = make_mesh(8)
+    u8s, _, _ = serve_views_sharded(
+        vals_T, inv, steps, frame.codes, frame.weights, vs, vmin,
+        np.asarray(vms), np.asarray(Kms), mesh=mesh,
+        image_dtype=jnp.uint8, **kw,
+    )
+    assert np.asarray(u8s).dtype == np.uint8
+    assert (
+        np.abs(np.asarray(u8s).astype(np.int32) - host_u8.astype(np.int32))
+        .max() <= 1
+    )
