@@ -279,12 +279,15 @@ class BatchAttributeCodec:
             else streams[0].steps[0],
             dtype=self.dtype,
         )
-        from raht3dgs_tpu.models.pipeline import quantized_upload_array
+        from raht3dgs_tpu.models.pipeline import (
+            pack_quantized_upload,
+            upload_quantized,
+        )
 
         rec = timer.time(
             "iRAHT_time",
             batched_decode_step,
-            codes, weights, jnp.asarray(quantized_upload_array(qfull)),
+            codes, weights, upload_quantized(pack_quantized_upload(qfull)),
             inv_b, steps, self.depth, self.dtype,
         )
         rec_np = np.asarray(rec)

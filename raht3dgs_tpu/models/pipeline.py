@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -246,6 +246,88 @@ def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
     return vals_T
 
 
+class QuantizedUpload(NamedTuple):
+    """Host-side packing of a quantized channel matrix for upload.
+
+    ``vals`` is the (possibly int16-narrowed) matrix; when a *few* entries
+    overflow int16, they are truncated in ``vals`` and carried exactly in
+    the sparse ``(patch_idx, patch_val)`` flat-index patch instead (empty
+    arrays when no patch is needed)."""
+
+    vals: np.ndarray
+    patch_idx: np.ndarray
+    patch_val: np.ndarray
+
+
+_EMPTY_I32 = np.zeros((0,), np.int32)
+
+
+def _upload_patch_enabled() -> bool:
+    return os.environ.get("RAHT3DGS_UPLOAD_PATCH", "1") not in (
+        "0", "false", "")
+
+
+def pack_quantized_upload(vals_T: np.ndarray) -> QuantizedUpload:
+    """Narrow an int32 quantized matrix to int16 even when a handful of
+    entries overflow, carrying the overflows as an exact sparse patch.
+
+    Real RD operating points put almost all mass near zero (that is why
+    RLGR works); at the measured serving point exactly 1 of 1.8M
+    coefficients exceeded int16, yet the all-or-nothing
+    :func:`quantized_upload_array` fell back to a full int32 upload —
+    double the bytes on the remote-host tunnel for one outlier. Patch
+    policy: use int16+patch while the patch (8 B/entry) costs at most half
+    the 2 B/entry narrowing win, i.e. ``P <= size // 8``; otherwise ship
+    int32. The patch is padded to a power-of-two bucket (duplicating entry
+    0 — identical scatter writes, so duplicates are harmless) to bound
+    recompiles of the device widen program. ``RAHT3DGS_UPLOAD_PATCH=0``
+    restores the all-or-nothing behavior for A/B tests.
+    """
+    if vals_T.dtype != np.int32:
+        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
+    flat = vals_T.reshape(-1)
+    over = np.flatnonzero(
+        np.abs(flat, dtype=np.int64) >= (1 << 15)
+    ).astype(np.int32)
+    if over.size == 0:
+        return QuantizedUpload(
+            vals_T.astype(np.int16), _EMPTY_I32, _EMPTY_I32
+        )
+    if not _upload_patch_enabled() or over.size > flat.size // 8:
+        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
+    val = flat[over]
+    bucket = 8
+    while bucket < over.size:
+        bucket *= 2
+    pad = bucket - over.size
+    idx = np.concatenate([over, np.full(pad, over[0], np.int32)])
+    val = np.concatenate([val, np.full(pad, val[0], np.int32)])
+    return QuantizedUpload(
+        vals_T.astype(np.int16), idx, val
+    )
+
+
+@jax.jit
+def _widen_patch_device(vals, idx, val):
+    flat = vals.astype(jnp.int32).reshape(-1)
+    # pad duplicates write the same (idx, val) — order is immaterial
+    flat = flat.at[idx].set(val, unique_indices=False)
+    return flat.reshape(vals.shape)
+
+
+def upload_quantized(up: QuantizedUpload):
+    """Move a :class:`QuantizedUpload` to device, applying the overflow
+    patch in a tiny scatter dispatch. Returns a device array bitwise equal
+    (after int32 widening) to the original int32 matrix; dtype is int16
+    when no patch was needed (consumers widen), int32 when patched."""
+    vals = jnp.asarray(up.vals)
+    if up.patch_idx.size == 0:
+        return vals
+    return _widen_patch_device(
+        vals, jnp.asarray(up.patch_idx), jnp.asarray(up.patch_val)
+    )
+
+
 @partial(jax.jit, static_argnames=("dtype",))
 def _dequant_gather_device(vals_T, inv, steps, dtype):
     """(D, N) channel-major stream values -> dequantized (N, D) coefficients
@@ -463,7 +545,7 @@ class AttributeCodec:
         )
         coeffs = timer.time(
             "Dequant_time", _dequant_gather_device,
-            jnp.asarray(quantized_upload_array(vals_T)), inv,
+            upload_quantized(pack_quantized_upload(vals_T)), inv,
             steps, self.dtype,
         )
         attrs = timer.time(

@@ -40,14 +40,20 @@ __all__ = [
     "serve_frame",
     "serve_views_sharded",
     "quantized_upload_array",
+    "pack_quantized_upload",
+    "upload_quantized",
     "build_inverse_order",
 ]
 
 build_inverse_order = _inverse_order_device
 
 
-# canonical definition lives beside the decode pipeline it serves
-from raht3dgs_tpu.models.pipeline import quantized_upload_array  # noqa: F401
+# canonical definitions live beside the decode pipeline they serve
+from raht3dgs_tpu.models.pipeline import (  # noqa: F401
+    pack_quantized_upload,
+    quantized_upload_array,
+    upload_quantized,
+)
 
 
 @partial(jax.jit, static_argnames=("depth",))

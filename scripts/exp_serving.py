@@ -44,7 +44,8 @@ from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
 from raht3dgs_tpu.models.serving import (
     build_inverse_order,
     decode_scene_device,
-    quantized_upload_array,
+    pack_quantized_upload,
+    upload_quantized,
     serve_frame,
 )
 from raht3dgs_tpu.ops.morton import morton_decode
@@ -113,16 +114,18 @@ def main():
         vals_T = np.zeros((stream.n_channels, n_padded), dtype=np.int32)
         rlgr_decode_channels(stream.channels, stream.n_voxels, out=vals_T,
                              chunk=stream.chunk)
-        return quantized_upload_array(vals_T)
+        return pack_quantized_upload(vals_T)
 
     def serve_fused():
         t0 = time.perf_counter()
-        vals = entropy_decode()
-        upload_dtype[0] = str(vals.dtype)
+        up = entropy_decode()
+        upload_dtype[0] = str(up.vals.dtype) + (
+            f"+patch{up.patch_idx.size}" if up.patch_idx.size else ""
+        )
         t_ent = time.perf_counter() - t0
         t0 = time.perf_counter()
         imgs, dups, tiles = serve_frame(
-            jnp.asarray(vals), inv, steps, frame.codes, frame.weights,
+            upload_quantized(up), inv, steps, frame.codes, frame.weights,
             voxel_size, vmin, vms, Kms, bg,
             depth=DEPTH, width=SIZE, height=SIZE,
             image_dtype=jnp.uint8 if U8 else jnp.float32, **RASTER,
@@ -136,9 +139,12 @@ def main():
         return t_ent, t_dev, t_fetch, images, overflow
 
     def serve_split():
-        # round-1 protocol: int32 upload, no narrowing
+        # round-1 protocol: int32 upload, no narrowing or patching
         t0 = time.perf_counter()
-        vals = entropy_decode().astype(np.int32)
+        vals_T = np.zeros((stream.n_channels, n_padded), dtype=np.int32)
+        rlgr_decode_channels(stream.channels, stream.n_voxels, out=vals_T,
+                             chunk=stream.chunk)
+        vals = vals_T
         upload_dtype[0] = str(vals.dtype)
         t_ent = time.perf_counter() - t0
         t0 = time.perf_counter()

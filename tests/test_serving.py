@@ -118,6 +118,76 @@ def test_int16_narrowing_declines_wide_values():
     assert quantized_upload_array(wide).dtype == np.int32
 
 
+def test_patched_upload_bitwise(rng):
+    """int16+sparse-patch upload widens to EXACTLY the original int32
+    matrix, for both the (D, N) single-frame and (B, D, N) batch layouts."""
+    from raht3dgs_tpu.models.pipeline import (
+        pack_quantized_upload,
+        upload_quantized,
+    )
+
+    for shape in [(7, 300), (2, 7, 300)]:
+        vals = rng.integers(-2000, 2000, size=shape).astype(np.int32)
+        flat = vals.reshape(-1)
+        pos = rng.choice(flat.size, size=5, replace=False)
+        flat[pos] = np.asarray(
+            [40_000, -40_000, 1 << 20, -(1 << 20), 32_768], np.int32
+        )
+        up = pack_quantized_upload(vals)
+        assert up.vals.dtype == np.int16
+        assert up.patch_idx.size == 8  # 5 overflows, bucketed to 8
+        widened = np.asarray(upload_quantized(up))
+        assert widened.dtype == np.int32
+        np.testing.assert_array_equal(widened, vals)
+
+    # no overflow: plain int16, empty patch (and int16 widens exactly)
+    up = pack_quantized_upload(np.arange(-50, 50, dtype=np.int32).reshape(4, 25))
+    assert up.vals.dtype == np.int16 and up.patch_idx.size == 0
+    assert np.asarray(upload_quantized(up)).dtype == np.int16
+
+
+def test_patched_upload_policy(monkeypatch):
+    from raht3dgs_tpu.models.pipeline import pack_quantized_upload
+
+    # dense overflow (> size//8 entries): patch loses, ship int32
+    wide = np.full((8, 32), 40_000, dtype=np.int32)
+    up = pack_quantized_upload(wide)
+    assert up.vals.dtype == np.int32 and up.patch_idx.size == 0
+
+    # env kill-switch restores the all-or-nothing behavior
+    sparse = np.zeros((8, 64), dtype=np.int32)
+    sparse[0, 0] = 40_000
+    monkeypatch.setenv("RAHT3DGS_UPLOAD_PATCH", "0")
+    up = pack_quantized_upload(sparse)
+    assert up.vals.dtype == np.int32 and up.patch_idx.size == 0
+    monkeypatch.delenv("RAHT3DGS_UPLOAD_PATCH")
+    assert pack_quantized_upload(sparse).vals.dtype == np.int16
+
+
+def test_patched_upload_through_serve_frame(rng):
+    """A frame whose quantized matrix has one int16 overflow renders
+    bitwise identically from the patched int16 upload and from int32."""
+    from raht3dgs_tpu.models.pipeline import (
+        pack_quantized_upload,
+        upload_quantized,
+    )
+
+    frame, vals_T, inv, steps, vs, vmin = _make_served_frame(rng)
+    vals_T = vals_T.copy()
+    vals_T[3, 7] = 50_000  # force the all-or-nothing path to int32
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    kw = dict(depth=DEPTH, width=SIZE, height=SIZE, **RASTER)
+
+    up = pack_quantized_upload(vals_T)
+    assert up.vals.dtype == np.int16 and up.patch_idx.size > 0
+    a = serve_frame(jnp.asarray(vals_T), inv, steps, frame.codes,
+                    frame.weights, vs, vmin, vms, Kms, bg, **kw)
+    b = serve_frame(upload_quantized(up), inv, steps, frame.codes,
+                    frame.weights, vs, vmin, vms, Kms, bg, **kw)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
 def test_sharded_serving_matches_single(rng):
     from raht3dgs_tpu.parallel.sharding import make_mesh
 
