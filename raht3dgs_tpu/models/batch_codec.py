@@ -107,9 +107,7 @@ class BatchAttributeCodec:
         )
         from raht3dgs_tpu.models.pipeline import _narrow_fetch
 
-        q_np = np.asarray(_narrow_fetch(q_b))  # (B, D, N) channel-major
-        if q_np.dtype == np.int16:
-            q_np = q_np.astype(np.int32)  # keep the copy-free native path
+        q_np = _narrow_fetch(q_b)  # (B, D, N) channel-major host int32
 
         streams: List[FrameStream] = []
         enc_ns = 0
@@ -162,9 +160,10 @@ class BatchAttributeCodec:
         if coeffs is None or orderp is None:
             coeffs, orderp, _ = self.transform(frames)
         from raht3dgs_tpu.models.pipeline import (
-            _cast_i16,
-            _maxabs_i64,
+            _fetch_stats,
+            _finish_fetch,
             _narrow_fetch_enabled,
+            _start_fetch,
         )
 
         narrow = _narrow_fetch_enabled()
@@ -173,24 +172,19 @@ class BatchAttributeCodec:
         for s in steps_list:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
             q = batched_quant_reorder(coeffs, sa, orderp)
-            pend.append((s, q, _maxabs_i64(q) if narrow else None))
+            pend.append((s, q, _fetch_stats(q) if narrow else None))
         # phase 2: narrow + start async host copies in dispatch order
         bufs = []
-        for s, q, m in pend:
-            if m is not None and int(m) < (1 << 15):
-                q = _cast_i16(q)
-            try:
-                q.copy_to_host_async()
-            except AttributeError:  # non-Array backends (older jax)
-                pass
-            bufs.append((s, q))
+        for s, q, st in pend:
+            bufs.append(
+                (s, _start_fetch(q, np.asarray(st) if st is not None
+                                 else None))
+            )
         # phase 3: drain — fetch (mostly complete) + host entropy
         out: List[Tuple[List[FrameStream], StageTimer]] = []
-        for s, q in bufs:
+        for s, p in bufs:
             timer = StageTimer()
-            q_np = timer.time("Quant_time", lambda q=q: np.asarray(q))
-            if q_np.dtype == np.int16:
-                q_np = q_np.astype(np.int32)  # copy-free native path
+            q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
             streams: List[FrameStream] = []
             enc_ns = 0
             for i, f in enumerate(frames):

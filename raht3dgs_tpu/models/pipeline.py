@@ -215,6 +215,27 @@ def _cast_i16(q):
     return q.astype(jnp.int16)
 
 
+@jax.jit
+def _fetch_stats(q):
+    """(maxabs, rail-count) as ONE (2,) device array — a single tiny fetch
+    decides the narrowing (the tunnel charges ~an RTT per fetch). Rails are
+    values |v| >= 32767, i.e. everything a clamped int16 cast would alias."""
+    a = jnp.abs(q.astype(jnp.int64))
+    return jnp.stack(
+        [jnp.max(a, initial=0), jnp.sum((a >= 32767).astype(jnp.int64))]
+    )
+
+
+@jax.jit
+def _clamp_cast_i16(q):
+    return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+
+
+@jax.jit
+def _gather_flat_i32(q, idx):
+    return q.reshape(-1)[idx].astype(jnp.int32)
+
+
 def _narrow_fetch_enabled() -> bool:
     """Halving the big device->host coefficient fetch pays on remote-host
     links (the axon tunnel moves ~20-50 MB/s) but costs an extra scalar
@@ -226,12 +247,82 @@ def _narrow_fetch_enabled() -> bool:
     return jax.default_backend() == "axon"
 
 
-def _narrow_fetch(q_T):
-    """Fetch the quantized channel matrix as int16 when every value fits
-    (checked on device first — exact by construction)."""
-    if _narrow_fetch_enabled() and int(_maxabs_i64(q_T)) < (1 << 15):
-        return _cast_i16(q_T)
-    return q_T
+def _fetch_patch_enabled() -> bool:
+    return os.environ.get("RAHT3DGS_FETCH_PATCH", "1") not in (
+        "0", "false", "")
+
+
+class PendingFetch(NamedTuple):
+    """An in-flight device->host coefficient fetch.
+
+    ``buf`` is the array whose host copy was started (int16 narrow, int16
+    rail-clamped, or int32); ``src`` keeps the device int32 alive when the
+    clamped fetch needs its rails patched from an exact gather."""
+
+    buf: jnp.ndarray
+    src: Optional[jnp.ndarray]
+
+
+def _start_fetch(q, stats) -> PendingFetch:
+    """Pick the fetch dtype from the (maxabs, rail-count) stats (host ints
+    or None when narrowing is disabled) and start the async host copy.
+
+    Three regimes: everything fits int16 -> plain narrow cast (exact); a
+    FEW values overflow -> clamp to the int16 rails and remember ``src``
+    so :func:`_finish_fetch` can re-fetch the aliased entries exactly
+    (patch policy mirrors :func:`pack_quantized_upload`: rails must be at
+    most size/8); dense overflow -> full int32."""
+    src = None
+    if stats is not None:
+        maxabs, rails = int(stats[0]), int(stats[1])
+        if maxabs < (1 << 15):
+            q = _cast_i16(q)
+        elif _fetch_patch_enabled() and 0 < rails <= q.size // 8:
+            src = q
+            q = _clamp_cast_i16(q)
+    try:
+        q.copy_to_host_async()
+    except AttributeError:  # non-Array backends (older jax)
+        pass
+    return PendingFetch(q, src)
+
+
+def _finish_fetch(pending: PendingFetch) -> np.ndarray:
+    """Block on the host copy and return the exact int32 matrix.
+
+    Rail entries of a clamped int16 fetch (|v| == 32767 on host) are
+    overwritten from a tiny exact device gather; the gather index vector
+    is padded to a power-of-two bucket (duplicates of entry 0) to bound
+    program recompiles."""
+    a = np.asarray(pending.buf)
+    if a.dtype != np.int16:
+        return a
+    out = a.astype(np.int32)  # host widen keeps the native batch path
+    if pending.src is not None:
+        flat = out.reshape(-1)
+        sus = np.flatnonzero(np.abs(flat) >= 32767).astype(np.int32)
+        if sus.size:
+            bucket = 8
+            while bucket < sus.size:
+                bucket *= 2
+            idx = np.concatenate(
+                [sus, np.full(bucket - sus.size, sus[0], np.int32)]
+            )
+            exact = np.asarray(
+                _gather_flat_i32(pending.src, jnp.asarray(idx))
+            )
+            flat[sus] = exact[: sus.size]
+    return out
+
+
+def _narrow_fetch(q_T) -> np.ndarray:
+    """Fetch the quantized channel matrix to host int32, moving int16 over
+    the link whenever exact (all values fit, or only a patchable few
+    overflow — checked on device first)."""
+    stats = (
+        np.asarray(_fetch_stats(q_T)) if _narrow_fetch_enabled() else None
+    )
+    return _finish_fetch(_start_fetch(q_T, stats))
 
 
 def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
@@ -412,10 +503,7 @@ class AttributeCodec:
         # Single device->host transfer; the full (D, Np) matrix stays
         # C-contiguous (a column slice would disqualify the one-call native
         # batch path) and each channel encodes its real [:n_voxels] prefix.
-        q_np = np.asarray(_narrow_fetch(q_T))
-        if q_np.dtype == np.int16:
-            # host-side widen keeps the copy-free int32 native batch path
-            q_np = q_np.astype(np.int32)
+        q_np = _narrow_fetch(q_T)
         channels, enc_ns = rlgr_encode_channels(
             q_np, signed=True, channel_major=True, chunk=self.chunk,
             n=frame.n_voxels,
@@ -463,22 +551,17 @@ class AttributeCodec:
         for s in steps_list:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
             q_T = _quant_reorder_device(coeffs, sa, order, nvox)
-            pend.append((s, q_T, _maxabs_i64(q_T) if narrow else None))
+            pend.append((s, q_T, _fetch_stats(q_T) if narrow else None))
         bufs = []
-        for s, q_T, m in pend:
-            if m is not None and int(m) < (1 << 15):
-                q_T = _cast_i16(q_T)
-            try:
-                q_T.copy_to_host_async()
-            except AttributeError:
-                pass
-            bufs.append((s, q_T))
+        for s, q_T, st in pend:
+            bufs.append(
+                (s, _start_fetch(q_T, np.asarray(st) if st is not None
+                                 else None))
+            )
         out: List[EncodedFrame] = []
-        for s, q_T in bufs:
+        for s, p in bufs:
             timer = StageTimer()
-            q_np = timer.time("Quant_time", lambda q=q_T: np.asarray(q))
-            if q_np.dtype == np.int16:
-                q_np = q_np.astype(np.int32)
+            q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
             channels, enc_ns = rlgr_encode_channels(
                 q_np, signed=True, channel_major=True, chunk=self.chunk,
                 n=frame.n_voxels,

@@ -297,6 +297,97 @@ def test_narrow_fetch_streams_identical(rng, monkeypatch):
     assert np.abs(rec - ref).max() < 0.25 + 1e-3
 
 
+def test_narrow_fetch_rail_patch_regimes(monkeypatch):
+    """_narrow_fetch must be exact in all three device->host regimes:
+    all-int16 (plain narrow), a few int16 overflows (clamped fetch + exact
+    rail patch), and dense overflow (full int32 fallback). The chosen wire
+    dtype is observable on the PendingFetch buffer."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import (
+        _fetch_stats,
+        _finish_fetch,
+        _narrow_fetch,
+        _start_fetch,
+    )
+
+    monkeypatch.setenv("RAHT3DGS_NARROW_FETCH", "1")
+    rng = np.random.default_rng(7)
+    base = rng.integers(-3000, 3000, (8, 400)).astype(np.int32)
+
+    def wire_dtype(arr):
+        p = _start_fetch(jnp.asarray(arr), np.asarray(_fetch_stats(jnp.asarray(arr))))
+        got = _finish_fetch(p)
+        assert got.dtype == np.int32 and np.array_equal(got, arr)
+        return p.buf.dtype, p.src is not None
+
+    # regime 1: everything fits -> int16 wire, no patch source kept
+    assert wire_dtype(base) == (jnp.int16, False)
+
+    # regime 2: sparse outliers (incl. exact rails +-32767/-32768, which a
+    # clamped cast aliases) -> int16 wire plus exact patch gather
+    sparse = base.copy()
+    flat = sparse.reshape(-1)
+    flat[[0, 77, 1234, 3100]] = [10**9, -(10**9), 32767, -32768]
+    assert wire_dtype(sparse) == (jnp.int16, True)
+
+    # regime 3: dense overflow (> size/8 rails) -> int32 wire
+    dense = base.copy()
+    dense[::2] += 10**6
+    assert wire_dtype(dense) == (jnp.int32, False)
+
+    # patch knob off: sparse outliers fall back to exact int32
+    monkeypatch.setenv("RAHT3DGS_FETCH_PATCH", "0")
+    assert wire_dtype(sparse) == (jnp.int32, False)
+    monkeypatch.delenv("RAHT3DGS_FETCH_PATCH")
+
+    # and the one-shot helper agrees end to end
+    assert np.array_equal(_narrow_fetch(jnp.asarray(sparse)), sparse)
+
+
+def test_narrow_fetch_patch_streams_identical(rng, monkeypatch):
+    """Encode with sparse coefficient outliers must produce byte-identical
+    streams whether the rail-patched int16 fetch or the plain int32 fetch
+    carried the coefficients."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    depth = 5
+    pts = rng.integers(0, 2**depth, (1500, 3))
+    _, first = np.unique(morton_codes_np(pts, depth), return_index=True)
+    pts = pts[first]
+    # mostly small attributes with a handful of huge outliers: at fine
+    # steps the DC/outlier coefficients overflow int16 while the bulk fits
+    attrs = rng.uniform(0, 4.0, (len(pts), 3))
+    attrs[rng.integers(0, len(pts), 5)] = 3e5
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth)
+    codec = AttributeCodec(depth)
+
+    monkeypatch.setenv("RAHT3DGS_NARROW_FETCH", "0")
+    a = codec.encode(frame, steps=0.5).stream.to_bytes()
+    monkeypatch.setenv("RAHT3DGS_NARROW_FETCH", "1")
+    b = codec.encode(frame, steps=0.5).stream.to_bytes()
+    assert a == b
+
+    # confirm the workload actually exercised the patch regime
+    from raht3dgs_tpu.models.pipeline import (
+        _fetch_stats,
+        _quant_reorder_device,
+        coefficient_order,
+    )
+    from raht3dgs_tpu.ops.raht_span import raht_structure_span
+
+    coeffs, order, _, _ = codec.transform(frame)
+    q = _quant_reorder_device(
+        coeffs, jnp.atleast_1d(jnp.asarray(0.5, coeffs.dtype)), order,
+        frame.n_voxels,
+    )
+    maxabs, rails = (int(x) for x in np.asarray(_fetch_stats(q)))
+    assert maxabs >= (1 << 15) and 0 < rails <= q.size // 8
+
+
 def test_encode_sweep_matches_per_step(rng):
     """AttributeCodec.encode_sweep (pipelined: async dispatch + async
     fetch + drained entropy) must be byte-identical to serial per-step
