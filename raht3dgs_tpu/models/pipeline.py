@@ -244,7 +244,9 @@ def _narrow_fetch_enabled() -> bool:
     env = os.environ.get("RAHT3DGS_NARROW_FETCH")
     if env is not None:
         return env not in ("0", "false", "")
-    return jax.default_backend() == "axon"
+    from raht3dgs_tpu.utils.backend import is_remote_tunnel_backend
+
+    return is_remote_tunnel_backend()
 
 
 def _fetch_patch_enabled() -> bool:

@@ -21,8 +21,10 @@ def _force_completion(out: Any) -> Any:
     etiquette"), so there a one-element fetch of the first array leaf
     bounds completion instead (executions on one device stream retire in
     order)."""
+    from raht3dgs_tpu.utils.backend import is_remote_tunnel_backend
+
     out = jax.block_until_ready(out)
-    if jax.default_backend() == "axon":
+    if is_remote_tunnel_backend():
         # One fetch per *device* (not just the first leaf): with sharded
         # outputs each device has its own stream, and only a fetch from a
         # shard resident on that device bounds its completion.
