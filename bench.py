@@ -89,7 +89,8 @@ def main() -> None:
     import jax
 
     probe_attempts = int(os.environ.get("RAHT3DGS_BENCH_PROBES", "0"))
-    fallback = bool(os.environ.get("RAHT3DGS_BENCH_FALLBACK"))
+    fallback = os.environ.get("RAHT3DGS_BENCH_FALLBACK", "") not in (
+        "0", "false", "")
     if os.environ.get("RAHT3DGS_BENCH_PLATFORM"):
         plat = os.environ["RAHT3DGS_BENCH_PLATFORM"]
         jax.config.update("jax_platforms", plat)

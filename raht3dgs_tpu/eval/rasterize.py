@@ -379,19 +379,23 @@ def _rasterize_tiled(
     # ``chunk`` (observed deltas ~1e-7); tiled==dense stays pinned by
     # tests/test_rasterize.py.  Bound: the conic's smallest eigenvalue is
     # 1/lam1, so
-    #   alpha <= min(o, ALPHA_MAX) * exp(-0.5 * D^2 / lam1)
+    #   alpha <= o * exp(-0.5 * D^2 / lam1)
     # with D the distance from the splat mean to the rectangle of pixel
-    # centers.  A 2x safety factor absorbs f32 rounding in both this
-    # bound and the blend's own quadratic (a ~6% tighter distance
-    # threshold — negligible cull-rate cost).  The test runs in the log
-    # domain — cull iff D^2 > 2*lam1*log(2*o/ALPHA_MIN) — so the only
-    # transcendental is an N-sized log, never an E-sized exp (zero or
-    # sub-cutoff opacities give a -inf threshold: always culled, and
-    # their entries were dead via the alive mask anyway).
+    # centers.  The RAW opacity must bound the log (not the blend's
+    # ALPHA_MAX clamp: ALPHA_MAX > ALPHA_MIN, so clamping can never zero
+    # a contribution — with o > ALPHA_MAX a clamped bound would cull
+    # pixels whose unclamped alpha still clears the cutoff).  A 2x safety
+    # factor absorbs f32 rounding in both this bound and the blend's own
+    # quadratic (a ~6% tighter distance threshold — negligible cull-rate
+    # cost).  The test runs in the log domain — cull iff
+    # D^2 > 2*lam1*log(2*o/ALPHA_MIN) — so the only transcendental is an
+    # N-sized log, never an E-sized exp (zero or sub-cutoff opacities
+    # give a -inf threshold: always culled, and their entries were dead
+    # via the alive mask anyway; negative opacities log to NaN, whose
+    # comparison is False — culled, matching their always-zeroed blend).
     if os.environ.get("RAHT3DGS_RASTER_CULL", "1") not in ("", "0"):
         lam1_o = jnp.maximum(lam1[order], 1e-12)
-        o_eff = jnp.minimum(table[:, 8], _ALPHA_MAX)
-        thr = 2.0 * lam1_o * jnp.log((2.0 / _ALPHA_MIN) * o_eff)
+        thr = 2.0 * lam1_o * jnp.log((2.0 / _ALPHA_MIN) * table[:, 8])
         rx0 = etx.astype(f32) * tile + 0.5
         ry0 = ety.astype(f32) * tile + 0.5
         ddx = mx[:, None] - jnp.clip(mx[:, None], rx0, rx0 + (tile - 1))

@@ -16,10 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raht3dgs_tpu.codec.bitstream import FrameStream
-from raht3dgs_tpu.codec.rlgr import (
-    rlgr_decode_channels,
-    rlgr_encode_channels,
-)
+from raht3dgs_tpu.codec.rlgr import rlgr_decode_channels
 from raht3dgs_tpu.models.pipeline import VoxelFrame, prepare_voxel_frame
 from raht3dgs_tpu.parallel.sharding import (
     batched_decode_step,
@@ -108,29 +105,26 @@ class BatchAttributeCodec:
         from raht3dgs_tpu.models.pipeline import _narrow_fetch
 
         q_np = _narrow_fetch(q_b)  # (B, D, N) channel-major host int32
+        streams, enc_ns = self._entropy_streams(q_np, frames, steps)
+        timer.add("Entropy_enc_time", enc_ns / 1e9)
+        return streams, timer
+
+    def _entropy_streams(self, q_np, frames: Sequence[VoxelFrame], steps):
+        """Per-frame host entropy over a fetched (B, D, N) batch; stream
+        assembly is shared with the single-frame codec
+        (``pipeline.build_entropy_stream``)."""
+        from raht3dgs_tpu.models.pipeline import build_entropy_stream
 
         streams: List[FrameStream] = []
         enc_ns = 0
         for i, f in enumerate(frames):
-            channels, ns = rlgr_encode_channels(
-                q_np[i], signed=True, channel_major=True,
-                chunk=self.chunk, n=f.n_voxels,
+            stream, ns = build_entropy_stream(
+                q_np[i], f, steps, depth=self.depth,
+                order_mode=self.order_mode, chunk=self.chunk,
             )
             enc_ns += ns
-            streams.append(
-                FrameStream(
-                    depth=self.depth,
-                    n_voxels=f.n_voxels,
-                    steps=np.atleast_1d(np.asarray(steps, dtype=np.float64)),
-                    channels=channels,
-                    vmin=f.vmin,
-                    width=f.width,
-                    order_mode=self.order_mode,
-                    chunk=self.chunk,
-                )
-            )
-        timer.add("Entropy_enc_time", enc_ns / 1e9)
-        return streams, timer
+            streams.append(stream)
+        return streams, enc_ns
 
     def encode_sweep(
         self,
@@ -185,26 +179,7 @@ class BatchAttributeCodec:
         for s, p in bufs:
             timer = StageTimer()
             q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
-            streams: List[FrameStream] = []
-            enc_ns = 0
-            for i, f in enumerate(frames):
-                channels, ns = rlgr_encode_channels(
-                    q_np[i], signed=True, channel_major=True,
-                    chunk=self.chunk, n=f.n_voxels,
-                )
-                enc_ns += ns
-                streams.append(
-                    FrameStream(
-                        depth=self.depth,
-                        n_voxels=f.n_voxels,
-                        steps=np.atleast_1d(np.asarray(s, dtype=np.float64)),
-                        channels=channels,
-                        vmin=f.vmin,
-                        width=f.width,
-                        order_mode=self.order_mode,
-                        chunk=self.chunk,
-                    )
-                )
+            streams, enc_ns = self._entropy_streams(q_np, frames, s)
             timer.add("Entropy_enc_time", enc_ns / 1e9)
             out.append((streams, timer))
         return out

@@ -327,6 +327,34 @@ def _narrow_fetch(q_T) -> np.ndarray:
     return _finish_fetch(_start_fetch(q_T, stats))
 
 
+def build_entropy_stream(
+    q_np: np.ndarray, frame, steps, *, depth: int, order_mode: str,
+    chunk: int,
+):
+    """Host entropy-code one frame's quantized (D, N) channel matrix and
+    wrap it as a FrameStream; returns ``(stream, encode_ns)``.
+
+    The SINGLE place the stream format is assembled — AttributeCodec's
+    encode/encode_sweep and BatchAttributeCodec's both paths all route
+    through it, so a format change cannot diverge between the
+    byte-identity-pinned paths. ``frame`` supplies n_voxels/vmin/width."""
+    channels, enc_ns = rlgr_encode_channels(
+        q_np, signed=True, channel_major=True, chunk=chunk,
+        n=frame.n_voxels,
+    )
+    stream = FrameStream(
+        depth=depth,
+        n_voxels=frame.n_voxels,
+        steps=np.atleast_1d(np.asarray(steps, dtype=np.float64)),
+        channels=channels,
+        vmin=frame.vmin,
+        width=frame.width,
+        order_mode=order_mode,
+        chunk=chunk,
+    )
+    return stream, enc_ns
+
+
 def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
     """Narrow the (D, N) int32 quantized channel matrix to int16 when every
     value fits — halves the host->device upload, which dominates the frame
@@ -470,6 +498,12 @@ class AttributeCodec:
 
     # -- encoding ---------------------------------------------------------
 
+    def _entropy_stream(self, q_np: np.ndarray, frame: VoxelFrame, steps):
+        return build_entropy_stream(
+            q_np, frame, steps, depth=self.depth,
+            order_mode=self.order_mode, chunk=self.chunk,
+        )
+
     def transform(self, frame: VoxelFrame, timer: Optional[StageTimer] = None):
         """Forward RAHT + RA-GFT order (device). Returns (coeffs, order, structure)."""
         timer = timer or StageTimer()
@@ -506,22 +540,8 @@ class AttributeCodec:
         # C-contiguous (a column slice would disqualify the one-call native
         # batch path) and each channel encodes its real [:n_voxels] prefix.
         q_np = _narrow_fetch(q_T)
-        channels, enc_ns = rlgr_encode_channels(
-            q_np, signed=True, channel_major=True, chunk=self.chunk,
-            n=frame.n_voxels,
-        )
+        stream, enc_ns = self._entropy_stream(q_np, frame, steps)
         timer.add("Entropy_enc_time", enc_ns / 1e9)
-
-        stream = FrameStream(
-            depth=self.depth,
-            n_voxels=frame.n_voxels,
-            steps=np.atleast_1d(np.asarray(steps, dtype=np.float64)),
-            channels=channels,
-            vmin=frame.vmin,
-            width=frame.width,
-            order_mode=self.order_mode,
-            chunk=self.chunk,
-        )
         return EncodedFrame(stream=stream, timer=timer)
 
     def encode_sweep(
@@ -564,21 +584,8 @@ class AttributeCodec:
         for s, p in bufs:
             timer = StageTimer()
             q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
-            channels, enc_ns = rlgr_encode_channels(
-                q_np, signed=True, channel_major=True, chunk=self.chunk,
-                n=frame.n_voxels,
-            )
+            stream, enc_ns = self._entropy_stream(q_np, frame, s)
             timer.add("Entropy_enc_time", enc_ns / 1e9)
-            stream = FrameStream(
-                depth=self.depth,
-                n_voxels=frame.n_voxels,
-                steps=np.atleast_1d(np.asarray(s, dtype=np.float64)),
-                channels=channels,
-                vmin=frame.vmin,
-                width=frame.width,
-                order_mode=self.order_mode,
-                chunk=self.chunk,
-            )
             out.append(EncodedFrame(stream=stream, timer=timer))
         return out
 

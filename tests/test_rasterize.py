@@ -59,6 +59,44 @@ def test_tiled_matches_dense(rng, sh_k):
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
 
 
+def test_tiled_matches_dense_super_unit_opacity(rng):
+    """Opacities above the ALPHA_MAX clamp widen every splat's visible
+    footprint (alpha = min(o*exp(power), ALPHA_MAX) clears the 1/255
+    cutoff further out); the tile-cull bound must use the RAW opacity or
+    it silently drops those tail pixels (regression: the bound once
+    clamped o at ALPHA_MAX, eating the 2x safety factor for o in
+    (ALPHA_MAX, 2) and under-culling beyond)."""
+    # Exposing geometry: one isotropic splat, screen sigma ~6px at the
+    # center of a 64x64 image with 16px tiles.  Its 3-sigma bbox reaches
+    # the image's corner tiles, whose pixel rectangles sit ~3.9 sigma
+    # away (diagonal) — beyond the clamped threshold (~3.53 sigma) but
+    # inside the raw-opacity threshold (~4.47 sigma at o=42), where
+    # alpha = 42*exp(-7.55) ~ 0.02 is far above the 1/255 cutoff.
+    viewmat, K = _front_cam()  # dist 3, focal 76.8 -> sigma = 76.8*s/3
+    means = np.zeros((1, 3), np.float32)
+    quats = np.array([[1.0, 0, 0, 0]], np.float32)
+    s = 6.0 * 3.0 / 76.8
+    scales = np.full((1, 3), s, np.float32)
+    opac = np.array([42.0], np.float32)
+    colors = np.array([[0.9, 0.3, 0.2]], np.float32)
+    img, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 64, 64
+    )
+    assert int(meta.dup_clipped) == 0 and int(meta.tile_clipped) == 0
+    ref = rasterize_dense(means, quats, scales, opac, colors, viewmat, K, 64, 64)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
+
+    # and a full random scene with super-unit opacities
+    means, quats, scales, opac, colors = _random_scene(rng, 96)
+    opac = (opac * 40.0 + 2.0).astype(np.float32)  # all >= 2 > ALPHA_MAX
+    img, meta = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, 64, 64
+    )
+    assert int(meta.dup_clipped) == 0 and int(meta.tile_clipped) == 0
+    ref = rasterize_dense(means, quats, scales, opac, colors, viewmat, K, 64, 64)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
+
+
 def test_tiled_matches_dense_nonmultiple_size(rng):
     """Image sizes that are not tile multiples crop correctly."""
     means, quats, scales, opac, colors = _random_scene(rng, 120)
