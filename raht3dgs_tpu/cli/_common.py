@@ -43,6 +43,37 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
     )
 
 
+def add_quant_args(p: argparse.ArgumentParser) -> None:
+    """Quantizer selection flags (shared by the encode drivers)."""
+    p.add_argument(
+        "--quant-mode", choices=("mid", "deadzone"), default="mid",
+        help="scalar quantizer: 'mid' = the reference's round-half-up "
+        "(bitwise parity default); 'deadzone' = sign-symmetric dead-zone "
+        "with biased reconstruction (opt-in RD improver, recorded in the "
+        "stream; see docs/rd_deadzone.md)",
+    )
+    p.add_argument(
+        "--quant-f", type=float, default=0.3,
+        help="dead-zone encoder rounding offset in (0, 0.5] "
+        "(0.5 = mid-tread bins; smaller widens the zero bin)",
+    )
+    p.add_argument(
+        "--rec-delta", type=float, default=0.12,
+        help="dead-zone reconstruction offset (0 = bin lower edge; "
+        "0.5 - f = bin midpoint; slightly less approximates the "
+        "Laplacian centroid)",
+    )
+
+
+def quant_kwargs(args) -> dict:
+    """AttributeCodec/BatchAttributeCodec kwargs from add_quant_args flags."""
+    return {
+        "quant_mode": args.quant_mode,
+        "quant_f": args.quant_f,
+        "rec_delta": args.rec_delta,
+    }
+
+
 def configure_runtime(args) -> None:
     import jax
 

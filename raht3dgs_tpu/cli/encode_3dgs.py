@@ -17,10 +17,12 @@ import numpy as np
 
 from raht3dgs_tpu.cli._common import (
     CsvLogger,
+    add_quant_args,
     add_runtime_args,
     configure_runtime,
     jnp_dtype,
     maybe_profile,
+    quant_kwargs,
 )
 
 
@@ -54,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="search the step hitting this rate budget instead of sweeping "
         "--steps (honors --per-attribute multipliers)",
     )
+    add_quant_args(p)
     add_runtime_args(p)
     return p
 
@@ -98,7 +101,8 @@ def _run(args) -> int:
             bucket=args.bucket, dtype=dtype,
         )
         codec = AttributeCodec(args.depth, dtype=dtype,
-                               chunk=args.entropy_chunk)
+                               chunk=args.entropy_chunk,
+                               **quant_kwargs(args))
         D = attrs.shape[1]
 
         def steps_fn(step):
@@ -127,7 +131,8 @@ def _run(args) -> int:
         return 0
     from raht3dgs_tpu.models.pipeline import AttributeCodec as _AC
 
-    codec = _AC(args.depth, dtype=dtype, chunk=args.entropy_chunk)
+    codec = _AC(args.depth, dtype=dtype, chunk=args.entropy_chunk,
+                **quant_kwargs(args))
     points = encode_gs_frame(
         V_int, attrs, depth=args.depth, steps=args.steps,
         group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,

@@ -14,10 +14,12 @@ import sys
 
 from raht3dgs_tpu.cli._common import (
     CsvLogger,
+    add_quant_args,
     add_runtime_args,
     configure_runtime,
     maybe_profile,
     jnp_dtype,
+    quant_kwargs,
 )
 
 
@@ -52,6 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="encode this many frames per device dispatch (0 = frame loop); "
         "uses the batched codec, optionally sharded over all local devices",
     )
+    add_quant_args(p)
     add_runtime_args(p)
     return p
 
@@ -93,7 +96,9 @@ def _run(args) -> int:
             continue
         V, C, depth = out
         codec = codec_cache.setdefault(
-            depth, AttributeCodec(depth, dtype=dtype, chunk=args.entropy_chunk)
+            depth, AttributeCodec(depth, dtype=dtype,
+                                  chunk=args.entropy_chunk,
+                                  **quant_kwargs(args))
         )
         for pt in encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=frame,
@@ -202,7 +207,8 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
     bc = codec_cache.setdefault(
         depth,
         BatchAttributeCodec(depth, dtype=dtype, mesh=mesh,
-                            chunk=args.entropy_chunk),
+                            chunk=args.entropy_chunk,
+                            **quant_kwargs(args)),
     )
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:

@@ -16,10 +16,12 @@ import numpy as np
 
 from raht3dgs_tpu.cli._common import (
     CsvLogger,
+    add_quant_args,
     add_runtime_args,
     configure_runtime,
     jnp_dtype,
     maybe_profile,
+    quant_kwargs,
 )
 
 
@@ -63,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
         "symbols (parallel encode/decode on multi-core hosts; 0 = "
         "sequential reference-compatible streams)",
     )
+    add_quant_args(p)
     add_runtime_args(p)
     return p
 
@@ -114,7 +117,9 @@ def _sweep(args, log, dtype, codec_cache) -> None:
             C = np.asarray(res.attributes)[:nvox]
             print(f"frame {idx}: voxelized to {nvox} voxels")
         codec = codec_cache.setdefault(
-            depth, AttributeCodec(depth, dtype=dtype, chunk=args.entropy_chunk)
+            depth, AttributeCodec(depth, dtype=dtype,
+                                  chunk=args.entropy_chunk,
+                                  **quant_kwargs(args))
         )
         if args.target_bpp is not None:
             import jax.numpy as _jnp

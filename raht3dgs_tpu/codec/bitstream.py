@@ -11,7 +11,9 @@ needs a self-describing stream, so frames serialize to:
 ``flags`` bit0: signed symbols; bits 1-2: coefficient order; bit 3:
 chunked entropy payloads (a ``u32 chunk_size`` field follows ``width`` and
 each channel payload is the self-contained parallel-decodable layout of
-``codec/rlgr.py:rlgr_encode_chunked``). ``n_steps`` is 1 (uniform) or
+``codec/rlgr.py:rlgr_encode_chunked``); bit 4: dead-zone quantization
+(two ``f64`` fields — encoder rounding offset ``f``, reconstruction
+offset ``delta`` — follow the chunk field). ``n_steps`` is 1 (uniform) or
 n_channels (per-channel quantization steps, reference encode_3dgs_debug
 semantics).
 """
@@ -34,6 +36,11 @@ _ORDER_SHIFT = 1
 # silently corrupt streams
 from raht3dgs_tpu.ops.reorder import ORDER_MODES as _ORDER_MODES
 FLAG_CHUNKED = 1 << 3
+# bit 4: dead-zone quantization — two f64 metadata fields (encoder rounding
+# offset f, decoder reconstruction offset delta) follow the chunk field.
+# Streams without the bit carry no extra bytes, so default-mode containers
+# are byte-identical to pre-deadzone writers.
+FLAG_DEADZONE = 1 << 4
 
 
 @dataclass
@@ -47,6 +54,9 @@ class FrameStream:
     signed: bool = True
     order_mode: str = "ragft"
     chunk: int = 0                 # >0: chunked (parallel) entropy layout
+    quant_mode: str = "mid"        # "mid" (reference parity) | "deadzone"
+    quant_f: float = 0.5           # dead-zone encoder rounding offset
+    rec_delta: float = 0.0         # dead-zone reconstruction offset
 
     @property
     def n_channels(self) -> int:
@@ -75,6 +85,10 @@ class FrameStream:
         flags |= _ORDER_MODES.index(self.order_mode) << _ORDER_SHIFT
         if self.chunk > 0:
             flags |= FLAG_CHUNKED
+        if self.quant_mode == "deadzone":
+            flags |= FLAG_DEADZONE
+        elif self.quant_mode != "mid":
+            raise ValueError(f"unknown quant_mode {self.quant_mode!r}")
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
@@ -93,6 +107,9 @@ class FrameStream:
         head += struct.pack("<d", float(self.width))
         if self.chunk > 0:
             head += struct.pack("<I", int(self.chunk))
+        if self.quant_mode == "deadzone":
+            head += struct.pack("<dd", float(self.quant_f),
+                                float(self.rec_delta))
         head += struct.pack(f"<{self.n_channels}I", *[len(c) for c in self.channels])
         return head + b"".join(self.channels)
 
@@ -118,7 +135,8 @@ class FrameStream:
                 f"corrupt stream: {n_steps} steps for {n_ch} channels "
                 "(must be 1 or one per channel)"
             )
-        fixed = 8 * n_steps + 24 + 8 + (4 if flags & FLAG_CHUNKED else 0)
+        fixed = (8 * n_steps + 24 + 8 + (4 if flags & FLAG_CHUNKED else 0)
+                 + (16 if flags & FLAG_DEADZONE else 0))
         if len(data) < off + fixed:
             raise ValueError("truncated stream: metadata section cut off")
         steps = np.frombuffer(data[off : off + 8 * n_steps], dtype=np.float64).copy()
@@ -131,6 +149,10 @@ class FrameStream:
         if flags & FLAG_CHUNKED:
             (chunk,) = struct.unpack("<I", data[off : off + 4])
             off += 4
+        quant_f, rec_delta = 0.5, 0.0
+        if flags & FLAG_DEADZONE:
+            quant_f, rec_delta = struct.unpack("<dd", data[off : off + 16])
+            off += 16
         if len(data) < off + 4 * n_ch:
             raise ValueError("truncated stream: channel length table cut off")
         lens = struct.unpack(f"<{n_ch}I", data[off : off + 4 * n_ch])
@@ -154,6 +176,9 @@ class FrameStream:
             signed=bool(flags & FLAG_SIGNED),
             order_mode=_ORDER_MODES[order_bits],
             chunk=chunk,
+            quant_mode="deadzone" if flags & FLAG_DEADZONE else "mid",
+            quant_f=quant_f,
+            rec_delta=rec_delta,
         )
 
 

@@ -55,12 +55,21 @@ class BatchAttributeCodec:
         order_mode: str = "ragft",
         mesh=None,
         chunk: int = 0,
+        quant_mode: str = "mid",
+        quant_f: float = 0.3,
+        rec_delta: float = 0.12,
     ):
         self.depth = depth
         self.dtype = dtype
         self.order_mode = order_mode
         self.mesh = mesh
         self.chunk = int(chunk)
+        # quantizer selection mirrors AttributeCodec (pipeline.py)
+        if quant_mode not in ("mid", "deadzone"):
+            raise ValueError(f"unknown quant_mode {quant_mode!r}")
+        self.quant_mode = quant_mode
+        self.quant_f = float(quant_f)
+        self.rec_delta = float(rec_delta)
 
     def _stack(self, frames: Sequence[VoxelFrame]):
         codes = jnp.stack([f.codes for f in frames])
@@ -100,7 +109,8 @@ class BatchAttributeCodec:
             coeffs, orderp, timer = self.transform(frames, timer)
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
         q_b = timer.time(
-            "Quant_time", batched_quant_reorder, coeffs, steps_arr, orderp
+            "Quant_time", batched_quant_reorder, coeffs, steps_arr, orderp,
+            self.quant_mode, jnp.asarray(self.quant_f, dtype=self.dtype),
         )
         from raht3dgs_tpu.models.pipeline import _narrow_fetch
 
@@ -121,6 +131,8 @@ class BatchAttributeCodec:
             stream, ns = build_entropy_stream(
                 q_np[i], f, steps, depth=self.depth,
                 order_mode=self.order_mode, chunk=self.chunk,
+                quant_mode=self.quant_mode, quant_f=self.quant_f,
+                rec_delta=self.rec_delta,
             )
             enc_ns += ns
             streams.append(stream)
@@ -163,9 +175,11 @@ class BatchAttributeCodec:
         narrow = _narrow_fetch_enabled()
         # phase 1: dispatch the whole sweep (async)
         pend = []
+        qf = jnp.asarray(self.quant_f, dtype=self.dtype)
         for s in steps_list:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
-            q = batched_quant_reorder(coeffs, sa, orderp)
+            q = batched_quant_reorder(coeffs, sa, orderp, self.quant_mode,
+                                      qf)
             pend.append((s, q, _fetch_stats(q) if narrow else None))
         # phase 2: narrow + start async host copies in dispatch order
         bufs = []
@@ -213,11 +227,13 @@ class BatchAttributeCodec:
             if (
                 not np.array_equal(s.steps, streams[0].steps)
                 or s.order_mode != streams[0].order_mode
+                or s.quant_mode != streams[0].quant_mode
+                or s.rec_delta != streams[0].rec_delta
             ):
                 raise ValueError(
-                    "batched decode requires homogeneous steps/order_mode "
-                    "across streams — decode mixed streams frame by frame "
-                    "(AttributeCodec.decode)"
+                    "batched decode requires homogeneous steps/order_mode/"
+                    "quantizer across streams — decode mixed streams frame "
+                    "by frame (AttributeCodec.decode)"
                 )
         codes, _, weights = self._stack(frames)
         if inv is None:
@@ -258,6 +274,8 @@ class BatchAttributeCodec:
             batched_decode_step,
             codes, weights, upload_quantized(pack_quantized_upload(qfull)),
             inv_b, steps, self.depth, self.dtype,
+            streams[0].quant_mode,
+            jnp.asarray(streams[0].rec_delta, dtype=self.dtype),
         )
         rec_np = np.asarray(rec)
         return [rec_np[i][: f.n_voxels] for i, f in enumerate(frames)], timer

@@ -33,7 +33,12 @@ from raht3dgs_tpu.codec.rlgr import (
     rlgr_encode_channels,
 )
 from raht3dgs_tpu.ops.morton import morton_encode, pad_code
-from raht3dgs_tpu.ops.quantize import dequantize, quantize
+from raht3dgs_tpu.ops.quantize import (
+    dequantize,
+    dequantize_biased,
+    quantize,
+    quantize_deadzone,
+)
 from raht3dgs_tpu.ops.raht import get_forward_impl
 from raht3dgs_tpu.ops.reorder import coefficient_order
 from raht3dgs_tpu.utils.padding import pad_rows, round_up_bucket
@@ -184,14 +189,20 @@ def _pads_last(order, nvox):
     return order[jnp.argsort(order >= nvox, stable=True)]
 
 
-@jax.jit
-def _quant_reorder_device(coeffs, steps, order, nvox):
+@partial(jax.jit, static_argnames=("quant_mode",))
+def _quant_reorder_device(coeffs, steps, order, nvox, quant_mode="mid",
+                          qf=0.0):
     """Quantize + apply the pads-last order, channel-major output.
 
     Returns (D, N) int32 so every channel reaching the host entropy coder is
     one contiguous zero-copy row (prefix [:nvox] = the real stream).
+    ``quant_mode``: "mid" = the reference's round-half-up (bitwise parity
+    path); "deadzone" = sign-symmetric dead-zone with offset ``qf``.
     """
-    q = quantize(coeffs, steps)
+    if quant_mode == "deadzone":
+        q = quantize_deadzone(coeffs, steps, qf)
+    else:
+        q = quantize(coeffs, steps)
     return q[_pads_last(order, nvox)].T
 
 
@@ -329,7 +340,8 @@ def _narrow_fetch(q_T) -> np.ndarray:
 
 def build_entropy_stream(
     q_np: np.ndarray, frame, steps, *, depth: int, order_mode: str,
-    chunk: int,
+    chunk: int, quant_mode: str = "mid", quant_f: float = 0.5,
+    rec_delta: float = 0.0,
 ):
     """Host entropy-code one frame's quantized (D, N) channel matrix and
     wrap it as a FrameStream; returns ``(stream, encode_ns)``.
@@ -351,6 +363,9 @@ def build_entropy_stream(
         width=frame.width,
         order_mode=order_mode,
         chunk=chunk,
+        quant_mode=quant_mode,
+        quant_f=quant_f,
+        rec_delta=rec_delta,
     )
     return stream, enc_ns
 
@@ -449,10 +464,15 @@ def upload_quantized(up: QuantizedUpload):
     )
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _dequant_gather_device(vals_T, inv, steps, dtype):
+@partial(jax.jit, static_argnames=("dtype", "quant_mode"))
+def _dequant_gather_device(vals_T, inv, steps, dtype, quant_mode="mid",
+                           delta=0.0):
     """(D, N) channel-major stream values -> dequantized (N, D) coefficients
-    back in transform position (inverse permutation as a wide gather)."""
+    back in transform position (inverse permutation as a wide gather).
+    ``quant_mode`` "deadzone" reconstructs at ``sign(q)*(|q|+delta)*step``
+    (the stream's recorded reconstruction offset)."""
+    if quant_mode == "deadzone":
+        return dequantize_biased(vals_T.T[inv], steps, delta, dtype=dtype)
     return dequantize(vals_T.T[inv], steps, dtype=dtype)
 
 
@@ -478,12 +498,24 @@ class AttributeCodec:
         order_mode: str = "ragft",
         impl: Optional[str] = None,
         chunk: int = 0,
+        quant_mode: str = "mid",
+        quant_f: float = 0.3,
+        rec_delta: float = 0.12,
     ):
         import os
 
         _require_x64(dtype, depth)
         self.depth = depth
         self.dtype = dtype
+        # Quantizer: "mid" = the reference's round-half-up (bitwise parity
+        # default); "deadzone" = sign-symmetric dead-zone with encoder
+        # offset quant_f and reconstruction offset rec_delta (recorded in
+        # the stream; opt-in RD improver, ops/quantize.py).
+        if quant_mode not in ("mid", "deadzone"):
+            raise ValueError(f"unknown quant_mode {quant_mode!r}")
+        self.quant_mode = quant_mode
+        self.quant_f = float(quant_f)
+        self.rec_delta = float(rec_delta)
         # Coefficient stream order: "ragft" (reference Python drivers),
         # "weight_desc" (MATLAB encoder_RAHT_RLGR.m), or "morton".
         self.order_mode = order_mode
@@ -502,6 +534,8 @@ class AttributeCodec:
         return build_entropy_stream(
             q_np, frame, steps, depth=self.depth,
             order_mode=self.order_mode, chunk=self.chunk,
+            quant_mode=self.quant_mode, quant_f=self.quant_f,
+            rec_delta=self.rec_delta,
         )
 
     def transform(self, frame: VoxelFrame, timer: Optional[StageTimer] = None):
@@ -534,7 +568,8 @@ class AttributeCodec:
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
         q_T = timer.time(
             "Quant_time", _quant_reorder_device, coeffs, steps_arr, order,
-            jnp.int32(frame.n_voxels),
+            jnp.int32(frame.n_voxels), self.quant_mode,
+            jnp.asarray(self.quant_f, dtype=self.dtype),
         )
         # Single device->host transfer; the full (D, Np) matrix stays
         # C-contiguous (a column slice would disqualify the one-call native
@@ -570,9 +605,12 @@ class AttributeCodec:
         narrow = _narrow_fetch_enabled()
         nvox = jnp.int32(frame.n_voxels)
         pend = []
+        qf = jnp.asarray(self.quant_f, dtype=self.dtype)
         for s in steps_list:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
-            q_T = _quant_reorder_device(coeffs, sa, order, nvox)
+            q_T = _quant_reorder_device(
+                coeffs, sa, order, nvox, self.quant_mode, qf
+            )
             pend.append((s, q_T, _fetch_stats(q_T) if narrow else None))
         bufs = []
         for s, q_T, st in pend:
@@ -638,7 +676,8 @@ class AttributeCodec:
         coeffs = timer.time(
             "Dequant_time", _dequant_gather_device,
             upload_quantized(pack_quantized_upload(vals_T)), inv,
-            steps, self.dtype,
+            steps, self.dtype, stream.quant_mode,
+            jnp.asarray(stream.rec_delta, dtype=self.dtype),
         )
         attrs = timer.time(
             "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth

@@ -56,17 +56,21 @@ from raht3dgs_tpu.models.pipeline import (  # noqa: F401
 )
 
 
-@partial(jax.jit, static_argnames=("depth",))
+@partial(jax.jit, static_argnames=("depth", "quant_mode"))
 def decode_scene_device(vals_T, inv, steps, codes, weights, voxel_size,
-                        vmin, *, depth: int):
+                        vmin, *, depth: int, quant_mode: str = "mid",
+                        rec_delta=0.0):
     """Quantized channel matrix -> reconstructed 3DGS scene, on device.
 
     Channel layout is the 56-channel 3DGS packing (quats 0:4, scales 4:7,
     opacity 7, SH colors 8:) of the reference's
     ``read_compressed_3dgs_ply`` (``python/data_util.py:357-368``).
+    ``quant_mode``/``rec_delta``: the stream's quantizer (FrameStream
+    fields) — "deadzone" reconstructs at ``sign(q)*(|q|+delta)*step``.
     """
     coeffs = _dequant_gather_device(
-        vals_T.astype(jnp.int32), inv, steps, jnp.float32
+        vals_T.astype(jnp.int32), inv, steps, jnp.float32, quant_mode,
+        jnp.asarray(rec_delta, dtype=jnp.float32),
     )
     attrs = raht_inverse_span(coeffs, codes, weights, depth)
     means = (
@@ -101,12 +105,13 @@ def _render_views(scene, viewmats, Ks, bg, *, width, height, sh_degree,
 
 @partial(jax.jit, static_argnames=(
     "depth", "width", "height", "sh_degree", "tile", "max_tiles_per_gauss",
-    "max_per_tile", "chunk", "image_dtype"))
+    "max_per_tile", "chunk", "image_dtype", "quant_mode"))
 def serve_frame(vals_T, inv, steps, codes, weights, voxel_size, vmin,
                 viewmats, Ks, bg, *, depth: int, width: int, height: int,
                 sh_degree: int = 3, tile: int = 16,
                 max_tiles_per_gauss: int = 16, max_per_tile: int = 8192,
-                chunk: int = 128, image_dtype=jnp.float32):
+                chunk: int = 128, image_dtype=jnp.float32,
+                quant_mode: str = "mid", rec_delta=0.0):
     """The fused serving program: decode once, render all V views.
 
     Returns (images (V, H, W, 3), dup_clipped (V,), tile_clipped (V,)).
@@ -117,7 +122,8 @@ def serve_frame(vals_T, inv, steps, codes, weights, voxel_size, vmin,
     for evaluation (PSNR is defined on the float render).
     """
     scene = decode_scene_device(
-        vals_T, inv, steps, codes, weights, voxel_size, vmin, depth=depth
+        vals_T, inv, steps, codes, weights, voxel_size, vmin, depth=depth,
+        quant_mode=quant_mode, rec_delta=rec_delta,
     )
     imgs, dups, tiles = _render_views(
         scene, viewmats, Ks, bg, width=width, height=height,
@@ -133,7 +139,8 @@ def serve_frame(vals_T, inv, steps, codes, weights, voxel_size, vmin,
 @lru_cache(maxsize=16)
 def _sharded_serve_program(mesh, axis, depth, width, height, sh_degree,
                            tile, max_tiles_per_gauss, max_per_tile, chunk,
-                           image_dtype=jnp.float32):
+                           image_dtype=jnp.float32, quant_mode="mid",
+                           rec_delta=0.0):
     spec_rep = P()
     spec_v = P(axis)
 
@@ -151,7 +158,7 @@ def _sharded_serve_program(mesh, axis, depth, width, height, sh_degree,
             bg):
         scene = decode_scene_device(
             vals_T, inv, steps, codes, weights, voxel_size, vmin,
-            depth=depth,
+            depth=depth, quant_mode=quant_mode, rec_delta=rec_delta,
         )
         imgs, dups, tiles = _render_views(
             scene, vms, Kms, bg, width=width, height=height,
@@ -172,7 +179,8 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
                         axis: str = "dp", tile: int = 16,
                         max_tiles_per_gauss: int = 16,
                         max_per_tile: int = 8192, chunk: int = 128,
-                        image_dtype=jnp.float32):
+                        image_dtype=jnp.float32, quant_mode: str = "mid",
+                        rec_delta: float = 0.0):
     """Fused serving with views sharded over ``mesh[axis]``.
 
     V is padded to a multiple of the axis size (padding views rendered and
@@ -193,6 +201,7 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
     run = _sharded_serve_program(
         mesh, axis, depth, width, height, sh_degree, tile,
         max_tiles_per_gauss, max_per_tile, chunk, image_dtype,
+        quant_mode, float(rec_delta),
     )
     with mesh:
         imgs, dups, tiles = run(

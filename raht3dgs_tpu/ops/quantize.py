@@ -57,6 +57,37 @@ def dequantize(q: jnp.ndarray, step: jnp.ndarray, dtype=jnp.float64) -> jnp.ndar
     return q.astype(dtype) * step
 
 
+def quantize_deadzone(
+    x: jnp.ndarray, step: jnp.ndarray, f: jnp.ndarray
+) -> jnp.ndarray:
+    """Sign-symmetric dead-zone uniform quantization (opt-in RD improver).
+
+    ``q = sign(x) * floor(|x|/step + f)`` with rounding offset ``f`` in
+    (0, 0.5]: the zero bin widens to ``2*(1-f)*step`` and every other bin
+    shifts outward, trading a little distortion for fewer coded nonzeros —
+    the classic Laplacian-source win over the reference's mid-tread
+    ``floor(x/step + 0.5)`` (``/root/reference/python/encode_ply.py:148``).
+    ``f = 0.5`` recovers mid-tread bins (up to sign symmetry at exact
+    negative midpoints, which is why parity mode keeps :func:`quantize`).
+    """
+    return (
+        jnp.sign(x) * jnp.floor(jnp.abs(x) / step + f)
+    ).astype(jnp.int32)
+
+
+def dequantize_biased(
+    q: jnp.ndarray, step: jnp.ndarray, delta: jnp.ndarray,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """Reconstruct at ``sign(q) * (|q| + delta) * step``.
+
+    ``delta`` places nonzero reconstructions inside their (shifted)
+    dead-zone bins: the bin midpoint sits at ``0.5 - f``, the Laplacian
+    centroid slightly below it. ``delta = 0`` is the plain inverse."""
+    qf = q.astype(dtype)
+    return jnp.sign(qf) * (jnp.abs(qf) + delta) * step
+
+
 def channel_steps(
     n_channels: int,
     base_step: float,

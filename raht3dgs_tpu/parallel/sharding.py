@@ -43,7 +43,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from raht3dgs_tpu.ops.quantize import dequantize, quantize
+from raht3dgs_tpu.ops.quantize import (
+    dequantize,
+    dequantize_biased,
+    quantize,
+    quantize_deadzone,
+)
 from raht3dgs_tpu.ops.raht import get_forward_impl
 from raht3dgs_tpu.ops.reorder import coefficient_order
 
@@ -116,12 +121,17 @@ def batched_forward(codes, attrs, weights, depth, order_mode="ragft",
     return jax.vmap(one)(codes, attrs, weights, nvox)
 
 
-@jax.jit
-def batched_quant_reorder(coeffs, steps, orderp):
-    """Quantize + apply the per-frame pads-last order; (B, D, N) int32."""
+@partial(jax.jit, static_argnames=("quant_mode",))
+def batched_quant_reorder(coeffs, steps, orderp, quant_mode="mid", qf=0.0):
+    """Quantize + apply the per-frame pads-last order; (B, D, N) int32.
+    ``quant_mode``/``qf``: see ``pipeline._quant_reorder_device``."""
 
     def one(coeffs_f, orderp_f):
-        return quantize(coeffs_f, steps)[orderp_f].T
+        if quant_mode == "deadzone":
+            q = quantize_deadzone(coeffs_f, steps, qf)
+        else:
+            q = quantize(coeffs_f, steps)
+        return q[orderp_f].T
 
     return jax.vmap(one)(coeffs, orderp)
 
@@ -203,18 +213,23 @@ def batched_transform_step_tp(mesh, codes, attrs, weights, steps, depth,
     return f(codes, attrs, weights, steps, nvox)
 
 
-@partial(jax.jit, static_argnames=("depth", "dtype"))
+@partial(jax.jit, static_argnames=("depth", "dtype", "quant_mode"))
 def batched_decode_step(codes, weights, qfull, inv, steps, depth,
-                        dtype=jnp.float64):
+                        dtype=jnp.float64, quant_mode="mid", delta=0.0):
     """Dequantize + inverse RAHT for a batch of frames.
 
     ``qfull`` is (B, D, N) channel-major decoded stream values (pads-last);
     ``inv`` is the per-frame inverse permutation from
-    :func:`batched_inverse_order`."""
+    :func:`batched_inverse_order`. ``quant_mode``/``delta``: the streams'
+    quantizer (see ``pipeline._dequant_gather_device``)."""
     from raht3dgs_tpu.ops.raht_span import raht_inverse_span
 
     def one(codes_f, w_f, q_T, inv_f):
-        coeffs = dequantize(q_T.T[inv_f], steps, dtype=dtype)
+        if quant_mode == "deadzone":
+            coeffs = dequantize_biased(q_T.T[inv_f], steps, delta,
+                                       dtype=dtype)
+        else:
+            coeffs = dequantize(q_T.T[inv_f], steps, dtype=dtype)
         return raht_inverse_span(coeffs, codes_f, w_f, depth)
 
     return jax.vmap(one)(codes, weights, qfull, inv)

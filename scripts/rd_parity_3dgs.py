@@ -47,51 +47,16 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from raht3dgs_tpu.codec.rlgr import rlgr_encode
+    from raht3dgs_tpu.eval.synth import synthetic_gs_frame
     from raht3dgs_tpu.models.gs_codec import encode_gs_frame
-    from raht3dgs_tpu.ops.morton import morton_decode
-    from raht3dgs_tpu.ops.prelude import morton_codes_np
 
     # --- shared synthetic voxelized 3DGS frame (Morton-ordered) ---
-    # Attribute realism matters: with iid random attributes the RAHT
-    # spectrum is white and every step >= 4 lands in the all-zeros regime
-    # (degenerate RD, the round-1 verdict's Missing #4). Real gaussian
-    # scenes have spatially smooth fields, so build band-limited random
-    # fields over the voxel cube at the reference's attribute scales
-    # (unit quats, linear scales ~ exp(log-space), sigmoid opacity,
-    # SH ~ N(0, 0.3) — python/test_voxelize_3dgs.py:58-114).
-    rng = np.random.default_rng(args.seed)
-    pts = rng.integers(0, 2**args.depth, size=(2 * args.n, 3))
-    codes = np.unique(morton_codes_np(pts, args.depth))[: args.n]
-    V = np.asarray(morton_decode(jnp.asarray(codes), args.depth), dtype=np.float64)
+    # Attribute realism matters (round-1 verdict Missing #4): see
+    # eval/synth.py — band-limited fields at the reference's attribute
+    # scales; the generator's rng order is pinned by this script's
+    # published parity table.
+    V, attrs = synthetic_gs_frame(args.n, args.depth, args.seed)
     n = len(V)
-
-    def smooth_field(d, octaves=7, waves=4, beta=1.0):
-        """Fractal (1/f^beta) random field sampled at V, unit variance.
-
-        The multi-octave spectrum makes the RAHT coefficient magnitudes
-        decay gradually, so every quantization step in the sweep removes a
-        different shell of coefficients — a realistic RD spread instead of
-        the all-zeros cliff that white noise produces.
-        """
-        out = np.zeros((n, d))
-        for o in range(octaves):
-            f = rng.uniform(0.5, 1.0, size=(3, waves)) * (2.0**o)
-            f *= rng.choice([-1, 1], size=(3, waves)) / (2**args.depth)
-            phase = rng.uniform(0, 2 * np.pi, size=waves)
-            basis = np.cos(2 * np.pi * (V @ f) + phase)        # (n, waves)
-            mix = rng.normal(size=(waves, d)) * 2.0 ** (-beta * o)
-            out += basis @ mix
-        return out / out.std(axis=0, keepdims=True)
-
-    quats = smooth_field(4) + 0.05 * rng.normal(size=(n, 4))
-    quats[:, 0] += 2.0  # bias toward identity, as trained scenes are
-    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    scales = np.exp(np.log(0.01) + 0.5 * smooth_field(3)
-                    + 0.05 * rng.normal(size=(n, 3)))
-    opacity = 1.0 / (1.0 + np.exp(-(1.0 + smooth_field(1))))
-    sh_dc = 0.5 + 0.3 * smooth_field(3) + 0.03 * rng.normal(size=(n, 3))
-    sh_rest = 0.15 * smooth_field(45) + 0.02 * rng.normal(size=(n, 45))
-    attrs = np.concatenate([quats, scales, opacity, sh_dc, sh_rest], axis=1)
 
     # --- ours ---
     ours = encode_gs_frame(
