@@ -123,6 +123,23 @@ def test_deadzone_roundtrip_and_rate_win(rng):
     assert np.sqrt((err_mid**2).mean()) < 0.5 * step + 1e-6
 
 
+def test_deadzone_target_bpp_search(rng):
+    """search_step_for_bpp refines against true encodes, so it must land
+    within budget for a deadzone codec too (the device rate model assumes
+    mid and only seeds the search)."""
+    from raht3dgs_tpu.models.pipeline import AttributeCodec
+    from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+
+    frame = _frame(rng, 3000, 6)
+    codec = AttributeCodec(frame.depth, quant_mode="deadzone")
+    res = search_step_for_bpp(frame, 2.0, codec=codec)
+    assert res.bpp <= 2.0 + 1e-9
+    assert res.encoded.stream.quant_mode == "deadzone"
+    # deadzone reaches the same budget with a finer step than mid
+    res_mid = search_step_for_bpp(frame, 2.0)
+    assert res.step <= res_mid.step
+
+
 def test_deadzone_batched_matches_single(rng):
     """BatchAttributeCodec deadzone streams must be byte-identical to the
     single-frame codec's, and batched decode must match single decode."""
