@@ -72,10 +72,20 @@ def _run(args) -> int:
                     "--all-frames needs a '{i}' placeholder in both "
                     "--positions and --output"
                 )
-            for i in range(len(seq)):
+            streams = [seq.frame(i) for i in range(len(seq))]
+            seq_codec = None
+            if any(s.inter for s in streams):
+                # temporal sequence: chain predictions from frame 0
+                from raht3dgs_tpu.models.temporal import SequenceCodec
+
+                seq_codec = SequenceCodec(
+                    streams[0].depth, dtype=jnp_dtype(args.dtype),
+                )
+            for i, stream in enumerate(streams):
                 _decode_one(
-                    args, seq.frame(i),
+                    args, stream,
                     args.positions.format(i=i), args.output.format(i=i),
+                    seq_codec=seq_codec,
                 )
             print(f"decoded all {len(seq)} frames of {args.stream}")
             return 0
@@ -91,7 +101,8 @@ def _run(args) -> int:
     return 0
 
 
-def _decode_one(args, stream, positions_path, output_path) -> None:
+def _decode_one(args, stream, positions_path, output_path,
+                seq_codec=None) -> None:
     import jax.numpy as jnp
 
     from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
@@ -134,9 +145,17 @@ def _decode_one(args, stream, positions_path, output_path) -> None:
         np.zeros((len(V), stream.n_channels)),
         stream.depth, bucket=args.bucket, dtype=dtype,
     )
-    codec = AttributeCodec(stream.depth, dtype=dtype,
-                           order_mode=stream.order_mode)
-    rec, _ = codec.decode(stream, frame.codes, frame.weights)
+    if stream.inter and seq_codec is None:
+        raise SystemExit(
+            "inter (predicted) frame: decode the whole sequence with "
+            "--all-frames so the prediction can chain from frame 0"
+        )
+    if seq_codec is not None:
+        rec = seq_codec.decode_frame(stream, frame)
+    else:
+        codec = AttributeCodec(stream.depth, dtype=dtype,
+                               order_mode=stream.order_mode)
+        rec, _ = codec.decode(stream, frame.codes, frame.weights)
 
     # decoded rows are Morton-sorted; map back to the input point order
     from raht3dgs_tpu.ops.prelude import morton_codes_np

@@ -54,6 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="encode this many frames per device dispatch (0 = frame loop); "
         "uses the batched codec, optionally sharded over all local devices",
     )
+    p.add_argument(
+        "--inter", action="store_true",
+        help="temporal I/P coding: predict each frame from the previous "
+        "reconstruction and code the residual (closed loop, adaptive "
+        "per-frame intra fallback; requires exactly one --steps value; "
+        "beyond-reference feature, see docs/rd_temporal.md)",
+    )
+    p.add_argument(
+        "--gop", type=int, default=16,
+        help="with --inter: force an intra frame every GOP frames",
+    )
     add_quant_args(p)
     add_runtime_args(p)
     return p
@@ -85,6 +96,16 @@ def _run(args) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
+    if args.inter:
+        if len(args.steps) != 1:
+            print("--inter requires exactly one --steps value",
+                  file=sys.stderr)
+            return 2
+        if args.batch:
+            print("--inter is sequential by nature; drop --batch",
+                  file=sys.stderr)
+            return 2
+        return _run_inter(args, first, last, log, dtype)
     if args.batch > 0:
         return _run_batched(args, first, last, log, dtype)
 
@@ -111,6 +132,75 @@ def _run(args) -> int:
                 seq_streams.append(pt.encoded.stream)
         print(f"frame {frame} done")
     log.close()
+    if args.save_sequence:
+        from raht3dgs_tpu.codec.bitstream import write_sequence
+
+        total = write_sequence(args.save_sequence, seq_streams)
+        print(f"sequence: {len(seq_streams)} frames, {total} bytes "
+              f"-> {args.save_sequence}")
+    return 0
+
+
+def _run_inter(args, first, last, log, dtype) -> int:
+    """Temporal I/P path: stream frames through SequenceCodec's
+    incremental API (closed-loop state carried across frames); CSV rows
+    keep the reference 11-column schema, PSNR from the decoder-exact
+    reconstructions."""
+    import numpy as np
+
+    from raht3dgs_tpu.io.datasets import get_pointcloud
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+    from raht3dgs_tpu.utils.timing import StageTimer
+
+    import jax.numpy as jnp
+
+    step = args.steps[0]
+    codecs = {}
+    seq_streams = []
+    n_inter = 0
+    n_done = 0
+    for frame_idx in range(first, last + 1):
+        out = get_pointcloud(args.dataset, args.sequence, frame_idx,
+                             args.data_root)
+        if out is None:
+            print(f"frame {frame_idx}: load failed, skipping",
+                  file=sys.stderr)
+            continue
+        V, C, depth = out
+        sc = codecs.setdefault(depth, SequenceCodec(
+            depth, gop=args.gop, chunk=args.entropy_chunk,
+            dtype=dtype, **quant_kwargs(args),
+        ))
+        yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C)),
+                                    dtype=dtype))
+        frame = prepare_voxel_frame(
+            np.floor(np.asarray(V)).astype(np.int64), yuv, depth,
+            bucket=args.bucket, dtype=dtype,
+        )
+        timer = StageTimer()
+        stream, rec = sc.encode_frame(frame, step, timer=timer)
+        n_inter += bool(stream.inter)
+        n_done += 1
+        psnr = y_psnr_db(
+            np.asarray(frame.attributes)[: frame.n_voxels, 0], rec[:, 0]
+        )
+        pt = RDPoint(
+            frame=frame_idx, step=float(step),
+            bpp=stream.bpp(), psnr=psnr, n_voxels=frame.n_voxels,
+            stream_bytes=stream.payload_bytes, times=timer.stages,
+        )
+        log.row(pt.csv_row())
+        kind = "P" if stream.inter else "I"
+        print(f"frame {frame_idx} [{kind}] step {step:g}: "
+              f"{pt.bpp:.4f} bpp, Y-PSNR {psnr:.2f} dB "
+              f"({frame.n_voxels} voxels)")
+        if args.save_sequence:
+            seq_streams.append(stream)
+    log.close()
+    print(f"inter frames: {n_inter}/{n_done}")
     if args.save_sequence:
         from raht3dgs_tpu.codec.bitstream import write_sequence
 

@@ -13,9 +13,10 @@ chunked entropy payloads (a ``u32 chunk_size`` field follows ``width`` and
 each channel payload is the self-contained parallel-decodable layout of
 ``codec/rlgr.py:rlgr_encode_chunked``); bit 4: dead-zone quantization
 (two ``f64`` fields — encoder rounding offset ``f``, reconstruction
-offset ``delta`` — follow the chunk field). ``n_steps`` is 1 (uniform) or
-n_channels (per-channel quantization steps, reference encode_3dgs_debug
-semantics).
+offset ``delta`` — follow the chunk field); bit 5: inter (predicted)
+frame, with bit 6 selecting the temporal probe set. ``n_steps`` is 1
+(uniform) or n_channels (per-channel quantization steps, reference
+encode_3dgs_debug semantics).
 """
 
 from __future__ import annotations
@@ -41,6 +42,15 @@ FLAG_CHUNKED = 1 << 3
 # Streams without the bit carry no extra bytes, so default-mode containers
 # are byte-identical to pre-deadzone writers.
 FLAG_DEADZONE = 1 << 4
+# bit 5: inter (predicted) frame — the payload codes the RESIDUAL against
+# the neighbor-probe prediction from the previous frame's reconstruction
+# (ops/temporal.py). No extra fields: the prediction is fully determined
+# by the two frames' positions + the previous reconstruction, which the
+# decoder has. Bit 6 of the flag byte carries the probe-set id
+# (0 -> 7 probes, 1 -> 27) so the decoder replays the same probe set.
+FLAG_INTER = 1 << 5
+_PROBE_SHIFT = 6
+_PROBE_SETS = (7, 27)
 
 
 @dataclass
@@ -57,6 +67,8 @@ class FrameStream:
     quant_mode: str = "mid"        # "mid" (reference parity) | "deadzone"
     quant_f: float = 0.5           # dead-zone encoder rounding offset
     rec_delta: float = 0.0         # dead-zone reconstruction offset
+    inter: bool = False            # payload is a prediction residual
+    probes: int = 7                # inter probe set (7 | 27)
 
     @property
     def n_channels(self) -> int:
@@ -89,6 +101,9 @@ class FrameStream:
             flags |= FLAG_DEADZONE
         elif self.quant_mode != "mid":
             raise ValueError(f"unknown quant_mode {self.quant_mode!r}")
+        if self.inter:
+            flags |= FLAG_INTER
+            flags |= _PROBE_SETS.index(self.probes) << _PROBE_SHIFT
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
@@ -179,6 +194,8 @@ class FrameStream:
             quant_mode="deadzone" if flags & FLAG_DEADZONE else "mid",
             quant_f=quant_f,
             rec_delta=rec_delta,
+            inter=bool(flags & FLAG_INTER),
+            probes=_PROBE_SETS[(flags >> _PROBE_SHIFT) & 0x1],
         )
 
 

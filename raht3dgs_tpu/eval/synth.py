@@ -74,6 +74,77 @@ def synthetic_gs_frame(n=20000, depth=10, seed=0):
     return V, attrs
 
 
+def synthetic_color_sequence(depth=7, seed=0, n_frames=8, samples=150_000,
+                             motion=1.2, drift=0.08, texture=14.0,
+                             noise=1.0):
+    """Temporally coherent dynamic sequence: list of (positions_t,
+    colors_t).
+
+    Real dynamic scans (8iVFBv2 bodies) are DENSE 2D surfaces moving
+    through the grid — voxel occupancy is contiguous on the manifold, and
+    frame-to-frame correspondence lives within a couple of voxels. This
+    generator voxelizes a deforming, translating sphere shell: frame t
+    moves the center by ``motion`` voxels and phase-shifts a smooth
+    angular radius/color field by ``drift``. Crucially, each surface
+    point also carries PERSISTENT high-frequency ``texture`` (drawn once,
+    riding the moving point across frames — skin/cloth detail): spatially
+    expensive for an intra coder every frame, but temporally stable, so
+    an inter codec must exploit it. ``noise`` is fresh per frame (sensor
+    noise — irreducible for both modes).
+    """
+    rng = np.random.default_rng(seed)
+    lim = 2**depth - 1
+    c0 = np.full(3, (lim + 1) / 2.0)
+    r0 = (lim + 1) * 0.3
+    direction = rng.normal(size=3)
+    direction /= np.linalg.norm(direction)
+    # fixed random angular harmonics for the radius and color fields
+    ak = rng.normal(scale=0.06, size=(6, 3))   # radius deformation
+    ck = rng.normal(scale=0.5, size=(8, 3, 3))  # color field (3 channels)
+    phases = rng.uniform(0, 2 * np.pi, size=(8, 3))
+    u = rng.normal(size=(samples, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)  # shared direction set
+    # persistent texture: a high-frequency angular field (wavelength a few
+    # voxels at this depth) — spatially expensive, temporally stable
+    kt = 12
+    tdirs = rng.normal(size=(kt, 3))
+    tdirs /= np.linalg.norm(tdirs, axis=1, keepdims=True)
+    tfreq = 2 * np.pi * r0 / rng.uniform(3.0, 8.0, size=kt)
+    tphase = rng.uniform(0, 2 * np.pi, size=(kt, 3))
+    tmix = rng.normal(size=(kt, 3))
+    tex_all = sum(
+        np.cos(tfreq[k] * (u @ tdirs[k])[:, None] + tphase[k][None, :])
+        * tmix[k]
+        for k in range(kt)
+    ) / np.sqrt(kt)
+
+    frames = []
+    for t in range(n_frames):
+        center = c0 + direction * motion * t
+        # smoothly deforming radius: low-order harmonics of the direction
+        r = r0 * (1.0 + sum(
+            ak[k] @ (u**(k % 3 + 1)).T * np.cos(0.3 * t * (k + 1) / 6)
+            for k in range(6)
+        ) / 6.0)
+        P = center + u * r[:, None]
+        Vt = np.clip(np.round(P), 0, lim).astype(np.int64)
+        keys = (Vt[:, 0] * (lim + 1) + Vt[:, 1]) * (lim + 1) + Vt[:, 2]
+        _, first = np.unique(keys, return_index=True)
+        kept = np.sort(first)
+        Vt = Vt[kept]
+        uk = u[kept]
+        # smooth angular color field, phase-drifting over time
+        rgb = 128.0 + 36.0 * sum(
+            np.cos(uk @ ck[k].T * (k % 4 + 1)
+                   + phases[k][None, :] + drift * t)
+            for k in range(8)
+        ) / np.sqrt(8)
+        rgb += texture * tex_all[kept]
+        rgb += noise * rng.normal(size=rgb.shape)
+        frames.append((Vt, np.clip(rgb, 0.0, 255.0)))
+    return frames
+
+
 def synthetic_color_frame(n=20000, depth=10, seed=0):
     """Morton-ordered voxel cloud with smooth [0, 255] RGB colors —
     the encode_ply workload shape."""

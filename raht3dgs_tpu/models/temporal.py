@@ -1,0 +1,219 @@
+"""Inter-frame sequence codec: I/P-frame coding of dynamic voxel sequences.
+
+The reference encodes every frame of a dataset sweep independently
+(``/root/reference/python/encode_dataset.py:104-222``). Dynamic scans are
+temporally coherent, so this codec adds closed-loop DPCM across frames on
+top of the intra machinery:
+
+- **I-frames** (every ``gop``-th frame) use :class:`AttributeCodec`
+  unchanged.
+- **P-frames** predict each voxel's attributes from the previous frame's
+  *reconstruction* via fixed neighbor probes over sorted Morton codes
+  (``ops/temporal.py``), RAHT-transform the residual, and entropy-code it
+  with the same quantize/reorder/RLGR stack. The stream carries only an
+  ``inter`` flag (+ probe-set id): the prediction is fully determined by
+  data the decoder already has, so nothing else is transmitted.
+- **Adaptive fallback**: with ``adaptive=True`` a P-frame that codes
+  larger than its intra encoding ships as an I-frame instead (both are
+  produced; the cheaper wins — the standard closed-loop mode decision).
+
+The loop is closed: the encoder reconstructs every frame exactly as the
+decoder will (same jitted programs, same inputs -> bitwise-identical
+predictions), so there is no drift.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raht3dgs_tpu.codec.bitstream import FrameStream
+from raht3dgs_tpu.models.pipeline import AttributeCodec, VoxelFrame
+from raht3dgs_tpu.ops.temporal import (
+    estimate_global_motion,
+    predict_from_previous,
+    refine_block_motion,
+)
+from raht3dgs_tpu.utils.timing import StageTimer
+
+
+def _residual_frame(frame: VoxelFrame, pred) -> VoxelFrame:
+    """The frame whose attributes are the prediction residual (pad slots
+    zeroed — their predictions are unmasked garbage by contract)."""
+    occ = (frame.weights > 0)[:, None]
+    resid = jnp.where(occ, frame.attributes - pred, 0.0)
+    return VoxelFrame(
+        codes=frame.codes,
+        attributes=resid,
+        weights=frame.weights,
+        n_voxels=frame.n_voxels,
+        depth=frame.depth,
+        vmin=frame.vmin,
+        width=frame.width,
+    )
+
+
+class SequenceCodec:
+    """Encode/decode temporally coherent frame sequences with I/P frames.
+
+    ``codec_kwargs`` are forwarded to :class:`AttributeCodec` (dtype,
+    order_mode, chunk, quant_mode, ...). Frames must be prepared with a
+    shared bucket size when their voxel counts differ (the predictor only
+    needs sorted padded codes, which ``prepare_voxel_frame`` guarantees).
+    """
+
+    def __init__(self, depth: int, gop: int = 8, adaptive: bool = True,
+                 probes: int = 27, **codec_kwargs):
+        if gop < 1:
+            raise ValueError(f"gop must be >= 1, got {gop}")
+        if probes not in (7, 27):
+            raise ValueError(f"probes must be 7 or 27, got {probes}")
+        self.depth = depth
+        self.gop = int(gop)
+        self.adaptive = bool(adaptive)
+        self.probes = int(probes)
+        self.codec = AttributeCodec(depth, **codec_kwargs)
+        self.reset()
+
+    # -- shared helpers ---------------------------------------------------
+
+    def _padded_recon(self, frame: VoxelFrame, rec: np.ndarray):
+        """Reconstruction re-padded to the frame's slot layout (zeros in
+        pad slots) for use as the next frame's prediction source."""
+        full = np.zeros(
+            (frame.codes.shape[0], rec.shape[1]), dtype=np.float64
+        )
+        full[: frame.n_voxels] = rec
+        return jnp.asarray(full, dtype=self.codec.dtype)
+
+    def _predict(self, frame: VoxelFrame, prev: Tuple, probes=None):
+        """Motion-compensated neighbor prediction: global integer motion
+        plus a per-block refinement, both DERIVED from the two frames'
+        geometry (both sides have it), so nothing is signalled. The
+        two-stage derivation is part of the inter stream contract —
+        decoder and encoder must run the identical pipeline."""
+        prev_frame, prev_recon = prev
+        motion = estimate_global_motion(
+            frame.codes, frame.weights, prev_frame.codes,
+            prev_frame.weights, self.depth,
+        )
+        motion = refine_block_motion(
+            frame.codes, frame.weights, prev_frame.codes,
+            prev_frame.weights, self.depth, motion,
+        )
+        pred, _ = predict_from_previous(
+            frame.codes, prev_frame.codes, prev_recon, prev_frame.weights,
+            self.depth, probes or self.probes, motion,
+        )
+        return pred
+
+    # -- encode -----------------------------------------------------------
+
+    def reset(self) -> None:
+        """Drop the prediction state (start a new independent sequence)."""
+        self._prev = None
+        self._index = 0
+
+    def encode_frame(
+        self, frame: VoxelFrame, steps, timer: Optional[StageTimer] = None,
+    ) -> Tuple[FrameStream, np.ndarray]:
+        """Incremental encode: one frame in, (stream, reconstruction) out.
+
+        Streaming counterpart of :meth:`encode_sequence` — carries the
+        closed-loop prediction state across calls so dataset drivers can
+        process arbitrarily long sequences one frame at a time. The
+        returned reconstruction is decoder-exact."""
+        if not hasattr(self, "_prev"):
+            self.reset()
+        timer = timer if timer is not None else StageTimer()
+        force_intra = self._prev is None or (self._index % self.gop == 0)
+        enc_intra = None
+        if force_intra or self.adaptive:
+            enc_intra = self.codec.encode(frame, steps, timer=timer)
+        chosen = enc_intra
+        pred = None
+        if not force_intra:
+            pred = timer.time("Predict_time", self._predict, frame,
+                              self._prev)
+            enc_inter = self.codec.encode(
+                _residual_frame(frame, pred), steps, timer=timer
+            )
+            enc_inter.stream.inter = True
+            enc_inter.stream.probes = self.probes
+            if (
+                enc_intra is None
+                or enc_inter.stream.payload_bytes
+                < enc_intra.stream.payload_bytes
+            ):
+                chosen = enc_inter
+        stream = chosen.stream
+        if not stream.inter:
+            pred = None
+        rec, _ = self.codec.decode(
+            stream, frame.codes, frame.weights, timer=timer
+        )
+        if pred is not None:
+            rec = rec + np.asarray(pred)[: frame.n_voxels]
+        self._prev = (frame, self._padded_recon(frame, rec))
+        self._index += 1
+        return stream, rec
+
+    def encode_sequence(
+        self,
+        frames: Sequence[VoxelFrame],
+        steps,
+        timers: Optional[List[StageTimer]] = None,
+    ) -> Tuple[List[FrameStream], List[np.ndarray]]:
+        """Returns (streams, reconstructions) — one per frame.
+
+        Reconstructions are the decoder-exact closed-loop outputs (the
+        encoder decodes every frame to predict the next one), so callers
+        get decode-side PSNR for free.
+        """
+        self.reset()
+        streams: List[FrameStream] = []
+        recons: List[np.ndarray] = []
+        for frame in frames:
+            timer = StageTimer()
+            stream, rec = self.encode_frame(frame, steps, timer=timer)
+            if timers is not None:
+                timers.append(timer)
+            streams.append(stream)
+            recons.append(rec)
+        return streams, recons
+
+    # -- decode -----------------------------------------------------------
+
+    def decode_frame(
+        self, stream: FrameStream, frame: VoxelFrame,
+    ) -> np.ndarray:
+        """Incremental decode mirror of :meth:`encode_frame` (shares the
+        same ``reset()``-managed prediction state)."""
+        if stream.inter and self._prev is None:
+            raise ValueError(
+                "inter stream without a preceding reconstructed frame"
+            )
+        rec, _ = self.codec.decode(stream, frame.codes, frame.weights)
+        if stream.inter:
+            pred = self._predict(frame, self._prev, probes=stream.probes)
+            rec = rec + np.asarray(pred)[: frame.n_voxels]
+        self._prev = (frame, self._padded_recon(frame, rec))
+        self._index += 1
+        return rec
+
+    def decode_sequence(
+        self,
+        streams: Sequence[FrameStream],
+        frames: Sequence[VoxelFrame],
+    ) -> List[np.ndarray]:
+        """Mirror of :meth:`encode_sequence`; ``frames`` supply the
+        (losslessly known) per-frame positions. The first stream must be
+        intra; each inter stream is decoded as residual + prediction from
+        the previous reconstruction."""
+        self.reset()
+        return [
+            self.decode_frame(stream, frame)
+            for stream, frame in zip(streams, frames)
+        ]

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Measure the inter-frame (I/P) codec's rate gain over all-intra coding.
+
+The reference encodes every frame of a dynamic sequence independently;
+this framework's ``SequenceCodec`` predicts P-frames from the previous
+reconstruction (ops/temporal.py) and codes residuals. This script sweeps
+quantization steps over a temporally coherent synthetic sequence
+(``eval/synth.synthetic_color_sequence`` — a deforming, translating dense
+surface like the 8iVFBv2 bodies) in both modes and reports per-step rate
+savings at identical reconstruction PSNR plus the BD-rate.
+
+    python scripts/rd_temporal.py [--depth 9] [--frames 10] \
+        [--out docs/rd_temporal.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--depth", type=int, default=9)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--samples", type=int, default=600_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gop", type=int, default=16)
+    ap.add_argument("--steps", type=float, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--append", action="store_true",
+                    help="append to --out instead of overwriting")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    from raht3dgs_tpu.eval.synth import synthetic_color_sequence
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+    from scripts.rd_deadzone import bd_rate
+
+    seq = synthetic_color_sequence(
+        depth=args.depth, n_frames=args.frames, samples=args.samples,
+        seed=args.seed,
+    )
+    frames = [prepare_voxel_frame(V, C, args.depth) for V, C in seq]
+    n_total = sum(f.n_voxels for f in frames)
+    print(f"{len(frames)} frames, {n_total} voxels total "
+          f"(~{n_total // len(frames)} per frame)")
+
+    def run(gop):
+        rates, psnrs, inters = [], [], 0
+        for step in args.steps:
+            sc = SequenceCodec(args.depth, gop=gop)
+            streams, recons = sc.encode_sequence(frames, steps=step)
+            inters = sum(s.inter for s in streams)
+            nbytes = sum(s.payload_bytes for s in streams)
+            sq = cnt = 0.0
+            for f, r in zip(frames, recons):
+                ref = np.asarray(f.attributes)[: f.n_voxels]
+                sq += float(np.sum((r - ref) ** 2))
+                cnt += ref.size
+            psnr = -10.0 * math.log10(sq / cnt / 255.0**2 + 1e-12)
+            rates.append(nbytes * 8.0 / n_total)
+            psnrs.append(psnr)
+        return rates, psnrs, inters
+
+    intra_r, intra_p, _ = run(gop=1)
+    inter_r, inter_p, n_inter = run(gop=args.gop)
+    bd = bd_rate(intra_r, intra_p, inter_r, inter_p)
+
+    rows = [
+        f"| {s:g} | {ir:.4f} | {ip:.2f} | {er:.4f} | {ep:.2f} "
+        f"| {100 * (er - ir) / ir:+.1f}% |"
+        for s, ir, ip, er, ep in zip(
+            args.steps, intra_r, intra_p, inter_r, inter_p
+        )
+    ]
+    report = "\n".join([
+        "# Inter-frame (I/P) coding: measured rate gain" if not args.append
+        else "## Additional configuration",
+        "",
+        f"Synthetic dynamic sequence (eval/synth.py deforming surface): "
+        f"{len(frames)} frames, J={args.depth}, "
+        f"~{n_total // len(frames)} voxels/frame, GOP={args.gop} "
+        f"(P-frames chosen adaptively: {n_inter}/{len(frames)} frames "
+        "went inter at the final step). 'intra' = the reference's "
+        "per-frame independent coding; PSNR is Y/U/V mean over the "
+        "decoder-exact closed-loop reconstructions.",
+        "",
+        "| step | intra bpp | intra PSNR | inter bpp | inter PSNR "
+        "| Δrate |",
+        "|---|---|---|---|---|---|",
+        *rows,
+        "",
+        f"**BD-rate (inter vs intra): {bd:+.2f}%**",
+        "",
+    ])
+    print(report)
+    if args.out:
+        with open(args.out, "a" if args.append else "w") as f:
+            f.write(report)
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,231 @@
+"""Inter-frame (I/P) sequence codec: prediction, closed-loop decode,
+container flags, adaptive fallback, and the rate win it exists for."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def seq():
+    from raht3dgs_tpu.eval.synth import synthetic_color_sequence
+
+    return synthetic_color_sequence(depth=6, n_frames=5, samples=40_000,
+                                    seed=3)
+
+
+@pytest.fixture(scope="module")
+def frames(seq):
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+
+    return [prepare_voxel_frame(V, C, 6) for V, C in seq]
+
+
+def test_predictor_exact_static_frame(frames):
+    """A frame predicted from ITSELF must be reproduced exactly (the
+    self-probe hits every voxel at distance 0)."""
+    from raht3dgs_tpu.ops.temporal import predict_from_previous
+
+    f = frames[0]
+    pred, found = predict_from_previous(
+        f.codes, f.codes, f.attributes, f.weights, 6, 7
+    )
+    occ = np.asarray(f.weights) > 0
+    assert bool(np.asarray(found)[occ].all())
+    np.testing.assert_array_equal(
+        np.asarray(pred)[occ], np.asarray(f.attributes)[occ]
+    )
+
+
+def test_global_motion_recovers_pure_translation(frames):
+    """A frame translated by a known integer shift must be recovered
+    exactly by the derived motion vector, and the motion-compensated
+    prediction of the shifted frame must be exact (interior voxels)."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.ops.morton import morton_decode
+    from raht3dgs_tpu.ops.temporal import (
+        estimate_global_motion,
+        predict_from_previous,
+    )
+
+    f0 = frames[0]
+    occ = np.asarray(f0.weights) > 0
+    V = np.asarray(morton_decode(f0.codes, 6))[occ]
+    A = np.asarray(f0.attributes)[occ]
+    shift = np.array([2, -1, 3])
+    keep = np.all((V + shift >= 0) & (V + shift <= 63), axis=1)
+    f1 = prepare_voxel_frame(
+        (V[keep] + shift).astype(np.int64), A[keep], 6
+    )
+    m = np.asarray(estimate_global_motion(
+        f1.codes, f1.weights, f0.codes, f0.weights, 6
+    ))
+    np.testing.assert_array_equal(m, shift)
+    pred, found = predict_from_previous(
+        f1.codes, f0.codes, f0.attributes, f0.weights, 6, 7,
+        jnp.asarray(m),
+    )
+    occ1 = np.asarray(f1.weights) > 0
+    assert bool(np.asarray(found)[occ1].all())
+    # prediction == source attributes exactly under pure translation
+    np.testing.assert_allclose(
+        np.sort(np.asarray(pred)[occ1], axis=0),
+        np.sort(np.asarray(f1.attributes)[occ1], axis=0), atol=1e-12,
+    )
+
+
+def test_sequence_roundtrip_closed_loop(frames):
+    """decode_sequence must reproduce the encoder's reconstructions
+    bitwise (the closed loop has no drift), and inter frames must
+    actually be used."""
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=4)
+    streams, recons = sc.encode_sequence(frames, steps=4.0)
+    kinds = [s.inter for s in streams]
+    assert kinds[0] is False  # first frame always intra
+    assert any(kinds), "no P-frame chosen on a coherent sequence"
+
+    # container round trip preserves the inter/probe flags
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    parsed = [FrameStream.from_bytes(s.to_bytes()) for s in streams]
+    assert [p.inter for p in parsed] == kinds
+    assert all(p.probes == 27 for p in parsed if p.inter)
+
+    dec = sc.decode_sequence(parsed, frames)
+    for r_enc, r_dec in zip(recons, dec):
+        np.testing.assert_array_equal(r_enc, r_dec)
+
+    # and the reconstructions are faithful
+    for f, r in zip(frames, dec):
+        ref = np.asarray(f.attributes)[: f.n_voxels]
+        rmse = float(np.sqrt(np.mean((r - ref) ** 2)))
+        assert rmse < 4.0  # step=4 quantization regime
+
+
+def test_inter_rate_win(frames):
+    """P-frames must be cheaper than intra coding on a coherent sequence
+    (this is the mode's reason to exist). The win grows toward coarse
+    steps — classic DPCM: prediction removes the smooth field that
+    dominates the coarse-step rate, while at fine steps both modes pay
+    for the noise floor."""
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    for step, factor in ((4.0, 0.95), (16.0, 0.75)):
+        sc_inter = SequenceCodec(6, gop=10)
+        streams, _ = sc_inter.encode_sequence(frames, steps=step)
+        sc_intra = SequenceCodec(6, gop=1)
+        streams_i, _ = sc_intra.encode_sequence(frames, steps=step)
+        assert not any(s.inter for s in streams_i)
+
+        inter_bytes = sum(s.payload_bytes for s in streams)
+        intra_bytes = sum(s.payload_bytes for s in streams_i)
+        assert inter_bytes < factor * intra_bytes, (
+            step, inter_bytes, intra_bytes,
+        )
+
+
+def test_adaptive_fallback_on_incoherent_frame(frames, rng=None):
+    """A P-frame candidate whose residual codes larger than intra (e.g.
+    the scene cut to uncorrelated content) must ship as intra."""
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    rng = np.random.default_rng(0)
+    cut = prepare_voxel_frame(
+        np.asarray(
+            np.stack(
+                np.unravel_index(
+                    np.unique(rng.integers(0, 64**3, 3000)), (64, 64, 64)
+                ),
+                axis=1,
+            ),
+            dtype=np.int64,
+        ),
+        rng.uniform(0, 255, (len(np.unique(rng.integers(0, 64**3, 3000))), 3)),
+        6,
+    )
+    sc = SequenceCodec(6, gop=100, adaptive=True)
+    streams, recons = sc.encode_sequence([frames[0], cut], steps=4.0)
+    assert streams[1].inter is False  # fallback chose intra
+    # decode still mirrors
+    dec = sc.decode_sequence(streams, [frames[0], cut])
+    np.testing.assert_array_equal(recons[1], dec[1])
+
+
+def test_inter_cli_roundtrip(tmp_path, seq):
+    """encode_dataset --inter -> .r3ts -> decode --all-frames: P-frames
+    used, sequence decodes to faithful PLYs, and the inter run's total
+    payload beats the intra run on the same frames."""
+    import csv
+
+    from raht3dgs_tpu.cli.decode import main as decode_main
+    from raht3dgs_tpu.cli.encode_dataset import main as enc_main
+    from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
+
+    d = tmp_path / "8iVFBv2" / "loot" / "Ply"
+    d.mkdir(parents=True)
+    for i, (V, C) in enumerate(seq):
+        save_ply_ascii(
+            d / f"loot_vox10_{1000 + i:04d}.ply", V.astype(float), C,
+            width=2**6 - 1,
+        )
+
+    def run(extra, csvname):
+        out = tmp_path / csvname
+        rc = enc_main([
+            "--dataset", "8iVFBv2", "--sequence", "loot",
+            "--data-root", str(tmp_path), "--frames", "1", str(len(seq)),
+            "--steps", "16", "--platform", "cpu", "--csv", str(out),
+            "--save-sequence", str(tmp_path / f"{csvname}.r3ts"), *extra,
+        ])
+        assert rc == 0
+        with open(out) as f:
+            return list(csv.DictReader(f))
+
+    rows = run(["--inter", "--gop", "8"], "inter.csv")
+    rows_i = run([], "intra.csv")
+    assert len(rows) == len(seq) and len(rows_i) == len(seq)
+
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+    sr = SequenceReader(str(tmp_path / "inter.csv.r3ts"))
+    kinds = [sr.frame(i).inter for i in range(len(sr))]
+    assert kinds[0] is False and any(kinds)
+    inter_total = sum(sr.frame(i).payload_bytes for i in range(len(sr)))
+    sri = SequenceReader(str(tmp_path / "intra.csv.r3ts"))
+    intra_total = sum(sri.frame(i).payload_bytes for i in range(len(sri)))
+    assert inter_total < 0.8 * intra_total
+
+    assert len(seq) < 10  # the {i} pattern below covers one digit
+    rc = decode_main([
+        "--stream", str(tmp_path / "inter.csv.r3ts"), "--all-frames",
+        "--positions", str(d / "loot_vox10_100{i}.ply"),
+        "--output", str(tmp_path / "rec_{i}.ply"),
+        "--platform", "cpu",
+    ])
+    assert rc == 0
+
+    # decoded PLYs must be faithful to the originals (uint8 color grid;
+    # step 16 quantization -> generous bound on the mean error)
+    for i, (V, C) in enumerate(seq):
+        ply = read_ply(str(tmp_path / f"rec_{i}.ply"))
+        v = ply.vertices
+        rec = np.stack([v["red"], v["green"], v["blue"]], 1).astype(float)
+        pos = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.int64)
+        ko = np.lexsort(V.T)
+        kr = np.lexsort(pos.T)
+        np.testing.assert_array_equal(V[ko], pos[kr])
+        assert np.abs(rec[kr] - C[ko]).mean() < 8.0
+
+
+def test_decode_rejects_leading_inter(frames):
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=4)
+    streams, _ = sc.encode_sequence(frames, steps=4.0)
+    first_inter = next(s for s in streams if s.inter)
+    with pytest.raises(ValueError, match="inter stream"):
+        sc.decode_sequence([first_inter], [frames[1]])
