@@ -221,6 +221,30 @@ def test_inter_cli_roundtrip(tmp_path, seq):
         assert np.abs(rec[kr] - C[ko]).mean() < 8.0
 
 
+def test_sequence_codec_multichannel(seq):
+    """SequenceCodec is attribute-width-agnostic (the 3DGS 56-channel
+    layout is just a wider frame): P-frames win and the loop closes."""
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    frames = []
+    for V, C in seq[:3]:
+        # widen to 12 channels: colors + smooth position-derived extras
+        extra = np.concatenate(
+            [np.sin(V / 7.0 + k) * 20.0 for k in range(3)], axis=1
+        )
+        frames.append(
+            prepare_voxel_frame(V, np.concatenate([C, extra], 1), 6)
+        )
+    sc = SequenceCodec(6, gop=8)
+    streams, recons = sc.encode_sequence(frames, steps=4.0)
+    assert streams[0].n_channels == 12
+    assert any(s.inter for s in streams)
+    dec = sc.decode_sequence(streams, frames)
+    for r_enc, r_dec in zip(recons, dec):
+        np.testing.assert_array_equal(r_enc, r_dec)
+
+
 def test_decode_rejects_leading_inter(frames):
     from raht3dgs_tpu.models.temporal import SequenceCodec
 
