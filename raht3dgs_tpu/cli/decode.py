@@ -73,20 +73,35 @@ def _run(args) -> int:
                     "--positions and --output"
                 )
             streams = [seq.frame(i) for i in range(len(seq))]
-            seq_codec = None
+            seq_codecs = {}
             if any(s.inter for s in streams):
-                # temporal sequence: chain predictions from frame 0
+                # temporal sequence: chain predictions from frame 0. One
+                # codec per depth, reset whenever the depth changes
+                # between consecutive frames — the encoder applies the
+                # SAME rule (encode_dataset._run_inter), so predictions
+                # only ever chain across consecutive same-depth frames.
+                # The transform dtype must replay the encoder's (recorded
+                # in the stream), not the CLI flag.
+                import jax.numpy as jnp
+
                 from raht3dgs_tpu.models.temporal import SequenceCodec
 
-                seq_codec = SequenceCodec(
-                    streams[0].depth, dtype=jnp_dtype(args.dtype),
-                )
+                for s in streams:
+                    seq_codecs.setdefault(s.depth, SequenceCodec(
+                        s.depth,
+                        dtype=jnp.float32 if s.dtype32 else jnp.float64,
+                    ))
+            prev_depth = None
             for i, stream in enumerate(streams):
+                sc = seq_codecs.get(stream.depth)
+                if sc is not None and prev_depth != stream.depth:
+                    sc.reset()
                 _decode_one(
                     args, stream,
                     args.positions.format(i=i), args.output.format(i=i),
-                    seq_codec=seq_codec,
+                    seq_codec=sc,
                 )
+                prev_depth = stream.depth
             print(f"decoded all {len(seq)} frames of {args.stream}")
             return 0
         print(f"sequence of {len(seq)} frames; decoding frame "

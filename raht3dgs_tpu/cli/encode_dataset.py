@@ -162,6 +162,7 @@ def _run_inter(args, first, last, log, dtype) -> int:
     seq_streams = []
     n_inter = 0
     n_done = 0
+    prev_depth = None
     for frame_idx in range(first, last + 1):
         out = get_pointcloud(args.dataset, args.sequence, frame_idx,
                              args.data_root)
@@ -174,6 +175,12 @@ def _run_inter(args, first, last, log, dtype) -> int:
             depth, gop=args.gop, chunk=args.entropy_chunk,
             dtype=dtype, **quant_kwargs(args),
         ))
+        # predictions chain only across CONSECUTIVE same-depth frames —
+        # the decoder (cli/decode.py) applies the identical rule, so a
+        # depth change breaks the chain on both sides
+        if prev_depth != depth:
+            sc.reset()
+        prev_depth = depth
         yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C)),
                                     dtype=dtype))
         frame = prepare_voxel_frame(

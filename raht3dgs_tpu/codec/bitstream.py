@@ -28,7 +28,12 @@ from typing import List
 import numpy as np
 
 MAGIC = b"R3TC"
-VERSION = 1
+# v2 = v1 layout + flag bits 4-7 (deadzone fields / inter / probe set /
+# f32 transform dtype). Writers emit 2 so pre-v2 readers reject loudly
+# instead of mis-parsing a deadzone header or silently returning an inter
+# frame's residual as attributes; v1 streams still parse (bits unset).
+VERSION = 2
+_READ_VERSIONS = (1, 2)
 FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
 _ORDER_SHIFT = 1
@@ -51,6 +56,10 @@ FLAG_DEADZONE = 1 << 4
 FLAG_INTER = 1 << 5
 _PROBE_SHIFT = 6
 _PROBE_SETS = (7, 27)
+# bit 7: transform dtype was float32 (unset = float64). Recorded so the
+# decoder can replay the encoder's precision — required for inter chains,
+# whose closed loop needs bitwise-identical reconstructions on both sides.
+FLAG_DTYPE32 = 1 << 7
 
 
 @dataclass
@@ -69,6 +78,7 @@ class FrameStream:
     rec_delta: float = 0.0         # dead-zone reconstruction offset
     inter: bool = False            # payload is a prediction residual
     probes: int = 7                # inter probe set (7 | 27)
+    dtype32: bool = False          # transform ran in float32 (else f64)
 
     @property
     def n_channels(self) -> int:
@@ -104,6 +114,8 @@ class FrameStream:
         if self.inter:
             flags |= FLAG_INTER
             flags |= _PROBE_SETS.index(self.probes) << _PROBE_SHIFT
+        if self.dtype32:
+            flags |= FLAG_DTYPE32
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
@@ -140,7 +152,7 @@ class FrameStream:
         )
         if magic != MAGIC:
             raise ValueError(f"bad magic {magic!r}")
-        if version != VERSION:
+        if version not in _READ_VERSIONS:
             raise ValueError(f"unsupported version {version}")
         order_bits = (flags >> _ORDER_SHIFT) & 0x3
         if order_bits >= len(_ORDER_MODES):
@@ -196,6 +208,7 @@ class FrameStream:
             rec_delta=rec_delta,
             inter=bool(flags & FLAG_INTER),
             probes=_PROBE_SETS[(flags >> _PROBE_SHIFT) & 0x1],
+            dtype32=bool(flags & FLAG_DTYPE32),
         )
 
 

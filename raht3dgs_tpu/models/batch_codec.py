@@ -133,6 +133,7 @@ class BatchAttributeCodec:
                 order_mode=self.order_mode, chunk=self.chunk,
                 quant_mode=self.quant_mode, quant_f=self.quant_f,
                 rec_delta=self.rec_delta,
+                dtype32=jnp.dtype(self.dtype) == jnp.dtype("float32"),
             )
             enc_ns += ns
             streams.append(stream)
@@ -220,6 +221,13 @@ class BatchAttributeCodec:
         only depends on the frame geometry/order mode, so sweeps compute
         it once instead of once per step."""
         timer = timer or StageTimer()
+        for s in streams:
+            if s.inter:
+                raise ValueError(
+                    "inter (predicted) streams hold residuals — decode "
+                    "them through SequenceCodec (models/temporal.py), "
+                    "which chains the predictions"
+                )
         # the batched device path dequantizes the whole stack with ONE step
         # vector and one order mode: mixed-parameter streams would silently
         # reconstruct with the wrong steps

@@ -341,7 +341,7 @@ def _narrow_fetch(q_T) -> np.ndarray:
 def build_entropy_stream(
     q_np: np.ndarray, frame, steps, *, depth: int, order_mode: str,
     chunk: int, quant_mode: str = "mid", quant_f: float = 0.5,
-    rec_delta: float = 0.0,
+    rec_delta: float = 0.0, dtype32: bool = False,
 ):
     """Host entropy-code one frame's quantized (D, N) channel matrix and
     wrap it as a FrameStream; returns ``(stream, encode_ns)``.
@@ -366,6 +366,7 @@ def build_entropy_stream(
         quant_mode=quant_mode,
         quant_f=quant_f,
         rec_delta=rec_delta,
+        dtype32=dtype32,
     )
     return stream, enc_ns
 
@@ -536,6 +537,7 @@ class AttributeCodec:
             order_mode=self.order_mode, chunk=self.chunk,
             quant_mode=self.quant_mode, quant_f=self.quant_f,
             rec_delta=self.rec_delta,
+            dtype32=jnp.dtype(self.dtype) == jnp.dtype("float32"),
         )
 
     def transform(self, frame: VoxelFrame, timer: Optional[StageTimer] = None):

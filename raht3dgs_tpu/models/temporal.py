@@ -124,21 +124,26 @@ class SequenceCodec:
         Streaming counterpart of :meth:`encode_sequence` — carries the
         closed-loop prediction state across calls so dataset drivers can
         process arbitrarily long sequences one frame at a time. The
-        returned reconstruction is decoder-exact."""
-        if not hasattr(self, "_prev"):
-            self.reset()
+        returned reconstruction is decoder-exact.
+
+        ``timer`` receives only the CHOSEN path's stages (plus
+        Predict_time when inter wins) — the losing adaptive candidate's
+        work is not folded in, so summed CSV stage columns stay
+        comparable with intra driver rows (each column = one encode)."""
         timer = timer if timer is not None else StageTimer()
         force_intra = self._prev is None or (self._index % self.gop == 0)
-        enc_intra = None
+        enc_intra, t_intra = None, None
         if force_intra or self.adaptive:
-            enc_intra = self.codec.encode(frame, steps, timer=timer)
-        chosen = enc_intra
+            t_intra = StageTimer()
+            enc_intra = self.codec.encode(frame, steps, timer=t_intra)
+        chosen, t_chosen = enc_intra, t_intra
         pred = None
         if not force_intra:
-            pred = timer.time("Predict_time", self._predict, frame,
-                              self._prev)
+            t_inter = StageTimer()
+            pred = t_inter.time("Predict_time", self._predict, frame,
+                                self._prev)
             enc_inter = self.codec.encode(
-                _residual_frame(frame, pred), steps, timer=timer
+                _residual_frame(frame, pred), steps, timer=t_inter
             )
             enc_inter.stream.inter = True
             enc_inter.stream.probes = self.probes
@@ -147,10 +152,12 @@ class SequenceCodec:
                 or enc_inter.stream.payload_bytes
                 < enc_intra.stream.payload_bytes
             ):
-                chosen = enc_inter
+                chosen, t_chosen = enc_inter, t_inter
         stream = chosen.stream
         if not stream.inter:
             pred = None
+        for name, sec in t_chosen.stages.items():
+            timer.add(name, sec)
         rec, _ = self.codec.decode(
             stream, frame.codes, frame.weights, timer=timer
         )
@@ -195,6 +202,17 @@ class SequenceCodec:
             raise ValueError(
                 "inter stream without a preceding reconstructed frame"
             )
+        if stream.inter:
+            is32 = jnp.dtype(self.codec.dtype) == jnp.dtype("float32")
+            if bool(stream.dtype32) != bool(is32):
+                raise ValueError(
+                    "inter stream was encoded with "
+                    f"{'float32' if stream.dtype32 else 'float64'} "
+                    "transforms but this decoder runs "
+                    f"{'float32' if is32 else 'float64'} — the closed "
+                    "loop needs identical precision (pass the matching "
+                    "dtype)"
+                )
         rec, _ = self.codec.decode(stream, frame.codes, frame.weights)
         if stream.inter:
             pred = self._predict(frame, self._prev, probes=stream.probes)

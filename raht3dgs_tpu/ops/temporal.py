@@ -46,15 +46,19 @@ _SHELL27 = tuple(
 )
 
 
-def _hit_count(P, codes_prev, occ_prev, shift, lim, depth):
-    """How many current voxels land on an occupied previous voxel when
-    displaced by ``-shift``."""
+def _hit_count(P, occ_t, codes_prev, occ_prev, shift, lim, depth):
+    """How many occupied current voxels land on an occupied previous
+    voxel when displaced by ``-shift``. ``occ_t`` masks the current
+    frame's pad slots: their sentinel codes decode to in-range positions
+    and would otherwise vote in the motion argmax, making the derived
+    vector depend on the padded array size — which the stream does not
+    record (the round-2 review's bucket-mismatch bug)."""
     Q = jnp.clip(P - shift, 0, lim)
     c = morton_encode(Q, depth).astype(codes_prev.dtype)
     idx = jnp.clip(
         jnp.searchsorted(codes_prev, c), 0, codes_prev.shape[0] - 1
     )
-    return jnp.sum((codes_prev[idx] == c) & occ_prev[idx])
+    return jnp.sum((codes_prev[idx] == c) & occ_prev[idx] & occ_t)
 
 
 @partial(jax.jit, static_argnames=("depth",))
@@ -85,8 +89,8 @@ def estimate_global_motion(codes_t, weights_t, codes_prev, weights_prev,
             for bz in (0, 1):
                 cands.append(lo + jnp.asarray([bx, by, bz], jnp.int32))
     counts = jnp.stack([
-        _hit_count(P_t, codes_prev, occ_prev, s.astype(P_t.dtype), lim,
-                   depth)
+        _hit_count(P_t, weights_t > 0, codes_prev, occ_prev,
+                   s.astype(P_t.dtype), lim, depth)
         for s in cands
     ])
     # fixed candidate order + argmax's first-max rule = deterministic

@@ -210,8 +210,10 @@ def test_stream_format_frozen(rng):
     attrs = (pts * 7 % 256).astype(np.float64)
     frame = prepare_voxel_frame(pts, attrs, 6, bucket=1024)
     blob = AttributeCodec(6).encode(frame, steps=4.0).stream.to_bytes()
+    # VERSION 2 (flag bits 4-7: deadzone / inter / probe set / dtype);
+    # payload bytes identical to v1, header version byte differs
     assert hashlib.sha256(blob).hexdigest() == (
-        "dc1d63b9576aafac1d589c895e65c68a56d6c399d56edb67b1185d78a93a37d2"
+        "0eb4f853604879400a90955a870776ad9d24a629f41e807c3902a5727f1065fb"
     ), "bitstream format drifted — if intentional, bump VERSION + this hash"
 
 

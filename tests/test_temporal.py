@@ -245,6 +245,98 @@ def test_sequence_codec_multichannel(seq):
         np.testing.assert_array_equal(r_enc, r_dec)
 
 
+def test_decode_bucket_independent(frames, seq):
+    """The derived motion/prediction must NOT depend on padded array
+    sizes (pad sentinels decode to in-range corner positions and once
+    voted in the motion argmax): decoding with a different bucket than
+    the encoder used must reproduce the reconstructions exactly."""
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=4)
+    streams, recons = sc.encode_sequence(frames, steps=4.0)
+    assert any(s.inter for s in streams)
+    frames_big = [
+        prepare_voxel_frame(V, C, 6, bucket=1 << 16) for V, C in seq
+    ]
+    sc2 = SequenceCodec(6, gop=4)
+    dec = sc2.decode_sequence(streams, frames_big)
+    for r_enc, r_dec in zip(recons, dec):
+        np.testing.assert_array_equal(r_enc, r_dec)
+
+
+def test_motion_ignores_pad_votes():
+    """Pad sentinels decode to in-range positions; if they voted in the
+    motion argmax, this tiny translated blob at bucket=1024 elects the
+    zero vector instead of the true (3,0,0) shift (found by scanning the
+    unmasked variant — the round-2 review's bucket-dependence bug)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.ops.temporal import estimate_global_motion
+
+    rng = np.random.default_rng(1)
+    B = np.array(
+        [[x, y, z] for x in (5, 6) for y in (4, 5, 6) for z in (12, 13, 14)]
+    )
+    A = rng.uniform(0, 255, (len(B), 3))
+    for bucket in (512, 1024, 4096):
+        fp = prepare_voxel_frame(B.astype(np.int64), A, 5, bucket=bucket)
+        fc = prepare_voxel_frame(
+            (B + np.array([3, 0, 0])).astype(np.int64), A, 5,
+            bucket=bucket,
+        )
+        m = np.asarray(estimate_global_motion(
+            fc.codes, fc.weights, fp.codes, fp.weights, 5
+        ))
+        np.testing.assert_array_equal(m, [3, 0, 0])
+
+
+def test_inter_guards(frames):
+    """Inter streams are rejected by the batched (prediction-less)
+    decoder, and by SequenceCodec when the transform dtype mismatches."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.batch_codec import BatchAttributeCodec
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=4)
+    streams, _ = sc.encode_sequence(frames[:3], steps=4.0)
+    inter_idx = next(i for i, s in enumerate(streams) if s.inter)
+
+    bc = BatchAttributeCodec(6)
+    with pytest.raises(ValueError, match="SequenceCodec"):
+        bc.decode([streams[inter_idx]], [frames[inter_idx]])
+
+    assert streams[0].dtype32 is False  # f64 default is recorded
+    sc32 = SequenceCodec(6, gop=4, dtype=jnp.float32)
+    sc32._prev = (frames[inter_idx - 1], sc32._padded_recon(
+        frames[inter_idx - 1],
+        np.zeros((frames[inter_idx - 1].n_voxels, 3)),
+    ))
+    sc32._index = inter_idx
+    with pytest.raises(ValueError, match="precision"):
+        sc32.decode_frame(streams[inter_idx], frames[inter_idx])
+
+
+def test_container_v1_still_parses():
+    """Version-1 blobs (pre flag-bits-4-7 writers) must keep parsing."""
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    s = FrameStream(
+        depth=6, n_voxels=10, steps=np.asarray([2.0]),
+        channels=[b"abc"], vmin=np.zeros(3), width=63.0,
+    )
+    blob = bytearray(s.to_bytes())
+    assert blob[4] == 2  # current writer version
+    blob[4] = 1
+    back = FrameStream.from_bytes(bytes(blob))
+    assert back.channels == [b"abc"] and back.quant_mode == "mid"
+    blob[4] = 3
+    with pytest.raises(ValueError, match="unsupported version"):
+        FrameStream.from_bytes(bytes(blob))
+
+
 def test_decode_rejects_leading_inter(frames):
     from raht3dgs_tpu.models.temporal import SequenceCodec
 
