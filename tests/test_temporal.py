@@ -265,6 +265,35 @@ def test_decode_bucket_independent(frames, seq):
         np.testing.assert_array_equal(r_enc, r_dec)
 
 
+def test_probe_join_impls_identical(frames, monkeypatch):
+    """The sort-join probe matcher (TPU fast path) must be bitwise equal
+    to the searchsorted golden — encoder and decoder may pick different
+    implementations, so equality is a stream-contract requirement."""
+    from raht3dgs_tpu.ops import temporal as T
+
+    f0, f1 = frames[0], frames[1]
+
+    def run():
+        gm = T.estimate_global_motion(
+            f1.codes, f1.weights, f0.codes, f0.weights, 6
+        )
+        rm = T.refine_block_motion(
+            f1.codes, f1.weights, f0.codes, f0.weights, 6, gm
+        )
+        pred, found = T.predict_from_previous(
+            f1.codes, f0.codes, f0.attributes, f0.weights, 6, 27, rm
+        )
+        return (np.asarray(gm), np.asarray(rm), np.asarray(pred),
+                np.asarray(found))
+
+    monkeypatch.setenv("RAHT3DGS_TEMPORAL_JOIN", "search")
+    a = run()
+    monkeypatch.setenv("RAHT3DGS_TEMPORAL_JOIN", "sort")
+    b = run()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_motion_ignores_pad_votes():
     """Pad sentinels decode to in-range positions; if they voted in the
     motion argmax, this tiny translated blob at bucket=1024 elects the
