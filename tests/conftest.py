@@ -21,7 +21,12 @@ import jax  # noqa: E402
 # The environment's sitecustomize registers a TPU-tunnel PJRT plugin and pins
 # JAX_PLATFORMS before conftest runs; jax.config wins over both.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# the CPU-only cache partition: /root/.jax_cache holds the TPU programs
+# (precious — tunnel compiles are slow) but also accumulated XLA:CPU AOT
+# entries compiled on OTHER machines, which load with feature-mismatch
+# warnings and can run 4x slow or SIGILL (bench.py partitions the same
+# way; see its docstring for the round-1 incident)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
