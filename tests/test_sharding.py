@@ -228,7 +228,12 @@ def test_dryrun_multichip_bootstraps_from_one_device():
     r = subprocess.run(
         [sys.executable, "-c",
          f"import sys; sys.path.insert(0, {repo!r});\n"
+         # jax.config, not the env var: the environment's sitecustomize
+         # re-pins JAX_PLATFORMS at interpreter start, so with only the
+         # env var set jax.devices() would initialize the remote-tunnel
+         # backend — and hang the test whenever the tunnel wedges
          "import jax\n"
+         "jax.config.update('jax_platforms', 'cpu')\n"
          "assert len(jax.devices()) == 1  # freeze backend at 1 device\n"
          "from __graft_entry__ import dryrun_multichip\n"
          "dryrun_multichip(8)\n"],
