@@ -17,6 +17,12 @@ offset ``delta`` — follow the chunk field); bit 5: inter (predicted)
 frame, with bit 6 selecting the temporal probe set. ``n_steps`` is 1
 (uniform) or n_channels (per-channel quantization steps, reference
 encode_3dgs_debug semantics).
+
+Version-3 inter frames insert a signalled-motion section between the
+deadzone fields and the channel-length table: ``u32 motion_len`` +
+``motion_len`` opaque bytes (payload format owned by
+``models/temporal.py``). Version-2 inter frames carry no motion bytes —
+their decoder re-derives the rev-1 motion pipeline from geometry.
 """
 
 from __future__ import annotations
@@ -33,7 +39,14 @@ MAGIC = b"R3TC"
 # instead of mis-parsing a deadzone header or silently returning an inter
 # frame's residual as attributes; v1 streams still parse (bits unset).
 VERSION = 2
-_READ_VERSIONS = (1, 2)
+# v3 = v2 layout + a SIGNALLED MOTION section on inter frames (u32 length
+# + opaque bytes, between the deadzone fields and the channel-length
+# table; models/temporal.py owns the payload format). v2 inter streams
+# carry no motion bytes and decode by re-deriving the rev-1 motion
+# pipeline from geometry; writers emit 3 only when motion bytes are
+# present, so intra/v2 streams stay byte-identical to older writers.
+VERSION_MOTION = 3
+_READ_VERSIONS = (1, 2, 3)
 FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
 _ORDER_SHIFT = 1
@@ -79,6 +92,7 @@ class FrameStream:
     inter: bool = False            # payload is a prediction residual
     probes: int = 7                # inter probe set (7 | 27)
     dtype32: bool = False          # transform ran in float32 (else f64)
+    motion: bytes = None           # signalled motion field (v3 inter)
 
     @property
     def n_channels(self) -> int:
@@ -90,7 +104,11 @@ class FrameStream:
 
     @property
     def payload_bytes(self) -> int:
-        return sum(len(c) for c in self.channels)
+        # signalled motion counts toward the rate: the adaptive inter/
+        # intra decision and reported bpp must charge the side channel
+        return sum(len(c) for c in self.channels) + (
+            len(self.motion) if self.motion is not None else 0
+        )
 
     def bpp(self) -> float:
         """Rate in bits per voxel over the attribute payload (the reference's
@@ -119,7 +137,8 @@ class FrameStream:
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
-            VERSION,
+            VERSION_MOTION if (self.inter and self.motion is not None)
+            else VERSION,
             flags,
             self.depth,
             self.n_channels,
@@ -137,6 +156,9 @@ class FrameStream:
         if self.quant_mode == "deadzone":
             head += struct.pack("<dd", float(self.quant_f),
                                 float(self.rec_delta))
+        if self.inter and self.motion is not None:
+            head += struct.pack("<I", len(self.motion))
+            head += self.motion
         head += struct.pack(f"<{self.n_channels}I", *[len(c) for c in self.channels])
         return head + b"".join(self.channels)
 
@@ -180,6 +202,16 @@ class FrameStream:
         if flags & FLAG_DEADZONE:
             quant_f, rec_delta = struct.unpack("<dd", data[off : off + 16])
             off += 16
+        motion = None
+        if version >= 3 and flags & FLAG_INTER:
+            if len(data) < off + 4:
+                raise ValueError("truncated stream: motion length cut off")
+            (mlen,) = struct.unpack("<I", data[off : off + 4])
+            off += 4
+            if len(data) < off + mlen:
+                raise ValueError("truncated stream: motion section cut off")
+            motion = data[off : off + mlen]
+            off += mlen
         if len(data) < off + 4 * n_ch:
             raise ValueError("truncated stream: channel length table cut off")
         lens = struct.unpack(f"<{n_ch}I", data[off : off + 4 * n_ch])
@@ -209,6 +241,7 @@ class FrameStream:
             inter=bool(flags & FLAG_INTER),
             probes=_PROBE_SETS[(flags >> _PROBE_SHIFT) & 0x1],
             dtype32=bool(flags & FLAG_DTYPE32),
+            motion=motion,
         )
 
 

@@ -8,11 +8,15 @@ top of the intra machinery:
 - **I-frames** (every ``gop``-th frame) use :class:`AttributeCodec`
   unchanged.
 - **P-frames** predict each voxel's attributes from the previous frame's
-  *reconstruction* via fixed neighbor probes over sorted Morton codes
-  (``ops/temporal.py``), RAHT-transform the residual, and entropy-code it
-  with the same quantize/reorder/RLGR stack. The stream carries only an
-  ``inter`` flag (+ probe-set id): the prediction is fully determined by
-  data the decoder already has, so nothing else is transmitted.
+  *reconstruction* via motion-compensated neighbor probes over sorted
+  Morton codes (``ops/temporal.py``), RAHT-transform the residual, and
+  entropy-code it with the same quantize/reorder/RLGR stack. The default
+  (container v3) SIGNALS the per-block motion field the encoder found by
+  searching against the true residual — ~3 near-zero RLGR symbols per
+  occupied 16³ block, charged to the rate — so the decoder replays
+  nothing but integers and future encoder search improvements need no
+  format change. ``signal_motion=False`` writes the v2 stream, whose
+  motion pipeline is DERIVED from geometry on both sides.
 - **Adaptive fallback**: with ``adaptive=True`` a P-frame that codes
   larger than its intra encoding ships as an I-frame instead (both are
   produced; the cheaper wins — the standard closed-loop mode decision).
@@ -24,19 +28,71 @@ predictions), so there is no drift.
 
 from __future__ import annotations
 
+import struct
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from raht3dgs_tpu.codec.bitstream import FrameStream
+from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
 from raht3dgs_tpu.models.pipeline import AttributeCodec, VoxelFrame
 from raht3dgs_tpu.ops.temporal import (
+    block_first,
     estimate_global_motion,
     predict_from_previous,
     refine_block_motion,
+    search_block_motion,
 )
 from raht3dgs_tpu.utils.timing import StageTimer
+
+# signalled-motion payload (the v3 container's opaque motion section):
+#   u8 block_side_log | u8 reserved | i32 global[3] | u32 n_blocks |
+#   RLGR(signed) of 3*n_blocks per-block shifts relative to global,
+#   xyz-interleaved in sorted-code block order
+_MOTION_HEAD = struct.Struct("<BBiiiI")
+
+
+def _pack_motion(codes_np, n_voxels, depth, bsl, global_mv, mv_np):
+    """Serialize the per-block motion field (encoder side).
+
+    ``mv_np`` is block-constant (search_block_motion contract), so row 0
+    of each occupied block carries the block's vector; blocks are
+    top-code-bit runs of the OCCUPIED prefix — identical on the decoder
+    regardless of its pad bucket size.
+    """
+    bf = np.asarray(block_first(codes_np[:n_voxels], depth, bsl))
+    sym = (mv_np[:n_voxels][bf] - global_mv[None, :]).astype(np.int64)
+    payload, _ = rlgr_encode(sym.ravel(), signed=True)
+    return _MOTION_HEAD.pack(
+        bsl, 0, int(global_mv[0]), int(global_mv[1]), int(global_mv[2]),
+        sym.shape[0],
+    ) + payload
+
+
+def _unpack_motion(motion: bytes, codes_np, n_voxels, n_padded, depth):
+    """Rebuild the (n_padded, 3) int32 per-voxel motion field."""
+    if len(motion) < _MOTION_HEAD.size:
+        raise ValueError("corrupt motion section: header cut off")
+    bsl, _, gx, gy, gz, n_blocks = _MOTION_HEAD.unpack(
+        motion[: _MOTION_HEAD.size]
+    )
+    bf = np.asarray(block_first(codes_np[:n_voxels], depth, bsl))
+    if int(bf.sum()) != n_blocks:
+        raise ValueError(
+            f"corrupt motion section: {n_blocks} blocks signalled but the "
+            f"frame's codes form {int(bf.sum())} — positions do not match "
+            "this stream"
+        )
+    sym, _ = rlgr_decode(
+        motion[_MOTION_HEAD.size:], 3 * n_blocks, signed=True
+    )
+    sym = sym.reshape(n_blocks, 3)
+    g = np.array([gx, gy, gz], np.int64)
+    mv = np.broadcast_to(g, (n_padded, 3)).copy()
+    seg = np.cumsum(bf) - 1
+    mv[:n_voxels] = g[None, :] + sym[seg]
+    return mv.astype(np.int32)
 
 
 def _residual_frame(frame: VoxelFrame, pred) -> VoxelFrame:
@@ -65,7 +121,8 @@ class SequenceCodec:
     """
 
     def __init__(self, depth: int, gop: int = 8, adaptive: bool = True,
-                 probes: int = 27, **codec_kwargs):
+                 probes: int = 27, signal_motion: bool = True,
+                 block_side_log: int = 4, **codec_kwargs):
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if probes not in (7, 27):
@@ -74,6 +131,13 @@ class SequenceCodec:
         self.gop = int(gop)
         self.adaptive = bool(adaptive)
         self.probes = int(probes)
+        # signalled per-block motion (container v3): the encoder searches
+        # the field against the true residual (attribute-guided witnesses,
+        # ops/temporal.py:search_block_motion) and ships it (~3 near-zero
+        # RLGR symbols per occupied block); False reproduces the v2
+        # derived-motion stream for format back-compat tests.
+        self.signal_motion = bool(signal_motion)
+        self.block_side_log = int(block_side_log)
         self.codec = AttributeCodec(depth, **codec_kwargs)
         self.reset()
 
@@ -89,11 +153,13 @@ class SequenceCodec:
         return jnp.asarray(full, dtype=self.codec.dtype)
 
     def _predict(self, frame: VoxelFrame, prev: Tuple, probes=None):
-        """Motion-compensated neighbor prediction: global integer motion
-        plus a per-block refinement, both DERIVED from the two frames'
-        geometry (both sides have it), so nothing is signalled. The
-        two-stage derivation is part of the inter stream contract —
-        decoder and encoder must run the identical pipeline."""
+        """v2 (derived) motion-compensated neighbor prediction: global
+        integer motion plus a per-block refinement, both DERIVED from the
+        two frames' geometry (both sides have it), so nothing is
+        signalled. The two-stage derivation is part of the v2 inter
+        stream contract — decoder and encoder must run the identical
+        pipeline. v3 streams signal the field instead (:meth:`_search`)
+        and never enter here."""
         prev_frame, prev_recon = prev
         motion = estimate_global_motion(
             frame.codes, frame.weights, prev_frame.codes,
@@ -106,6 +172,49 @@ class SequenceCodec:
         pred, _ = predict_from_previous(
             frame.codes, prev_frame.codes, prev_recon, prev_frame.weights,
             self.depth, probes or self.probes, motion,
+        )
+        return pred
+
+    def _search(self, frame: VoxelFrame, prev: Tuple):
+        """Encoder-side v3 prediction: search the per-block field against
+        the true residual, then predict with it. Returns (pred,
+        motion_bytes); the decoder reproduces ``pred`` bitwise from
+        ``motion_bytes`` alone (:meth:`_predict_signalled`) — the closed
+        loop depends only on the signalled integers, not on replaying
+        the search."""
+        prev_frame, prev_recon = prev
+        motion = estimate_global_motion(
+            frame.codes, frame.weights, prev_frame.codes,
+            prev_frame.weights, self.depth,
+        )
+        mv = search_block_motion(
+            frame.codes, frame.attributes, frame.weights,
+            prev_frame.codes, prev_recon, prev_frame.weights,
+            self.depth, motion, block_side_log=self.block_side_log,
+        )
+        mv_np = np.asarray(mv)
+        motion_bytes = _pack_motion(
+            np.asarray(frame.codes), frame.n_voxels, self.depth,
+            self.block_side_log, np.asarray(motion).astype(np.int64),
+            mv_np,
+        )
+        pred, _ = predict_from_previous(
+            frame.codes, prev_frame.codes, prev_recon, prev_frame.weights,
+            self.depth, self.probes, mv,
+        )
+        return pred, motion_bytes
+
+    def _predict_signalled(self, frame: VoxelFrame, prev: Tuple,
+                           stream: FrameStream):
+        """Decoder-side v3 prediction from the stream's motion section."""
+        prev_frame, prev_recon = prev
+        mv = _unpack_motion(
+            stream.motion, np.asarray(frame.codes), frame.n_voxels,
+            frame.codes.shape[0], self.depth,
+        )
+        pred, _ = predict_from_previous(
+            frame.codes, prev_frame.codes, prev_recon, prev_frame.weights,
+            self.depth, stream.probes, jnp.asarray(mv),
         )
         return pred
 
@@ -140,13 +249,20 @@ class SequenceCodec:
         pred = None
         if not force_intra:
             t_inter = StageTimer()
-            pred = t_inter.time("Predict_time", self._predict, frame,
-                                self._prev)
+            if self.signal_motion:
+                pred, motion_bytes = t_inter.time(
+                    "Predict_time", self._search, frame, self._prev
+                )
+            else:
+                pred = t_inter.time("Predict_time", self._predict, frame,
+                                    self._prev)
+                motion_bytes = None
             enc_inter = self.codec.encode(
                 _residual_frame(frame, pred), steps, timer=t_inter
             )
             enc_inter.stream.inter = True
             enc_inter.stream.probes = self.probes
+            enc_inter.stream.motion = motion_bytes
             if (
                 enc_intra is None
                 or enc_inter.stream.payload_bytes
@@ -215,7 +331,11 @@ class SequenceCodec:
                 )
         rec, _ = self.codec.decode(stream, frame.codes, frame.weights)
         if stream.inter:
-            pred = self._predict(frame, self._prev, probes=stream.probes)
+            if stream.motion is not None:
+                pred = self._predict_signalled(frame, self._prev, stream)
+            else:
+                pred = self._predict(frame, self._prev,
+                                     probes=stream.probes)
             rec = rec + np.asarray(pred)[: frame.n_voxels]
         self._prev = (frame, self._padded_recon(frame, rec))
         self._index += 1

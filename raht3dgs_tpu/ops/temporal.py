@@ -241,6 +241,121 @@ def _refine_block_motion_jit(codes_t, weights_t, codes_prev, weights_prev,
     ) - extra
 
 
+def search_block_motion(codes_t, attrs_t, weights_t, codes_prev,
+                        attrs_prev, weights_prev, depth: int, motion,
+                        block_side_log: int = 4, iters: int = 2,
+                        min_hits: int = 8, join: str = None):
+    """Encoder-side per-block motion estimation against the TRUE residual.
+
+    :func:`refine_block_motion` must be bitwise-replayable by the decoder,
+    so its displacement witness is purely geometric — the d²-nearest hit
+    probe — which saturates at ~zero once the surfaces overlap (a probe
+    at offset 0 usually hits even when the *content* moved). This
+    estimator instead lets the CURRENT frame's attributes pick each
+    voxel's witness (the hit probe with the smallest attribute error —
+    texture identifies the correspondence), then aggregates witnesses
+    per octree block exactly like rev 1 (mean over the block, round,
+    re-center) and ITERATES, reaching ±``iters`` voxels (Chebyshev)
+    around the global vector. It needs frame t's attributes, so it runs
+    on the encoder only and the resulting field is SIGNALLED in the
+    stream (container v3), ~3 near-zero RLGR symbols per occupied block.
+
+    Measured alternatives that lost (keep them dead): per-block argmax
+    overlap and per-block argmin SSE — both collapse the block's
+    fractional displacement distribution to whichever single integer
+    shift wins a tally, where mean-then-round tracks it
+    (docs/rd_temporal.md).
+
+    The result is block-constant (pad slots share their block's vector
+    and never vote — weight 0), so slicing row 0 of each occupied block
+    recovers exactly the signalled field.
+
+    Returns an (N, 3) int32 per-voxel motion field (content sits near
+    ``position - motion`` in the previous frame).
+    """
+    return _search_block_motion_jit(
+        codes_t, attrs_t, weights_t, codes_prev, attrs_prev, weights_prev,
+        depth, motion, block_side_log, iters, min_hits,
+        join or _join_impl(),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "depth", "block_side_log", "iters", "min_hits", "join"))
+def _search_block_motion_jit(codes_t, attrs_t, weights_t, codes_prev,
+                             attrs_prev, weights_prev, depth, motion,
+                             block_side_log, iters, min_hits, join):
+    from raht3dgs_tpu.ops.segment import sorted_segment_sums
+
+    P0 = morton_decode(codes_t, depth)
+    lim = jnp.int32(2**depth - 1)
+    occ_t = weights_t > 0
+    occ_p = weights_prev > 0
+    offs_i = jnp.asarray(_SHELL27, jnp.int32)               # (27, 3)
+    at = attrs_t.astype(jnp.float64)
+
+    first = block_first(codes_t, depth, block_side_log)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+
+    mv = jnp.broadcast_to(jnp.asarray(motion, jnp.int32), P0.shape)
+    for _ in range(iters):                                   # static unroll
+        P = P0 - mv
+        cp = _probe_codes(P, _SHELL27, lim, depth, codes_prev.dtype)
+        hit, idx = _probe_match(cp, codes_prev, occ_p, join)
+        # per-voxel displacement witness: among the HIT probes, the one
+        # whose previous-frame attributes best match this voxel's — the
+        # attributes carry the correspondence (texture) that a purely
+        # geometric nearest-probe winner cannot see. (Block-level argmin/
+        # argmax criteria — max overlap, matched-mean SSE — were all
+        # measured worse: they collapse the block's fractional
+        # displacement distribution to whichever integer shift wins a
+        # tally, where the mean-then-round below tracks it; see
+        # docs/rd_temporal.md.)
+        err_cols = []
+        for k in range(offs_i.shape[0]):
+            pk = attrs_prev[idx[:, k]].astype(jnp.float64)
+            e = jnp.sum((pk - at) ** 2, axis=1)
+            err_cols.append(jnp.where(hit[:, k], e, jnp.inf))
+        err = jnp.stack(err_cols, axis=1)                    # (N, 27)
+        win = jnp.argmin(err, axis=1)                        # first min
+        found = jnp.any(hit, axis=1)
+        valid = found & occ_t
+        woff = jnp.asarray(_SHELL27, jnp.float64)[win] * valid[:, None]
+        vals = jnp.concatenate(
+            [woff, valid[:, None].astype(jnp.float64)], axis=1
+        )
+        sums, _, _, _ = sorted_segment_sums(vals, first)
+        cnt = sums[seg, 3]
+        mean = sums[seg, :3] / jnp.maximum(cnt, 1.0)[:, None]
+        extra = jnp.where(
+            (cnt >= min_hits)[:, None], jnp.round(mean), 0.0
+        ).astype(jnp.int32)
+        # the winning offset points from the compensated position TOWARD
+        # the prev content (content at P - mv + off) => mv' = mv - off
+        mv = mv - extra
+    return mv
+
+
+def block_first(codes, depth: int, block_side_log: int = 4):
+    """(N,) bool marking the first row of each octree block (top-code-bit
+    run) of the sorted ``codes``. The SAME rule on encoder and decoder
+    maps signalled per-block motion symbols to voxels: blocks are defined
+    by code bits, not array layout, so the mapping is bucket-size
+    independent."""
+    import numpy as np
+
+    xp = jnp if isinstance(codes, jax.Array) else np
+    if depth > block_side_log:
+        # cast the shift to the code dtype: uint64 >> int32 silently
+        # promotes to float64 in numpy (CLAUDE.md invariant)
+        bid = codes >> codes.dtype.type(3 * (depth - block_side_log))
+    else:
+        bid = xp.zeros_like(codes)
+    return xp.concatenate(
+        [xp.ones((1,), bool), bid[1:] != bid[:-1]]
+    )
+
+
 def predict_from_previous(codes_t, codes_prev, attrs_prev, weights_prev,
                           depth: int, probes: int = 7, motion=None,
                           join: str = None):

@@ -361,7 +361,9 @@ def test_container_v1_still_parses():
     blob[4] = 1
     back = FrameStream.from_bytes(bytes(blob))
     assert back.channels == [b"abc"] and back.quant_mode == "mid"
-    blob[4] = 3
+    blob[4] = 3  # v3 without the inter flag carries no motion section
+    assert FrameStream.from_bytes(bytes(blob)).motion is None
+    blob[4] = 4
     with pytest.raises(ValueError, match="unsupported version"):
         FrameStream.from_bytes(bytes(blob))
 
@@ -374,3 +376,151 @@ def test_decode_rejects_leading_inter(frames):
     first_inter = next(s for s in streams if s.inter)
     with pytest.raises(ValueError, match="inter stream"):
         sc.decode_sequence([first_inter], [frames[1]])
+
+
+def test_signalled_motion_v3_container(frames):
+    """Default streams signal the motion field: version byte 3 on inter
+    frames (2 on intra), a nonempty motion section that survives the
+    container roundtrip, and payload_bytes charging it to the rate."""
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=8)
+    streams, recons = sc.encode_sequence(frames, steps=4.0)
+    assert any(s.inter for s in streams)
+    for s in streams:
+        blob = s.to_bytes()
+        assert blob[4] == (3 if s.inter else 2)
+        p = FrameStream.from_bytes(blob)
+        if s.inter:
+            assert p.motion == s.motion and len(p.motion) > 0
+            assert p.payload_bytes == sum(
+                len(c) for c in p.channels
+            ) + len(p.motion)
+        else:
+            assert p.motion is None
+
+    # decode purely from parsed containers: bitwise closed loop
+    dec = SequenceCodec(6).decode_sequence(
+        [FrameStream.from_bytes(s.to_bytes()) for s in streams], frames
+    )
+    for r_enc, r_dec in zip(recons, dec):
+        np.testing.assert_array_equal(r_enc, r_dec)
+
+
+def test_v2_derived_motion_still_writes_and_decodes(frames):
+    """signal_motion=False reproduces the v2 stream (version byte 2, no
+    motion section, derived-motion decode) — the back-compat path for
+    streams written before the v3 format."""
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=8, signal_motion=False)
+    streams, recons = sc.encode_sequence(frames, steps=4.0)
+    assert any(s.inter for s in streams)
+    assert all(s.to_bytes()[4] == 2 and s.motion is None for s in streams)
+    dec = SequenceCodec(6).decode_sequence(
+        [FrameStream.from_bytes(s.to_bytes()) for s in streams], frames
+    )
+    for r_enc, r_dec in zip(recons, dec):
+        np.testing.assert_array_equal(r_enc, r_dec)
+
+
+def test_signalled_motion_bucket_independent(frames, seq):
+    """The signalled field maps to blocks by code bits, not array
+    layout: decoding with a different pad bucket must be bitwise equal."""
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    sc = SequenceCodec(6, gop=4)
+    streams, recons = sc.encode_sequence(frames, steps=4.0)
+    assert any(s.motion is not None for s in streams)
+    frames_big = [
+        prepare_voxel_frame(V, C, 6, bucket=1 << 16) for V, C in seq
+    ]
+    dec = SequenceCodec(6).decode_sequence(streams, frames_big)
+    for r_enc, r_dec in zip(recons, dec):
+        np.testing.assert_array_equal(r_enc, r_dec)
+
+
+def test_motion_section_corruption_detected(frames):
+    """Truncated or mismatched motion sections must raise, not decode
+    garbage."""
+    import pytest
+
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+    from raht3dgs_tpu.models.temporal import SequenceCodec, _unpack_motion
+
+    sc = SequenceCodec(6, gop=8)
+    streams, _ = sc.encode_sequence(frames, steps=4.0)
+    s = next(s for s in streams if s.inter)
+    with pytest.raises(ValueError, match="header cut off"):
+        _unpack_motion(s.motion[:4], np.asarray(frames[1].codes),
+                       frames[1].n_voxels, frames[1].codes.shape[0], 6)
+    # a motion section applied to the WRONG frame's positions: the block
+    # count disagrees and the check fires before any RLGR decode
+    with pytest.raises(ValueError, match="blocks"):
+        _unpack_motion(bytes(s.motion), np.asarray(frames[0].codes),
+                       frames[0].n_voxels, frames[0].codes.shape[0], 6)
+
+    # container-level: a v3 inter blob cut inside the motion section
+    blob = s.to_bytes()
+    head = blob[: 60]
+    with pytest.raises(ValueError, match="truncated"):
+        FrameStream.from_bytes(head)
+
+
+def test_search_block_motion_recovers_translation(frames):
+    """Pure integer translation: the signalled field must equal the true
+    shift on every occupied voxel (global catches it; the per-block
+    search adds zero corrections)."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.ops.morton import morton_decode
+    from raht3dgs_tpu.ops.temporal import (
+        estimate_global_motion,
+        search_block_motion,
+    )
+
+    f0 = frames[0]
+    occ = np.asarray(f0.weights) > 0
+    V = np.asarray(morton_decode(f0.codes, 6))[occ]
+    A = np.asarray(f0.attributes)[occ]
+    shift = np.array([1, -2, 2])
+    keep = np.all((V + shift >= 0) & (V + shift <= 63), axis=1)
+    f1 = prepare_voxel_frame((V[keep] + shift).astype(np.int64), A[keep], 6)
+    m = estimate_global_motion(f1.codes, f1.weights, f0.codes, f0.weights, 6)
+    mv = search_block_motion(
+        f1.codes, f1.attributes, f1.weights, f0.codes,
+        jnp.asarray(np.asarray(f0.attributes)), f0.weights, 6, m,
+    )
+    occ1 = np.asarray(f1.weights) > 0
+    np.testing.assert_array_equal(
+        np.asarray(mv)[occ1],
+        np.broadcast_to(shift, (int(occ1.sum()), 3)),
+    )
+
+
+def test_search_join_impls_identical(frames, monkeypatch):
+    """search_block_motion must be join-implementation independent like
+    the rev1 ops (the encoder may run either backend)."""
+    from raht3dgs_tpu.ops import temporal as T
+
+    f0, f1 = frames[0], frames[1]
+
+    def run():
+        gm = T.estimate_global_motion(
+            f1.codes, f1.weights, f0.codes, f0.weights, 6
+        )
+        mv = T.search_block_motion(
+            f1.codes, f1.attributes, f1.weights, f0.codes, f0.attributes,
+            f0.weights, 6, gm,
+        )
+        return np.asarray(mv)
+
+    monkeypatch.setenv("RAHT3DGS_TEMPORAL_JOIN", "search")
+    a = run()
+    monkeypatch.setenv("RAHT3DGS_TEMPORAL_JOIN", "sort")
+    b = run()
+    np.testing.assert_array_equal(a, b)
