@@ -1,0 +1,162 @@
+"""Octree occupancy (de)serialization for lossless geometry coding.
+
+The reference transmits attributes only — its drivers assume the decoder
+already has the voxel geometry (``/root/reference/python/encode_ply.py``
+never serializes positions, and its bpp metric at ``encode_ply.py:218``
+charges attribute bytes alone). This module is a beyond-reference
+capability: the sorted unique Morton codes of a frame ARE a depth-J
+octree, and a breadth-first walk of that octree is fully described by one
+*occupancy byte* per internal node (bit c set == child ``c`` occupied).
+Coding those bytes makes the bitstream self-contained.
+
+Both directions are vectorized numpy over whole levels (this is the
+host-side entropy stage — the same tier as ``codec/rlgr.py``; the TPU
+program never sees geometry bytes):
+
+- serialize: per level, group sorted child codes by parent with
+  ``np.bitwise_or.reduceat`` at group starts — no Python loop over nodes.
+- deserialize: per level, expand each occupancy byte into its set bits
+  with one ``np.nonzero`` on an ``(n_nodes, 8)`` bit matrix; row-major
+  order of the result IS sorted Morton order, so the rebuild needs no sort.
+
+The byte stream is *self-framing* given ``depth``: level 0 is one byte
+(the root), and each level's node count is the popcount sum of the
+previous level's bytes. No side information beyond the depth (already in
+the container header) is required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U3 = np.uint64(3)
+_U7 = np.uint64(7)
+
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+# child-bit expansion table: _BITS8[b] = bool row of b's 8 bits, LSB first
+_BITS8 = (
+    (np.arange(256, dtype=np.uint8)[:, None] >> np.arange(8, dtype=np.uint8))
+    & 1
+).astype(bool)
+
+
+def octree_serialize(codes: np.ndarray, depth: int) -> np.ndarray:
+    """Sorted unique Morton codes -> breadth-first occupancy bytes.
+
+    Args:
+        codes: ``(N,)`` strictly increasing Morton codes in
+            ``[0, 2**(3*depth))`` (any integer dtype; values are taken as
+            unsigned).
+        depth: octree depth J >= 1.
+
+    Returns:
+        ``(M,)`` uint8 occupancy bytes, levels 0..depth-1 concatenated,
+        nodes within a level in sorted (Morton) order. ``M`` is the number
+        of internal (occupied, non-leaf) octree nodes.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    codes = np.asarray(codes)
+    if codes.ndim != 1:
+        raise ValueError(f"codes must be 1-D, got shape {codes.shape}")
+    if codes.size == 0:
+        raise ValueError("cannot serialize an empty octree (n_voxels == 0)")
+    u = codes.astype(np.uint64)
+    if codes.dtype.kind == "i" and np.any(codes < 0):
+        raise ValueError("negative Morton codes")
+    if depth < 22 and np.any(u >= np.uint64(1) << np.uint64(3 * depth)):
+        raise ValueError(f"codes exceed 3*depth = {3 * depth} bits")
+    if np.any(u[1:] <= u[:-1]):
+        raise ValueError("codes must be strictly increasing (sorted unique)")
+
+    levels = []
+    level_codes = u
+    for _ in range(depth):
+        parents = level_codes >> _U3
+        child = (level_codes & _U7).astype(np.uint8)
+        starts = np.flatnonzero(
+            np.concatenate([[True], parents[1:] != parents[:-1]])
+        )
+        occ = np.bitwise_or.reduceat(
+            np.left_shift(np.uint8(1), child), starts
+        )
+        levels.append(occ)
+        level_codes = parents[starts]
+    # the walk must have merged to the single root (prefix 0)
+    assert level_codes.size == 1 and level_codes[0] == 0
+    return np.concatenate(levels[::-1])
+
+
+def octree_deserialize(occ: np.ndarray, depth: int,
+                       dtype=np.uint64) -> np.ndarray:
+    """Inverse of :func:`octree_serialize`: occupancy bytes -> sorted codes.
+
+    Raises ``ValueError`` on malformed input (zero occupancy byte, stream
+    too short / too long for ``depth``) — corrupt geometry must never
+    silently decode.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    occ = np.asarray(occ, dtype=np.uint8)
+    if occ.ndim != 1:
+        raise ValueError(f"occupancy must be 1-D, got shape {occ.shape}")
+    pos = 0
+    level_codes = np.zeros(1, dtype=np.uint64)
+    for lvl in range(depth):
+        n_nodes = level_codes.size
+        if pos + n_nodes > occ.size:
+            raise ValueError(
+                f"truncated occupancy stream: level {lvl} needs {n_nodes} "
+                f"bytes at offset {pos}, have {occ.size}"
+            )
+        b = occ[pos : pos + n_nodes]
+        pos += n_nodes
+        if np.any(b == 0):
+            raise ValueError(
+                f"corrupt occupancy stream: zero byte at level {lvl} "
+                "(an occupied node must have at least one child)"
+            )
+        rows, cols = np.nonzero(_BITS8[b])
+        level_codes = (level_codes[rows] << _U3) | cols.astype(np.uint64)
+    if pos != occ.size:
+        raise ValueError(
+            f"occupancy stream has {occ.size - pos} trailing bytes "
+            f"beyond depth {depth}"
+        )
+    out = level_codes.astype(dtype)
+    if np.dtype(dtype) != np.uint64 and np.any(
+        out.astype(np.uint64) != level_codes
+    ):
+        raise ValueError(f"decoded codes overflow dtype {np.dtype(dtype)}")
+    return out
+
+
+def occupancy_level_sizes(occ: np.ndarray, depth: int) -> np.ndarray:
+    """Per-level node counts of a serialized stream (levels 0..depth-1).
+
+    Shares the self-framing rule with :func:`octree_deserialize` without
+    materializing codes — used by the entropy layer to assign per-level
+    probability contexts.
+    """
+    occ = np.asarray(occ, dtype=np.uint8)
+    sizes = np.empty(depth, dtype=np.int64)
+    pos, n_nodes = 0, 1
+    for lvl in range(depth):
+        if pos + n_nodes > occ.size:
+            raise ValueError(
+                f"truncated occupancy stream: level {lvl} needs {n_nodes} "
+                f"bytes at offset {pos}, have {occ.size}"
+            )
+        sizes[lvl] = n_nodes
+        nxt = int(_POPCOUNT8[occ[pos : pos + n_nodes]].sum())
+        pos += n_nodes
+        n_nodes = nxt
+    if pos != occ.size:
+        raise ValueError(
+            f"occupancy stream has {occ.size - pos} trailing bytes "
+            f"beyond depth {depth}"
+        )
+    return sizes
