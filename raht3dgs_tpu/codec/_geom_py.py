@@ -1,0 +1,152 @@
+"""Pure-Python geometry entropy coder — bit-exact mirror of native/geom.cpp.
+
+Fallback for hosts without a C++ toolchain, and the cross-check oracle: the
+byte-identity tests in tests/test_geometry.py run every stream through both
+backends. The automaton (LZMA-style carry-less binary range coder, 12-bit
+probabilities, shift-5 adaptation, level-banked binary-tree contexts over
+LSB-first occupancy bits, forced-one last bit) is frozen stream format —
+change both backends together and bump the geometry profile byte
+(codec/geometry.py). See native/geom.cpp for the context-model design
+rationale and the measured richer-context dead end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PROB_BITS = 12
+_PROB_INIT = 1 << (_PROB_BITS - 1)
+_ADAPT_SHIFT = 5
+_TOP = 1 << 24
+_LEVEL_BANKS = 8
+_TREE_CTX = 256
+_NUM_CTX = _LEVEL_BANKS * _TREE_CTX
+_MASK32 = 0xFFFFFFFF
+
+
+def _bank_base(level: int) -> int:
+    return min(level, _LEVEL_BANKS - 1) * _TREE_CTX
+
+
+def encode(occ: np.ndarray, depth: int) -> bytes:
+    occ_list = np.asarray(occ, dtype=np.uint8).tolist()
+    n = len(occ_list)
+    if n == 0 or depth == 0:
+        raise ValueError("occupancy level walk inconsistent with input")
+    out = bytearray()
+    low = 0
+    rng = _MASK32
+    cache = 0
+    cache_size = 1
+    probs = [_PROB_INIT] * _NUM_CTX
+
+    def shift_low():
+        nonlocal low, cache, cache_size
+        if (low & _MASK32) < 0xFF000000 or (low >> 32) != 0:
+            carry = low >> 32
+            out.append((cache + carry) & 0xFF)
+            for _ in range(cache_size - 1):
+                out.append((0xFF + carry) & 0xFF)
+            cache_size = 0
+            cache = (low >> 24) & 0xFF
+        cache_size += 1
+        low = (low & 0x00FFFFFF) << 8
+
+    def encode_bit(ci: int, bit: int):
+        nonlocal low, rng
+        p = probs[ci]
+        bound = (rng >> _PROB_BITS) * p
+        if bit == 0:
+            rng = bound
+            probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+        else:
+            low += bound
+            rng -= bound
+            probs[ci] = p - (p >> _ADAPT_SHIFT)
+        while rng < _TOP:
+            shift_low()
+            rng = (rng << 8) & _MASK32
+
+    pos, n_nodes = 0, 1
+    for level in range(depth):
+        if pos + n_nodes > n:
+            raise ValueError("occupancy level walk inconsistent with input")
+        base = _bank_base(level)
+        next_nodes = 0
+        for j in range(pos, pos + n_nodes):
+            b = occ_list[j]
+            if b == 0:
+                raise ValueError("zero occupancy byte")
+            next_nodes += bin(b).count("1")
+            ctx = 1
+            for i in range(8):
+                bit = (b >> i) & 1
+                if i == 7 and ctx == 1:
+                    break  # forced 1: byte can't be zero
+                encode_bit(base + ctx, bit)
+                ctx = (ctx << 1) | bit
+        pos += n_nodes
+        n_nodes = next_nodes
+    if pos != n:
+        raise ValueError("occupancy level walk inconsistent with input")
+    for _ in range(5):
+        shift_low()
+    return bytes(out)
+
+
+def decode(buf: bytes, depth: int, max_bytes: int) -> np.ndarray:
+    if depth == 0 or max_bytes == 0:
+        raise ValueError("decoded occupancy walk exceeds capacity")
+    probs = [_PROB_INIT] * _NUM_CTX
+    rng = _MASK32
+    blen = len(buf)
+    bpos = 1  # skip the initial cache byte (always 0)
+    code = 0
+    for _ in range(4):
+        code = (code << 8) | (buf[bpos] if bpos < blen else 0)
+        bpos += 1
+
+    def decode_bit(ci: int) -> int:
+        nonlocal code, rng, bpos
+        p = probs[ci]
+        bound = (rng >> _PROB_BITS) * p
+        if code < bound:
+            bit = 0
+            rng = bound
+            probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+        else:
+            bit = 1
+            code -= bound
+            rng -= bound
+            probs[ci] = p - (p >> _ADAPT_SHIFT)
+        while rng < _TOP:
+            # C++ code_ is uint32: the high byte drops on shift
+            code = ((code << 8) | (buf[bpos] if bpos < blen else 0)) & _MASK32
+            bpos += 1
+            rng = (rng << 8) & _MASK32
+        return bit
+
+    out = []
+    pos, n_nodes = 0, 1
+    for level in range(depth):
+        if pos + n_nodes > max_bytes:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+        base = _bank_base(level)
+        next_nodes = 0
+        for _ in range(n_nodes):
+            ctx = 1
+            b = 0
+            for i in range(8):
+                if i == 7 and ctx == 1:
+                    bit = 1  # forced: occupancy bytes are never zero
+                else:
+                    bit = decode_bit(base + ctx)
+                b |= bit << i
+                ctx = (ctx << 1) | bit
+            out.append(b)
+            next_nodes += bin(b).count("1")
+        pos += n_nodes
+        n_nodes = next_nodes
+    return np.asarray(out, dtype=np.uint8)

@@ -1,0 +1,179 @@
+"""Lossless geometry coding front-end: octree occupancy + binary range coder.
+
+Beyond-reference capability: the reference transmits attributes only and
+leaves geometry out of band (``/root/reference/python/encode_ply.py`` — its
+bpp metric charges attribute bytes alone). Here a frame's sorted unique
+Morton codes are serialized as octree occupancy bytes (``ops/octree.py``)
+and entropy-coded with an adaptive binary range coder, giving a fully
+self-contained bitstream at ~1-3 bits/voxel on surface-like clouds.
+
+Backend structure mirrors ``codec/rlgr.py``: a plain C shared library
+(``native/geom.cpp``) built on first use and called through ctypes on
+contiguous buffers, with a bit-exact pure-Python fallback
+(``codec/_geom_py.py``). Streams are byte-identical between backends
+(asserted in tests) — the coder automaton is frozen stream format.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import warnings
+from typing import Optional
+
+import numpy as np
+
+from raht3dgs_tpu.codec import _geom_py
+from raht3dgs_tpu.ops.octree import octree_deserialize, octree_serialize
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_SRC = os.path.join(_NATIVE_DIR, "geom.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libgeom.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried_build = False
+
+
+def _build_native() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB
+    except Exception as e:  # pragma: no cover - toolchain missing
+        warnings.warn(f"could not build native geometry coder: {e}")
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried_build
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or (
+        os.path.exists(_SRC)
+        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    ):
+        if _tried_build:
+            return None
+        _tried_build = True
+        if _build_native() is None:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError as e:  # pragma: no cover
+        warnings.warn(f"could not load native geometry coder: {e}")
+        return None
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.geom_encode.argtypes = [
+        pu8, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.POINTER(pu8), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.geom_encode.restype = ctypes.c_int
+    lib.geom_decode.argtypes = [
+        pu8, ctypes.c_size_t, ctypes.c_size_t,
+        pu8, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.geom_decode.restype = ctypes.c_int
+    lib.geom_buffer_free.argtypes = [pu8]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _use_native() -> bool:
+    return os.environ.get("RAHT3DGS_GEOM_NATIVE", "1") != "0" and (
+        _load() is not None
+    )
+
+
+def _encode_occ(occ: np.ndarray, depth: int) -> bytes:
+    occ = np.ascontiguousarray(occ, dtype=np.uint8)
+    if _use_native():
+        lib = _load()
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_size_t()
+        rc = lib.geom_encode(
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            occ.size, depth, ctypes.byref(out), ctypes.byref(out_len),
+        )
+        if rc != 0:
+            raise ValueError(f"geometry encode failed (rc={rc})")
+        try:
+            return ctypes.string_at(out, out_len.value)
+        finally:
+            lib.geom_buffer_free(out)
+    return _geom_py.encode(occ, depth)
+
+
+def _decode_occ(data: bytes, depth: int, max_bytes: int) -> np.ndarray:
+    if _use_native():
+        lib = _load()
+        buf = np.frombuffer(data, dtype=np.uint8)
+        buf = np.ascontiguousarray(buf)
+        out = np.empty(max_bytes, dtype=np.uint8)
+        out_n = ctypes.c_size_t()
+        rc = lib.geom_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+            depth,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+            ctypes.byref(out_n),
+        )
+        if rc != 0:
+            raise ValueError(
+                f"geometry decode failed (rc={rc}): corrupt stream or "
+                "capacity overflow"
+            )
+        return out[: out_n.value]
+    return _geom_py.decode(data, depth, max_bytes)
+
+
+# Leading section byte: coder profile. Profile 0 = the automaton frozen in
+# native/geom.cpp / _geom_py.py. Better context models can be added as new
+# profiles without touching the container format.
+_PROFILE_V0 = 0
+
+
+def encode_geometry(codes: np.ndarray, depth: int) -> bytes:
+    """Sorted unique Morton codes -> self-contained geometry section bytes."""
+    return bytes([_PROFILE_V0]) + _encode_occ(
+        octree_serialize(codes, depth), depth
+    )
+
+
+def decode_geometry(
+    data: bytes, depth: int, n_voxels: int, dtype=None
+) -> np.ndarray:
+    """Geometry section bytes -> sorted unique Morton codes.
+
+    ``n_voxels`` (from the container header) bounds the decode walk and is
+    cross-checked against the decoded leaf count — a mismatch means a
+    corrupt stream and raises rather than returning wrong geometry.
+    """
+    if n_voxels < 1:
+        raise ValueError(f"n_voxels must be >= 1, got {n_voxels}")
+    if len(data) < 1:
+        raise ValueError("empty geometry section")
+    if data[0] != _PROFILE_V0:
+        raise ValueError(f"unknown geometry coder profile {data[0]}")
+    # every voxel contributes at most one internal node per level
+    max_bytes = n_voxels * depth + 1
+    occ = _decode_occ(data[1:], depth, max_bytes)
+    if dtype is None:
+        # match morton_encode's output tier (ops/morton.py): int32 through
+        # J=10, int64 above (J=21 codes fit 63 bits)
+        dtype = np.int32 if depth <= 10 else np.int64
+    codes = octree_deserialize(occ, depth, dtype=dtype)
+    if codes.size != n_voxels:
+        raise ValueError(
+            f"corrupt geometry stream: decoded {codes.size} voxels, "
+            f"header says {n_voxels}"
+        )
+    return codes

@@ -1,0 +1,269 @@
+// Geometry entropy coder: adaptive binary range coding of octree occupancy
+// bytes — native backend.
+//
+// This is a beyond-reference capability (the reference transmits attributes
+// only and assumes decoder-side geometry; see encode_ply.py). The stream
+// format is frozen here and mirrored bit-for-bit by the Python fallback
+// (raht3dgs_tpu/codec/_geom_py.py); tests assert byte-identity between the
+// two backends.
+//
+// Coder: carry-less LZMA-style binary range coder (32-bit range, 64-bit low
+// with cache/cache_size byte emission), 12-bit adaptive probabilities with
+// shift-5 update, initialized to 1/2.
+//
+// Context model (profile 0): each occupancy byte is decomposed LSB-first
+// into 8 binary decisions (bit c == "child c occupied"). The context of a
+// bit is
+//   (level bank, binary-tree node)
+// where the level bank is min(level, 7) — shallow octree levels are
+// near-dense, deep levels sparse, and sharing them would drag both — and
+// the tree node is the standard ctx = ctx*2 + bit walk (ctx in [1, 255]):
+// together the 255 adaptive bins model the full joint byte distribution
+// within a bank.
+// One structural bit is free: an occupancy byte is never zero, so when the
+// first 7 children are absent the last bit is forced 1 and not coded.
+//
+// MEASURED DEAD END (richer contexts): conditioning additionally on the
+// parent byte, the node's octant, or the 3 face-adjacent sibling bits
+// (sib3) cuts the STATIC conditional entropy 7-24% on synthetic surface
+// shells, but loses ADAPTIVELY at codec stream sizes (85k-360k bytes):
+// bank-only 8.48/4.87 bits/voxel vs sib3*child 8.68/5.19 (J=10/J=8,
+// exact -log2(p) simulation of this coder) — splitting 255 tree contexts
+// across 64x more banks costs more in relearning than the context
+// explains. Dual-rate adaptation (shift 3 for the first 16 updates)
+// recovers only ~0.01 bpv. Revisit with real scans (vs noisy synthetic
+// shells) under a new profile byte if richer contexts ever pay.
+//
+// The byte stream is self-framing given the octree depth: level 0 is one
+// byte and each level's node count is the popcount sum of the previous
+// level (see ops/octree.py). Both entry points walk levels that way, so the
+// API needs no side table.
+//
+// Exposed as a plain C API for ctypes (no pybind11 dependency):
+//   geom_encode / geom_decode / geom_buffer_free.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr unsigned kProbBits = 12;
+constexpr uint16_t kProbInit = 1u << (kProbBits - 1);  // 2048: p(bit==0)
+constexpr unsigned kAdaptShift = 5;
+constexpr uint32_t kTopValue = 1u << 24;
+constexpr unsigned kLevelBanks = 8;
+constexpr unsigned kTreeCtx = 256;  // index 1..255 used
+constexpr unsigned kNumCtx = kLevelBanks * kTreeCtx;
+
+struct ByteSink {
+  uint8_t* buf;
+  size_t len = 0, cap;
+  explicit ByteSink(size_t c0 = 4096)
+      : buf(static_cast<uint8_t*>(std::malloc(c0))), cap(c0) {}
+  ~ByteSink() { std::free(buf); }
+  ByteSink(const ByteSink&) = delete;
+  ByteSink& operator=(const ByteSink&) = delete;
+  inline void put(uint8_t b) {
+    if (len == cap) {
+      cap *= 2;
+      buf = static_cast<uint8_t*>(std::realloc(buf, cap));
+    }
+    buf[len++] = b;
+  }
+  uint8_t* release() {
+    uint8_t* p = buf;
+    buf = nullptr;
+    return p;
+  }
+};
+
+class RangeEncoder {
+ public:
+  explicit RangeEncoder(ByteSink* out) : out_(out) {}
+
+  inline void encode_bit(uint16_t* prob, unsigned bit) {
+    const uint32_t bound = (range_ >> kProbBits) * *prob;
+    if (bit == 0) {
+      range_ = bound;
+      *prob += ((1u << kProbBits) - *prob) >> kAdaptShift;
+    } else {
+      low_ += bound;
+      range_ -= bound;
+      *prob -= *prob >> kAdaptShift;
+    }
+    while (range_ < kTopValue) {
+      shift_low();
+      range_ <<= 8;
+    }
+  }
+
+  void flush() {
+    for (int i = 0; i < 5; ++i) shift_low();
+  }
+
+ private:
+  inline void shift_low() {
+    if (static_cast<uint32_t>(low_) < 0xFF000000u || (low_ >> 32) != 0) {
+      uint8_t carry = static_cast<uint8_t>(low_ >> 32);
+      uint8_t temp = cache_;
+      do {
+        out_->put(static_cast<uint8_t>(temp + carry));
+        temp = 0xFF;
+      } while (--cache_size_ != 0);
+      cache_ = static_cast<uint8_t>(low_ >> 24);
+    }
+    ++cache_size_;
+    low_ = (low_ & 0x00FFFFFFull) << 8;
+  }
+
+  ByteSink* out_;
+  uint64_t low_ = 0;
+  uint32_t range_ = 0xFFFFFFFFu;
+  uint8_t cache_ = 0;
+  uint64_t cache_size_ = 1;
+};
+
+class RangeDecoder {
+ public:
+  RangeDecoder(const uint8_t* buf, size_t len) : buf_(buf), len_(len) {
+    // the first emitted byte is always the initial cache (0); skip it and
+    // preload 4 code bytes, zero-padding past the end (a well-formed
+    // stream never reads past it for real decisions)
+    next();  // skip
+    for (int i = 0; i < 4; ++i) code_ = (code_ << 8) | next();
+  }
+
+  inline unsigned decode_bit(uint16_t* prob) {
+    const uint32_t bound = (range_ >> kProbBits) * *prob;
+    unsigned bit;
+    if (code_ < bound) {
+      bit = 0;
+      range_ = bound;
+      *prob += ((1u << kProbBits) - *prob) >> kAdaptShift;
+    } else {
+      bit = 1;
+      code_ -= bound;
+      range_ -= bound;
+      *prob -= *prob >> kAdaptShift;
+    }
+    while (range_ < kTopValue) {
+      code_ = (code_ << 8) | next();
+      range_ <<= 8;
+    }
+    return bit;
+  }
+
+ private:
+  inline uint8_t next() { return pos_ < len_ ? buf_[pos_++] : 0; }
+
+  const uint8_t* buf_;
+  size_t len_, pos_ = 0;
+  uint32_t code_ = 0, range_ = 0xFFFFFFFFu;
+};
+
+inline unsigned level_bank(size_t level) {
+  return level < kLevelBanks ? static_cast<unsigned>(level)
+                             : kLevelBanks - 1;
+}
+
+inline uint16_t* bank_of(uint16_t* probs, size_t level) {
+  return probs + level_bank(level) * kTreeCtx;
+}
+
+inline void encode_byte(RangeEncoder& enc, uint16_t* bank, uint8_t b) {
+  unsigned ctx = 1;
+  for (unsigned i = 0; i < 8; ++i) {
+    const unsigned bit = (b >> i) & 1u;
+    if (i == 7 && ctx == 1) break;  // forced 1: byte can't be zero
+    enc.encode_bit(&bank[ctx], bit);
+    ctx = (ctx << 1) | bit;
+  }
+}
+
+inline uint8_t decode_byte(RangeDecoder& dec, uint16_t* bank) {
+  unsigned ctx = 1;
+  unsigned b = 0;
+  for (unsigned i = 0; i < 8; ++i) {
+    unsigned bit;
+    if (i == 7 && ctx == 1) {
+      bit = 1;  // forced: occupancy bytes are never zero
+    } else {
+      bit = dec.decode_bit(&bank[ctx]);
+    }
+    b |= bit << i;
+    ctx = (ctx << 1) | bit;
+  }
+  return static_cast<uint8_t>(b);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n occupancy bytes (levels 0..depth-1, self-framing) into a
+// malloc'd buffer returned via *out / *out_len (caller frees with
+// geom_buffer_free). Returns 0 on success, -1 on allocation failure, -2 if
+// the level walk is inconsistent with n (zero byte, or size mismatch).
+int geom_encode(const uint8_t* occ, size_t n, size_t depth, uint8_t** out,
+                size_t* out_len) {
+  if (n == 0 || depth == 0) return -2;
+  ByteSink sink;
+  if (!sink.buf) return -1;
+  RangeEncoder enc(&sink);
+  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+
+  // level-driven walk: each level's byte count is the popcount sum of the
+  // previous level's bytes (the self-framing rule of ops/octree.py)
+  size_t pos = 0, n_nodes = 1;
+  for (size_t level = 0; level < depth; ++level) {
+    if (pos + n_nodes > n) return -2;
+    uint16_t* bank = bank_of(probs.data(), level);
+    size_t next_nodes = 0;
+    for (size_t j = 0; j < n_nodes; ++j) {
+      const uint8_t b = occ[pos + j];
+      if (b == 0) return -2;
+      next_nodes += static_cast<size_t>(__builtin_popcount(b));
+      encode_byte(enc, bank, b);
+    }
+    pos += n_nodes;
+    n_nodes = next_nodes;
+  }
+  if (pos != n) return -2;  // leaves (level == depth) carry no bytes
+  enc.flush();
+  *out_len = sink.len;
+  *out = sink.release();
+  if (!*out) return -1;
+  return 0;
+}
+
+// Decode into caller-owned out[0..out_cap); writes the decoded byte count
+// to *out_n. Returns 0 on success, -2 if the decoded walk would exceed
+// out_cap (corrupt stream or wrong capacity).
+int geom_decode(const uint8_t* buf, size_t buf_len, size_t depth,
+                uint8_t* out, size_t out_cap, size_t* out_n) {
+  if (depth == 0 || out_cap == 0) return -2;
+  RangeDecoder dec(buf, buf_len);
+  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+
+  size_t pos = 0, n_nodes = 1;
+  for (size_t level = 0; level < depth; ++level) {
+    if (pos + n_nodes > out_cap) return -2;
+    uint16_t* bank = bank_of(probs.data(), level);
+    size_t next_nodes = 0;
+    for (size_t j = 0; j < n_nodes; ++j) {
+      const uint8_t b = decode_byte(dec, bank);
+      out[pos + j] = b;
+      next_nodes += static_cast<size_t>(__builtin_popcount(b));
+    }
+    pos += n_nodes;
+    n_nodes = next_nodes;
+  }
+  *out_n = pos;
+  return 0;
+}
+
+void geom_buffer_free(uint8_t* buf) { std::free(buf); }
+
+}  // extern "C"
