@@ -43,6 +43,17 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
     )
 
 
+def add_geometry_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--code-geometry", action="store_true",
+        help="attach a lossless geometry section (octree occupancy + "
+        "adaptive binary range coder) to every SAVED stream, making the "
+        "bitstream self-contained: cli.decode then needs no --positions. "
+        "Geometry rate is reported separately from the attribute bpp "
+        "(the CSV schema and the reference's rate metric are unchanged)",
+    )
+
+
 def add_quant_args(p: argparse.ArgumentParser) -> None:
     """Quantizer selection flags (shared by the encode drivers)."""
     p.add_argument(

@@ -1,13 +1,19 @@
-"""Standalone decoder: .r3tc attribute stream + positions -> reconstructed PLY.
+"""Standalone decoder: .r3tc stream (+ optional positions) -> reconstructed PLY.
 
-The codec transmits attributes only; positions travel out of band (the
-reference's contract — its drivers decode in-process and never persist
-reconstructions). This driver completes the loop: given the bitstream and
-the voxel positions (any PLY with x/y/z), it rebuilds the transform
-structure from the positions, decodes, and writes a reconstructed PLY.
+By default the codec transmits attributes only; positions travel out of
+band (the reference's contract — its drivers decode in-process and never
+persist reconstructions). This driver completes the loop: given the
+bitstream and the voxel positions (any PLY with x/y/z), it rebuilds the
+transform structure from the positions, decodes, and writes a
+reconstructed PLY.
+
+Streams written with ``--code-geometry`` are SELF-CONTAINED: they carry a
+lossless geometry section (``codec/geometry.py``) and decode without
+``--positions`` at all — a beyond-reference capability.
 
     python -m raht3dgs_tpu.cli.decode --stream frame.r3tc \
         --positions frame.ply --output recon.ply [--color-space yuv]
+    python -m raht3dgs_tpu.cli.decode --stream frame.r3tc --output recon.ply
 """
 
 from __future__ import annotations
@@ -35,9 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--output must contain a '{i}' placeholder (0-based frame index)",
     )
     p.add_argument(
-        "--positions", required=True,
+        "--positions", default=None,
         help="PLY carrying the voxel positions (x/y/z; other properties "
-        "ignored)",
+        "ignored). Optional when the stream carries a lossless geometry "
+        "section (encoders' --code-geometry)",
     )
     p.add_argument("--output", required=True, help="reconstructed PLY path")
     p.add_argument(
@@ -67,10 +74,12 @@ def _run(args) -> int:
 
         seq = SequenceReader(args.stream)
         if args.all_frames:
-            if "{i}" not in args.positions or "{i}" not in args.output:
+            if "{i}" not in args.output or (
+                args.positions is not None and "{i}" not in args.positions
+            ):
                 raise SystemExit(
-                    "--all-frames needs a '{i}' placeholder in both "
-                    "--positions and --output"
+                    "--all-frames needs a '{i}' placeholder in --output "
+                    "(and in --positions when given)"
                 )
             streams = [seq.frame(i) for i in range(len(seq))]
             seq_codecs = {}
@@ -98,7 +107,9 @@ def _run(args) -> int:
                     sc.reset()
                 _decode_one(
                     args, stream,
-                    args.positions.format(i=i), args.output.format(i=i),
+                    None if args.positions is None
+                    else args.positions.format(i=i),
+                    args.output.format(i=i),
                     seq_codec=sc,
                 )
                 prev_depth = stream.depth
@@ -118,11 +129,31 @@ def _run(args) -> int:
 
 def _decode_one(args, stream, positions_path, output_path,
                 seq_codec=None) -> None:
-    import jax.numpy as jnp
+    from raht3dgs_tpu.io.ply import read_ply
 
-    from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
-    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
-    from raht3dgs_tpu.ops.color import yuv_to_rgb
+    if positions_path is None:
+        if stream.geometry is None:
+            raise SystemExit(
+                "stream carries no geometry section; pass --positions "
+                "(or re-encode with --code-geometry)"
+            )
+        from raht3dgs_tpu.codec.geometry import positions_from_geometry
+
+        V_int = positions_from_geometry(
+            stream.geometry, stream.depth, stream.n_voxels
+        )
+        V = V_int.astype(np.float64)
+        gs_meta = None
+        if args.color_space == "3dgs":
+            # world metadata rides the stream header: encode_3dgs stores
+            # width = voxel_size * 2**J and the true vmin
+            gs_meta = (
+                V_int,
+                stream.width / (1 << stream.depth),
+                stream.vmin,
+            )
+        _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec)
+        return
 
     gs_meta = None
     if args.color_space == "3dgs":
@@ -153,6 +184,15 @@ def _decode_one(args, stream, positions_path, output_path,
             f"stream encodes {stream.n_voxels} voxels but {positions_path} "
             f"has {len(V)} points"
         )
+    _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec)
+
+
+def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec) -> None:
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.io.ply import save_ply_ascii
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+    from raht3dgs_tpu.ops.color import yuv_to_rgb
 
     dtype = jnp_dtype(args.dtype)
     frame = prepare_voxel_frame(

@@ -17,6 +17,7 @@ import numpy as np
 
 from raht3dgs_tpu.cli._common import (
     CsvLogger,
+    add_geometry_arg,
     add_quant_args,
     add_runtime_args,
     configure_runtime,
@@ -56,6 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="search the step hitting this rate budget instead of sweeping "
         "--steps (honors --per-attribute multipliers)",
     )
+    add_geometry_arg(p)
     add_quant_args(p)
     add_runtime_args(p)
     return p
@@ -99,6 +101,7 @@ def _run(args) -> int:
         frame = prepare_voxel_frame(
             V_int, attrs.astype(np.float64), args.depth,
             bucket=args.bucket, dtype=dtype,
+            vmin=vmin, width=float(voxel_size) * (1 << args.depth),
         )
         codec = AttributeCodec(args.depth, dtype=dtype,
                                chunk=args.entropy_chunk,
@@ -125,6 +128,15 @@ def _run(args) -> int:
 
             out = Path(args.save_streams)
             out.mkdir(parents=True, exist_ok=True)
+            if args.code_geometry:
+                from raht3dgs_tpu.codec.geometry import (
+                    geometry_from_positions,
+                )
+
+                st = res.encoded.stream
+                st.geometry = geometry_from_positions(V_int, args.depth)
+                print(f"geometry {st.geometry_bpp():.3f} bits/voxel "
+                      "(lossless)")
             dest = out / f"gs_bpp{args.target_bpp:g}.r3tc"
             dest.write_bytes(res.encoded.stream.to_bytes())
             print(f"stream -> {dest}")
@@ -138,7 +150,16 @@ def _run(args) -> int:
         group_step_scales=group_scales, bucket=args.bucket, dtype=dtype,
         keep_streams=bool(args.save_streams or args.render != "none"),
         codec=codec,
+        vmin=vmin, width=float(voxel_size) * (1 << args.depth),
     )
+
+    geom = None
+    if args.code_geometry and args.save_streams:
+        from raht3dgs_tpu.codec.geometry import geometry_from_positions
+
+        geom = geometry_from_positions(V_int, args.depth)
+        print(f"geometry {len(geom) * 8.0 / len(V_int):.3f} bits/voxel "
+              "(lossless)")
 
     log = CsvLogger(args.csv or "results/runtime_3dgs.csv", CSV_HEADER)
     for pt in points:
@@ -154,6 +175,8 @@ def _run(args) -> int:
 
             out = Path(args.save_streams)
             out.mkdir(parents=True, exist_ok=True)
+            if geom is not None:
+                pt.encoded.stream.geometry = geom
             (out / f"gs_step{pt.step:g}.r3tc").write_bytes(
                 pt.encoded.stream.to_bytes()
             )

@@ -13,6 +13,7 @@ import argparse
 import sys
 
 from raht3dgs_tpu.cli._common import (
+    add_geometry_arg,
     CsvLogger,
     add_quant_args,
     add_runtime_args,
@@ -65,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--gop", type=int, default=16,
         help="with --inter: force an intra frame every GOP frames",
     )
+    add_geometry_arg(p)
     add_quant_args(p)
     add_runtime_args(p)
     return p
@@ -121,6 +123,11 @@ def _run(args) -> int:
                                   chunk=args.entropy_chunk,
                                   **quant_kwargs(args))
         )
+        geom = None
+        if args.code_geometry and args.save_sequence:
+            from raht3dgs_tpu.codec.geometry import geometry_from_positions
+
+            geom = geometry_from_positions(V, depth)
         for pt in encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=frame,
             codec=codec, bucket=args.bucket, dtype=dtype,
@@ -129,6 +136,8 @@ def _run(args) -> int:
         ):
             log.row(pt.csv_row())
             if args.save_sequence and pt.encoded is not None:
+                if geom is not None:
+                    pt.encoded.stream.geometry = geom
                 seq_streams.append(pt.encoded.stream)
         print(f"frame {frame} done")
     log.close()
@@ -205,6 +214,15 @@ def _run_inter(args, first, last, log, dtype) -> int:
               f"{pt.bpp:.4f} bpp, Y-PSNR {psnr:.2f} dB "
               f"({frame.n_voxels} voxels)")
         if args.save_sequence:
+            if args.code_geometry:
+                from raht3dgs_tpu.codec.geometry import (
+                    geometry_from_positions,
+                )
+
+                # geometry is coded intra per frame (temporal geometry
+                # prediction is future work); the attribute residual in
+                # inter frames is unaffected
+                stream.geometry = geometry_from_positions(V, depth)
             seq_streams.append(stream)
     log.close()
     print(f"inter frames: {n_inter}/{n_done}")
@@ -307,6 +325,11 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
                             chunk=args.entropy_chunk,
                             **quant_kwargs(args)),
     )
+    geoms = None
+    if args.code_geometry and args.save_sequence:
+        from raht3dgs_tpu.codec.geometry import geometry_from_positions
+
+        geoms = [geometry_from_positions(p, depth) for p in pos[:n_real]]
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         # transform once, reuse across the whole quantization-step sweep
@@ -335,6 +358,9 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
                 recs, timer = bc.decode(streams, frames, timer=timer,
                                         inv=inv_b)
             if args.save_sequence:
+                if geoms is not None:
+                    for st, g in zip(streams[:n_real], geoms):
+                        st.geometry = g
                 seq_streams.extend(streams[:n_real])
             # stage times cover the whole batch: report the per-frame share
             B = len(frames)

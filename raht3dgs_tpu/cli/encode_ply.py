@@ -16,6 +16,7 @@ import numpy as np
 
 from raht3dgs_tpu.cli._common import (
     CsvLogger,
+    add_geometry_arg,
     add_quant_args,
     add_runtime_args,
     configure_runtime,
@@ -65,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
         "symbols (parallel encode/decode on multi-core hosts; 0 = "
         "sequential reference-compatible streams)",
     )
+    add_geometry_arg(p)
     add_quant_args(p)
     add_runtime_args(p)
     return p
@@ -145,6 +147,15 @@ def _sweep(args, log, dtype, codec_cache) -> None:
 
                 out = Path(args.save_streams)
                 out.mkdir(parents=True, exist_ok=True)
+                if args.code_geometry:
+                    from raht3dgs_tpu.codec.geometry import (
+                        geometry_from_positions,
+                    )
+
+                    s = res.encoded.stream
+                    s.geometry = geometry_from_positions(V, depth)
+                    print(f"frame {idx}: geometry {s.geometry_bpp():.3f} "
+                          "bits/voxel (lossless)")
                 dest = out / f"frame{idx:04d}_bpp{args.target_bpp:g}.r3tc"
                 dest.write_bytes(res.encoded.stream.to_bytes())
                 print(f"frame {idx}: stream -> {dest}")
@@ -154,6 +165,14 @@ def _sweep(args, log, dtype, codec_cache) -> None:
             codec=codec, bucket=args.bucket, dtype=dtype,
             decode=not args.no_decode, keep_streams=bool(args.save_streams),
         )
+        geom = None
+        if args.code_geometry and args.save_streams:
+            from raht3dgs_tpu.codec.geometry import geometry_from_positions
+
+            # one geometry section per frame, shared across the step sweep
+            geom = geometry_from_positions(V, depth)
+            print(f"frame {idx}: geometry {len(geom) * 8.0 / len(V):.3f} "
+                  "bits/voxel (lossless)")
         for pt in points:
             log.row(pt.csv_row())
             print(
@@ -165,6 +184,8 @@ def _sweep(args, log, dtype, codec_cache) -> None:
 
                 out = Path(args.save_streams)
                 out.mkdir(parents=True, exist_ok=True)
+                if geom is not None:
+                    pt.encoded.stream.geometry = geom
                 fn = out / f"frame{idx:04d}_step{pt.step:g}.r3tc"
                 fn.write_bytes(pt.encoded.stream.to_bytes())
 

@@ -23,6 +23,13 @@ deadzone fields and the channel-length table: ``u32 motion_len`` +
 ``motion_len`` opaque bytes (payload format owned by
 ``models/temporal.py``). Version-2 inter frames carry no motion bytes —
 their decoder re-derives the rev-1 motion pipeline from geometry.
+
+Version-4 streams carry a lossless GEOMETRY section (``u32 geom_len`` +
+``geom_len`` bytes, format owned by ``codec/geometry.py``) between the
+deadzone fields and the motion section — the bitstream is then fully
+self-contained and the decoder needs no out-of-band positions. Writers
+emit 4 only when geometry is attached, so attribute-only streams stay
+byte-identical to older writers.
 """
 
 from __future__ import annotations
@@ -46,7 +53,11 @@ VERSION = 2
 # pipeline from geometry; writers emit 3 only when motion bytes are
 # present, so intra/v2 streams stay byte-identical to older writers.
 VERSION_MOTION = 3
-_READ_VERSIONS = (1, 2, 3)
+# v4 = v3 layout + a lossless GEOMETRY section (u32 length + opaque bytes,
+# codec/geometry.py format) between the deadzone fields and the motion
+# section. Emitted only when geometry is attached.
+VERSION_GEOM = 4
+_READ_VERSIONS = (1, 2, 3, 4)
 FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
 _ORDER_SHIFT = 1
@@ -93,6 +104,7 @@ class FrameStream:
     probes: int = 7                # inter probe set (7 | 27)
     dtype32: bool = False          # transform ran in float32 (else f64)
     motion: bytes = None           # signalled motion field (v3 inter)
+    geometry: bytes = None         # lossless geometry section (v4)
 
     @property
     def n_channels(self) -> int:
@@ -112,8 +124,21 @@ class FrameStream:
 
     def bpp(self) -> float:
         """Rate in bits per voxel over the attribute payload (the reference's
-        rate metric, ``encode_ply.py:218``)."""
+        rate metric, ``encode_ply.py:218`` — geometry is charged separately,
+        matching the reference's decoder-has-geometry contract)."""
         return self.payload_bytes * 8.0 / max(self.n_voxels, 1)
+
+    def geometry_bpp(self) -> float:
+        """Rate of the lossless geometry section in bits per voxel (0.0 when
+        the stream carries no geometry)."""
+        if self.geometry is None:
+            return 0.0
+        return len(self.geometry) * 8.0 / max(self.n_voxels, 1)
+
+    def total_bpp(self) -> float:
+        """Attribute + geometry rate — the self-contained stream's bits per
+        voxel (no out-of-band data)."""
+        return self.bpp() + self.geometry_bpp()
 
     def to_bytes(self) -> bytes:
         steps = np.atleast_1d(np.asarray(self.steps, dtype=np.float64))
@@ -134,11 +159,16 @@ class FrameStream:
             flags |= _PROBE_SETS.index(self.probes) << _PROBE_SHIFT
         if self.dtype32:
             flags |= FLAG_DTYPE32
+        if self.geometry is not None:
+            version = VERSION_GEOM
+        elif self.inter and self.motion is not None:
+            version = VERSION_MOTION
+        else:
+            version = VERSION
         head = struct.pack(
             "<4sBBBHQH",
             MAGIC,
-            VERSION_MOTION if (self.inter and self.motion is not None)
-            else VERSION,
+            version,
             flags,
             self.depth,
             self.n_channels,
@@ -156,6 +186,9 @@ class FrameStream:
         if self.quant_mode == "deadzone":
             head += struct.pack("<dd", float(self.quant_f),
                                 float(self.rec_delta))
+        if self.geometry is not None:
+            head += struct.pack("<I", len(self.geometry))
+            head += self.geometry
         if self.inter and self.motion is not None:
             head += struct.pack("<I", len(self.motion))
             head += self.motion
@@ -202,6 +235,16 @@ class FrameStream:
         if flags & FLAG_DEADZONE:
             quant_f, rec_delta = struct.unpack("<dd", data[off : off + 16])
             off += 16
+        geometry = None
+        if version >= 4:
+            if len(data) < off + 4:
+                raise ValueError("truncated stream: geometry length cut off")
+            (glen,) = struct.unpack("<I", data[off : off + 4])
+            off += 4
+            if len(data) < off + glen:
+                raise ValueError("truncated stream: geometry section cut off")
+            geometry = data[off : off + glen]
+            off += glen
         motion = None
         if version >= 3 and flags & FLAG_INTER:
             if len(data) < off + 4:
@@ -242,6 +285,7 @@ class FrameStream:
             probes=_PROBE_SETS[(flags >> _PROBE_SHIFT) & 0x1],
             dtype32=bool(flags & FLAG_DTYPE32),
             motion=motion,
+            geometry=geometry,
         )
 
 

@@ -148,6 +148,42 @@ def encode_geometry(codes: np.ndarray, depth: int) -> bytes:
     )
 
 
+def geometry_from_positions(V: np.ndarray, depth: int) -> bytes:
+    """Geometry section from unique integer voxel positions (any row order).
+
+    Convenience for the CLI drivers: positions -> sorted Morton codes ->
+    :func:`encode_geometry`. The decoder reconstructs the SET of positions
+    (in Morton order); per-point attribute rows are stored Morton-sorted in
+    the stream anyway, so nothing else is needed for a self-contained
+    decode (cli/decode.py).
+    """
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    Vint = np.floor(np.asarray(V)).astype(np.int64)
+    codes = np.sort(morton_codes_np(Vint, depth))
+    if codes.size > 1 and np.any(codes[1:] == codes[:-1]):
+        raise ValueError(
+            "duplicate voxel positions — geometry coding needs the same "
+            "deduplicated input the attribute codec does"
+        )
+    return encode_geometry(codes, depth)
+
+
+def positions_from_geometry(
+    data: bytes, depth: int, n_voxels: int
+) -> np.ndarray:
+    """Inverse of :func:`geometry_from_positions`: section bytes ->
+    ``(N, 3)`` integer voxel positions in Morton order."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.ops.morton import morton_decode
+
+    codes = decode_geometry(data, depth, n_voxels)
+    return np.asarray(
+        morton_decode(jnp.asarray(codes), depth), dtype=np.int64
+    )
+
+
 def decode_geometry(
     data: bytes, depth: int, n_voxels: int, dtype=None
 ) -> np.ndarray:

@@ -110,3 +110,48 @@ def test_encode_3dgs_debug_strategies_and_ablation(ckpt, tmp_path, capsys):
     # ablation reports one PSNR per attribute group
     for grp in ("quats", "scales", "opacity", "colors"):
         assert grp in out
+
+
+def test_3dgs_self_contained_decode(ckpt, tmp_path):
+    """--code-geometry on encode_3dgs: the stream decodes in 3dgs mode with
+    no --positions, recovering voxel coords AND world metadata (voxel_size,
+    vmin ride the stream header)."""
+    from raht3dgs_tpu.cli.decode import main as decode_main
+    from raht3dgs_tpu.cli.encode_3dgs import main as enc_main
+    from raht3dgs_tpu.cli.voxelize_3dgs import main as vox_main
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    outdir = tmp_path / "vox"
+    assert vox_main([
+        "--ckpt", str(ckpt), "--depth", "6", "--output-dir", str(outdir),
+        "--render", "none", "--platform", "cpu",
+    ]) == 0
+    voxply = glob.glob(str(outdir / "*compressed*.ply"))[0]
+
+    streams_dir = tmp_path / "streams"
+    assert enc_main([
+        "--input", voxply, "--steps", "0.01", "--platform", "cpu",
+        "--save-streams", str(streams_dir), "--code-geometry",
+    ]) == 0
+    stream = glob.glob(str(streams_dir / "*.r3tc"))[0]
+
+    recon = tmp_path / "recon_geom.ply"
+    assert decode_main([
+        "--stream", str(stream), "--output", str(recon),
+        "--color-space", "3dgs", "--platform", "cpu",
+    ]) == 0
+    v0, a0, vs0, vmin0 = read_compressed_3dgs_ply(voxply)
+    v1, a1, vs1, vmin1 = read_compressed_3dgs_ply(str(recon))
+    # geometry-decoded voxels come back in Morton order (encode_3dgs's
+    # default --depth, which the stream records)
+    from raht3dgs_tpu.config import GsCodecConfig
+
+    order = np.argsort(
+        morton_codes_np(v0.astype(np.int64), GsCodecConfig.depth),
+        kind="stable",
+    )
+    np.testing.assert_array_equal(v0[order], v1)
+    np.testing.assert_allclose(vs0, vs1, rtol=1e-6)
+    np.testing.assert_allclose(vmin0, vmin1, rtol=1e-6)
+    assert np.abs(a0[order] - a1).max() < 0.02

@@ -92,3 +92,49 @@ def test_encode_ply_voxelize_and_target_bpp(tmp_path, rng):
         "--input", str(ply), "--voxelize", "--target-bpp", "2.0",
         "--platform", "cpu", "--depth", str(depth),
     ]) == 0
+
+
+def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
+    """--code-geometry on the sequential, batched and inter dataset paths:
+    every saved frame carries a decodable geometry section and the whole
+    .r3ts decodes without --positions."""
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.cli.encode_dataset import main
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+    from raht3dgs_tpu.codec.geometry import positions_from_geometry
+
+    for name, extra in [
+        ("seq", []),
+        ("batched", ["--batch", "2"]),
+        ("inter", ["--inter"]),
+    ]:
+        seq_path = tmp_path / f"{name}.r3ts"
+        steps = ["--steps", "4"]
+        rc = main([
+            "--dataset", "8iVFBv2", "--sequence", "loot",
+            "--data-root", str(dataset_tree), "--frames", "1", "4",
+            *steps, "--platform", "cpu",
+            "--csv", str(tmp_path / f"{name}.csv"),
+            "--save-sequence", str(seq_path), "--code-geometry", *extra,
+        ])
+        assert rc == 0
+        seq = SequenceReader(seq_path)
+        assert len(seq) == 3
+        for st in seq:
+            assert st.geometry is not None
+            V = positions_from_geometry(st.geometry, st.depth, st.n_voxels)
+            assert V.shape == (st.n_voxels, 3)
+            assert st.geometry_bpp() > 0
+    # full self-contained decode of the inter sequence (chained P-frames)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "inter.r3ts"), "--all-frames",
+         "--output", str(tmp_path / "rec_{i}.ply"),
+         "--platform", "cpu"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for i in range(3):
+        assert (tmp_path / f"rec_{i}.ply").exists()

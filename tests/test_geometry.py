@@ -120,3 +120,137 @@ def test_encode_rejects_bad_walk():
         geometry._encode_occ(np.array([3, 1], dtype=np.uint8), 3)
     with pytest.raises(ValueError):
         geometry._encode_occ(np.array([0], dtype=np.uint8), 1)
+
+
+# -- container v4 + self-contained CLI decode ---------------------------------
+
+
+def test_container_v4_roundtrip():
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    codes = _surface_codes(6, n=600)
+    geom = geometry.encode_geometry(codes, 6)
+    st = FrameStream(
+        depth=6, n_voxels=codes.size, steps=np.array([2.0]),
+        channels=[b"abc", b"defg"], geometry=geom,
+    )
+    blob = st.to_bytes()
+    assert blob[4] == 4  # VERSION_GEOM
+    back = FrameStream.from_bytes(blob)
+    assert back.geometry == geom
+    assert back.channels == [b"abc", b"defg"]
+    np.testing.assert_array_equal(
+        geometry.decode_geometry(back.geometry, 6, codes.size,
+                                 dtype=codes.dtype),
+        codes,
+    )
+    # geometry charged separately from the reference's attribute rate
+    assert back.bpp() == st.payload_bytes * 8.0 / codes.size
+    assert back.geometry_bpp() == len(geom) * 8.0 / codes.size
+    assert back.total_bpp() == back.bpp() + back.geometry_bpp()
+    # attribute rate never includes geometry bytes
+    no_geom = FrameStream(
+        depth=6, n_voxels=codes.size, steps=np.array([2.0]),
+        channels=[b"abc", b"defg"],
+    )
+    assert back.bpp() == no_geom.bpp()
+
+
+def test_container_v4_with_deadzone_and_motion():
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    codes = _surface_codes(5, n=200)
+    geom = geometry.encode_geometry(codes, 5)
+    st = FrameStream(
+        depth=5, n_voxels=codes.size, steps=np.array([1.0]),
+        channels=[b"xy"], quant_mode="deadzone", quant_f=0.3,
+        rec_delta=0.12, inter=True, probes=27, motion=b"MOTIONBYTES",
+        geometry=geom, chunk=64,
+    )
+    back = FrameStream.from_bytes(st.to_bytes())
+    assert back.geometry == geom and back.motion == b"MOTIONBYTES"
+    assert back.quant_mode == "deadzone" and back.inter and back.probes == 27
+    assert back.chunk == 64
+
+
+def test_container_v4_truncation_rejected():
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    codes = _surface_codes(5, n=200)
+    st = FrameStream(
+        depth=5, n_voxels=codes.size, steps=np.array([1.0]),
+        channels=[b"xy"], geometry=geometry.encode_geometry(codes, 5),
+    )
+    blob = st.to_bytes()
+    # cut inside the geometry section
+    cut = len(blob) - len(st.channels[0]) - 4 - 10
+    with pytest.raises(ValueError, match="truncated"):
+        FrameStream.from_bytes(blob[:cut])
+
+
+def test_default_streams_stay_v2():
+    # attribute-only streams must remain byte-identical to pre-v4 writers
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    st = FrameStream(depth=5, n_voxels=10, steps=np.array([1.0]),
+                     channels=[b"xy"])
+    assert st.to_bytes()[4] == 2
+
+
+def test_cli_self_contained_decode(tmp_path):
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import read_ply_8i, save_ply_ascii
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    rng = np.random.default_rng(11)
+    depth = 5
+    lim = 1 << depth
+    pts = np.unique(rng.integers(0, lim, size=(500, 3)), axis=0)
+    rgb = (pts * 7 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=lim - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2",
+         "--csv", str(tmp_path / "e.csv"), "--platform", "cpu",
+         "--bucket", "512", "--save-streams", str(tmp_path),
+         "--code-geometry"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "geometry" in out.stdout  # rate printed
+    # decode WITHOUT --positions: the stream is self-contained
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "frame0001_step2.r3tc"),
+         "--output", str(tmp_path / "rec.ply"),
+         "--platform", "cpu", "--bucket", "512"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    V2, C2, _ = read_ply_8i(tmp_path / "rec.ply")
+    # positions come back exactly, in Morton order
+    order = np.argsort(morton_codes_np(pts.astype(np.int64), depth),
+                       kind="stable")
+    np.testing.assert_array_equal(V2.astype(np.int64), pts[order])
+    assert np.abs(C2.astype(float) - rgb[order].astype(float)).mean() < 3.0
+    # decoding a geometry-free stream without positions fails loudly
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2",
+         "--csv", str(tmp_path / "e2.csv"), "--platform", "cpu",
+         "--bucket", "512", "--save-streams", str(tmp_path / "nog")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "nog" / "frame0001_step2.r3tc"),
+         "--output", str(tmp_path / "rec2.ply"),
+         "--platform", "cpu", "--bucket", "512"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "no geometry section" in out.stderr

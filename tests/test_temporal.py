@@ -363,7 +363,10 @@ def test_container_v1_still_parses():
     assert back.channels == [b"abc"] and back.quant_mode == "mid"
     blob[4] = 3  # v3 without the inter flag carries no motion section
     assert FrameStream.from_bytes(bytes(blob)).motion is None
-    blob[4] = 4
+    blob[4] = 4  # v4 expects a geometry section this v2 blob doesn't have
+    with pytest.raises(ValueError, match="truncated"):
+        FrameStream.from_bytes(bytes(blob))
+    blob[4] = 5
     with pytest.raises(ValueError, match="unsupported version"):
         FrameStream.from_bytes(bytes(blob))
 
