@@ -101,17 +101,21 @@ def _run(args) -> int:
                         dtype=jnp.float32 if s.dtype32 else jnp.float64,
                     ))
             prev_depth = None
+            geom_prev = (None, None)  # (codes, depth) of frame i-1
             for i, stream in enumerate(streams):
                 sc = seq_codecs.get(stream.depth)
                 if sc is not None and prev_depth != stream.depth:
                     sc.reset()
-                _decode_one(
+                cur_codes = _decode_one(
                     args, stream,
                     None if args.positions is None
                     else args.positions.format(i=i),
                     args.output.format(i=i),
                     seq_codec=sc,
+                    geom_prev=geom_prev[0]
+                    if geom_prev[1] == stream.depth else None,
                 )
+                geom_prev = (cur_codes, stream.depth)
                 prev_depth = stream.depth
             print(f"decoded all {len(seq)} frames of {args.stream}")
             return 0
@@ -128,7 +132,10 @@ def _run(args) -> int:
 
 
 def _decode_one(args, stream, positions_path, output_path,
-                seq_codec=None) -> None:
+                seq_codec=None, geom_prev=None):
+    """Decode one frame. Returns the frame's geometry codes when they came
+    from the stream (the caller threads them as the next frame's temporal
+    reference), else None."""
     from raht3dgs_tpu.io.ply import read_ply
 
     if positions_path is None:
@@ -137,10 +144,26 @@ def _decode_one(args, stream, positions_path, output_path,
                 "stream carries no geometry section; pass --positions "
                 "(or re-encode with --code-geometry)"
             )
-        from raht3dgs_tpu.codec.geometry import positions_from_geometry
+        import jax.numpy as jnp
 
-        V_int = positions_from_geometry(
-            stream.geometry, stream.depth, stream.n_voxels
+        from raht3dgs_tpu.codec.geometry import decode_geometry
+        from raht3dgs_tpu.ops.morton import morton_decode
+
+        try:
+            codes = decode_geometry(
+                stream.geometry, stream.depth, stream.n_voxels,
+                prev_codes=geom_prev,
+            )
+        except ValueError as e:
+            if "needs prev_codes" in str(e):
+                raise SystemExit(
+                    "temporal geometry stream: decode the whole sequence "
+                    "with --all-frames so the geometry chain can replay "
+                    "from frame 0"
+                )
+            raise
+        V_int = np.asarray(
+            morton_decode(jnp.asarray(codes), stream.depth), dtype=np.int64
         )
         V = V_int.astype(np.float64)
         gs_meta = None
@@ -153,7 +176,7 @@ def _decode_one(args, stream, positions_path, output_path,
                 stream.vmin,
             )
         _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec)
-        return
+        return codes
 
     gs_meta = None
     if args.color_space == "3dgs":
@@ -185,6 +208,7 @@ def _decode_one(args, stream, positions_path, output_path,
             f"has {len(V)} points"
         )
     _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec)
+    return None
 
 
 def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec) -> None:

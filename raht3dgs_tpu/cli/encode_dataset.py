@@ -112,6 +112,7 @@ def _run(args) -> int:
         return _run_batched(args, first, last, log, dtype)
 
     seq_streams = []
+    geom_prev = (None, None)  # (codes, depth) of the last SAVED frame
     for frame in range(first, last + 1):
         out = get_pointcloud(args.dataset, args.sequence, frame, args.data_root)
         if out is None:
@@ -125,9 +126,20 @@ def _run(args) -> int:
         )
         geom = None
         if args.code_geometry and args.save_sequence:
-            from raht3dgs_tpu.codec.geometry import geometry_from_positions
+            from raht3dgs_tpu.codec.geometry import (
+                codes_from_positions,
+                encode_geometry,
+            )
 
-            geom = geometry_from_positions(V, depth)
+            # temporal profile references the IMMEDIATELY preceding frame
+            # of the sequence when depths match (the decoder replays the
+            # same rule; --save-sequence guarantees one stream per frame)
+            cur_codes = codes_from_positions(V, depth)
+            geom = encode_geometry(
+                cur_codes, depth,
+                prev_codes=geom_prev[0] if geom_prev[1] == depth else None,
+            )
+            geom_prev = (cur_codes, depth)
         for pt in encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=frame,
             codec=codec, bucket=args.bucket, dtype=dtype,
@@ -169,6 +181,7 @@ def _run_inter(args, first, last, log, dtype) -> int:
     step = args.steps[0]
     codecs = {}
     seq_streams = []
+    geom_prev = (None, None)  # (codes, depth) of the last saved frame
     n_inter = 0
     n_done = 0
     prev_depth = None
@@ -216,13 +229,17 @@ def _run_inter(args, first, last, log, dtype) -> int:
         if args.save_sequence:
             if args.code_geometry:
                 from raht3dgs_tpu.codec.geometry import (
-                    geometry_from_positions,
+                    codes_from_positions,
+                    encode_geometry,
                 )
 
-                # geometry is coded intra per frame (temporal geometry
-                # prediction is future work); the attribute residual in
-                # inter frames is unaffected
-                stream.geometry = geometry_from_positions(V, depth)
+                cur_codes = codes_from_positions(V, depth)
+                stream.geometry = encode_geometry(
+                    cur_codes, depth,
+                    prev_codes=geom_prev[0] if geom_prev[1] == depth
+                    else None,
+                )
+                geom_prev = (cur_codes, depth)
             seq_streams.append(stream)
     log.close()
     print(f"inter frames: {n_inter}/{n_done}")
@@ -256,6 +273,7 @@ def _run_batched(args, first, last, log, dtype) -> int:
 
     frames_idx = list(range(first, last + 1))
     seq_streams = []
+    geom_chain = [None, None]  # mutable (codes, depth) of the last saved frame
     codec_cache = {}
     for chunk_start in range(0, len(frames_idx), args.batch):
         chunk = frames_idx[chunk_start : chunk_start + args.batch]
@@ -277,7 +295,7 @@ def _run_batched(args, first, last, log, dtype) -> int:
         for depth, members in by_depth.items():
             _encode_depth_batch(
                 args, members, depth, mesh, n_dev, dtype, log, seq_streams,
-                codec_cache,
+                codec_cache, geom_chain,
             )
         print(f"frames {chunk[0]}..{chunk[-1]} done (batched)")
     log.close()
@@ -291,7 +309,7 @@ def _run_batched(args, first, last, log, dtype) -> int:
 
 
 def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
-                        seq_streams, codec_cache) -> None:
+                        seq_streams, codec_cache, geom_chain=None) -> None:
     """Encode one equal-depth batch of loaded frames through the batched
     codec, logging per-frame rows (no padding duplicates leak out)."""
     import contextlib
@@ -327,9 +345,23 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
     )
     geoms = None
     if args.code_geometry and args.save_sequence:
-        from raht3dgs_tpu.codec.geometry import geometry_from_positions
+        from raht3dgs_tpu.codec.geometry import (
+            codes_from_positions,
+            encode_geometry,
+        )
 
-        geoms = [geometry_from_positions(p, depth) for p in pos[:n_real]]
+        # --save-sequence guarantees one step, so streams land in member
+        # order: chain the temporal profile across consecutive saved
+        # frames (across batches too, via geom_chain)
+        geoms = []
+        for p in pos[:n_real]:
+            cur_codes = codes_from_positions(p, depth)
+            prev = (geom_chain[0]
+                    if geom_chain is not None and geom_chain[1] == depth
+                    else None)
+            geoms.append(encode_geometry(cur_codes, depth, prev_codes=prev))
+            if geom_chain is not None:
+                geom_chain[0], geom_chain[1] = cur_codes, depth
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         # transform once, reuse across the whole quantization-step sweep

@@ -150,3 +150,133 @@ def decode(buf: bytes, depth: int, max_bytes: int) -> np.ndarray:
         pos += n_nodes
         n_nodes = next_nodes
     return np.asarray(out, dtype=np.uint8)
+
+
+# -- temporal coder (geometry profile 1) --------------------------------------
+# Stateful level-by-level mirror of native/geom.cpp's geom_enc_*/geom_dec_*.
+# Contexts: (level bank, tflag, tree node), tflag in {0: unmatched,
+# 2: prev bit 0, 3: prev bit 1} (1 reserved).
+
+_TFLAG_CTX = 4
+_NUM_CTX_T = _LEVEL_BANKS * _TFLAG_CTX * _TREE_CTX
+
+
+def _bank_base_t(level: int, tflag: int) -> int:
+    return (min(level, _LEVEL_BANKS - 1) * _TFLAG_CTX + tflag) * _TREE_CTX
+
+
+class TemporalEncoder:
+    def __init__(self):
+        self._out = bytearray()
+        self._low = 0
+        self._rng = _MASK32
+        self._cache = 0
+        self._cache_size = 1
+        self._probs = [_PROB_INIT] * _NUM_CTX_T
+
+    def _shift_low(self):
+        low = self._low
+        if (low & _MASK32) < 0xFF000000 or (low >> 32) != 0:
+            carry = low >> 32
+            self._out.append((self._cache + carry) & 0xFF)
+            for _ in range(self._cache_size - 1):
+                self._out.append((0xFF + carry) & 0xFF)
+            self._cache_size = 0
+            self._cache = (low >> 24) & 0xFF
+        self._cache_size += 1
+        self._low = (low & 0x00FFFFFF) << 8
+
+    def _encode_bit(self, ci: int, bit: int):
+        p = self._probs[ci]
+        bound = (self._rng >> _PROB_BITS) * p
+        if bit == 0:
+            self._rng = bound
+            self._probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+        else:
+            self._low += bound
+            self._rng -= bound
+            self._probs[ci] = p - (p >> _ADAPT_SHIFT)
+        while self._rng < _TOP:
+            self._shift_low()
+            self._rng = (self._rng << 8) & _MASK32
+
+    def encode_level(self, occ, matched, prevbyte, level: int):
+        occ = np.asarray(occ, dtype=np.uint8).tolist()
+        matched = np.asarray(matched, dtype=np.uint8).tolist()
+        prevbyte = np.asarray(prevbyte, dtype=np.uint8).tolist()
+        for j, b in enumerate(occ):
+            if b == 0:
+                raise ValueError("zero occupancy byte")
+            m = matched[j] != 0
+            pb = prevbyte[j]
+            ctx = 1
+            for i in range(8):
+                bit = (b >> i) & 1
+                if i == 7 and ctx == 1:
+                    break  # forced 1: byte can't be zero
+                tflag = (2 + ((pb >> i) & 1)) if m else 0
+                self._encode_bit(_bank_base_t(level, tflag) + ctx, bit)
+                ctx = (ctx << 1) | bit
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self._out)
+
+
+class TemporalDecoder:
+    def __init__(self, buf: bytes):
+        self._buf = buf
+        self._blen = len(buf)
+        self._bpos = 1  # skip the initial cache byte (always 0)
+        self._rng = _MASK32
+        self._probs = [_PROB_INIT] * _NUM_CTX_T
+        code = 0
+        for _ in range(4):
+            code = (code << 8) | (
+                buf[self._bpos] if self._bpos < self._blen else 0
+            )
+            self._bpos += 1
+        self._code = code
+
+    def _decode_bit(self, ci: int) -> int:
+        p = self._probs[ci]
+        bound = (self._rng >> _PROB_BITS) * p
+        if self._code < bound:
+            bit = 0
+            self._rng = bound
+            self._probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+        else:
+            bit = 1
+            self._code -= bound
+            self._rng -= bound
+            self._probs[ci] = p - (p >> _ADAPT_SHIFT)
+        while self._rng < _TOP:
+            # C++ code_ is uint32: the high byte drops on shift
+            self._code = (
+                (self._code << 8)
+                | (self._buf[self._bpos] if self._bpos < self._blen else 0)
+            ) & _MASK32
+            self._bpos += 1
+            self._rng = (self._rng << 8) & _MASK32
+        return bit
+
+    def decode_level(self, matched, prevbyte, n: int, level: int):
+        matched = np.asarray(matched, dtype=np.uint8).tolist()
+        prevbyte = np.asarray(prevbyte, dtype=np.uint8).tolist()
+        out = np.empty(n, dtype=np.uint8)
+        for j in range(n):
+            m = matched[j] != 0
+            pb = prevbyte[j]
+            ctx = 1
+            b = 0
+            for i in range(8):
+                if i == 7 and ctx == 1:
+                    bit = 1  # forced: occupancy bytes are never zero
+                else:
+                    tflag = (2 + ((pb >> i) & 1)) if m else 0
+                    bit = self._decode_bit(_bank_base_t(level, tflag) + ctx)
+                b |= bit << i
+                ctx = (ctx << 1) | bit
+            out[j] = b
+        return out

@@ -45,6 +45,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -265,5 +266,120 @@ int geom_decode(const uint8_t* buf, size_t buf_len, size_t depth,
 }
 
 void geom_buffer_free(uint8_t* buf) { std::free(buf); }
+
+// ---------------------------------------------------------------------------
+// Temporal coder (geometry profile 1): stateful level-by-level API.
+//
+// P-frame octrees are coded with contexts conditioned on the PREVIOUS
+// frame's decoded octree: for each current node matched (same code, same
+// level) to a previous-frame node, bit i's context gains that node's
+// previous occupancy bit i. Measured on the synthetic deforming sequence
+// (exact adaptive simulation): 2.818 -> 2.450 bits/voxel at J=8 and
+// 4.800 -> 4.322 at J=9 vs the intra profile (-13% / -10%); the full
+// previous BYTE as context measured no better (2.469 / 4.303) while
+// multiplying banks 64x, so the per-bit flag is the keeper.
+//
+// Contexts: (level bank, tflag, tree node) with tflag in {0: unmatched,
+// 2: prev bit 0, 3: prev bit 1} (1 reserved) -> 4x the intra bank count.
+//
+// The node matching (searchsorted between the frames' per-level sorted
+// codes) is vectorized numpy in codec/geometry.py; the Python<->native
+// ping-pong is one call per octree level (<= 21). The caller must keep
+// the stream buffer alive for the lifetime of a decoder handle.
+
+namespace {
+
+constexpr unsigned kTFlagCtx = 4;
+constexpr unsigned kNumCtxT = kLevelBanks * kTFlagCtx * kTreeCtx;
+
+inline uint16_t* bank_of_t(uint16_t* probs, size_t level, unsigned tflag) {
+  return probs + (level_bank(level) * kTFlagCtx + tflag) * kTreeCtx;
+}
+
+struct GeomEnc {
+  ByteSink sink;
+  RangeEncoder enc;
+  std::vector<uint16_t> probs;
+  GeomEnc() : enc(&sink), probs(kNumCtxT, kProbInit) {}
+};
+
+struct GeomDec {
+  RangeDecoder dec;
+  std::vector<uint16_t> probs;
+  GeomDec(const uint8_t* buf, size_t len)
+      : dec(buf, len), probs(kNumCtxT, kProbInit) {}
+};
+
+}  // namespace
+
+void* geom_enc_new() { return new (std::nothrow) GeomEnc(); }
+
+// Encode one level's occupancy bytes. matched[j] != 0 means node j exists
+// in the previous frame with occupancy prevbyte[j]. Returns 0, or -2 on a
+// zero occupancy byte.
+int geom_enc_level(void* h, const uint8_t* occ, const uint8_t* matched,
+                   const uint8_t* prevbyte, size_t n, size_t level) {
+  GeomEnc* e = static_cast<GeomEnc*>(h);
+  for (size_t j = 0; j < n; ++j) {
+    const uint8_t b = occ[j];
+    if (b == 0) return -2;
+    const bool m = matched[j] != 0;
+    const uint8_t pb = prevbyte[j];
+    unsigned ctx = 1;
+    for (unsigned i = 0; i < 8; ++i) {
+      const unsigned bit = (b >> i) & 1u;
+      if (i == 7 && ctx == 1) break;  // forced 1: byte can't be zero
+      const unsigned tflag = m ? (2u + ((pb >> i) & 1u)) : 0u;
+      uint16_t* bank = bank_of_t(e->probs.data(), level, tflag);
+      e->enc.encode_bit(&bank[ctx], bit);
+      ctx = (ctx << 1) | bit;
+    }
+  }
+  return 0;
+}
+
+// Flush and hand the stream to the caller (free with geom_buffer_free).
+// Call once; the handle still needs geom_enc_free afterwards.
+int geom_enc_finish(void* h, uint8_t** out, size_t* out_len) {
+  GeomEnc* e = static_cast<GeomEnc*>(h);
+  e->enc.flush();
+  *out_len = e->sink.len;
+  *out = e->sink.release();
+  return *out ? 0 : -1;
+}
+
+void geom_enc_free(void* h) { delete static_cast<GeomEnc*>(h); }
+
+void* geom_dec_new(const uint8_t* buf, size_t len) {
+  return new (std::nothrow) GeomDec(buf, len);
+}
+
+// Decode one level's n occupancy bytes into out (never zero bytes).
+int geom_dec_level(void* h, const uint8_t* matched, const uint8_t* prevbyte,
+                   size_t n, size_t level, uint8_t* out) {
+  GeomDec* d = static_cast<GeomDec*>(h);
+  for (size_t j = 0; j < n; ++j) {
+    const bool m = matched[j] != 0;
+    const uint8_t pb = prevbyte[j];
+    unsigned ctx = 1;
+    unsigned b = 0;
+    for (unsigned i = 0; i < 8; ++i) {
+      unsigned bit;
+      if (i == 7 && ctx == 1) {
+        bit = 1;  // forced: occupancy bytes are never zero
+      } else {
+        const unsigned tflag = m ? (2u + ((pb >> i) & 1u)) : 0u;
+        uint16_t* bank = bank_of_t(d->probs.data(), level, tflag);
+        bit = d->dec.decode_bit(&bank[ctx]);
+      }
+      b |= bit << i;
+      ctx = (ctx << 1) | bit;
+    }
+    out[j] = static_cast<uint8_t>(b);
+  }
+  return 0;
+}
+
+void geom_dec_free(void* h) { delete static_cast<GeomDec*>(h); }
 
 }  // extern "C"

@@ -43,19 +43,15 @@ _BITS8 = (
 ).astype(bool)
 
 
-def octree_serialize(codes: np.ndarray, depth: int) -> np.ndarray:
-    """Sorted unique Morton codes -> breadth-first occupancy bytes.
+def octree_levels(codes: np.ndarray, depth: int):
+    """Per-level structure of the octree over sorted unique Morton codes.
 
-    Args:
-        codes: ``(N,)`` strictly increasing Morton codes in
-            ``[0, 2**(3*depth))`` (any integer dtype; values are taken as
-            unsigned).
-        depth: octree depth J >= 1.
-
-    Returns:
-        ``(M,)`` uint8 occupancy bytes, levels 0..depth-1 concatenated,
-        nodes within a level in sorted (Morton) order. ``M`` is the number
-        of internal (occupied, non-leaf) octree nodes.
+    Returns ``(level_codes, level_occ)``: for each level l in 0..depth-1,
+    ``level_codes[l]`` is the sorted node codes (uint64, 3*l bits) and
+    ``level_occ[l]`` the matching occupancy bytes. The temporal geometry
+    coder (``codec/geometry.py`` profile 1) uses these to align nodes
+    across frames; ``octree_serialize`` is the flat concatenation of
+    ``level_occ``.
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
@@ -72,7 +68,7 @@ def octree_serialize(codes: np.ndarray, depth: int) -> np.ndarray:
     if np.any(u[1:] <= u[:-1]):
         raise ValueError("codes must be strictly increasing (sorted unique)")
 
-    levels = []
+    occ_rev, codes_rev = [], []
     level_codes = u
     for _ in range(depth):
         parents = level_codes >> _U3
@@ -80,14 +76,31 @@ def octree_serialize(codes: np.ndarray, depth: int) -> np.ndarray:
         starts = np.flatnonzero(
             np.concatenate([[True], parents[1:] != parents[:-1]])
         )
-        occ = np.bitwise_or.reduceat(
-            np.left_shift(np.uint8(1), child), starts
+        occ_rev.append(
+            np.bitwise_or.reduceat(np.left_shift(np.uint8(1), child), starts)
         )
-        levels.append(occ)
         level_codes = parents[starts]
-    # the walk must have merged to the single root (prefix 0)
+        codes_rev.append(level_codes)
     assert level_codes.size == 1 and level_codes[0] == 0
-    return np.concatenate(levels[::-1])
+    return codes_rev[::-1], occ_rev[::-1]
+
+
+def octree_serialize(codes: np.ndarray, depth: int) -> np.ndarray:
+    """Sorted unique Morton codes -> breadth-first occupancy bytes.
+
+    Args:
+        codes: ``(N,)`` strictly increasing Morton codes in
+            ``[0, 2**(3*depth))`` (any integer dtype; values are taken as
+            unsigned).
+        depth: octree depth J >= 1.
+
+    Returns:
+        ``(M,)`` uint8 occupancy bytes, levels 0..depth-1 concatenated,
+        nodes within a level in sorted (Morton) order. ``M`` is the number
+        of internal (occupied, non-leaf) octree nodes.
+    """
+    _, occ = octree_levels(codes, depth)
+    return np.concatenate(occ)
 
 
 def octree_deserialize(occ: np.ndarray, depth: int,

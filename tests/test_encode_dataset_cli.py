@@ -103,7 +103,7 @@ def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
 
     from raht3dgs_tpu.cli.encode_dataset import main
     from raht3dgs_tpu.codec.bitstream import SequenceReader
-    from raht3dgs_tpu.codec.geometry import positions_from_geometry
+    from raht3dgs_tpu.codec.geometry import decode_geometry
 
     for name, extra in [
         ("seq", []),
@@ -122,11 +122,17 @@ def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
         assert rc == 0
         seq = SequenceReader(seq_path)
         assert len(seq) == 3
-        for st in seq:
+        # geometry chains: frame 0 intra (profile 0), later frames
+        # temporal (profile 1) referencing the previous frame's codes
+        prev = None
+        for i, st in enumerate(seq):
             assert st.geometry is not None
-            V = positions_from_geometry(st.geometry, st.depth, st.n_voxels)
-            assert V.shape == (st.n_voxels, 3)
+            assert st.geometry[0] == (0 if i == 0 else 1)
+            codes = decode_geometry(st.geometry, st.depth, st.n_voxels,
+                                    prev_codes=prev)
+            assert codes.size == st.n_voxels
             assert st.geometry_bpp() > 0
+            prev = codes
     # full self-contained decode of the inter sequence (chained P-frames)
     out = subprocess.run(
         [sys.executable, "-m", "raht3dgs_tpu.cli.decode",

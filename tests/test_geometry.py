@@ -254,3 +254,84 @@ def test_cli_self_contained_decode(tmp_path):
     )
     assert out.returncode != 0
     assert "no geometry section" in out.stderr
+
+
+# -- temporal profile (profile 1) ----------------------------------------------
+
+
+def _shifted_codes(codes, depth, shift=(1, 0, 0)):
+    """Deterministically deform a cloud: translate, clip, dedup."""
+    from raht3dgs_tpu.ops.morton import morton_decode, morton_encode
+    import jax.numpy as jnp
+
+    V = np.asarray(morton_decode(jnp.asarray(codes.astype(np.int64)), depth))
+    V = np.clip(V + np.array(shift), 0, (1 << depth) - 1)
+    return np.unique(np.asarray(morton_encode(jnp.asarray(V), depth)))
+
+
+def test_temporal_roundtrip_and_gain():
+    depth = 8
+    c0 = _surface_codes(depth, n=6000, seed=5)
+    c1 = _shifted_codes(c0, depth)
+    sec_intra = geometry.encode_geometry(c1, depth)
+    sec_temp = geometry.encode_geometry(c1, depth, prev_codes=c0)
+    assert sec_intra[0] == 0 and sec_temp[0] == 1
+    # a one-voxel translation leaves most octree bytes predictable
+    assert len(sec_temp) < len(sec_intra)
+    back = geometry.decode_geometry(sec_temp, depth, c1.size,
+                                    dtype=c1.dtype, prev_codes=c0)
+    np.testing.assert_array_equal(back, c1)
+
+
+def test_temporal_needs_prev_codes():
+    depth = 6
+    c0 = _surface_codes(depth, n=500, seed=1)
+    c1 = _shifted_codes(c0, depth)
+    sec = geometry.encode_geometry(c1, depth, prev_codes=c0)
+    with pytest.raises(ValueError, match="prev_codes"):
+        geometry.decode_geometry(sec, depth, c1.size)
+    # wrong reference frame decodes to garbage -> the leaf-count/structure
+    # checks must catch it (never silently wrong geometry)
+    wrong = _shifted_codes(c0, depth, shift=(7, 3, 1))
+    with pytest.raises(ValueError):
+        geometry.decode_geometry(sec, depth, c1.size, prev_codes=wrong)
+
+
+def test_temporal_backend_byte_identity(monkeypatch):
+    if not geometry.native_available():
+        pytest.skip("native geometry coder unavailable")
+    depth = 7
+    c0 = _surface_codes(depth, n=1500, seed=2)
+    c1 = _shifted_codes(c0, depth, shift=(0, 1, 1))
+    nat = geometry.encode_geometry(c1, depth, prev_codes=c0)
+    monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+    py = geometry.encode_geometry(c1, depth, prev_codes=c0)
+    assert nat == py
+    # python decodes the native stream
+    back = geometry.decode_geometry(nat, depth, c1.size, dtype=c1.dtype,
+                                    prev_codes=c0)
+    np.testing.assert_array_equal(back, c1)
+    monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+    back = geometry.decode_geometry(py, depth, c1.size, dtype=c1.dtype,
+                                    prev_codes=c0)
+    np.testing.assert_array_equal(back, c1)
+
+
+def test_temporal_chain_over_sequence():
+    # closed-loop chain: each frame decodes against the previous DECODED
+    # frame, exactly as cli.decode --all-frames replays it
+    depth = 7
+    codes = [_surface_codes(depth, n=3000, seed=9)]
+    for k in range(3):
+        codes.append(_shifted_codes(codes[-1], depth, shift=(1, 0, k % 2)))
+    prev_enc = None
+    secs = []
+    for c in codes:
+        secs.append(geometry.encode_geometry(c, depth, prev_codes=prev_enc))
+        prev_enc = c
+    prev_dec = None
+    for c, sec in zip(codes, secs):
+        dec = geometry.decode_geometry(sec, depth, c.size, dtype=c.dtype,
+                                       prev_codes=prev_dec)
+        np.testing.assert_array_equal(dec, c)
+        prev_dec = dec
