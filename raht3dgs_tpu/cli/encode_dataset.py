@@ -112,7 +112,6 @@ def _run(args) -> int:
         return _run_batched(args, first, last, log, dtype)
 
     seq_streams = []
-    geom_prev = (None, None)  # (codes, depth) of the last SAVED frame
     for frame in range(first, last + 1):
         out = get_pointcloud(args.dataset, args.sequence, frame, args.data_root)
         if out is None:
@@ -126,20 +125,13 @@ def _run(args) -> int:
         )
         geom = None
         if args.code_geometry and args.save_sequence:
-            from raht3dgs_tpu.codec.geometry import (
-                codes_from_positions,
-                encode_geometry,
-            )
+            from raht3dgs_tpu.codec.geometry import geometry_from_positions
 
-            # temporal profile references the IMMEDIATELY preceding frame
-            # of the sequence when depths match (the decoder replays the
-            # same rule; --save-sequence guarantees one stream per frame)
-            cur_codes = codes_from_positions(V, depth)
-            geom = encode_geometry(
-                cur_codes, depth,
-                prev_codes=geom_prev[0] if geom_prev[1] == depth else None,
-            )
-            geom_prev = (cur_codes, depth)
+            # intra geometry per frame: all-intra sequences keep the .r3ts
+            # random-access promise (any frame decodes standalone). The
+            # temporal geometry profile rides only --inter P-frames, which
+            # already require sequential decode.
+            geom = geometry_from_positions(V, depth)
         for pt in encode_color_frame(
             V, C, depth=depth, steps=args.steps, frame_index=frame,
             codec=codec, bucket=args.bucket, dtype=dtype,
@@ -233,11 +225,14 @@ def _run_inter(args, first, last, log, dtype) -> int:
                     encode_geometry,
                 )
 
+                # temporal geometry rides P-frames only (they already
+                # require sequential decode); I-frames reset the chain so
+                # random access survives at every GOP boundary
                 cur_codes = codes_from_positions(V, depth)
                 stream.geometry = encode_geometry(
                     cur_codes, depth,
-                    prev_codes=geom_prev[0] if geom_prev[1] == depth
-                    else None,
+                    prev_codes=geom_prev[0]
+                    if stream.inter and geom_prev[1] == depth else None,
                 )
                 geom_prev = (cur_codes, depth)
             seq_streams.append(stream)
@@ -273,7 +268,6 @@ def _run_batched(args, first, last, log, dtype) -> int:
 
     frames_idx = list(range(first, last + 1))
     seq_streams = []
-    geom_chain = [None, None]  # mutable (codes, depth) of the last saved frame
     codec_cache = {}
     for chunk_start in range(0, len(frames_idx), args.batch):
         chunk = frames_idx[chunk_start : chunk_start + args.batch]
@@ -295,7 +289,7 @@ def _run_batched(args, first, last, log, dtype) -> int:
         for depth, members in by_depth.items():
             _encode_depth_batch(
                 args, members, depth, mesh, n_dev, dtype, log, seq_streams,
-                codec_cache, geom_chain,
+                codec_cache,
             )
         print(f"frames {chunk[0]}..{chunk[-1]} done (batched)")
     log.close()
@@ -309,7 +303,7 @@ def _run_batched(args, first, last, log, dtype) -> int:
 
 
 def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
-                        seq_streams, codec_cache, geom_chain=None) -> None:
+                        seq_streams, codec_cache) -> None:
     """Encode one equal-depth batch of loaded frames through the batched
     codec, logging per-frame rows (no padding duplicates leak out)."""
     import contextlib
@@ -345,23 +339,10 @@ def _encode_depth_batch(args, members, depth, mesh, n_dev, dtype, log,
     )
     geoms = None
     if args.code_geometry and args.save_sequence:
-        from raht3dgs_tpu.codec.geometry import (
-            codes_from_positions,
-            encode_geometry,
-        )
+        from raht3dgs_tpu.codec.geometry import geometry_from_positions
 
-        # --save-sequence guarantees one step, so streams land in member
-        # order: chain the temporal profile across consecutive saved
-        # frames (across batches too, via geom_chain)
-        geoms = []
-        for p in pos[:n_real]:
-            cur_codes = codes_from_positions(p, depth)
-            prev = (geom_chain[0]
-                    if geom_chain is not None and geom_chain[1] == depth
-                    else None)
-            geoms.append(encode_geometry(cur_codes, depth, prev_codes=prev))
-            if geom_chain is not None:
-                geom_chain[0], geom_chain[1] = cur_codes, depth
+        # intra geometry per frame (random access; see the frame-loop path)
+        geoms = [geometry_from_positions(p, depth) for p in pos[:n_real]]
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         # transform once, reuse across the whole quantization-step sweep

@@ -122,7 +122,8 @@ class SequenceCodec:
 
     def __init__(self, depth: int, gop: int = 8, adaptive: bool = True,
                  probes: int = 27, signal_motion: bool = True,
-                 block_side_log: int = 4, **codec_kwargs):
+                 block_side_log: int = 4, search_iters: int = 2,
+                 **codec_kwargs):
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if probes not in (7, 27):
@@ -138,6 +139,10 @@ class SequenceCodec:
         # derived-motion stream for format back-compat tests.
         self.signal_motion = bool(signal_motion)
         self.block_side_log = int(block_side_log)
+        # encoder-side search depth (±search_iters voxels Chebyshev around
+        # the global vector); stream-compatible — only the signalled
+        # integers matter to the decoder
+        self.search_iters = int(search_iters)
         self.codec = AttributeCodec(depth, **codec_kwargs)
         self.reset()
 
@@ -191,6 +196,7 @@ class SequenceCodec:
             frame.codes, frame.attributes, frame.weights,
             prev_frame.codes, prev_recon, prev_frame.weights,
             self.depth, motion, block_side_log=self.block_side_log,
+            iters=self.search_iters,
         )
         mv_np = np.asarray(mv)
         motion_bytes = _pack_motion(

@@ -23,11 +23,15 @@ def dataset_tree(tmp_path, rng):
     depth = 5
     d = tmp_path / "8iVFBv2" / "loot" / "Ply"
     d.mkdir(parents=True)
-    for fr in (1000, 1001, 1003):
-        pts = rng.integers(0, 2**depth, (800, 3))
+    base = rng.integers(0, 2**depth, (800, 3))
+    base_cols = rng.integers(0, 255, (800, 3))
+    for k, fr in enumerate((1000, 1001, 1003)):
+        # temporally correlated frames (a drifting cloud): the --inter
+        # adaptive fallback then actually chooses P-frames
+        pts = np.clip(base + k, 0, 2**depth - 1)
         _, first = np.unique(morton_codes_np(pts, depth), return_index=True)
         pts = pts[first]
-        cols = rng.integers(0, 255, (len(pts), 3))
+        cols = base_cols[first]
         save_ply_ascii(
             d / f"loot_vox10_{fr:04d}.ply", pts.astype(float),
             cols.astype(float), width=2**depth - 1,
@@ -122,17 +126,25 @@ def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
         assert rc == 0
         seq = SequenceReader(seq_path)
         assert len(seq) == 3
-        # geometry chains: frame 0 intra (profile 0), later frames
-        # temporal (profile 1) referencing the previous frame's codes
+        # geometry policy: intra (profile 0) everywhere except --inter
+        # P-frames, which carry the temporal profile (1) and reference the
+        # previous frame — I-frames keep .r3ts random access alive
         prev = None
+        saw_temporal = False
         for i, st in enumerate(seq):
             assert st.geometry is not None
-            assert st.geometry[0] == (0 if i == 0 else 1)
+            if name != "inter":
+                assert st.geometry[0] == 0
+            else:
+                assert st.geometry[0] == (1 if st.inter else 0)
+                saw_temporal |= bool(st.inter)
             codes = decode_geometry(st.geometry, st.depth, st.n_voxels,
                                     prev_codes=prev)
             assert codes.size == st.n_voxels
             assert st.geometry_bpp() > 0
             prev = codes
+        if name == "inter":
+            assert saw_temporal  # the synthetic tree does produce P-frames
     # full self-contained decode of the inter sequence (chained P-frames)
     out = subprocess.run(
         [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
