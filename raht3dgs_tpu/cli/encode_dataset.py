@@ -227,12 +227,20 @@ def _run_inter(args, first, last, log, dtype) -> int:
 
                 # temporal geometry rides P-frames only (they already
                 # require sequential decode); I-frames reset the chain so
-                # random access survives at every GOP boundary
+                # random access survives at every GOP boundary. The
+                # attribute stream's signalled global motion compensates
+                # the reference (geometry profile 2).
+                from raht3dgs_tpu.models.temporal import (
+                    signalled_global_motion,
+                )
+
                 cur_codes = codes_from_positions(V, depth)
+                use_prev = stream.inter and geom_prev[1] == depth
                 stream.geometry = encode_geometry(
                     cur_codes, depth,
-                    prev_codes=geom_prev[0]
-                    if stream.inter and geom_prev[1] == depth else None,
+                    prev_codes=geom_prev[0] if use_prev else None,
+                    motion=signalled_global_motion(stream)
+                    if use_prev else None,
                 )
                 geom_prev = (cur_codes, depth)
             seq_streams.append(stream)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import struct
 import subprocess
 import warnings
 from typing import Optional
@@ -160,6 +161,30 @@ def _decode_occ(data: bytes, depth: int, max_bytes: int) -> np.ndarray:
 # without touching the container format.
 _PROFILE_V0 = 0
 _PROFILE_V1_TEMPORAL = 1
+# profile 2 = temporal with a motion-compensated reference: 3x i32 global
+# motion follows the profile byte; the previous frame's codes are shifted
+# by it (shared _shift_codes helper — bitwise identical both sides) before
+# node matching. Measured another -12.7%/-13.9% geometry rate at J=8/J=9
+# on the deforming sequence, on top of profile 1's temporal gain.
+_PROFILE_V2_TEMPORAL_MC = 2
+_MC_HEAD = struct.Struct("<3i")
+
+
+def _shift_codes(codes: np.ndarray, depth: int, mv) -> np.ndarray:
+    """Translate a code set by an integer vector (clip to the grid, dedup).
+
+    Frozen stream semantics for profile 2: encoder and decoder must shift
+    the reference identically.
+    """
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.ops.morton import morton_decode, morton_encode
+
+    V = np.asarray(
+        morton_decode(jnp.asarray(np.asarray(codes).astype(np.int64)), depth)
+    )
+    V = np.clip(V + np.asarray(mv, dtype=np.int64), 0, (1 << depth) - 1)
+    return np.unique(np.asarray(morton_encode(jnp.asarray(V), depth)))
 
 
 def _u8ptr(a: np.ndarray):
@@ -244,7 +269,8 @@ def _match_level(cur_codes, prev_codes, prev_occ):
 
 
 def encode_geometry(
-    codes: np.ndarray, depth: int, prev_codes: Optional[np.ndarray] = None
+    codes: np.ndarray, depth: int,
+    prev_codes: Optional[np.ndarray] = None, motion=None,
 ) -> bytes:
     """Sorted unique Morton codes -> self-contained geometry section bytes.
 
@@ -254,11 +280,22 @@ def encode_geometry(
     geometry rate at J=8/J=9 on the synthetic deforming sequence. The
     decoder must then be handed the same ``prev_codes``
     (its own previous decode — the chain is closed-loop lossless).
+    ``motion`` (3 ints, e.g. the sequence codec's signalled global motion)
+    additionally shifts the reference before matching (profile 2, the
+    vector rides the section) — measured a further -13%/-14%.
     """
     if prev_codes is None:
         return bytes([_PROFILE_V0]) + _encode_occ(
             octree_serialize(codes, depth), depth
         )
+    head = bytes([_PROFILE_V1_TEMPORAL])
+    if motion is not None:
+        mv = np.asarray(motion, dtype=np.int64).reshape(3)
+        if np.any(mv != 0):
+            head = bytes([_PROFILE_V2_TEMPORAL_MC]) + _MC_HEAD.pack(
+                int(mv[0]), int(mv[1]), int(mv[2])
+            )
+            prev_codes = _shift_codes(prev_codes, depth, mv)
     from raht3dgs_tpu.ops.octree import octree_levels
 
     lv_cur, occ_cur = octree_levels(codes, depth)
@@ -271,7 +308,7 @@ def encode_geometry(
     for l in range(depth):
         matched, pb = _match_level(lv_cur[l], lv_prev[l], occ_prev[l])
         enc.encode_level(occ_cur[l], matched, pb, l)
-    return bytes([_PROFILE_V1_TEMPORAL]) + enc.finish()
+    return head + enc.finish()
 
 
 def codes_from_positions(V: np.ndarray, depth: int) -> np.ndarray:
@@ -337,6 +374,15 @@ def decode_geometry(
         raise ValueError("empty geometry section")
     if data[0] == _PROFILE_V1_TEMPORAL:
         return _decode_temporal(data[1:], depth, n_voxels, dtype, prev_codes)
+    if data[0] == _PROFILE_V2_TEMPORAL_MC:
+        if len(data) < 1 + _MC_HEAD.size:
+            raise ValueError("truncated geometry section: motion cut off")
+        mv = _MC_HEAD.unpack(data[1 : 1 + _MC_HEAD.size])
+        if prev_codes is not None:
+            prev_codes = _shift_codes(prev_codes, depth, mv)
+        return _decode_temporal(
+            data[1 + _MC_HEAD.size :], depth, n_voxels, dtype, prev_codes
+        )
     if data[0] != _PROFILE_V0:
         raise ValueError(f"unknown geometry coder profile {data[0]}")
     # every voxel contributes at most one internal node per level

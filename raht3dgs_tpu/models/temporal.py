@@ -70,6 +70,19 @@ def _pack_motion(codes_np, n_voxels, depth, bsl, global_mv, mv_np):
     ) + payload
 
 
+def signalled_global_motion(stream):
+    """Global motion vector from a v3 inter stream's motion section, or
+    None (intra frame / v2 derived-motion stream). The geometry coder
+    reuses it to motion-compensate its temporal reference (profile 2)."""
+    if (not getattr(stream, "inter", False) or stream.motion is None
+            or len(stream.motion) < _MOTION_HEAD.size):
+        return None
+    _, _, gx, gy, gz, _ = _MOTION_HEAD.unpack(
+        stream.motion[: _MOTION_HEAD.size]
+    )
+    return np.array([gx, gy, gz], dtype=np.int64)
+
+
 def _unpack_motion(motion: bytes, codes_np, n_voxels, n_padded, depth):
     """Rebuild the (n_padded, 3) int32 per-voxel motion field."""
     if len(motion) < _MOTION_HEAD.size:

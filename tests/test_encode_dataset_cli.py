@@ -136,7 +136,9 @@ def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
             if name != "inter":
                 assert st.geometry[0] == 0
             else:
-                assert st.geometry[0] == (1 if st.inter else 0)
+                # P-frames: temporal (1) or motion-compensated temporal (2)
+                assert st.geometry[0] == 0 or st.inter
+                assert st.geometry[0] in ((1, 2) if st.inter else (0,))
                 saw_temporal |= bool(st.inter)
             codes = decode_geometry(st.geometry, st.depth, st.n_voxels,
                                     prev_codes=prev)

@@ -335,3 +335,28 @@ def test_temporal_chain_over_sequence():
                                        prev_codes=prev_dec)
         np.testing.assert_array_equal(dec, c)
         prev_dec = dec
+
+
+def test_profile2_motion_compensated_reference():
+    depth = 8
+    c0 = _surface_codes(depth, n=6000, seed=5)
+    c1 = _shifted_codes(c0, depth, shift=(2, 1, 0))
+    sec1 = geometry.encode_geometry(c1, depth, prev_codes=c0)
+    sec2 = geometry.encode_geometry(c1, depth, prev_codes=c0,
+                                    motion=(2, 1, 0))
+    assert sec2[0] == 2
+    # a perfectly compensated reference codes (much) smaller
+    assert len(sec2) < len(sec1)
+    back = geometry.decode_geometry(sec2, depth, c1.size, dtype=c1.dtype,
+                                    prev_codes=c0)
+    np.testing.assert_array_equal(back, c1)
+    # zero motion falls back to profile 1 (no 12-byte header for nothing)
+    sec0 = geometry.encode_geometry(c1, depth, prev_codes=c0,
+                                    motion=(0, 0, 0))
+    assert sec0[0] == 1 and sec0 == sec1
+    # truncated motion header rejected
+    with pytest.raises(ValueError, match="truncated"):
+        geometry.decode_geometry(sec2[:5], depth, c1.size, prev_codes=c0)
+    # profile 2 still needs the reference frame
+    with pytest.raises(ValueError, match="prev_codes"):
+        geometry.decode_geometry(sec2, depth, c1.size)
