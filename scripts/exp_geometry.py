@@ -59,6 +59,44 @@ def uniform(seed, n, depth):
     return np.unique(rng.integers(0, hi, 2 * n, dtype=np.int64))[:n]
 
 
+def temporal_table():
+    """Temporal profiles on the synthetic deforming sequence: intra vs
+    profile 1 (temporal contexts) vs profile 2 (motion-compensated
+    reference) — the docs/geometry.md numbers."""
+    from raht3dgs_tpu.eval.synth import synthetic_color_sequence
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+    from raht3dgs_tpu.ops.temporal import estimate_global_motion
+
+    print("| J | intra b/v | temporal b/v | +motion-comp b/v |")
+    print("|---|---|---|---|")
+    for depth in (8, 9):
+        frames = synthetic_color_sequence(depth=depth, seed=0, n_frames=6)
+        pf = [prepare_voxel_frame(V, C, depth) for V, C in frames]
+        codes_seq = [
+            np.unique(morton_codes_np(np.floor(V).astype(np.int64), depth))
+            for V, C in frames
+        ]
+        intra = t1 = t2 = 0
+        nvox = sum(c.size for c in codes_seq[1:])
+        for i in range(1, len(codes_seq)):
+            prev, cur = codes_seq[i - 1], codes_seq[i]
+            intra += len(geometry.encode_geometry(cur, depth))
+            t1 += len(geometry.encode_geometry(cur, depth, prev_codes=prev))
+            mv = np.asarray(estimate_global_motion(
+                pf[i].codes, pf[i].weights, pf[i - 1].codes,
+                pf[i - 1].weights, depth,
+            ))
+            sec = geometry.encode_geometry(cur, depth, prev_codes=prev,
+                                           motion=mv)
+            back = geometry.decode_geometry(sec, depth, cur.size,
+                                            dtype=cur.dtype, prev_codes=prev)
+            assert np.array_equal(back, cur)
+            t2 += len(sec)
+        print(f"| {depth} | {intra * 8 / nvox:.3f} | {t1 * 8 / nvox:.3f} | "
+              f"{t2 * 8 / nvox:.3f} |")
+
+
 def main():
     print(f"native backend: {geometry.native_available()}")
     rows = []
@@ -89,6 +127,8 @@ def main():
             f"{occ.size * 8 / n:.2f} | {3 * depth} | "
             f"{n / (t1 - t0) / 1e6:.1f} | {n / (t2 - t1) / 1e6:.1f} |"
         )
+    print()
+    temporal_table()
 
 
 if __name__ == "__main__":

@@ -360,3 +360,41 @@ def test_profile2_motion_compensated_reference():
     # profile 2 still needs the reference frame
     with pytest.raises(ValueError, match="prev_codes"):
         geometry.decode_geometry(sec2, depth, c1.size)
+
+
+def test_container_mutation_fuzz():
+    """Random truncations and byte flips of a full-featured v4 container
+    (chunked + deadzone + inter + motion + geometry) must surface as
+    ValueError at worst — never a crash, hang, or non-ValueError
+    exception. (Entropy payload flips may legally decode to different
+    attributes; the structural sections are all self-checking.)"""
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    codes = _surface_codes(6, n=400, seed=4)
+    rng = np.random.default_rng(0)
+    st = FrameStream(
+        depth=6, n_voxels=codes.size, steps=np.array([2.0]),
+        channels=[rng.integers(0, 256, 40, dtype=np.uint8).tobytes()
+                  for _ in range(3)],
+        chunk=64, quant_mode="deadzone", quant_f=0.3, rec_delta=0.1,
+        inter=True, probes=27, motion=b"\x04\x00" + b"\x00" * 20,
+        geometry=geometry.encode_geometry(codes, 6),
+    )
+    blob = st.to_bytes()
+    for k in range(60):
+        cut = int(rng.integers(0, len(blob)))
+        try:
+            FrameStream.from_bytes(blob[:cut])
+        except ValueError:
+            pass
+    for k in range(60):
+        mut = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            back = FrameStream.from_bytes(bytes(mut))
+            if back.geometry is not None:
+                geometry.decode_geometry(back.geometry, back.depth,
+                                         back.n_voxels)
+        except ValueError:
+            pass
