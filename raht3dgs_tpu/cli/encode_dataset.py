@@ -220,10 +220,7 @@ def _run_inter(args, first, last, log, dtype) -> int:
               f"({frame.n_voxels} voxels)")
         if args.save_sequence:
             if args.code_geometry:
-                from raht3dgs_tpu.codec.geometry import (
-                    codes_from_positions,
-                    encode_geometry,
-                )
+                from raht3dgs_tpu.codec.geometry import encode_geometry
 
                 # temporal geometry rides P-frames only (they already
                 # require sequential decode); I-frames reset the chain so
@@ -234,7 +231,9 @@ def _run_inter(args, first, last, log, dtype) -> int:
                     signalled_global_motion,
                 )
 
-                cur_codes = codes_from_positions(V, depth)
+                # the frame's padded codes already hold the sorted unique
+                # Morton codes — no need to recompute them from positions
+                cur_codes = np.asarray(frame.codes[: frame.n_voxels])
                 use_prev = stream.inter and geom_prev[1] == depth
                 stream.geometry = encode_geometry(
                     cur_codes, depth,

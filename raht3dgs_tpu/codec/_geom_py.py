@@ -8,6 +8,9 @@ LSB-first occupancy bits, forced-one last bit) is frozen stream format —
 change both backends together and bump the geometry profile byte
 (codec/geometry.py). See native/geom.cpp for the context-model design
 rationale and the measured richer-context dead end.
+
+One `_RangeEncoder`/`_RangeDecoder` pair serves both the intra functions
+and the temporal classes — the automaton exists exactly once per backend.
 """
 
 from __future__ import annotations
@@ -23,9 +26,126 @@ _TREE_CTX = 256
 _NUM_CTX = _LEVEL_BANKS * _TREE_CTX
 _MASK32 = 0xFFFFFFFF
 
+# temporal (profile 1/2) context layout: (level bank, tflag, tree node),
+# tflag in {0: unmatched, 2: prev bit 0, 3: prev bit 1} (1 reserved)
+_TFLAG_CTX = 4
+_NUM_CTX_T = _LEVEL_BANKS * _TFLAG_CTX * _TREE_CTX
+
 
 def _bank_base(level: int) -> int:
     return min(level, _LEVEL_BANKS - 1) * _TREE_CTX
+
+
+def _bank_base_t(level: int, tflag: int) -> int:
+    return (min(level, _LEVEL_BANKS - 1) * _TFLAG_CTX + tflag) * _TREE_CTX
+
+
+class _RangeEncoder:
+    """LZMA-style carry-less binary range encoder over a probs table."""
+
+    def __init__(self, n_ctx: int):
+        self.out = bytearray()
+        self._low = 0
+        self._rng = _MASK32
+        self._cache = 0
+        self._cache_size = 1
+        self.probs = [_PROB_INIT] * n_ctx
+
+    def _shift_low(self):
+        low = self._low
+        if (low & _MASK32) < 0xFF000000 or (low >> 32) != 0:
+            carry = low >> 32
+            self.out.append((self._cache + carry) & 0xFF)
+            for _ in range(self._cache_size - 1):
+                self.out.append((0xFF + carry) & 0xFF)
+            self._cache_size = 0
+            self._cache = (low >> 24) & 0xFF
+        self._cache_size += 1
+        self._low = (low & 0x00FFFFFF) << 8
+
+    def encode_bit(self, ci: int, bit: int):
+        p = self.probs[ci]
+        bound = (self._rng >> _PROB_BITS) * p
+        if bit == 0:
+            self._rng = bound
+            self.probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+        else:
+            self._low += bound
+            self._rng -= bound
+            self.probs[ci] = p - (p >> _ADAPT_SHIFT)
+        while self._rng < _TOP:
+            self._shift_low()
+            self._rng = (self._rng << 8) & _MASK32
+
+    def encode_byte(self, base: int, b: int):
+        """One occupancy byte over the binary-tree contexts at ``base``."""
+        ctx = 1
+        for i in range(8):
+            bit = (b >> i) & 1
+            if i == 7 and ctx == 1:
+                break  # forced 1: byte can't be zero
+            self.encode_bit(base + ctx, bit)
+            ctx = (ctx << 1) | bit
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+class _RangeDecoder:
+    """Decoder counterpart of :class:`_RangeEncoder`."""
+
+    def __init__(self, buf: bytes, n_ctx: int):
+        self._buf = buf
+        self._blen = len(buf)
+        self._bpos = 1  # skip the initial cache byte (always 0)
+        self._rng = _MASK32
+        self.probs = [_PROB_INIT] * n_ctx
+        code = 0
+        for _ in range(4):
+            code = (code << 8) | (
+                buf[self._bpos] if self._bpos < self._blen else 0
+            )
+            self._bpos += 1
+        self._code = code
+
+    def decode_bit(self, ci: int) -> int:
+        p = self.probs[ci]
+        bound = (self._rng >> _PROB_BITS) * p
+        if self._code < bound:
+            bit = 0
+            self._rng = bound
+            self.probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+        else:
+            bit = 1
+            self._code -= bound
+            self._rng -= bound
+            self.probs[ci] = p - (p >> _ADAPT_SHIFT)
+        while self._rng < _TOP:
+            # C++ code_ is uint32: the high byte drops on shift
+            self._code = (
+                (self._code << 8)
+                | (self._buf[self._bpos] if self._bpos < self._blen else 0)
+            ) & _MASK32
+            self._bpos += 1
+            self._rng = (self._rng << 8) & _MASK32
+        return bit
+
+    def decode_byte(self, base: int) -> int:
+        ctx = 1
+        b = 0
+        for i in range(8):
+            if i == 7 and ctx == 1:
+                bit = 1  # forced: occupancy bytes are never zero
+            else:
+                bit = self.decode_bit(base + ctx)
+            b |= bit << i
+            ctx = (ctx << 1) | bit
+        return b
+
+
+# -- intra coder (geometry profile 0) ------------------------------------------
 
 
 def encode(occ: np.ndarray, depth: int) -> bytes:
@@ -33,40 +153,7 @@ def encode(occ: np.ndarray, depth: int) -> bytes:
     n = len(occ_list)
     if n == 0 or depth == 0:
         raise ValueError("occupancy level walk inconsistent with input")
-    out = bytearray()
-    low = 0
-    rng = _MASK32
-    cache = 0
-    cache_size = 1
-    probs = [_PROB_INIT] * _NUM_CTX
-
-    def shift_low():
-        nonlocal low, cache, cache_size
-        if (low & _MASK32) < 0xFF000000 or (low >> 32) != 0:
-            carry = low >> 32
-            out.append((cache + carry) & 0xFF)
-            for _ in range(cache_size - 1):
-                out.append((0xFF + carry) & 0xFF)
-            cache_size = 0
-            cache = (low >> 24) & 0xFF
-        cache_size += 1
-        low = (low & 0x00FFFFFF) << 8
-
-    def encode_bit(ci: int, bit: int):
-        nonlocal low, rng
-        p = probs[ci]
-        bound = (rng >> _PROB_BITS) * p
-        if bit == 0:
-            rng = bound
-            probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
-        else:
-            low += bound
-            rng -= bound
-            probs[ci] = p - (p >> _ADAPT_SHIFT)
-        while rng < _TOP:
-            shift_low()
-            rng = (rng << 8) & _MASK32
-
+    enc = _RangeEncoder(_NUM_CTX)
     pos, n_nodes = 0, 1
     for level in range(depth):
         if pos + n_nodes > n:
@@ -78,54 +165,18 @@ def encode(occ: np.ndarray, depth: int) -> bytes:
             if b == 0:
                 raise ValueError("zero occupancy byte")
             next_nodes += bin(b).count("1")
-            ctx = 1
-            for i in range(8):
-                bit = (b >> i) & 1
-                if i == 7 and ctx == 1:
-                    break  # forced 1: byte can't be zero
-                encode_bit(base + ctx, bit)
-                ctx = (ctx << 1) | bit
+            enc.encode_byte(base, b)
         pos += n_nodes
         n_nodes = next_nodes
     if pos != n:
         raise ValueError("occupancy level walk inconsistent with input")
-    for _ in range(5):
-        shift_low()
-    return bytes(out)
+    return enc.finish()
 
 
 def decode(buf: bytes, depth: int, max_bytes: int) -> np.ndarray:
     if depth == 0 or max_bytes == 0:
         raise ValueError("decoded occupancy walk exceeds capacity")
-    probs = [_PROB_INIT] * _NUM_CTX
-    rng = _MASK32
-    blen = len(buf)
-    bpos = 1  # skip the initial cache byte (always 0)
-    code = 0
-    for _ in range(4):
-        code = (code << 8) | (buf[bpos] if bpos < blen else 0)
-        bpos += 1
-
-    def decode_bit(ci: int) -> int:
-        nonlocal code, rng, bpos
-        p = probs[ci]
-        bound = (rng >> _PROB_BITS) * p
-        if code < bound:
-            bit = 0
-            rng = bound
-            probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
-        else:
-            bit = 1
-            code -= bound
-            rng -= bound
-            probs[ci] = p - (p >> _ADAPT_SHIFT)
-        while rng < _TOP:
-            # C++ code_ is uint32: the high byte drops on shift
-            code = ((code << 8) | (buf[bpos] if bpos < blen else 0)) & _MASK32
-            bpos += 1
-            rng = (rng << 8) & _MASK32
-        return bit
-
+    dec = _RangeDecoder(buf, _NUM_CTX)
     out = []
     pos, n_nodes = 0, 1
     for level in range(depth):
@@ -136,15 +187,7 @@ def decode(buf: bytes, depth: int, max_bytes: int) -> np.ndarray:
         base = _bank_base(level)
         next_nodes = 0
         for _ in range(n_nodes):
-            ctx = 1
-            b = 0
-            for i in range(8):
-                if i == 7 and ctx == 1:
-                    bit = 1  # forced: occupancy bytes are never zero
-                else:
-                    bit = decode_bit(base + ctx)
-                b |= bit << i
-                ctx = (ctx << 1) | bit
+            b = dec.decode_byte(base)
             out.append(b)
             next_nodes += bin(b).count("1")
         pos += n_nodes
@@ -152,58 +195,19 @@ def decode(buf: bytes, depth: int, max_bytes: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
-# -- temporal coder (geometry profile 1) --------------------------------------
+# -- temporal coder (geometry profiles 1-2) -------------------------------------
 # Stateful level-by-level mirror of native/geom.cpp's geom_enc_*/geom_dec_*.
-# Contexts: (level bank, tflag, tree node), tflag in {0: unmatched,
-# 2: prev bit 0, 3: prev bit 1} (1 reserved).
-
-_TFLAG_CTX = 4
-_NUM_CTX_T = _LEVEL_BANKS * _TFLAG_CTX * _TREE_CTX
-
-
-def _bank_base_t(level: int, tflag: int) -> int:
-    return (min(level, _LEVEL_BANKS - 1) * _TFLAG_CTX + tflag) * _TREE_CTX
 
 
 class TemporalEncoder:
     def __init__(self):
-        self._out = bytearray()
-        self._low = 0
-        self._rng = _MASK32
-        self._cache = 0
-        self._cache_size = 1
-        self._probs = [_PROB_INIT] * _NUM_CTX_T
-
-    def _shift_low(self):
-        low = self._low
-        if (low & _MASK32) < 0xFF000000 or (low >> 32) != 0:
-            carry = low >> 32
-            self._out.append((self._cache + carry) & 0xFF)
-            for _ in range(self._cache_size - 1):
-                self._out.append((0xFF + carry) & 0xFF)
-            self._cache_size = 0
-            self._cache = (low >> 24) & 0xFF
-        self._cache_size += 1
-        self._low = (low & 0x00FFFFFF) << 8
-
-    def _encode_bit(self, ci: int, bit: int):
-        p = self._probs[ci]
-        bound = (self._rng >> _PROB_BITS) * p
-        if bit == 0:
-            self._rng = bound
-            self._probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
-        else:
-            self._low += bound
-            self._rng -= bound
-            self._probs[ci] = p - (p >> _ADAPT_SHIFT)
-        while self._rng < _TOP:
-            self._shift_low()
-            self._rng = (self._rng << 8) & _MASK32
+        self._enc = _RangeEncoder(_NUM_CTX_T)
 
     def encode_level(self, occ, matched, prevbyte, level: int):
         occ = np.asarray(occ, dtype=np.uint8).tolist()
         matched = np.asarray(matched, dtype=np.uint8).tolist()
         prevbyte = np.asarray(prevbyte, dtype=np.uint8).tolist()
+        enc = self._enc
         for j, b in enumerate(occ):
             if b == 0:
                 raise ValueError("zero occupancy byte")
@@ -215,55 +219,21 @@ class TemporalEncoder:
                 if i == 7 and ctx == 1:
                     break  # forced 1: byte can't be zero
                 tflag = (2 + ((pb >> i) & 1)) if m else 0
-                self._encode_bit(_bank_base_t(level, tflag) + ctx, bit)
+                enc.encode_bit(_bank_base_t(level, tflag) + ctx, bit)
                 ctx = (ctx << 1) | bit
 
     def finish(self) -> bytes:
-        for _ in range(5):
-            self._shift_low()
-        return bytes(self._out)
+        return self._enc.finish()
 
 
 class TemporalDecoder:
     def __init__(self, buf: bytes):
-        self._buf = buf
-        self._blen = len(buf)
-        self._bpos = 1  # skip the initial cache byte (always 0)
-        self._rng = _MASK32
-        self._probs = [_PROB_INIT] * _NUM_CTX_T
-        code = 0
-        for _ in range(4):
-            code = (code << 8) | (
-                buf[self._bpos] if self._bpos < self._blen else 0
-            )
-            self._bpos += 1
-        self._code = code
-
-    def _decode_bit(self, ci: int) -> int:
-        p = self._probs[ci]
-        bound = (self._rng >> _PROB_BITS) * p
-        if self._code < bound:
-            bit = 0
-            self._rng = bound
-            self._probs[ci] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
-        else:
-            bit = 1
-            self._code -= bound
-            self._rng -= bound
-            self._probs[ci] = p - (p >> _ADAPT_SHIFT)
-        while self._rng < _TOP:
-            # C++ code_ is uint32: the high byte drops on shift
-            self._code = (
-                (self._code << 8)
-                | (self._buf[self._bpos] if self._bpos < self._blen else 0)
-            ) & _MASK32
-            self._bpos += 1
-            self._rng = (self._rng << 8) & _MASK32
-        return bit
+        self._dec = _RangeDecoder(buf, _NUM_CTX_T)
 
     def decode_level(self, matched, prevbyte, n: int, level: int):
         matched = np.asarray(matched, dtype=np.uint8).tolist()
         prevbyte = np.asarray(prevbyte, dtype=np.uint8).tolist()
+        dec = self._dec
         out = np.empty(n, dtype=np.uint8)
         for j in range(n):
             m = matched[j] != 0
@@ -275,7 +245,7 @@ class TemporalDecoder:
                     bit = 1  # forced: occupancy bytes are never zero
                 else:
                     tflag = (2 + ((pb >> i) & 1)) if m else 0
-                    bit = self._decode_bit(_bank_base_t(level, tflag) + ctx)
+                    bit = dec.decode_bit(_bank_base_t(level, tflag) + ctx)
                 b |= bit << i
                 ctx = (ctx << 1) | bit
             out[j] = b

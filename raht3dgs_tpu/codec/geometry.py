@@ -21,6 +21,7 @@ import os
 import struct
 import subprocess
 import warnings
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -154,13 +155,29 @@ def _decode_occ(data: bytes, depth: int, max_bytes: int) -> np.ndarray:
     return _geom_py.decode(data, depth, max_bytes)
 
 
-# Leading section byte: coder profile. Profile 0 = the intra automaton
-# frozen in native/geom.cpp / _geom_py.py; profile 1 = the temporal coder
-# (contexts from the previous frame's decoded octree — the decoder MUST be
-# handed prev_codes). Better context models can be added as new profiles
-# without touching the container format.
+# Section layout: u8 profile | u32 crc32(occupancy bytes) | profile
+# extras | coder bytes. The CRC makes corruption/wrong-reference detection
+# DETERMINISTIC — the entropy payload itself has no redundancy, and the
+# structural checks alone are only probabilistic.
+# Profile 0 = the intra automaton frozen in native/geom.cpp /
+# _geom_py.py; profile 1 = the temporal coder (contexts from the previous
+# frame's decoded octree — the decoder MUST be handed prev_codes). Better
+# context models can be added as new profiles without touching the
+# container format.
 _PROFILE_V0 = 0
 _PROFILE_V1_TEMPORAL = 1
+_CRC_HEAD = struct.Struct("<I")
+
+
+def _check_n_voxels(n_voxels: int, depth: int) -> None:
+    """Reject physically impossible header counts before sizing anything
+    by them (a flipped header byte must never turn into a giant
+    allocation — ValueError at worst, the container contract)."""
+    if n_voxels > 8 ** depth:
+        raise ValueError(
+            f"corrupt stream: {n_voxels} voxels exceeds the 8^{depth} "
+            "cells of the voxel grid"
+        )
 # profile 2 = temporal with a motion-compensated reference: 3x i32 global
 # motion follows the profile byte; the previous frame's codes are shifted
 # by it (shared _shift_codes helper — bitwise identical both sides) before
@@ -285,9 +302,10 @@ def encode_geometry(
     vector rides the section) — measured a further -13%/-14%.
     """
     if prev_codes is None:
-        return bytes([_PROFILE_V0]) + _encode_occ(
-            octree_serialize(codes, depth), depth
-        )
+        occ = octree_serialize(codes, depth)
+        return (bytes([_PROFILE_V0])
+                + _CRC_HEAD.pack(zlib.crc32(occ.tobytes()))
+                + _encode_occ(occ, depth))
     head = bytes([_PROFILE_V1_TEMPORAL])
     if motion is not None:
         mv = np.asarray(motion, dtype=np.int64).reshape(3)
@@ -308,7 +326,9 @@ def encode_geometry(
     for l in range(depth):
         matched, pb = _match_level(lv_cur[l], lv_prev[l], occ_prev[l])
         enc.encode_level(occ_cur[l], matched, pb, l)
-    return head + enc.finish()
+    crc = zlib.crc32(np.concatenate(occ_cur).tobytes())
+    # the CRC sits right after the profile byte, before the motion extras
+    return head[:1] + _CRC_HEAD.pack(crc) + head[1:] + enc.finish()
 
 
 def codes_from_positions(V: np.ndarray, depth: int) -> np.ndarray:
@@ -370,24 +390,37 @@ def decode_geometry(
     """
     if n_voxels < 1:
         raise ValueError(f"n_voxels must be >= 1, got {n_voxels}")
-    if len(data) < 1:
-        raise ValueError("empty geometry section")
+    _check_n_voxels(n_voxels, depth)
+    if len(data) < 1 + _CRC_HEAD.size:
+        raise ValueError("empty or truncated geometry section")
+    (crc,) = _CRC_HEAD.unpack(data[1 : 1 + _CRC_HEAD.size])
+    body = data[1 + _CRC_HEAD.size :]
     if data[0] == _PROFILE_V1_TEMPORAL:
-        return _decode_temporal(data[1:], depth, n_voxels, dtype, prev_codes)
+        return _decode_temporal(body, depth, n_voxels, dtype, prev_codes,
+                                crc)
     if data[0] == _PROFILE_V2_TEMPORAL_MC:
-        if len(data) < 1 + _MC_HEAD.size:
+        if len(body) < _MC_HEAD.size:
             raise ValueError("truncated geometry section: motion cut off")
-        mv = _MC_HEAD.unpack(data[1 : 1 + _MC_HEAD.size])
+        mv = _MC_HEAD.unpack(body[: _MC_HEAD.size])
         if prev_codes is not None:
             prev_codes = _shift_codes(prev_codes, depth, mv)
         return _decode_temporal(
-            data[1 + _MC_HEAD.size :], depth, n_voxels, dtype, prev_codes
+            body[_MC_HEAD.size :], depth, n_voxels, dtype, prev_codes, crc
         )
     if data[0] != _PROFILE_V0:
         raise ValueError(f"unknown geometry coder profile {data[0]}")
     # every voxel contributes at most one internal node per level
     max_bytes = n_voxels * depth + 1
-    occ = _decode_occ(data[1:], depth, max_bytes)
+    try:
+        occ = _decode_occ(body, depth, max_bytes)
+    except MemoryError:
+        raise ValueError(
+            "corrupt geometry stream: decode exceeded plausible memory"
+        )
+    if zlib.crc32(occ.tobytes()) != crc:
+        raise ValueError(
+            "corrupt geometry stream: occupancy checksum mismatch"
+        )
     if dtype is None:
         # match morton_encode's output tier (ops/morton.py): int32 through
         # J=10, int64 above (J=21 codes fit 63 bits)
@@ -402,7 +435,7 @@ def decode_geometry(
 
 
 def _decode_temporal(
-    payload: bytes, depth: int, n_voxels: int, dtype, prev_codes
+    payload: bytes, depth: int, n_voxels: int, dtype, prev_codes, crc
 ) -> np.ndarray:
     if prev_codes is None:
         raise ValueError(
@@ -419,19 +452,31 @@ def _decode_temporal(
         else _geom_py.TemporalDecoder(payload)
     )
     level_codes = np.zeros(1, dtype=np.uint64)
-    for l in range(depth):
-        # each internal node has at least one descendant leaf, so a level
-        # can never hold more nodes than the header's voxel count
-        if level_codes.size > n_voxels:
-            raise ValueError(
-                "corrupt temporal geometry stream: level walk exceeds "
-                f"{n_voxels} voxels"
+    occ_all = []
+    try:
+        for l in range(depth):
+            # each internal node has at least one descendant leaf, so a
+            # level can never hold more nodes than the header voxel count
+            if level_codes.size > n_voxels:
+                raise ValueError(
+                    "corrupt temporal geometry stream: level walk exceeds "
+                    f"{n_voxels} voxels"
+                )
+            matched, pb = _match_level(level_codes, lv_prev[l], occ_prev[l])
+            b = dec.decode_level(matched, pb, level_codes.size, l)
+            occ_all.append(b)
+            rows, cols = np.nonzero(_BITS8[b])
+            level_codes = (level_codes[rows] << np.uint64(3)) | cols.astype(
+                np.uint64
             )
-        matched, pb = _match_level(level_codes, lv_prev[l], occ_prev[l])
-        b = dec.decode_level(matched, pb, level_codes.size, l)
-        rows, cols = np.nonzero(_BITS8[b])
-        level_codes = (level_codes[rows] << np.uint64(3)) | cols.astype(
-            np.uint64
+    except MemoryError:
+        raise ValueError(
+            "corrupt geometry stream: decode exceeded plausible memory"
+        )
+    if zlib.crc32(np.concatenate(occ_all).tobytes()) != crc:
+        raise ValueError(
+            "corrupt geometry stream: occupancy checksum mismatch "
+            "(bad data or wrong temporal reference frame)"
         )
     if dtype is None:
         dtype = np.int32 if depth <= 10 else np.int64

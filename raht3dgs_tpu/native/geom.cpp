@@ -312,7 +312,14 @@ struct GeomDec {
 
 }  // namespace
 
-void* geom_enc_new() { return new (std::nothrow) GeomEnc(); }
+void* geom_enc_new() {
+  GeomEnc* e = new (std::nothrow) GeomEnc();
+  if (e && !e->sink.buf) {  // carry the intra path's malloc-failure guard
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
 
 // Encode one level's occupancy bytes. matched[j] != 0 means node j exists
 // in the previous frame with occupancy prevbyte[j]. Returns 0, or -2 on a

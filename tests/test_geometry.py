@@ -290,8 +290,8 @@ def test_temporal_needs_prev_codes():
     sec = geometry.encode_geometry(c1, depth, prev_codes=c0)
     with pytest.raises(ValueError, match="prev_codes"):
         geometry.decode_geometry(sec, depth, c1.size)
-    # wrong reference frame decodes to garbage -> the leaf-count/structure
-    # checks must catch it (never silently wrong geometry)
+    # wrong reference frame desynchronizes the coder contexts; the
+    # occupancy crc32 catches it DETERMINISTICALLY
     wrong = _shifted_codes(c0, depth, shift=(7, 3, 1))
     with pytest.raises(ValueError):
         geometry.decode_geometry(sec, depth, c1.size, prev_codes=wrong)
@@ -398,3 +398,16 @@ def test_container_mutation_fuzz():
                                          back.n_voxels)
         except ValueError:
             pass
+    # targeted: the u64 n_voxels field (container bytes 9..16) must never
+    # turn into a giant allocation (MemoryError) — ValueError only
+    for byte_idx in range(9, 17):
+        for val in (0x7F, 0xFF):
+            mut = bytearray(blob)
+            mut[byte_idx] = val
+            try:
+                back = FrameStream.from_bytes(bytes(mut))
+                if back.geometry is not None:
+                    geometry.decode_geometry(back.geometry, back.depth,
+                                             back.n_voxels)
+            except ValueError:
+                pass
