@@ -175,7 +175,8 @@ def _decode_one(args, stream, positions_path, output_path,
                 stream.width / (1 << stream.depth),
                 stream.vmin,
             )
-        _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec)
+        _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
+                      morton_ordered=True)
         return codes
 
     gs_meta = None
@@ -211,7 +212,8 @@ def _decode_one(args, stream, positions_path, output_path,
     return None
 
 
-def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec) -> None:
+def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
+                  morton_ordered=False) -> None:
     import jax.numpy as jnp
 
     from raht3dgs_tpu.io.ply import save_ply_ascii
@@ -236,15 +238,20 @@ def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec) -> None:
                                order_mode=stream.order_mode)
         rec, _ = codec.decode(stream, frame.codes, frame.weights)
 
-    # decoded rows are Morton-sorted; map back to the input point order
-    from raht3dgs_tpu.ops.prelude import morton_codes_np
+    if morton_ordered:
+        # geometry-derived positions are already in Morton order — the
+        # permutation below would be the identity
+        out_attrs = rec
+    else:
+        # decoded rows are Morton-sorted; map back to the input point order
+        from raht3dgs_tpu.ops.prelude import morton_codes_np
 
-    order = np.argsort(
-        morton_codes_np(np.floor(V).astype(np.int64), stream.depth),
-        kind="stable",
-    )
-    out_attrs = np.empty_like(rec)
-    out_attrs[order] = rec
+        order = np.argsort(
+            morton_codes_np(np.floor(V).astype(np.int64), stream.depth),
+            kind="stable",
+        )
+        out_attrs = np.empty_like(rec)
+        out_attrs[order] = rec
 
     if gs_meta is not None:
         from raht3dgs_tpu.io.ply import save_ply_3dgs

@@ -189,9 +189,16 @@ class FrameStream:
         if self.geometry is not None:
             head += struct.pack("<I", len(self.geometry))
             head += self.geometry
-        if self.inter and self.motion is not None:
-            head += struct.pack("<I", len(self.motion))
-            head += self.motion
+        # v3 emits a motion section only when motion exists (version
+        # selection guarantees it); v4 streams may be inter WITHOUT
+        # signalled motion (derived-motion v2 semantics + geometry), so
+        # under v4 the section is always present on inter frames and a
+        # zero length means "derived" — otherwise the reader would consume
+        # the channel-length table as motion bytes
+        if self.inter and (self.motion is not None
+                           or version == VERSION_GEOM):
+            head += struct.pack("<I", len(self.motion or b""))
+            head += self.motion or b""
         head += struct.pack(f"<{self.n_channels}I", *[len(c) for c in self.channels])
         return head + b"".join(self.channels)
 
@@ -253,7 +260,9 @@ class FrameStream:
             off += 4
             if len(data) < off + mlen:
                 raise ValueError("truncated stream: motion section cut off")
-            motion = data[off : off + mlen]
+            # zero length = inter frame with DERIVED motion (v4 writers
+            # always emit the section on inter frames)
+            motion = data[off : off + mlen] if mlen else None
             off += mlen
         if len(data) < off + 4 * n_ch:
             raise ValueError("truncated stream: channel length table cut off")

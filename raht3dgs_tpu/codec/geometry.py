@@ -19,57 +19,21 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
-import warnings
 import zlib
 from typing import Optional
 
 import numpy as np
 
 from raht3dgs_tpu.codec import _geom_py
+from raht3dgs_tpu.codec._native import NativeLib
 from raht3dgs_tpu.ops.octree import octree_deserialize, octree_serialize
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
-_SRC = os.path.join(_NATIVE_DIR, "geom.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libgeom.so")
-
-_lib: Optional[ctypes.CDLL] = None
-_tried_build = False
 
 
-def _build_native() -> Optional[str]:
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
-    except Exception as e:  # pragma: no cover - toolchain missing
-        warnings.warn(f"could not build native geometry coder: {e}")
-        return None
-
-
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried_build
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB) or (
-        os.path.exists(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-    ):
-        if _tried_build:
-            return None
-        _tried_build = True
-        if _build_native() is None:
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB)
-    except OSError as e:  # pragma: no cover
-        warnings.warn(f"could not load native geometry coder: {e}")
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
     pu8 = ctypes.POINTER(ctypes.c_uint8)
     lib.geom_encode.argtypes = [
         pu8, ctypes.c_size_t, ctypes.c_size_t,
@@ -100,8 +64,17 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.geom_dec_level.restype = ctypes.c_int
     lib.geom_dec_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
+
+
+_native = NativeLib(
+    os.path.join(_NATIVE_DIR, "geom.cpp"),
+    os.path.join(_NATIVE_DIR, "libgeom.so"),
+    _configure,
+)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    return _native.load()
 
 
 def native_available() -> bool:

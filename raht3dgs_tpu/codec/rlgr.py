@@ -15,53 +15,18 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import time
-import warnings
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from raht3dgs_tpu.codec import _rlgr_py
+from raht3dgs_tpu.codec._native import NativeLib
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_SRC = os.path.join(_NATIVE_DIR, "rlgr.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "librlgr.so")
-
-_lib: Optional[ctypes.CDLL] = None
-_tried_build = False
 
 
-def _build_native() -> Optional[str]:
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", _SRC, "-o", _LIB,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
-    except Exception as e:  # pragma: no cover - toolchain missing
-        warnings.warn(f"could not build native RLGR library: {e}")
-        return None
-
-
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried_build
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB) or (
-        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-    ):
-        if _tried_build:
-            return None
-        _tried_build = True
-        if _build_native() is None:
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB)
-    except OSError as e:  # pragma: no cover
-        warnings.warn(f"could not load native RLGR library: {e}")
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
     lib.rlgr_encode.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t, ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -97,8 +62,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
     ]
     lib.rlgr_decode_batch32.restype = ctypes.c_int
-    _lib = lib
-    return _lib
+
+
+_native = NativeLib(
+    os.path.join(_NATIVE_DIR, "rlgr.cpp"),
+    os.path.join(_NATIVE_DIR, "librlgr.so"),
+    _configure,
+    extra_flags=("-pthread",),
+)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    return _native.load()
 
 
 def _sz_array(values) -> np.ndarray:

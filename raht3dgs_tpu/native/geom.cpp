@@ -66,10 +66,16 @@ struct ByteSink {
   ~ByteSink() { std::free(buf); }
   ByteSink(const ByteSink&) = delete;
   ByteSink& operator=(const ByteSink&) = delete;
+  bool failed = false;
   inline void put(uint8_t b) {
     if (len == cap) {
+      uint8_t* nb = static_cast<uint8_t*>(std::realloc(buf, cap * 2));
+      if (!nb) {  // keep the old buffer; surface as the -1 alloc error
+        failed = true;
+        return;
+      }
+      buf = nb;
       cap *= 2;
-      buf = static_cast<uint8_t*>(std::realloc(buf, cap));
     }
     buf[len++] = b;
   }
@@ -233,6 +239,7 @@ int geom_encode(const uint8_t* occ, size_t n, size_t depth, uint8_t** out,
   }
   if (pos != n) return -2;  // leaves (level == depth) carry no bytes
   enc.flush();
+  if (sink.failed) return -1;
   *out_len = sink.len;
   *out = sink.release();
   if (!*out) return -1;
@@ -350,6 +357,7 @@ int geom_enc_level(void* h, const uint8_t* occ, const uint8_t* matched,
 int geom_enc_finish(void* h, uint8_t** out, size_t* out_len) {
   GeomEnc* e = static_cast<GeomEnc*>(h);
   e->enc.flush();
+  if (e->sink.failed) return -1;
   *out_len = e->sink.len;
   *out = e->sink.release();
   return *out ? 0 : -1;

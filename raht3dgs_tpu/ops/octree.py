@@ -150,9 +150,9 @@ def octree_deserialize(occ: np.ndarray, depth: int,
 def occupancy_level_sizes(occ: np.ndarray, depth: int) -> np.ndarray:
     """Per-level node counts of a serialized stream (levels 0..depth-1).
 
-    Shares the self-framing rule with :func:`octree_deserialize` without
-    materializing codes — used by the entropy layer to assign per-level
-    probability contexts.
+    Inspection/validation utility sharing the self-framing rule with
+    :func:`octree_deserialize` without materializing codes (the entropy
+    coders walk levels inline; see native/geom.cpp).
     """
     occ = np.asarray(occ, dtype=np.uint8)
     sizes = np.empty(depth, dtype=np.int64)

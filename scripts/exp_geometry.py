@@ -99,7 +99,6 @@ def temporal_table():
 
 def main():
     print(f"native backend: {geometry.native_available()}")
-    rows = []
     cases = [
         ("shell J=10", shell(7, 600000, 10)),
         ("shell J=12", shell(7, 600000, 12)),
@@ -121,7 +120,6 @@ def main():
         t2 = time.perf_counter()
         assert np.array_equal(back, codes)
         n = codes.size
-        rows.append(name)
         print(
             f"| {name} | {n} | {len(sec) * 8 / n:.2f} | "
             f"{occ.size * 8 / n:.2f} | {3 * depth} | "

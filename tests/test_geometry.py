@@ -411,3 +411,30 @@ def test_container_mutation_fuzz():
                                              back.n_voxels)
             except ValueError:
                 pass
+
+
+def test_v4_inter_without_signalled_motion():
+    """The review-found invariant break: a v2-semantics inter stream
+    (derived motion, motion=None) with geometry attached must roundtrip —
+    v4 writes an explicit zero-length motion section on inter frames."""
+    from raht3dgs_tpu.codec.bitstream import FrameStream
+
+    codes = _surface_codes(5, n=150)
+    st = FrameStream(
+        depth=5, n_voxels=codes.size, steps=np.array([1.0]),
+        channels=[b"abc", b"de"], inter=True, probes=27, motion=None,
+        geometry=geometry.encode_geometry(codes, 5),
+    )
+    blob = st.to_bytes()
+    back = FrameStream.from_bytes(blob)
+    assert back.inter and back.motion is None and back.probes == 27
+    assert back.channels == [b"abc", b"de"]
+    assert back.geometry == st.geometry
+    # and the signalled-motion variant still roundtrips alongside
+    st2 = FrameStream(
+        depth=5, n_voxels=codes.size, steps=np.array([1.0]),
+        channels=[b"abc"], inter=True, motion=b"MV",
+        geometry=st.geometry,
+    )
+    b2 = FrameStream.from_bytes(st2.to_bytes())
+    assert b2.motion == b"MV" and b2.geometry == st.geometry
