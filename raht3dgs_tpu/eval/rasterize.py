@@ -284,6 +284,56 @@ def _tile_bbox(mx, my, r, tile, tiles_x, tiles_y):
     return tx0, tx1, ty0, ty1
 
 
+def _cull_mask(mx, my, cA, cB, cC, opac, etx, ety, tile):
+    """Exact-zero entry cull: True for entries whose maximum achievable
+    alpha on their tile's pixel-center rectangle can clear the 1/255
+    cutoff. ONE definition — the binning pass and the compaction probe
+    must never diverge.
+
+    The bound is the EXACT minimum of the blend's quadratic form
+    q = A dx^2 + 2B dx dy + C dy^2 (alpha = o * exp(-q/2)) over the
+    rectangle: zero when the mean lies inside, else the minimum over the
+    four edges, each a 1-D convex quadratic whose clamped stationary point
+    is evaluated directly. Anisotropic — an elongated splat's off-axis
+    tiles cull even though its major-eigenvalue (isotropic) bound never
+    would (the round-1 cull's weakness; measured below on needle scenes).
+    Keep iff q_min <= 2*log(2*o/ALPHA_MIN): the 2x opacity factor is the
+    same f32-rounding safety margin as the original isotropic bound, and
+    the rectangle minimum lower-bounds every pixel center's q, so no
+    contributing pixel can be culled. Zero or sub-cutoff opacities give
+    -inf thresholds (always culled; dead via the alive mask anyway);
+    negative opacities log to NaN whose comparison is False — culled,
+    matching their always-zeroed blend."""
+    f32 = jnp.float32
+    thr = 2.0 * jnp.log((2.0 / _ALPHA_MIN) * opac)
+    rx0 = etx.astype(f32) * tile + 0.5
+    ry0 = ety.astype(f32) * tile + 0.5
+    x0 = rx0 - mx[:, None]
+    x1 = x0 + (tile - 1)
+    y0 = ry0 - my[:, None]
+    y1 = y0 + (tile - 1)
+    A = jnp.maximum(cA, 1e-12)[:, None]
+    C = jnp.maximum(cC, 1e-12)[:, None]
+    B = cB[:, None]
+
+    def q(dx, dy):
+        return A * dx * dx + 2.0 * B * dx * dy + C * dy * dy
+
+    inside = (x0 <= 0) & (0 <= x1) & (y0 <= 0) & (0 <= y1)
+    q_edges = jnp.minimum(
+        jnp.minimum(
+            q(x0, jnp.clip(-B * x0 / C, y0, y1)),
+            q(x1, jnp.clip(-B * x1 / C, y0, y1)),
+        ),
+        jnp.minimum(
+            q(jnp.clip(-B * y0 / A, x0, x1), y0),
+            q(jnp.clip(-B * y1 / A, x0, x1), y1),
+        ),
+    )
+    q_min = jnp.where(inside, 0.0, q_edges)
+    return q_min <= thr[:, None]
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -294,6 +344,7 @@ def _tile_bbox(mx, my, r, tile, tiles_x, tiles_y):
         "max_tiles_per_gauss",
         "max_per_tile",
         "chunk",
+        "compact_tiles",
     ),
 )
 def _rasterize_tiled(
@@ -313,6 +364,7 @@ def _rasterize_tiled(
     max_tiles_per_gauss: int,
     max_per_tile: int,
     chunk: int,
+    compact_tiles: int = None,
 ):
     N = means.shape[0]
     f32 = jnp.float32
@@ -394,14 +446,28 @@ def _rasterize_tiled(
     # via the alive mask anyway; negative opacities log to NaN, whose
     # comparison is False — culled, matching their always-zeroed blend).
     if os.environ.get("RAHT3DGS_RASTER_CULL", "1") not in ("", "0"):
-        lam1_o = jnp.maximum(lam1[order], 1e-12)
-        thr = 2.0 * lam1_o * jnp.log((2.0 / _ALPHA_MIN) * table[:, 8])
-        rx0 = etx.astype(f32) * tile + 0.5
-        ry0 = ety.astype(f32) * tile + 0.5
-        ddx = mx[:, None] - jnp.clip(mx[:, None], rx0, rx0 + (tile - 1))
-        ddy = my[:, None] - jnp.clip(my[:, None], ry0, ry0 + (tile - 1))
-        d2 = ddx * ddx + ddy * ddy
-        e_valid &= d2 <= thr[:, None]
+        e_valid &= _cull_mask(mx, my, table[:, 2], table[:, 3], table[:, 4],
+                              table[:, 8], etx, ety, tile)
+
+    # --- entry compaction: shrink the global binning sort's static width
+    # to the post-cull maximum (``compact_tiles``, measured by the caller's
+    # probe). Valid entries keep their slot order within the row, so the
+    # (tile, depth-rank) key stream — and therefore the blend's segments —
+    # are IDENTICAL to the uncompacted program: compaction is bitwise
+    # exact, unlike the cull itself (which regroups f32 chunk sums). A
+    # per-row sort of width max_tiles_per_gauss buys a global sort of
+    # width compact_tiles.
+    if compact_tiles is not None and compact_tiles < max_tiles_per_gauss:
+        jgrid = jnp.broadcast_to(j, e_valid.shape).astype(jnp.int32)
+        jkey = jnp.where(e_valid, jgrid, max_tiles_per_gauss)
+        js = lax.sort(jkey, dimension=1)[:, :compact_tiles]
+        n_valid = jnp.sum(e_valid, axis=1)
+        dup_clipped = dup_clipped + jnp.sum(
+            jnp.maximum(n_valid - compact_tiles, 0)
+        )
+        e_valid = js < max_tiles_per_gauss
+        ety = ty0[:, None] + js // tw_s
+        etx = tx0[:, None] + js % tw_s
 
     e_tile = jnp.where(e_valid, ety * tiles_x + etx, n_tiles).astype(jnp.int32)
 
@@ -648,6 +714,36 @@ def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
     return jnp.max(n_cover)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "tile", "m"))
+def _max_valid_cover(means, quats, scales, opacities, viewmat, Kmat, *,
+                     width, height, tile, m):
+    """Max per-gaussian count of entries SURVIVING the exact-zero cull
+    (same formula as the binning pass via _cull_mask) — the compaction
+    width probe. ``m`` is the bbox budget the enumeration runs at."""
+    f32 = jnp.float32
+    means2d, conic, depths, radii, alive, vd, lam1 = project_gaussians(
+        means.astype(f32), quats.astype(f32), scales.astype(f32),
+        opacities.astype(f32).reshape(-1), viewmat.astype(f32),
+        Kmat.astype(f32), width, height,
+    )
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    mx, my, r = means2d[:, 0], means2d[:, 1], radii
+    tx0, tx1, ty0, ty1 = _tile_bbox(mx, my, r, tile, tiles_x, tiles_y)
+    tw = tx1 - tx0 + 1
+    n_cover = jnp.where(alive, tw * (ty1 - ty0 + 1), 0)
+    j = jnp.arange(m, dtype=jnp.int32)[None, :]
+    tw_s = jnp.maximum(tw, 1)[:, None]
+    ety = ty0[:, None] + j // tw_s
+    etx = tx0[:, None] + j % tw_s
+    e_valid = j < n_cover[:, None]
+    e_valid &= _cull_mask(
+        mx, my, conic[:, 0], conic[:, 1], conic[:, 2],
+        opacities.astype(f32).reshape(-1), etx, ety, tile,
+    )
+    return jnp.max(jnp.sum(e_valid, axis=1))
+
+
 def auto_tile_budget(means, quats, scales, opacities, viewmat, Kmat, *,
                      width: int, height: int, tile: int = 16,
                      cap: int = 256) -> int:
@@ -708,11 +804,28 @@ def rasterize_gaussians(
         (image (H, W, 3) float32 numpy array, RasterMeta of device
         scalars — convert with ``int(...)`` to inspect).
     """
+    compact_tiles = None
     if max_tiles_per_gauss == "auto":
         max_tiles_per_gauss = auto_tile_budget(
             means, quats, scales, opacities, viewmat, Kmat,
             width=width, height=height, tile=tile,
         )
+        if (os.environ.get("RAHT3DGS_RASTER_CULL", "1") not in ("", "0")
+                and os.environ.get("RAHT3DGS_RASTER_COMPACT", "0")
+                not in ("", "0")):
+            # opt-in (bitwise exact; TPU win pending measurement): shrink
+            # the binning sort to the post-cull width
+            need = int(_max_valid_cover(
+                jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+                jnp.asarray(opacities), jnp.asarray(viewmat),
+                jnp.asarray(Kmat), width=width, height=height, tile=tile,
+                m=max_tiles_per_gauss,
+            ))
+            c = 4
+            while c < need:
+                c *= 2
+            if c < max_tiles_per_gauss:
+                compact_tiles = c
     sh, inferred = _colors_to_sh(jnp.asarray(colors))
     if sh_degree is None:
         sh_degree = inferred
@@ -734,6 +847,7 @@ def rasterize_gaussians(
         max_tiles_per_gauss=max_tiles_per_gauss,
         max_per_tile=max_per_tile,
         chunk=chunk,
+        compact_tiles=compact_tiles,
     )
     return np.asarray(img), meta
 

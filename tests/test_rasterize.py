@@ -456,3 +456,75 @@ def test_tile_cull_matches_uncull(rng, monkeypatch):
     # culling frees capacity, so it can only reduce tile overflow
     assert int(meta_cull.tile_clipped) <= int(meta_full.tile_clipped)
     np.testing.assert_allclose(img_cull, img_full, atol=2e-6)
+
+
+def test_compaction_bitwise_identical(rng, monkeypatch):
+    """Entry compaction (RAHT3DGS_RASTER_COMPACT with auto budgets) keeps
+    the surviving (tile, depth-rank) stream identical, so the image must be
+    BITWISE equal to the uncompacted program — and actually engage on a
+    scene with elongated splats (post-cull width < bbox width)."""
+    from raht3dgs_tpu.eval.rasterize import _max_valid_cover, auto_tile_budget
+    import jax.numpy as jnp
+
+    # diagonal needles: the anisotropic cull shrinks the post-cull width
+    # far below the bbox budget, so compaction genuinely engages
+    n = 60
+    means = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    means[:, 2] *= 0.2
+    a = np.pi / 4
+    quats = np.tile([np.cos(a / 2), 0, 0, np.sin(a / 2)],
+                    (n, 1)).astype(np.float32)
+    scales = np.tile([0.6, 0.008, 0.008], (n, 1)).astype(np.float32)
+    opac = np.full(n, 0.9, np.float32)
+    colors = rng.normal(0, 0.5, size=(n, 3)).astype(np.float32)
+    W = H = 256
+    viewmat, K = _front_cam(width=W, height=H)
+    budget = auto_tile_budget(means, quats, scales, opac, viewmat, K,
+                              width=W, height=H, tile=16)
+    need = int(_max_valid_cover(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(viewmat), jnp.asarray(K),
+        width=W, height=H, tile=16, m=budget,
+    ))
+    c = 4
+    while c < need:
+        c *= 2
+    assert c < budget, (need, budget)  # the feature must actually engage
+
+    base, meta0 = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, W, H,
+        max_tiles_per_gauss="auto",
+    )
+    monkeypatch.setenv("RAHT3DGS_RASTER_COMPACT", "1")
+    comp, meta1 = rasterize_gaussians(
+        means, quats, scales, opac, colors, viewmat, K, W, H,
+        max_tiles_per_gauss="auto",
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(comp))
+    assert int(meta1.dup_clipped) == 0 and int(meta1.tile_clipped) == 0
+    # sanity: the compacted program also still matches the dense golden
+    ref = rasterize_dense(means, quats, scales, opac, colors, viewmat, K,
+                          W, H)
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(ref), atol=2e-5)
+
+
+def test_compaction_forced_width_counts_clipping(rng):
+    """A compact width smaller than the true post-cull need must COUNT the
+    dropped valid entries (never silent)."""
+    from raht3dgs_tpu.eval.rasterize import _rasterize_tiled
+    import jax.numpy as jnp
+
+    n = 120
+    means, quats, scales, opac, colors = _random_scene(rng, n)
+    scales[:, 0] *= 8.0
+    viewmat, K = _front_cam()
+    img, meta = _rasterize_tiled(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors).reshape(n, 1, 3),
+        jnp.asarray(viewmat), jnp.asarray(K),
+        jnp.ones(3, dtype=np.float32),
+        width=64, height=64, sh_degree=0, tile=16,
+        max_tiles_per_gauss=32, max_per_tile=1024, chunk=128,
+        compact_tiles=4,
+    )
+    assert int(meta.dup_clipped) > 0
