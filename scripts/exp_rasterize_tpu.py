@@ -69,8 +69,23 @@ def main():
                                     width=SIZE, height=SIZE, tile=16)
         else:
             mtpg = int(MTPG)
+        compact = None
+        if os.environ.get("RAHT3DGS_RASTER_COMPACT", "0") not in ("", "0"):
+            from raht3dgs_tpu.eval.rasterize import _max_valid_cover
+
+            need = int(_max_valid_cover(
+                jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+                jnp.asarray(opac), vm, Km,
+                width=SIZE, height=SIZE, tile=16, m=mtpg,
+            ))
+            c = 4
+            while c < need:
+                c *= 2
+            if c < mtpg:
+                compact = c
         kw = dict(width=SIZE, height=SIZE, sh_degree=deg, tile=16,
-                  max_tiles_per_gauss=mtpg, max_per_tile=1024, chunk=128)
+                  max_tiles_per_gauss=mtpg, max_per_tile=1024, chunk=128,
+                  compact_tiles=compact)
         img, meta = _rasterize_tiled(*args, **kw)
         float(img[0, 0, 0])  # warm + fetch
         img, meta = _rasterize_tiled(*args, **kw)
@@ -82,7 +97,7 @@ def main():
             float(outs[-1][0][0, 0, 0])
             times.append((time.perf_counter() - t0) / 4)
         print(json.dumps({
-            "n": n, "max_tiles_per_gauss": mtpg,
+            "n": n, "max_tiles_per_gauss": mtpg, "compact_tiles": compact,
             "ms_per_view": round(min(times) * 1e3, 2),
             "dup_clipped": int(meta.dup_clipped),
             "tile_clipped": int(meta.tile_clipped),
