@@ -131,7 +131,10 @@ def _decode_occ(data: bytes, depth: int, max_bytes: int) -> np.ndarray:
 # Section layout: u8 profile | u32 crc32(occupancy bytes) | profile
 # extras | coder bytes. The CRC makes corruption/wrong-reference detection
 # DETERMINISTIC — the entropy payload itself has no redundancy, and the
-# structural checks alone are only probabilistic.
+# structural checks alone are only probabilistic. The crc32 field is part
+# of each profile's DEFINITION: profiles 0-2 shipped with it (the brief
+# intra-round pre-CRC layout never left this repository and is not a
+# readable format; from here on, layout changes bump the profile byte).
 # Profile 0 = the intra automaton frozen in native/geom.cpp /
 # _geom_py.py; profile 1 = the temporal coder (contexts from the previous
 # frame's decoded octree — the decoder MUST be handed prev_codes). Better

@@ -694,12 +694,11 @@ def _rasterize_dense_jit(
     return img.reshape(height, width, 3)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile"))
-def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
-                    width, height, tile):
-    """Max tiles any alive gaussian covers in this view (same bbox formula
-    as the binning pass). A tiny program used to pick the duplication-grid
-    budget adaptively."""
+def _probe_bbox(means, quats, scales, opacities, viewmat, Kmat,
+                width, height, tile):
+    """Shared probe preamble: projection + tile bboxes (THE bbox formula,
+    _tile_bbox) — both budget probes must see exactly what the binning
+    pass sees."""
     f32 = jnp.float32
     means2d, conic, depths, radii, alive, vd, _ = project_gaussians(
         means.astype(f32), quats.astype(f32), scales.astype(f32),
@@ -710,7 +709,20 @@ def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
     tiles_y = (height + tile - 1) // tile
     mx, my, r = means2d[:, 0], means2d[:, 1], radii
     tx0, tx1, ty0, ty1 = _tile_bbox(mx, my, r, tile, tiles_x, tiles_y)
-    n_cover = jnp.where(alive, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+    tw = tx1 - tx0 + 1
+    n_cover = jnp.where(alive, tw * (ty1 - ty0 + 1), 0)
+    return mx, my, conic, tx0, ty0, tw, n_cover
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile"))
+def _max_tile_cover(means, quats, scales, opacities, viewmat, Kmat, *,
+                    width, height, tile):
+    """Max tiles any alive gaussian covers in this view (same bbox formula
+    as the binning pass). A tiny program used to pick the duplication-grid
+    budget adaptively."""
+    _, _, _, _, _, _, n_cover = _probe_bbox(
+        means, quats, scales, opacities, viewmat, Kmat, width, height, tile
+    )
     return jnp.max(n_cover)
 
 
@@ -719,19 +731,12 @@ def _max_valid_cover(means, quats, scales, opacities, viewmat, Kmat, *,
                      width, height, tile, m):
     """Max per-gaussian count of entries SURVIVING the exact-zero cull
     (same formula as the binning pass via _cull_mask) — the compaction
-    width probe. ``m`` is the bbox budget the enumeration runs at."""
-    f32 = jnp.float32
-    means2d, conic, depths, radii, alive, vd, lam1 = project_gaussians(
-        means.astype(f32), quats.astype(f32), scales.astype(f32),
-        opacities.astype(f32).reshape(-1), viewmat.astype(f32),
-        Kmat.astype(f32), width, height,
+    width probe. ``m`` is the bbox budget the enumeration runs at (the
+    budget must be computed first: the enumeration width is a static
+    shape, so the two probes are inherently separate programs)."""
+    mx, my, conic, tx0, ty0, tw, n_cover = _probe_bbox(
+        means, quats, scales, opacities, viewmat, Kmat, width, height, tile
     )
-    tiles_x = (width + tile - 1) // tile
-    tiles_y = (height + tile - 1) // tile
-    mx, my, r = means2d[:, 0], means2d[:, 1], radii
-    tx0, tx1, ty0, ty1 = _tile_bbox(mx, my, r, tile, tiles_x, tiles_y)
-    tw = tx1 - tx0 + 1
-    n_cover = jnp.where(alive, tw * (ty1 - ty0 + 1), 0)
     j = jnp.arange(m, dtype=jnp.int32)[None, :]
     tw_s = jnp.maximum(tw, 1)[:, None]
     ety = ty0[:, None] + j // tw_s
@@ -739,7 +744,7 @@ def _max_valid_cover(means, quats, scales, opacities, viewmat, Kmat, *,
     e_valid = j < n_cover[:, None]
     e_valid &= _cull_mask(
         mx, my, conic[:, 0], conic[:, 1], conic[:, 2],
-        opacities.astype(f32).reshape(-1), etx, ety, tile,
+        opacities.astype(jnp.float32).reshape(-1), etx, ety, tile,
     )
     return jnp.max(jnp.sum(e_valid, axis=1))
 

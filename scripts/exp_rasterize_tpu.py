@@ -70,7 +70,12 @@ def main():
         else:
             mtpg = int(MTPG)
         compact = None
-        if os.environ.get("RAHT3DGS_RASTER_COMPACT", "0") not in ("", "0"):
+        # same gate as rasterize_gaussians: compaction widths are sized by
+        # the post-CULL probe, so timing it with the cull disabled would
+        # measure a program that drops contributing entries
+        if (os.environ.get("RAHT3DGS_RASTER_COMPACT", "0") not in ("", "0")
+                and os.environ.get("RAHT3DGS_RASTER_CULL", "1")
+                not in ("", "0")):
             from raht3dgs_tpu.eval.rasterize import _max_valid_cover
 
             need = int(_max_valid_cover(
