@@ -208,6 +208,27 @@ def _decode_one(args, stream, positions_path, output_path,
             f"stream encodes {stream.n_voxels} voxels but {positions_path} "
             f"has {len(V)} points"
         )
+    if stream.geometry is not None and stream.geometry[0] == 0:
+        # both sources available: cross-check the sidecar against the
+        # stream's own (intra) geometry — a wrong positions file with the
+        # right point count would otherwise decode attributes onto wrong
+        # voxels silently
+        from raht3dgs_tpu.codec.geometry import (
+            codes_from_positions,
+            decode_geometry,
+        )
+
+        own = decode_geometry(stream.geometry, stream.depth,
+                              stream.n_voxels)
+        if not np.array_equal(
+            codes_from_positions(V, stream.depth).astype(np.int64),
+            own.astype(np.int64),
+        ):
+            raise SystemExit(
+                f"{positions_path} does not match the geometry coded in "
+                "the stream (same count, different voxels) — wrong "
+                "positions file?"
+            )
     _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec)
     return None
 

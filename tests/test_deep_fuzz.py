@@ -61,3 +61,39 @@ def test_deep_fuzz_transform_and_coder():
             st, _ = rlgr_encode(q)
             back, _ = rlgr_decode(st, n, out=np.empty(n, np.int32))
             np.testing.assert_array_equal(back[:n], q)
+
+
+def test_deep_fuzz_geometry():
+    """Hundreds of randomized geometry roundtrips: random depths/sizes,
+    intra + temporal + motion-compensated profiles, native vs Python
+    byte-identity on a subsample."""
+    import numpy as np
+
+    from raht3dgs_tpu.codec import _geom_py, geometry
+    from raht3dgs_tpu.ops.octree import octree_serialize
+
+    rng = np.random.default_rng(99)
+    for trial in range(150):
+        depth = int(rng.integers(1, 14))
+        n = int(rng.integers(1, 3000))
+        hi = min(1 << (3 * depth), 1 << 62)
+        codes = np.unique(rng.integers(0, hi, 2 * n, dtype=np.int64))[:n]
+        sec = geometry.encode_geometry(codes, depth)
+        back = geometry.decode_geometry(sec, depth, codes.size,
+                                        dtype=codes.dtype)
+        np.testing.assert_array_equal(back, codes)
+        if trial % 10 == 0:
+            occ = octree_serialize(codes, depth)
+            assert sec[5:] == _geom_py.encode(occ, depth)
+        # temporal pair: jitter a copy of the cloud
+        if depth >= 2 and codes.size >= 4:
+            jit = (codes.astype(np.int64)
+                   + rng.integers(0, 8, codes.size)) % hi
+            prev = np.unique(jit)
+            mv = tuple(int(x) for x in rng.integers(-2, 3, 3))
+            sec_t = geometry.encode_geometry(codes, depth, prev_codes=prev,
+                                             motion=mv)
+            back = geometry.decode_geometry(sec_t, depth, codes.size,
+                                            dtype=codes.dtype,
+                                            prev_codes=prev)
+            np.testing.assert_array_equal(back, codes)

@@ -438,3 +438,53 @@ def test_v4_inter_without_signalled_motion():
     )
     b2 = FrameStream.from_bytes(st2.to_bytes())
     assert b2.motion == b"MV" and b2.geometry == st.geometry
+
+
+def test_decode_cross_checks_positions_against_geometry(tmp_path):
+    """With BOTH a --positions sidecar and an in-stream geometry section,
+    decode must reject a wrong sidecar of the right point count."""
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import save_ply_ascii
+
+    rng = np.random.default_rng(3)
+    depth = 5
+    lim = 1 << depth
+    pts = np.unique(rng.integers(0, lim, size=(400, 3)), axis=0)
+    rgb = (pts * 3 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=lim - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2",
+         "--csv", str(tmp_path / "e.csv"), "--platform", "cpu",
+         "--bucket", "512", "--save-streams", str(tmp_path),
+         "--code-geometry"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    stream = str(tmp_path / "frame0001_step2.r3tc")
+    # correct sidecar passes the cross-check
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", stream, "--positions", str(ply),
+         "--output", str(tmp_path / "ok.ply"), "--platform", "cpu"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    # same count, different voxels -> rejected
+    wrong = np.clip(pts + 1, 0, lim - 1)
+    _, first = np.unique(wrong, axis=0, return_index=True)
+    if len(first) != len(pts):  # keep the count equal for the test
+        wrong = (pts + np.array([lim // 2, 0, 0])) % lim
+    ply2 = tmp_path / "wrong.ply"
+    save_ply_ascii(ply2, wrong.astype(float), rgb, width=lim - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", stream, "--positions", str(ply2),
+         "--output", str(tmp_path / "bad.ply"), "--platform", "cpu"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "does not match the geometry" in out.stderr
