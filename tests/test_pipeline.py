@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from raht3dgs_tpu.codec.bitstream import FrameStream
 from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
@@ -202,9 +203,16 @@ def test_stream_format_frozen(rng):
     # entropy coding). A deliberate format change must update this hash
     # and bump the container VERSION.
     import hashlib
+    import os
 
     from conftest import unique_voxel_cloud
 
+    if os.environ.get("RAHT3DGS_RAHT_IMPL", "span") != "span":
+        pytest.skip(
+            "golden hash pins the default (span) transform; other impls "
+            "agree to fp tolerance, not bitwise (test_properties covers "
+            "their equivalence)"
+        )
     r = np.random.default_rng(42)
     pts, _, _ = unique_voxel_cloud(r, 600, 6)
     attrs = (pts * 7 % 256).astype(np.float64)
@@ -220,9 +228,18 @@ def test_stream_format_frozen(rng):
 def test_codec_at_maximum_depth_21(rng):
     """J=21 — the int64 Morton ceiling (the MATLAB reference caps J there,
     matlab/encode_ply.m:27). Full encode->stream->decode roundtrip."""
+    import os
+
     import jax.numpy as jnp
 
     from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+
+    if os.environ.get("RAHT3DGS_RAHT_IMPL") == "scan":
+        pytest.skip(
+            "the scan impl documents no uint64 (J=21) support — its -1 "
+            "sentinels assume a signed code dtype (guard clause in "
+            "ops/raht_scan.py)"
+        )
 
     depth = 21
     n = 300
