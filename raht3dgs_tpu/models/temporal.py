@@ -136,7 +136,7 @@ class SequenceCodec:
     def __init__(self, depth: int, gop: int = 8, adaptive: bool = True,
                  probes: int = 27, signal_motion: bool = True,
                  block_side_log: int = 4, search_iters: int = 2,
-                 **codec_kwargs):
+                 search_stride: int = 1, **codec_kwargs):
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if probes not in (7, 27):
@@ -153,9 +153,11 @@ class SequenceCodec:
         self.signal_motion = bool(signal_motion)
         self.block_side_log = int(block_side_log)
         # encoder-side search depth (±search_iters voxels Chebyshev around
-        # the global vector); stream-compatible — only the signalled
-        # integers matter to the decoder
+        # the global vector) and witness sampling stride; both
+        # stream-compatible — only the signalled integers matter to the
+        # decoder
         self.search_iters = int(search_iters)
+        self.search_stride = int(search_stride)
         self.codec = AttributeCodec(depth, **codec_kwargs)
         self.reset()
 
@@ -209,7 +211,7 @@ class SequenceCodec:
             frame.codes, frame.attributes, frame.weights,
             prev_frame.codes, prev_recon, prev_frame.weights,
             self.depth, motion, block_side_log=self.block_side_log,
-            iters=self.search_iters,
+            iters=self.search_iters, stride=self.search_stride,
         )
         mv_np = np.asarray(mv)
         motion_bytes = _pack_motion(

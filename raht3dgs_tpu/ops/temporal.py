@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raht3dgs_tpu.ops.morton import morton_decode, morton_encode
 
@@ -244,7 +245,8 @@ def _refine_block_motion_jit(codes_t, weights_t, codes_prev, weights_prev,
 def search_block_motion(codes_t, attrs_t, weights_t, codes_prev,
                         attrs_prev, weights_prev, depth: int, motion,
                         block_side_log: int = 4, iters: int = 2,
-                        min_hits: int = 8, join: str = None):
+                        min_hits: int = 8, join: str = None,
+                        stride: int = 1):
     """Encoder-side per-block motion estimation against the TRUE residual.
 
     :func:`refine_block_motion` must be bitwise-replayable by the decoder,
@@ -270,21 +272,29 @@ def search_block_motion(codes_t, attrs_t, weights_t, codes_prev,
     and never vote — weight 0), so slicing row 0 of each occupied block
     recovers exactly the signalled field.
 
+    ``stride`` > 1 votes with every stride-th row only (Morton order ==
+    spatially stratified sampling): the 27-probe match and the 27
+    attribute gathers — the search's E-sized cost — shrink by the
+    stride while each block still aggregates tens of witnesses.
+    Encoder-side free (the field is signalled); ``min_hits`` keeps its
+    full-resolution meaning (sampled counts are scaled back up).
+
     Returns an (N, 3) int32 per-voxel motion field (content sits near
     ``position - motion`` in the previous frame).
     """
     return _search_block_motion_jit(
         codes_t, attrs_t, weights_t, codes_prev, attrs_prev, weights_prev,
         depth, motion, block_side_log, iters, min_hits,
-        join or _join_impl(),
+        join or _join_impl(), stride,
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "depth", "block_side_log", "iters", "min_hits", "join"))
+    "depth", "block_side_log", "iters", "min_hits", "join", "stride"))
 def _search_block_motion_jit(codes_t, attrs_t, weights_t, codes_prev,
                              attrs_prev, weights_prev, depth, motion,
-                             block_side_log, iters, min_hits, join):
+                             block_side_log, iters, min_hits, join,
+                             stride=1):
     from raht3dgs_tpu.ops.segment import sorted_segment_sums
 
     P0 = morton_decode(codes_t, depth)
@@ -296,6 +306,12 @@ def _search_block_motion_jit(codes_t, attrs_t, weights_t, codes_prev,
 
     first = block_first(codes_t, depth, block_side_log)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+
+    if stride > 1:
+        return _search_strided(
+            P0, at, occ_t, seg, codes_prev, attrs_prev, occ_p, depth,
+            motion, lim, iters, min_hits, join, stride
+        )
 
     mv = jnp.broadcast_to(jnp.asarray(motion, jnp.int32), P0.shape)
     for _ in range(iters):                                   # static unroll
@@ -332,6 +348,63 @@ def _search_block_motion_jit(codes_t, attrs_t, weights_t, codes_prev,
         ).astype(jnp.int32)
         # the winning offset points from the compensated position TOWARD
         # the prev content (content at P - mv + off) => mv' = mv - off
+        mv = mv - extra
+    return mv
+
+
+def _search_strided(P0, at, occ_t, seg, codes_prev, attrs_prev, occ_p,
+                    depth, motion, lim, iters, min_hits, join, stride):
+    """Strided-witness variant of the block-motion search: probe matching
+    and attribute-error witness selection run on every ``stride``-th row;
+    block means aggregate the sampled witnesses and are mapped back to all
+    rows with one searchsorted over the sampled blocks' ids (scatter-free,
+    exact). Sampled hit counts scale by ``stride`` against ``min_hits``."""
+    from raht3dgs_tpu.ops.segment import sorted_segment_sums
+
+    sel = slice(0, None, stride)
+    P0s = P0[sel]
+    ats = at[sel]
+    occ_ts = occ_t[sel]
+    segs = seg[sel]
+    Ns = P0s.shape[0]
+    first_s = jnp.concatenate(
+        [jnp.ones((1,), bool), segs[1:] != segs[:-1]]
+    )
+    sentinel = jnp.int32(np.iinfo(np.int32).max)
+
+    mv = jnp.broadcast_to(jnp.asarray(motion, jnp.int32), P0.shape)
+    for _ in range(iters):                                   # static unroll
+        Ps = P0s - mv[sel]
+        cp = _probe_codes(Ps, _SHELL27, lim, depth, codes_prev.dtype)
+        hit, idx = _probe_match(cp, codes_prev, occ_p, join)
+        err_cols = []
+        for k in range(len(_SHELL27)):
+            pk = attrs_prev[idx[:, k]].astype(jnp.float64)
+            e = jnp.sum((pk - ats) ** 2, axis=1)
+            err_cols.append(jnp.where(hit[:, k], e, jnp.inf))
+        err = jnp.stack(err_cols, axis=1)
+        win = jnp.argmin(err, axis=1)
+        valid = jnp.any(hit, axis=1) & occ_ts
+        woff = jnp.asarray(_SHELL27, jnp.float64)[win] * valid[:, None]
+        vals = jnp.concatenate(
+            [woff, valid[:, None].astype(jnp.float64)], axis=1
+        )
+        # f64 accumulator carries the int32 block id exactly
+        sums_s, blk_extra, _, n_seg_s = sorted_segment_sums(
+            vals, first_s, extra_rows=segs[:, None].astype(jnp.float64)
+        )
+        blk = jnp.where(
+            jnp.arange(Ns) < n_seg_s,
+            blk_extra[:, 0].astype(jnp.int32), sentinel,
+        )
+        r = jnp.minimum(jnp.searchsorted(blk, seg), Ns - 1)
+        present = blk[r] == seg
+        cnt = jnp.where(present, sums_s[r, 3], 0.0)
+        mean = sums_s[r, :3] / jnp.maximum(cnt, 1.0)[:, None]
+        extra = jnp.where(
+            ((cnt * stride >= min_hits) & present)[:, None],
+            jnp.round(mean), 0.0,
+        ).astype(jnp.int32)
         mv = mv - extra
     return mv
 

@@ -527,3 +527,25 @@ def test_search_join_impls_identical(frames, monkeypatch):
     monkeypatch.setenv("RAHT3DGS_TEMPORAL_JOIN", "sort")
     b = run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_search_stride_roundtrip_and_quality(frames):
+    """Strided witness sampling (encoder-side): the signalled closed loop
+    must decode exactly, and the field must stay effective (P-frames still
+    chosen, rate not collapsing to intra)."""
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    full = SequenceCodec(6, gop=8, search_stride=1)
+    st4 = SequenceCodec(6, gop=8, search_stride=4)
+    s1, r1 = full.encode_sequence(frames, steps=4.0)
+    s4, r4 = st4.encode_sequence(frames, steps=4.0)
+    assert any(s.inter for s in s4)
+    # decode chain reproduces the encoder's closed-loop recons exactly
+    dec = SequenceCodec(6)
+    out = dec.decode_sequence(s4, frames)
+    for a, b in zip(out, r4):
+        np.testing.assert_array_equal(a, b)
+    # sampling a quarter of the witnesses must not blow up the rate
+    b1 = sum(s.payload_bytes for s in s1)
+    b4 = sum(s.payload_bytes for s in s4)
+    assert b4 <= 1.05 * b1, (b1, b4)
