@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--gop", type=int, default=16,
         help="with --inter: force an intra frame every GOP frames",
     )
+    p.add_argument(
+        "--search-stride", type=int, default=1,
+        help="with --inter: encoder-side motion-search witness sampling "
+        "stride (4 measured at ~0.06%% BD-rate cost for 4x less search "
+        "work; stream-compatible — the field is signalled)",
+    )
     add_geometry_arg(p)
     add_quant_args(p)
     add_runtime_args(p)
@@ -187,7 +193,8 @@ def _run_inter(args, first, last, log, dtype) -> int:
         V, C, depth = out
         sc = codecs.setdefault(depth, SequenceCodec(
             depth, gop=args.gop, chunk=args.entropy_chunk,
-            dtype=dtype, **quant_kwargs(args),
+            dtype=dtype, search_stride=args.search_stride,
+            **quant_kwargs(args),
         ))
         # predictions chain only across CONSECUTIVE same-depth frames —
         # the decoder (cli/decode.py) applies the identical rule, so a
