@@ -64,6 +64,12 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.geom_dec_level.restype = ctypes.c_int
     lib.geom_dec_free.argtypes = [ctypes.c_void_p]
+    lib.geom_decode_codes.argtypes = [
+        pu8, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.geom_decode_codes.restype = ctypes.c_int
 
 
 _native = NativeLib(
@@ -385,6 +391,47 @@ def decode_geometry(
         )
     if data[0] != _PROFILE_V0:
         raise ValueError(f"unknown geometry coder profile {data[0]}")
+    if _use_native():
+        # fused native path: entropy decode + leaf-code rebuild in one
+        # pass (the two-stage path's numpy bit-matrix expansion costs
+        # more than the entropy decode itself), crc computed in-stream
+        lib = _load()
+        buf = np.ascontiguousarray(np.frombuffer(body, dtype=np.uint8))
+        try:
+            out = np.empty(n_voxels, dtype=np.uint64)
+        except MemoryError:
+            raise ValueError(
+                "corrupt geometry stream: decode exceeded plausible memory"
+            )
+        out_n = ctypes.c_size_t()
+        crc_got = ctypes.c_uint32()
+        rc = lib.geom_decode_codes(
+            _u8ptr(buf), buf.size, depth,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), out.size,
+            ctypes.byref(out_n), ctypes.byref(crc_got),
+        )
+        if rc != 0:
+            raise ValueError(
+                f"geometry decode failed (rc={rc}): corrupt stream or "
+                "capacity overflow"
+            )
+        if crc_got.value != crc:
+            raise ValueError(
+                "corrupt geometry stream: occupancy checksum mismatch"
+            )
+        if int(out_n.value) != n_voxels:
+            raise ValueError(
+                f"corrupt geometry stream: decoded {int(out_n.value)} "
+                f"voxels, header says {n_voxels}"
+            )
+        if dtype is None:
+            dtype = np.int32 if depth <= 10 else np.int64
+        codes = out.astype(dtype)
+        if np.dtype(dtype) != np.uint64 and np.any(
+            codes.astype(np.uint64) != out
+        ):
+            raise ValueError(f"decoded codes overflow dtype {np.dtype(dtype)}")
+        return codes
     # every voxel contributes at most one internal node per level
     max_bytes = n_voxels * depth + 1
     try:

@@ -274,6 +274,64 @@ int geom_decode(const uint8_t* buf, size_t buf_len, size_t depth,
 
 void geom_buffer_free(uint8_t* buf) { std::free(buf); }
 
+// Fused intra decode: entropy-decode the occupancy walk AND rebuild the
+// leaf Morton codes in one pass (the numpy two-stage path pays a second,
+// larger bit-matrix expansion — measured 61 ms vs 36 ms entropy at 568k
+// voxels). Emits the zlib-compatible crc32 of the decoded occupancy bytes
+// so the caller can verify the section checksum without materializing
+// them. out holds the sorted leaf codes; every level's node count is
+// guarded against out_cap (each internal node has at least one descendant
+// leaf, so any well-formed level fits). Returns 0, or -2 on overflow.
+
+namespace {
+
+struct Crc32 {
+  uint32_t table[256];
+  Crc32() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1u) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      table[i] = c;
+    }
+  }
+};
+const Crc32 kCrc;
+
+inline uint32_t crc32_update(uint32_t crc, uint8_t b) {
+  return kCrc.table[(crc ^ b) & 0xFFu] ^ (crc >> 8);
+}
+
+}  // namespace
+
+int geom_decode_codes(const uint8_t* buf, size_t buf_len, size_t depth,
+                      uint64_t* out, size_t out_cap, size_t* out_n,
+                      uint32_t* crc_out) {
+  if (depth == 0 || out_cap == 0) return -2;
+  RangeDecoder dec(buf, buf_len);
+  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+  std::vector<uint64_t> cur(1, 0), next;
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t level = 0; level < depth; ++level) {
+    uint16_t* bank = bank_of(probs.data(), level);
+    next.clear();
+    next.reserve(cur.size() * 2);
+    for (uint64_t code : cur) {
+      const uint8_t b = decode_byte(dec, bank);
+      crc = crc32_update(crc, b);
+      for (unsigned c = 0; c < 8; ++c) {
+        if ((b >> c) & 1u) next.push_back((code << 3) | c);
+      }
+    }
+    if (next.size() > out_cap) return -2;
+    cur.swap(next);
+  }
+  std::memcpy(out, cur.data(), cur.size() * sizeof(uint64_t));
+  *out_n = cur.size();
+  *crc_out = crc ^ 0xFFFFFFFFu;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Temporal coder (geometry profile 1): stateful level-by-level API.
 //
