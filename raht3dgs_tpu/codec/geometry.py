@@ -70,6 +70,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.geom_decode_codes.restype = ctypes.c_int
+    lib.geom_encode_codes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.POINTER(pu8), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.geom_encode_codes.restype = ctypes.c_int
 
 
 _native = NativeLib(
@@ -284,6 +290,41 @@ def encode_geometry(
     vector rides the section) — measured a further -13%/-14%.
     """
     if prev_codes is None:
+        if _use_native():
+            # fused native path: level build + entropy in one call; the
+            # range/sortedness validation octree_serialize does in numpy
+            # happens in C (strictly-increasing) + here (range/dtype)
+            c = np.asarray(codes)
+            if c.ndim != 1 or c.size == 0:
+                raise ValueError("codes must be a non-empty 1-D array")
+            if c.dtype.kind == "i" and np.any(c < 0):
+                raise ValueError("negative Morton codes")
+            u = np.ascontiguousarray(c.astype(np.uint64))
+            if np.any(u >= np.uint64(1) << np.uint64(min(3 * depth, 63))):
+                if 3 * depth < 64:
+                    raise ValueError(
+                        f"codes exceed 3*depth = {3 * depth} bits"
+                    )
+            lib = _load()
+            out = ctypes.POINTER(ctypes.c_uint8)()
+            out_len = ctypes.c_size_t()
+            crc = ctypes.c_uint32()
+            rc = lib.geom_encode_codes(
+                u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), u.size,
+                depth, ctypes.byref(out), ctypes.byref(out_len),
+                ctypes.byref(crc),
+            )
+            if rc != 0:
+                raise ValueError(
+                    f"geometry encode failed (rc={rc}): codes must be "
+                    "sorted strictly increasing"
+                )
+            try:
+                payload = ctypes.string_at(out, out_len.value)
+            finally:
+                lib.geom_buffer_free(out)
+            return (bytes([_PROFILE_V0]) + _CRC_HEAD.pack(crc.value)
+                    + payload)
         occ = octree_serialize(codes, depth)
         return (bytes([_PROFILE_V0])
                 + _CRC_HEAD.pack(zlib.crc32(occ.tobytes()))

@@ -304,6 +304,63 @@ inline uint32_t crc32_update(uint32_t crc, uint8_t b) {
 
 }  // namespace
 
+// Fused intra encode: build the octree levels from sorted unique leaf
+// codes and entropy-code the occupancy walk in one native call,
+// returning the section payload and the zlib-compatible crc32 of the
+// occupancy bytes. Mirrors ops/octree.py's serialization exactly (same
+// breadth-first order). Returns 0; -1 on allocation failure; -2 if codes
+// are not strictly increasing (caller validates range/sortedness too).
+int geom_encode_codes(const uint64_t* codes, size_t n, size_t depth,
+                      uint8_t** out, size_t* out_len, uint32_t* crc_out) {
+  if (n == 0 || depth == 0) return -2;
+  // bottom-up: per level, the sorted node codes
+  std::vector<std::vector<uint64_t>> levels(depth + 1);
+  levels[depth].assign(codes, codes + n);
+  for (size_t i = 1; i < n; ++i) {
+    if (codes[i] <= codes[i - 1]) return -2;
+  }
+  for (size_t l = depth; l > 0; --l) {
+    const std::vector<uint64_t>& cur = levels[l];
+    std::vector<uint64_t>& par = levels[l - 1];
+    par.reserve(cur.size() / 2 + 1);
+    uint64_t prev = ~0ull;
+    for (uint64_t c : cur) {
+      const uint64_t p = c >> 3;
+      if (p != prev) {
+        par.push_back(p);
+        prev = p;
+      }
+    }
+  }
+  ByteSink sink;
+  if (!sink.buf) return -1;
+  RangeEncoder enc(&sink);
+  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t l = 0; l < depth; ++l) {
+    uint16_t* bank = bank_of(probs.data(), l);
+    const std::vector<uint64_t>& nodes = levels[l];
+    const std::vector<uint64_t>& kids = levels[l + 1];
+    size_t k = 0;
+    for (uint64_t node : nodes) {
+      uint8_t b = 0;
+      while (k < kids.size() && (kids[k] >> 3) == node) {
+        b |= static_cast<uint8_t>(1u << (kids[k] & 7u));
+        ++k;
+      }
+      crc = crc32_update(crc, b);
+      encode_byte(enc, bank, b);
+    }
+  }
+  enc.flush();
+  if (sink.failed) return -1;
+  *out_len = sink.len;
+  *out = sink.release();
+  if (!*out) return -1;
+  *crc_out = crc ^ 0xFFFFFFFFu;
+  return 0;
+}
+
 int geom_decode_codes(const uint8_t* buf, size_t buf_len, size_t depth,
                       uint64_t* out, size_t out_cap, size_t* out_n,
                       uint32_t* crc_out) {

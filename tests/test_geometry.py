@@ -488,3 +488,24 @@ def test_decode_cross_checks_positions_against_geometry(tmp_path):
     )
     assert out.returncode != 0
     assert "does not match the geometry" in out.stderr
+
+
+def test_fused_native_paths_byte_identical(monkeypatch):
+    """The fused native encode (geom_encode_codes) must produce the exact
+    bytes of the two-stage path, and the fused decode must read the
+    fallback's streams (and vice versa)."""
+    if not geometry.native_available():
+        pytest.skip("native geometry coder unavailable")
+    for depth, n in [(4, 50), (10, 4000), (21, 300)]:
+        codes = _random_codes(np.random.default_rng(depth), n, depth)
+        nat = geometry.encode_geometry(codes, depth)
+        monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+        py = geometry.encode_geometry(codes, depth)
+        back_py = geometry.decode_geometry(nat, depth, codes.size,
+                                           dtype=codes.dtype)
+        monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+        assert nat == py, f"fused encode drifted at depth={depth}"
+        back_nat = geometry.decode_geometry(py, depth, codes.size,
+                                            dtype=codes.dtype)
+        np.testing.assert_array_equal(back_py, codes)
+        np.testing.assert_array_equal(back_nat, codes)
