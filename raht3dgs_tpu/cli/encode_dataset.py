@@ -191,11 +191,13 @@ def _run_inter(args, first, last, log, dtype) -> int:
                   file=sys.stderr)
             continue
         V, C, depth = out
-        sc = codecs.setdefault(depth, SequenceCodec(
-            depth, gop=args.gop, chunk=args.entropy_chunk,
-            dtype=dtype, search_stride=args.search_stride,
-            **quant_kwargs(args),
-        ))
+        if depth not in codecs:  # setdefault would build+discard per frame
+            codecs[depth] = SequenceCodec(
+                depth, gop=args.gop, chunk=args.entropy_chunk,
+                dtype=dtype, search_stride=args.search_stride,
+                **quant_kwargs(args),
+            )
+        sc = codecs[depth]
         # predictions chain only across CONSECUTIVE same-depth frames —
         # the decoder (cli/decode.py) applies the identical rule, so a
         # depth change breaks the chain on both sides

@@ -314,11 +314,13 @@ def encode_geometry(
                 depth, ctypes.byref(out), ctypes.byref(out_len),
                 ctypes.byref(crc),
             )
-            if rc != 0:
+            if rc == -2:
                 raise ValueError(
-                    f"geometry encode failed (rc={rc}): codes must be "
-                    "sorted strictly increasing"
+                    "geometry encode failed: codes must be sorted "
+                    "strictly increasing (and depth/count nonzero)"
                 )
+            if rc != 0:
+                raise MemoryError(f"geometry encode failed (rc={rc})")
             try:
                 payload = ctypes.string_at(out, out_len.value)
             finally:

@@ -141,6 +141,12 @@ class SequenceCodec:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if probes not in (7, 27):
             raise ValueError(f"probes must be 7 or 27, got {probes}")
+        if int(search_stride) < 1:
+            raise ValueError(
+                f"search_stride must be >= 1, got {search_stride}"
+            )
+        if int(search_iters) < 1:
+            raise ValueError(f"search_iters must be >= 1, got {search_iters}")
         self.depth = depth
         self.gop = int(gop)
         self.adaptive = bool(adaptive)

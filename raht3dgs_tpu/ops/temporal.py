@@ -289,6 +289,35 @@ def search_block_motion(codes_t, attrs_t, weights_t, codes_prev,
     )
 
 
+def _witness_offsets(P_rows, at_rows, occ_rows, mv_rows, codes_prev,
+                     attrs_prev, occ_p, lim, depth, join):
+    """Per-row displacement witness: among the HIT probes of the
+    compensated positions, the one whose previous-frame attributes best
+    match the row's — the attributes carry the correspondence (texture)
+    that a purely geometric nearest-probe winner cannot see. (Block-level
+    argmin/argmax criteria — max overlap, matched-mean SSE — were all
+    measured worse: they collapse the block's fractional displacement
+    distribution to whichever single integer shift wins a tally, where
+    the mean-then-round aggregation tracks it; see docs/rd_temporal.md.)
+
+    ONE definition for the exact and strided searches — stride must stay
+    a pure sampling knob, never a different metric. Returns (woff (N,3)
+    f64 zeroed on invalid rows, valid (N,) bool)."""
+    P = P_rows - mv_rows
+    cp = _probe_codes(P, _SHELL27, lim, depth, codes_prev.dtype)
+    hit, idx = _probe_match(cp, codes_prev, occ_p, join)
+    err_cols = []
+    for k in range(len(_SHELL27)):
+        pk = attrs_prev[idx[:, k]].astype(jnp.float64)
+        e = jnp.sum((pk - at_rows) ** 2, axis=1)
+        err_cols.append(jnp.where(hit[:, k], e, jnp.inf))
+    err = jnp.stack(err_cols, axis=1)                    # (N, 27)
+    win = jnp.argmin(err, axis=1)                        # first min
+    valid = jnp.any(hit, axis=1) & occ_rows
+    woff = jnp.asarray(_SHELL27, jnp.float64)[win] * valid[:, None]
+    return woff, valid
+
+
 @partial(jax.jit, static_argnames=(
     "depth", "block_side_log", "iters", "min_hits", "join", "stride"))
 def _search_block_motion_jit(codes_t, attrs_t, weights_t, codes_prev,
@@ -374,18 +403,10 @@ def _search_strided(P0, at, occ_t, seg, codes_prev, attrs_prev, occ_p,
 
     mv = jnp.broadcast_to(jnp.asarray(motion, jnp.int32), P0.shape)
     for _ in range(iters):                                   # static unroll
-        Ps = P0s - mv[sel]
-        cp = _probe_codes(Ps, _SHELL27, lim, depth, codes_prev.dtype)
-        hit, idx = _probe_match(cp, codes_prev, occ_p, join)
-        err_cols = []
-        for k in range(len(_SHELL27)):
-            pk = attrs_prev[idx[:, k]].astype(jnp.float64)
-            e = jnp.sum((pk - ats) ** 2, axis=1)
-            err_cols.append(jnp.where(hit[:, k], e, jnp.inf))
-        err = jnp.stack(err_cols, axis=1)
-        win = jnp.argmin(err, axis=1)
-        valid = jnp.any(hit, axis=1) & occ_ts
-        woff = jnp.asarray(_SHELL27, jnp.float64)[win] * valid[:, None]
+        woff, valid = _witness_offsets(
+            P0s, ats, occ_ts, mv[sel], codes_prev, attrs_prev, occ_p, lim,
+            depth, join,
+        )
         vals = jnp.concatenate(
             [woff, valid[:, None].astype(jnp.float64)], axis=1
         )
