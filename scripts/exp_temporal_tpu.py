@@ -23,15 +23,24 @@ def main(argv=None) -> int:
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--d", type=int, default=3)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for smoke runs; "
+                    "env vars alone lose to the sitecustomize TPU plugin)")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # per-platform cache partition: CPU AOT entries in the TPU cache
+    # poisoned round 1's bench (cross-machine feature mismatch)
+    default_cache = ("/root/.jax_cache_cpu" if args.platform == "cpu"
+                     else "/root/.jax_cache")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("RAHT3DGS_COMPILE_CACHE",
-                                     "/root/.jax_cache"))
+                                     default_cache))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
@@ -44,6 +53,7 @@ def main(argv=None) -> int:
         estimate_global_motion,
         predict_from_previous,
         refine_block_motion,
+        search_block_motion,
     )
 
     print("platform:", jax.default_backend(), jax.devices())
@@ -91,6 +101,16 @@ def main(argv=None) -> int:
         f_cur.codes, f_prev.codes, f_prev.attributes, f_prev.weights,
         args.depth, 27, rm,
     )[0])
+    # v3 signalled-field search (encoder only): witness sampling A/B
+    for st in (1, 4):
+        timed(
+            f"search_block_motion(stride={st})",
+            lambda st=st: search_block_motion(
+                f_cur.codes, f_cur.attributes, f_cur.weights,
+                f_prev.codes, f_prev.attributes, f_prev.weights,
+                args.depth, gm, stride=st,
+            ),
+        )
     occ = np.asarray(f_cur.weights) > 0
     hit = float(np.asarray(predict_from_previous(
         f_cur.codes, f_prev.codes, f_prev.attributes, f_prev.weights,
