@@ -250,3 +250,162 @@ class TemporalDecoder:
                 ctx = (ctx << 1) | bit
             out[j] = b
         return out
+
+
+# -- ext3-context coders (geometry profiles 3-5) --------------------------------
+# Mirror of native/geom.cpp's geom_*_codes3 / geom_*_level4. The ext3
+# feature (same-level face-neighbor occupancy on the child's outward
+# sides) is computed from ops/octree.py:level_neighbors6 — the native
+# intra path computes it in C; byte-identity tests pin the two.
+
+_EXT_CTX = 8
+_NUM_CTX3 = _LEVEL_BANKS * _EXT_CTX * _TREE_CTX
+_NUM_CTX_T4 = _LEVEL_BANKS * _TFLAG_CTX * _EXT_CTX * _TREE_CTX
+
+
+def _ext3_of(n6: int, i: int) -> int:
+    ex = (n6 >> ((i >> 2) & 1)) & 1
+    ey = (n6 >> (2 + ((i >> 1) & 1))) & 1
+    ez = (n6 >> (4 + (i & 1))) & 1
+    return (ex << 2) | (ey << 1) | ez
+
+
+def _bank_base3(level: int, ext3: int) -> int:
+    return (min(level, _LEVEL_BANKS - 1) * _EXT_CTX + ext3) * _TREE_CTX
+
+
+def _bank_base_t4(level: int, tflag: int, ext3: int) -> int:
+    return ((min(level, _LEVEL_BANKS - 1) * _TFLAG_CTX + tflag) * _EXT_CTX
+            + ext3) * _TREE_CTX
+
+
+def encode3(codes: np.ndarray, depth: int):
+    """Profile-3 intra encode from sorted unique leaf codes.
+
+    Returns ``(payload bytes, crc32 of the occupancy bytes)`` — the same
+    contract as the fused native ``geom_encode_codes3``.
+    """
+    import zlib
+
+    from raht3dgs_tpu.ops.octree import level_neighbors6, octree_levels
+
+    lv, occ = octree_levels(codes, depth)
+    enc = _RangeEncoder(_NUM_CTX3)
+    for level in range(depth):
+        n6 = level_neighbors6(lv[level], level).tolist()
+        for j, b in enumerate(np.asarray(occ[level]).tolist()):
+            ctx = 1
+            for i in range(8):
+                bit = (b >> i) & 1
+                if i == 7 and ctx == 1:
+                    break  # forced 1: byte can't be zero
+                enc.encode_bit(
+                    _bank_base3(level, _ext3_of(n6[j], i)) + ctx, bit
+                )
+                ctx = (ctx << 1) | bit
+    crc = zlib.crc32(np.concatenate(occ).tobytes())
+    return enc.finish(), crc
+
+
+def decode3(buf: bytes, depth: int, n_voxels: int):
+    """Profile-3 intra decode: payload -> (sorted leaf codes uint64, crc)."""
+    import zlib
+
+    from raht3dgs_tpu.ops.octree import _BITS8, level_neighbors6
+
+    dec = _RangeDecoder(buf, _NUM_CTX3)
+    level_codes = np.zeros(1, dtype=np.uint64)
+    crc = 0
+    for level in range(depth):
+        if level_codes.size > n_voxels:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+        n6 = level_neighbors6(level_codes, level).tolist()
+        out = np.empty(level_codes.size, dtype=np.uint8)
+        for j in range(level_codes.size):
+            ctx = 1
+            b = 0
+            for i in range(8):
+                if i == 7 and ctx == 1:
+                    bit = 1  # forced: occupancy bytes are never zero
+                else:
+                    bit = dec.decode_bit(
+                        _bank_base3(level, _ext3_of(n6[j], i)) + ctx
+                    )
+                b |= bit << i
+                ctx = (ctx << 1) | bit
+            out[j] = b
+        crc = zlib.crc32(out.tobytes(), crc)
+        rows, cols = np.nonzero(_BITS8[out])
+        level_codes = (level_codes[rows] << np.uint64(3)) | cols.astype(
+            np.uint64
+        )
+        if level_codes.size > n_voxels:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+    return level_codes, crc
+
+
+class TemporalEncoder4:
+    """Profiles 4-5: temporal contexts + ext3 (n6 passed per level)."""
+
+    def __init__(self):
+        self._enc = _RangeEncoder(_NUM_CTX_T4)
+
+    def encode_level(self, occ, matched, prevbyte, n6, level: int):
+        occ = np.asarray(occ, dtype=np.uint8).tolist()
+        matched = np.asarray(matched, dtype=np.uint8).tolist()
+        prevbyte = np.asarray(prevbyte, dtype=np.uint8).tolist()
+        n6 = np.asarray(n6, dtype=np.uint8).tolist()
+        enc = self._enc
+        for j, b in enumerate(occ):
+            if b == 0:
+                raise ValueError("zero occupancy byte")
+            m = matched[j] != 0
+            pb = prevbyte[j]
+            ctx = 1
+            for i in range(8):
+                bit = (b >> i) & 1
+                if i == 7 and ctx == 1:
+                    break  # forced 1: byte can't be zero
+                tflag = (2 + ((pb >> i) & 1)) if m else 0
+                enc.encode_bit(
+                    _bank_base_t4(level, tflag, _ext3_of(n6[j], i)) + ctx,
+                    bit,
+                )
+                ctx = (ctx << 1) | bit
+
+    def finish(self) -> bytes:
+        return self._enc.finish()
+
+
+class TemporalDecoder4:
+    def __init__(self, buf: bytes):
+        self._dec = _RangeDecoder(buf, _NUM_CTX_T4)
+
+    def decode_level(self, matched, prevbyte, n6, n: int, level: int):
+        matched = np.asarray(matched, dtype=np.uint8).tolist()
+        prevbyte = np.asarray(prevbyte, dtype=np.uint8).tolist()
+        n6 = np.asarray(n6, dtype=np.uint8).tolist()
+        dec = self._dec
+        out = np.empty(n, dtype=np.uint8)
+        for j in range(n):
+            m = matched[j] != 0
+            pb = prevbyte[j]
+            ctx = 1
+            b = 0
+            for i in range(8):
+                if i == 7 and ctx == 1:
+                    bit = 1  # forced: occupancy bytes are never zero
+                else:
+                    tflag = (2 + ((pb >> i) & 1)) if m else 0
+                    bit = dec.decode_bit(
+                        _bank_base_t4(level, tflag, _ext3_of(n6[j], i))
+                        + ctx
+                    )
+                b |= bit << i
+                ctx = (ctx << 1) | bit
+            out[j] = b
+        return out

@@ -76,6 +76,24 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.geom_encode_codes.restype = ctypes.c_int
+    # ext3-context profiles (3-5): fused intra + temporal level APIs
+    lib.geom_encode_codes3.argtypes = lib.geom_encode_codes.argtypes
+    lib.geom_encode_codes3.restype = ctypes.c_int
+    lib.geom_decode_codes3.argtypes = lib.geom_decode_codes.argtypes
+    lib.geom_decode_codes3.restype = ctypes.c_int
+    lib.geom_enc_new4.restype = ctypes.c_void_p
+    lib.geom_enc_level4.argtypes = [
+        ctypes.c_void_p, pu8, pu8, pu8, pu8, ctypes.c_size_t,
+        ctypes.c_size_t,
+    ]
+    lib.geom_enc_level4.restype = ctypes.c_int
+    lib.geom_dec_new4.argtypes = [pu8, ctypes.c_size_t]
+    lib.geom_dec_new4.restype = ctypes.c_void_p
+    lib.geom_dec_level4.argtypes = [
+        ctypes.c_void_p, pu8, pu8, pu8, ctypes.c_size_t, ctypes.c_size_t,
+        pu8,
+    ]
+    lib.geom_dec_level4.restype = ctypes.c_int
 
 
 _native = NativeLib(
@@ -174,6 +192,33 @@ def _check_n_voxels(n_voxels: int, depth: int) -> None:
 _PROFILE_V2_TEMPORAL_MC = 2
 _MC_HEAD = struct.Struct("<3i")
 
+# Profiles 3-5 = the ext3-context family (same layouts as 0-2 otherwise):
+# every occupancy bit is additionally conditioned on the same-level
+# face-neighbor occupancy of the child's three outward sides
+# (ops/octree.py:level_neighbors6). Re-judged on scan-like statistics
+# (scripts/exp_geom_contexts.py, articulated body scans): -23% intra and
+# -20% temporal at J=10 vs profiles 0/1. The 64x context split costs at
+# SMALL frames (the original dead-end regime): measured crossover is
+# ~16-20k voxels (+10% at 2k, -9% at 380k, -23% at 1.4M), so the default
+# is size-adaptive — a free encoder-side choice, the profile byte is
+# signalled per section. RAHT3DGS_GEOM_CONTEXTS forces ext3/legacy.
+# All six profiles decode forever.
+_PROFILE_V3_INTRA_EXT = 3
+_PROFILE_V4_TEMPORAL_EXT = 4
+_PROFILE_V5_TEMPORAL_MC_EXT = 5
+_EXT3_AUTO_MIN = 16384
+
+
+def _resolve_ext3(n_voxels: int, ext3) -> bool:
+    if ext3 is not None:
+        return bool(ext3)
+    mode = os.environ.get("RAHT3DGS_GEOM_CONTEXTS", "auto")
+    if mode == "legacy":
+        return False
+    if mode == "ext3":
+        return True
+    return n_voxels >= _EXT3_AUTO_MIN
+
 
 def _shift_codes(codes: np.ndarray, depth: int, mv) -> np.ndarray:
     """Translate a code set by an integer vector (clip to the grid, dedup).
@@ -233,6 +278,31 @@ class _NativeTemporalEncoder:
             self._h = None
 
 
+class _NativeTemporalEncoder4:
+    """Profiles 4-5: the ext3-context temporal encoder (n6 per level)."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = self._lib.geom_enc_new4()
+        if not self._h:
+            raise MemoryError("geom_enc_new4 failed")
+
+    def encode_level(self, occ, matched, prevbyte, n6, level):
+        occ = np.ascontiguousarray(occ, dtype=np.uint8)
+        matched = np.ascontiguousarray(matched, dtype=np.uint8)
+        prevbyte = np.ascontiguousarray(prevbyte, dtype=np.uint8)
+        n6 = np.ascontiguousarray(n6, dtype=np.uint8)
+        rc = self._lib.geom_enc_level4(
+            self._h, _u8ptr(occ), _u8ptr(matched), _u8ptr(prevbyte),
+            _u8ptr(n6), occ.size, level,
+        )
+        if rc != 0:
+            raise ValueError(f"temporal geometry encode failed (rc={rc})")
+
+    finish = _NativeTemporalEncoder.finish
+    __del__ = _NativeTemporalEncoder.__del__
+
+
 class _NativeTemporalDecoder:
     def __init__(self, buf: bytes):
         self._lib = _load()
@@ -259,6 +329,33 @@ class _NativeTemporalDecoder:
             self._h = None
 
 
+class _NativeTemporalDecoder4:
+    """Decoder counterpart of :class:`_NativeTemporalEncoder4`."""
+
+    def __init__(self, buf: bytes):
+        self._lib = _load()
+        # the handle keeps a pointer into the buffer: hold a reference
+        self._buf = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+        self._h = self._lib.geom_dec_new4(_u8ptr(self._buf), self._buf.size)
+        if not self._h:
+            raise MemoryError("geom_dec_new4 failed")
+
+    def decode_level(self, matched, prevbyte, n6, n, level):
+        matched = np.ascontiguousarray(matched, dtype=np.uint8)
+        prevbyte = np.ascontiguousarray(prevbyte, dtype=np.uint8)
+        n6 = np.ascontiguousarray(n6, dtype=np.uint8)
+        out = np.empty(n, dtype=np.uint8)
+        rc = self._lib.geom_dec_level4(
+            self._h, _u8ptr(matched), _u8ptr(prevbyte), _u8ptr(n6), n,
+            level, _u8ptr(out),
+        )
+        if rc != 0:
+            raise ValueError(f"temporal geometry decode failed (rc={rc})")
+        return out
+
+    __del__ = _NativeTemporalDecoder.__del__
+
+
 def _match_level(cur_codes, prev_codes, prev_occ):
     """Align current-level nodes with the previous frame's same-level nodes
     (both sorted): per cur node, (matched flag, previous occupancy byte)."""
@@ -273,84 +370,120 @@ def _match_level(cur_codes, prev_codes, prev_occ):
     return matched.astype(np.uint8), pb.astype(np.uint8)
 
 
+def _validated_u64(codes: np.ndarray, depth: int) -> np.ndarray:
+    """Range/dtype validation shared by the fused intra paths (the
+    sortedness check happens in C / in octree_levels)."""
+    c = np.asarray(codes)
+    if c.ndim != 1 or c.size == 0:
+        raise ValueError("codes must be a non-empty 1-D array")
+    if c.dtype.kind == "i" and np.any(c < 0):
+        raise ValueError("negative Morton codes")
+    u = np.ascontiguousarray(c.astype(np.uint64))
+    if np.any(u >= np.uint64(1) << np.uint64(min(3 * depth, 63))):
+        if 3 * depth < 64:
+            raise ValueError(f"codes exceed 3*depth = {3 * depth} bits")
+    return u
+
+
+def _encode_intra_fused(codes: np.ndarray, depth: int, ext3: bool) -> bytes:
+    """Fused native intra path: level build + entropy (+ n6 for profile 3)
+    in one call."""
+    u = _validated_u64(codes, depth)
+    lib = _load()
+    fn = lib.geom_encode_codes3 if ext3 else lib.geom_encode_codes
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    crc = ctypes.c_uint32()
+    rc = fn(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), u.size,
+        depth, ctypes.byref(out), ctypes.byref(out_len), ctypes.byref(crc),
+    )
+    if rc == -2:
+        raise ValueError(
+            "geometry encode failed: codes must be sorted "
+            "strictly increasing (and depth/count nonzero)"
+        )
+    if rc != 0:
+        raise MemoryError(f"geometry encode failed (rc={rc})")
+    try:
+        payload = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.geom_buffer_free(out)
+    profile = _PROFILE_V3_INTRA_EXT if ext3 else _PROFILE_V0
+    return bytes([profile]) + _CRC_HEAD.pack(crc.value) + payload
+
+
 def encode_geometry(
     codes: np.ndarray, depth: int,
     prev_codes: Optional[np.ndarray] = None, motion=None,
+    ext3: Optional[bool] = None,
 ) -> bytes:
     """Sorted unique Morton codes -> self-contained geometry section bytes.
 
     With ``prev_codes`` (the previous frame's codes at the SAME depth), the
-    section is coded with the temporal profile: per-bit contexts gain the
-    matched previous-frame node's occupancy bit, measured -13%/-10%
-    geometry rate at J=8/J=9 on the synthetic deforming sequence. The
-    decoder must then be handed the same ``prev_codes``
-    (its own previous decode — the chain is closed-loop lossless).
-    ``motion`` (3 ints, e.g. the sequence codec's signalled global motion)
-    additionally shifts the reference before matching (profile 2, the
+    section is coded with a temporal profile: per-bit contexts gain the
+    matched previous-frame node's occupancy bit (-13%/-10% at J=8/J=9 on
+    the deforming sequence). The decoder must then be handed the same
+    ``prev_codes`` (its own previous decode — the chain is closed-loop
+    lossless). ``motion`` (3 ints, e.g. the sequence codec's signalled
+    global motion) additionally shifts the reference before matching (the
     vector rides the section) — measured a further -13%/-14%.
+
+    ``ext3`` selects the context family: True = profiles 3-5 (same-level
+    face-neighbor contexts, -23%/-20% intra/temporal on scan-like
+    statistics at realistic sizes — scripts/exp_geom_contexts.py), False
+    = legacy profiles 0-2, None (default) = size-adaptive (>= 16384
+    voxels, the measured crossover; override with RAHT3DGS_GEOM_CONTEXTS
+    = ext3|legacy). The decoder reads all profiles regardless.
     """
+    ext3 = _resolve_ext3(np.asarray(codes).size, ext3)
     if prev_codes is None:
         if _use_native():
-            # fused native path: level build + entropy in one call; the
-            # range/sortedness validation octree_serialize does in numpy
-            # happens in C (strictly-increasing) + here (range/dtype)
-            c = np.asarray(codes)
-            if c.ndim != 1 or c.size == 0:
-                raise ValueError("codes must be a non-empty 1-D array")
-            if c.dtype.kind == "i" and np.any(c < 0):
-                raise ValueError("negative Morton codes")
-            u = np.ascontiguousarray(c.astype(np.uint64))
-            if np.any(u >= np.uint64(1) << np.uint64(min(3 * depth, 63))):
-                if 3 * depth < 64:
-                    raise ValueError(
-                        f"codes exceed 3*depth = {3 * depth} bits"
-                    )
-            lib = _load()
-            out = ctypes.POINTER(ctypes.c_uint8)()
-            out_len = ctypes.c_size_t()
-            crc = ctypes.c_uint32()
-            rc = lib.geom_encode_codes(
-                u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), u.size,
-                depth, ctypes.byref(out), ctypes.byref(out_len),
-                ctypes.byref(crc),
+            return _encode_intra_fused(codes, depth, ext3)
+        if ext3:
+            payload, crc = _geom_py.encode3(
+                _validated_u64(codes, depth), depth
             )
-            if rc == -2:
-                raise ValueError(
-                    "geometry encode failed: codes must be sorted "
-                    "strictly increasing (and depth/count nonzero)"
-                )
-            if rc != 0:
-                raise MemoryError(f"geometry encode failed (rc={rc})")
-            try:
-                payload = ctypes.string_at(out, out_len.value)
-            finally:
-                lib.geom_buffer_free(out)
-            return (bytes([_PROFILE_V0]) + _CRC_HEAD.pack(crc.value)
+            return (bytes([_PROFILE_V3_INTRA_EXT]) + _CRC_HEAD.pack(crc)
                     + payload)
         occ = octree_serialize(codes, depth)
         return (bytes([_PROFILE_V0])
                 + _CRC_HEAD.pack(zlib.crc32(occ.tobytes()))
                 + _encode_occ(occ, depth))
-    head = bytes([_PROFILE_V1_TEMPORAL])
+    head = bytes(
+        [_PROFILE_V4_TEMPORAL_EXT if ext3 else _PROFILE_V1_TEMPORAL]
+    )
     if motion is not None:
         mv = np.asarray(motion, dtype=np.int64).reshape(3)
         if np.any(mv != 0):
-            head = bytes([_PROFILE_V2_TEMPORAL_MC]) + _MC_HEAD.pack(
-                int(mv[0]), int(mv[1]), int(mv[2])
-            )
+            head = bytes(
+                [_PROFILE_V5_TEMPORAL_MC_EXT if ext3
+                 else _PROFILE_V2_TEMPORAL_MC]
+            ) + _MC_HEAD.pack(int(mv[0]), int(mv[1]), int(mv[2]))
             prev_codes = _shift_codes(prev_codes, depth, mv)
-    from raht3dgs_tpu.ops.octree import octree_levels
+    from raht3dgs_tpu.ops.octree import level_neighbors6, octree_levels
 
     lv_cur, occ_cur = octree_levels(codes, depth)
     lv_prev, occ_prev = octree_levels(prev_codes, depth)
-    enc = (
-        _NativeTemporalEncoder()
-        if _use_native()
-        else _geom_py.TemporalEncoder()
-    )
-    for l in range(depth):
-        matched, pb = _match_level(lv_cur[l], lv_prev[l], occ_prev[l])
-        enc.encode_level(occ_cur[l], matched, pb, l)
+    if ext3:
+        enc = (
+            _NativeTemporalEncoder4()
+            if _use_native()
+            else _geom_py.TemporalEncoder4()
+        )
+        for l in range(depth):
+            matched, pb = _match_level(lv_cur[l], lv_prev[l], occ_prev[l])
+            n6 = level_neighbors6(lv_cur[l], l)
+            enc.encode_level(occ_cur[l], matched, pb, n6, l)
+    else:
+        enc = (
+            _NativeTemporalEncoder()
+            if _use_native()
+            else _geom_py.TemporalEncoder()
+        )
+        for l in range(depth):
+            matched, pb = _match_level(lv_cur[l], lv_prev[l], occ_prev[l])
+            enc.encode_level(occ_cur[l], matched, pb, l)
     crc = zlib.crc32(np.concatenate(occ_cur).tobytes())
     # the CRC sits right after the profile byte, before the motion extras
     return head[:1] + _CRC_HEAD.pack(crc) + head[1:] + enc.finish()
@@ -420,25 +553,29 @@ def decode_geometry(
         raise ValueError("empty or truncated geometry section")
     (crc,) = _CRC_HEAD.unpack(data[1 : 1 + _CRC_HEAD.size])
     body = data[1 + _CRC_HEAD.size :]
-    if data[0] == _PROFILE_V1_TEMPORAL:
+    if data[0] in (_PROFILE_V1_TEMPORAL, _PROFILE_V4_TEMPORAL_EXT):
         return _decode_temporal(body, depth, n_voxels, dtype, prev_codes,
-                                crc)
-    if data[0] == _PROFILE_V2_TEMPORAL_MC:
+                                crc,
+                                ext3=data[0] == _PROFILE_V4_TEMPORAL_EXT)
+    if data[0] in (_PROFILE_V2_TEMPORAL_MC, _PROFILE_V5_TEMPORAL_MC_EXT):
         if len(body) < _MC_HEAD.size:
             raise ValueError("truncated geometry section: motion cut off")
         mv = _MC_HEAD.unpack(body[: _MC_HEAD.size])
         if prev_codes is not None:
             prev_codes = _shift_codes(prev_codes, depth, mv)
         return _decode_temporal(
-            body[_MC_HEAD.size :], depth, n_voxels, dtype, prev_codes, crc
+            body[_MC_HEAD.size :], depth, n_voxels, dtype, prev_codes, crc,
+            ext3=data[0] == _PROFILE_V5_TEMPORAL_MC_EXT,
         )
-    if data[0] != _PROFILE_V0:
+    ext3 = data[0] == _PROFILE_V3_INTRA_EXT
+    if data[0] not in (_PROFILE_V0, _PROFILE_V3_INTRA_EXT):
         raise ValueError(f"unknown geometry coder profile {data[0]}")
     if _use_native():
         # fused native path: entropy decode + leaf-code rebuild in one
         # pass (the two-stage path's numpy bit-matrix expansion costs
         # more than the entropy decode itself), crc computed in-stream
         lib = _load()
+        fn = lib.geom_decode_codes3 if ext3 else lib.geom_decode_codes
         buf = np.ascontiguousarray(np.frombuffer(body, dtype=np.uint8))
         try:
             out = np.empty(n_voxels, dtype=np.uint64)
@@ -448,7 +585,7 @@ def decode_geometry(
             )
         out_n = ctypes.c_size_t()
         crc_got = ctypes.c_uint32()
-        rc = lib.geom_decode_codes(
+        rc = fn(
             _u8ptr(buf), buf.size, depth,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), out.size,
             ctypes.byref(out_n), ctypes.byref(crc_got),
@@ -466,6 +603,30 @@ def decode_geometry(
             raise ValueError(
                 f"corrupt geometry stream: decoded {int(out_n.value)} "
                 f"voxels, header says {n_voxels}"
+            )
+        if dtype is None:
+            dtype = np.int32 if depth <= 10 else np.int64
+        codes = out.astype(dtype)
+        if np.dtype(dtype) != np.uint64 and np.any(
+            codes.astype(np.uint64) != out
+        ):
+            raise ValueError(f"decoded codes overflow dtype {np.dtype(dtype)}")
+        return codes
+    if ext3:
+        try:
+            out, crc_got = _geom_py.decode3(body, depth, n_voxels)
+        except MemoryError:
+            raise ValueError(
+                "corrupt geometry stream: decode exceeded plausible memory"
+            )
+        if crc_got != crc:
+            raise ValueError(
+                "corrupt geometry stream: occupancy checksum mismatch"
+            )
+        if out.size != n_voxels:
+            raise ValueError(
+                f"corrupt geometry stream: decoded {out.size} voxels, "
+                f"header says {n_voxels}"
             )
         if dtype is None:
             dtype = np.int32 if depth <= 10 else np.int64
@@ -501,7 +662,8 @@ def decode_geometry(
 
 
 def _decode_temporal(
-    payload: bytes, depth: int, n_voxels: int, dtype, prev_codes, crc
+    payload: bytes, depth: int, n_voxels: int, dtype, prev_codes, crc,
+    ext3: bool = False,
 ) -> np.ndarray:
     if prev_codes is None:
         raise ValueError(
@@ -509,14 +671,22 @@ def _decode_temporal(
             "sequence in order — each frame's geometry is predicted from "
             "the previous frame's)"
         )
-    from raht3dgs_tpu.ops.octree import _BITS8, octree_levels
+    from raht3dgs_tpu.ops.octree import (_BITS8, level_neighbors6,
+                                         octree_levels)
 
     lv_prev, occ_prev = octree_levels(prev_codes, depth)
-    dec = (
-        _NativeTemporalDecoder(payload)
-        if _use_native()
-        else _geom_py.TemporalDecoder(payload)
-    )
+    if ext3:
+        dec = (
+            _NativeTemporalDecoder4(payload)
+            if _use_native()
+            else _geom_py.TemporalDecoder4(payload)
+        )
+    else:
+        dec = (
+            _NativeTemporalDecoder(payload)
+            if _use_native()
+            else _geom_py.TemporalDecoder(payload)
+        )
     level_codes = np.zeros(1, dtype=np.uint64)
     occ_all = []
     try:
@@ -529,7 +699,11 @@ def _decode_temporal(
                     f"{n_voxels} voxels"
                 )
             matched, pb = _match_level(level_codes, lv_prev[l], occ_prev[l])
-            b = dec.decode_level(matched, pb, level_codes.size, l)
+            if ext3:
+                n6 = level_neighbors6(level_codes, l)
+                b = dec.decode_level(matched, pb, n6, level_codes.size, l)
+            else:
+                b = dec.decode_level(matched, pb, level_codes.size, l)
             occ_all.append(b)
             rows, cols = np.nonzero(_BITS8[b])
             level_codes = (level_codes[rows] << np.uint64(3)) | cols.astype(

@@ -422,26 +422,28 @@ struct GeomEnc {
   ByteSink sink;
   RangeEncoder enc;
   std::vector<uint16_t> probs;
-  GeomEnc() : enc(&sink), probs(kNumCtxT, kProbInit) {}
+  explicit GeomEnc(size_t n_ctx) : enc(&sink), probs(n_ctx, kProbInit) {}
 };
 
 struct GeomDec {
   RangeDecoder dec;
   std::vector<uint16_t> probs;
-  GeomDec(const uint8_t* buf, size_t len)
-      : dec(buf, len), probs(kNumCtxT, kProbInit) {}
+  GeomDec(const uint8_t* buf, size_t len, size_t n_ctx)
+      : dec(buf, len), probs(n_ctx, kProbInit) {}
 };
 
-}  // namespace
-
-void* geom_enc_new() {
-  GeomEnc* e = new (std::nothrow) GeomEnc();
+inline void* new_enc(size_t n_ctx) {
+  GeomEnc* e = new (std::nothrow) GeomEnc(n_ctx);
   if (e && !e->sink.buf) {  // carry the intra path's malloc-failure guard
     delete e;
     return nullptr;
   }
   return e;
 }
+
+}  // namespace
+
+void* geom_enc_new() { return new_enc(kNumCtxT); }
 
 // Encode one level's occupancy bytes. matched[j] != 0 means node j exists
 // in the previous frame with occupancy prevbyte[j]. Returns 0, or -2 on a
@@ -481,7 +483,7 @@ int geom_enc_finish(void* h, uint8_t** out, size_t* out_len) {
 void geom_enc_free(void* h) { delete static_cast<GeomEnc*>(h); }
 
 void* geom_dec_new(const uint8_t* buf, size_t len) {
-  return new (std::nothrow) GeomDec(buf, len);
+  return new (std::nothrow) GeomDec(buf, len, kNumCtxT);
 }
 
 // Decode one level's n occupancy bytes into out (never zero bytes).
@@ -511,5 +513,318 @@ int geom_dec_level(void* h, const uint8_t* matched, const uint8_t* prevbyte,
 }
 
 void geom_dec_free(void* h) { delete static_cast<GeomDec*>(h); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ext3-context profiles (geometry profiles 3-5).
+//
+// Re-judged on scan-like occupancy statistics (articulated body scans,
+// eval/synth.synthetic_body_scan; scripts/exp_geom_contexts.py): unlike
+// the parent-byte/octant/sib3 candidates measured above as adaptive dead
+// ends, conditioning each occupancy bit on the SAME-LEVEL face-neighbor
+// occupancy of the child's three outward sides ("ext3") wins decisively —
+// intra 1.99 -> 1.54 b/v on body J=10 (-23%), -4% even on the noisy
+// shells, -0.1% worst case (blob); temporal 1.87 -> 1.50 b/v (-20%).
+// The feature is exactly decodable: a level's full node set (hence its
+// cell map) is known before any of that level's bytes is read.
+//
+// Contexts: intra (level bank, ext3, tree) = 8*8*256; temporal
+// (level bank, tflag, ext3, tree) = 8*4*8*256. n6 byte layout (must match
+// ops/octree.py:level_neighbors6): bit 0 x-, 1 x+, 2 y-, 3 y+, 4 z-, 5 z+
+// with Morton digit = z + 2y + 4x.
+
+namespace {
+
+constexpr unsigned kExtCtx = 8;
+constexpr unsigned kNumCtx3 = kLevelBanks * kExtCtx * kTreeCtx;
+constexpr unsigned kNumCtxT4 = kLevelBanks * kTFlagCtx * kExtCtx * kTreeCtx;
+
+inline uint64_t spread3(uint64_t x) {
+  x &= 0x00000000001FFFFFull;
+  x = (x | (x << 32)) & 0x001F00000000FFFFull;
+  x = (x | (x << 16)) & 0x001F0000FF0000FFull;
+  x = (x | (x << 8)) & 0x100F00F00F00F00Full;
+  x = (x | (x << 4)) & 0x10C30C30C30C30C3ull;
+  x = (x | (x << 2)) & 0x1249249249249249ull;
+  return x;
+}
+
+inline uint64_t compact3(uint64_t x) {
+  x &= 0x1249249249249249ull;
+  x = (x | (x >> 2)) & 0x10C30C30C30C30C3ull;
+  x = (x | (x >> 4)) & 0x100F00F00F00F00Full;
+  x = (x | (x >> 8)) & 0x001F0000FF0000FFull;
+  x = (x | (x >> 16)) & 0x001F00000000FFFFull;
+  x = (x | (x >> 32)) & 0x00000000001FFFFFull;
+  return x;
+}
+
+// Open-addressing set of one level's codes (linear probing, 2x load
+// headroom): the n6 computation issues 6 membership probes per node, and
+// O(1) probes beat a binary search's ~20 cache-missy compares ~8x at
+// codec sizes.
+struct LevelHash {
+  std::vector<uint64_t> slots;  // code+1; 0 = empty (codes can be 0)
+  uint64_t mask = 0;
+  static inline uint64_t h(uint64_t k) {
+    return (k * 0x9E3779B97F4A7C15ull) >> 17;
+  }
+  void build(const uint64_t* codes, size_t n) {
+    size_t cap = 16;
+    while (cap < 2 * n) cap <<= 1;
+    slots.assign(cap, 0);
+    mask = cap - 1;
+    for (size_t i = 0; i < n; ++i) {
+      uint64_t p = h(codes[i]) & mask;
+      while (slots[p]) p = (p + 1) & mask;
+      slots[p] = codes[i] + 1;
+    }
+  }
+  inline bool contains(uint64_t k) const {
+    uint64_t p = h(k) & mask;
+    while (slots[p]) {
+      if (slots[p] == k + 1) return true;
+      p = (p + 1) & mask;
+    }
+    return false;
+  }
+};
+
+// Face-neighbor occupancy byte of every node in a sorted level-`level`
+// code array. Mirror of ops/octree.py:level_neighbors6 (pinned by the
+// backend byte-identity tests).
+void compute_n6(const uint64_t* codes, size_t n, size_t level,
+                uint8_t* out, LevelHash* scratch) {
+  if (level == 0) {
+    std::memset(out, 0, n);
+    return;
+  }
+  scratch->build(codes, n);
+  const uint64_t lim = (1ull << level) - 1;
+  for (size_t j = 0; j < n; ++j) {
+    const uint64_t c = codes[j];
+    uint8_t b = 0;
+    unsigned bit = 0;
+    for (int a = 0; a < 3; ++a) {
+      const unsigned sh = static_cast<unsigned>(2 - a);
+      const uint64_t coord = compact3(c >> sh);
+      const uint64_t others = c & ~(spread3(lim) << sh);
+      for (int d = -1; d <= 1; d += 2, ++bit) {
+        const bool valid = d < 0 ? coord > 0 : coord < lim;
+        if (!valid) continue;
+        const uint64_t ncode =
+            others | (spread3(coord + static_cast<uint64_t>(
+                                          static_cast<int64_t>(d)))
+                      << sh);
+        if (scratch->contains(ncode)) b |= 1u << bit;
+      }
+    }
+    out[j] = b;
+  }
+}
+
+// ext3 pattern of child bit i given the node's n6 byte: the outward
+// neighbor on each axis is the -side bit when the octant bit is 0.
+inline unsigned ext3_of(uint8_t n6, unsigned i) {
+  const unsigned ex = (n6 >> ((i >> 2) & 1u)) & 1u;
+  const unsigned ey = (n6 >> (2u + ((i >> 1) & 1u))) & 1u;
+  const unsigned ez = (n6 >> (4u + (i & 1u))) & 1u;
+  return (ex << 2) | (ey << 1) | ez;
+}
+
+inline uint16_t* bank_of3(uint16_t* probs, size_t level, unsigned ext3) {
+  return probs + (level_bank(level) * kExtCtx + ext3) * kTreeCtx;
+}
+
+inline uint16_t* bank_of_t4(uint16_t* probs, size_t level, unsigned tflag,
+                            unsigned ext3) {
+  return probs +
+         ((level_bank(level) * kTFlagCtx + tflag) * kExtCtx + ext3) *
+             kTreeCtx;
+}
+
+inline void encode_byte3(RangeEncoder& enc, uint16_t* probs, size_t level,
+                         uint8_t n6, uint8_t b) {
+  unsigned ctx = 1;
+  for (unsigned i = 0; i < 8; ++i) {
+    const unsigned bit = (b >> i) & 1u;
+    if (i == 7 && ctx == 1) break;  // forced 1: byte can't be zero
+    uint16_t* bank = bank_of3(probs, level, ext3_of(n6, i));
+    enc.encode_bit(&bank[ctx], bit);
+    ctx = (ctx << 1) | bit;
+  }
+}
+
+inline uint8_t decode_byte3(RangeDecoder& dec, uint16_t* probs,
+                            size_t level, uint8_t n6) {
+  unsigned ctx = 1;
+  unsigned b = 0;
+  for (unsigned i = 0; i < 8; ++i) {
+    unsigned bit;
+    if (i == 7 && ctx == 1) {
+      bit = 1;  // forced: occupancy bytes are never zero
+    } else {
+      uint16_t* bank = bank_of3(probs, level, ext3_of(n6, i));
+      bit = dec.decode_bit(&bank[ctx]);
+    }
+    b |= bit << i;
+    ctx = (ctx << 1) | bit;
+  }
+  return static_cast<uint8_t>(b);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused intra encode with ext3 contexts (geometry profile 3). Same
+// contract as geom_encode_codes.
+int geom_encode_codes3(const uint64_t* codes, size_t n, size_t depth,
+                       uint8_t** out, size_t* out_len, uint32_t* crc_out) {
+  if (n == 0 || depth == 0) return -2;
+  std::vector<std::vector<uint64_t>> levels(depth + 1);
+  levels[depth].assign(codes, codes + n);
+  for (size_t i = 1; i < n; ++i) {
+    if (codes[i] <= codes[i - 1]) return -2;
+  }
+  for (size_t l = depth; l > 0; --l) {
+    const std::vector<uint64_t>& cur = levels[l];
+    std::vector<uint64_t>& par = levels[l - 1];
+    par.reserve(cur.size() / 2 + 1);
+    uint64_t prev = ~0ull;
+    for (uint64_t c : cur) {
+      const uint64_t p = c >> 3;
+      if (p != prev) {
+        par.push_back(p);
+        prev = p;
+      }
+    }
+  }
+  ByteSink sink;
+  if (!sink.buf) return -1;
+  RangeEncoder enc(&sink);
+  std::vector<uint16_t> probs(kNumCtx3, kProbInit);
+  std::vector<uint8_t> n6;
+  LevelHash nbr;
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t l = 0; l < depth; ++l) {
+    const std::vector<uint64_t>& nodes = levels[l];
+    const std::vector<uint64_t>& kids = levels[l + 1];
+    n6.resize(nodes.size());
+    compute_n6(nodes.data(), nodes.size(), l, n6.data(), &nbr);
+    size_t k = 0;
+    for (size_t j = 0; j < nodes.size(); ++j) {
+      uint8_t b = 0;
+      while (k < kids.size() && (kids[k] >> 3) == nodes[j]) {
+        b |= static_cast<uint8_t>(1u << (kids[k] & 7u));
+        ++k;
+      }
+      crc = crc32_update(crc, b);
+      encode_byte3(enc, probs.data(), l, n6[j], b);
+    }
+  }
+  enc.flush();
+  if (sink.failed) return -1;
+  *out_len = sink.len;
+  *out = sink.release();
+  if (!*out) return -1;
+  *crc_out = crc ^ 0xFFFFFFFFu;
+  return 0;
+}
+
+// Fused intra decode with ext3 contexts (geometry profile 3). Same
+// contract as geom_decode_codes.
+int geom_decode_codes3(const uint8_t* buf, size_t buf_len, size_t depth,
+                       uint64_t* out, size_t out_cap, size_t* out_n,
+                       uint32_t* crc_out) {
+  if (depth == 0 || out_cap == 0) return -2;
+  RangeDecoder dec(buf, buf_len);
+  std::vector<uint16_t> probs(kNumCtx3, kProbInit);
+  std::vector<uint64_t> cur(1, 0), next;
+  std::vector<uint8_t> n6;
+  LevelHash nbr;
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t level = 0; level < depth; ++level) {
+    n6.resize(cur.size());
+    compute_n6(cur.data(), cur.size(), level, n6.data(), &nbr);
+    next.clear();
+    next.reserve(cur.size() * 2);
+    for (size_t j = 0; j < cur.size(); ++j) {
+      const uint8_t b = decode_byte3(dec, probs.data(), level, n6[j]);
+      crc = crc32_update(crc, b);
+      for (unsigned c = 0; c < 8; ++c) {
+        if ((b >> c) & 1u) next.push_back((cur[j] << 3) | c);
+      }
+    }
+    if (next.size() > out_cap) return -2;
+    cur.swap(next);
+  }
+  std::memcpy(out, cur.data(), cur.size() * sizeof(uint64_t));
+  *out_n = cur.size();
+  *crc_out = crc ^ 0xFFFFFFFFu;
+  return 0;
+}
+
+// Temporal coder with ext3 contexts (geometry profiles 4-5): the caller
+// passes each node's n6 byte (computed by ops/octree.py:level_neighbors6
+// on the CURRENT frame's level codes — available to the decoder before
+// the level's bytes are read). Shares geom_enc_finish / geom_enc_free /
+// geom_dec_free with the profile-1 handles.
+void* geom_enc_new4() { return new_enc(kNumCtxT4); }
+
+int geom_enc_level4(void* h, const uint8_t* occ, const uint8_t* matched,
+                    const uint8_t* prevbyte, const uint8_t* n6, size_t n,
+                    size_t level) {
+  GeomEnc* e = static_cast<GeomEnc*>(h);
+  for (size_t j = 0; j < n; ++j) {
+    const uint8_t b = occ[j];
+    if (b == 0) return -2;
+    const bool m = matched[j] != 0;
+    const uint8_t pb = prevbyte[j];
+    unsigned ctx = 1;
+    for (unsigned i = 0; i < 8; ++i) {
+      const unsigned bit = (b >> i) & 1u;
+      if (i == 7 && ctx == 1) break;  // forced 1: byte can't be zero
+      const unsigned tflag = m ? (2u + ((pb >> i) & 1u)) : 0u;
+      uint16_t* bank =
+          bank_of_t4(e->probs.data(), level, tflag, ext3_of(n6[j], i));
+      e->enc.encode_bit(&bank[ctx], bit);
+      ctx = (ctx << 1) | bit;
+    }
+  }
+  return 0;
+}
+
+void* geom_dec_new4(const uint8_t* buf, size_t len) {
+  return new (std::nothrow) GeomDec(buf, len, kNumCtxT4);
+}
+
+int geom_dec_level4(void* h, const uint8_t* matched,
+                    const uint8_t* prevbyte, const uint8_t* n6, size_t n,
+                    size_t level, uint8_t* out) {
+  GeomDec* d = static_cast<GeomDec*>(h);
+  for (size_t j = 0; j < n; ++j) {
+    const bool m = matched[j] != 0;
+    const uint8_t pb = prevbyte[j];
+    unsigned ctx = 1;
+    unsigned b = 0;
+    for (unsigned i = 0; i < 8; ++i) {
+      unsigned bit;
+      if (i == 7 && ctx == 1) {
+        bit = 1;  // forced: occupancy bytes are never zero
+      } else {
+        const unsigned tflag = m ? (2u + ((pb >> i) & 1u)) : 0u;
+        uint16_t* bank =
+            bank_of_t4(d->probs.data(), level, tflag, ext3_of(n6[j], i));
+        bit = d->dec.decode_bit(&bank[ctx]);
+      }
+      b |= bit << i;
+      ctx = (ctx << 1) | bit;
+    }
+    out[j] = static_cast<uint8_t>(b);
+  }
+  return 0;
+}
 
 }  // extern "C"

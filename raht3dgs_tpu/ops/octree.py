@@ -173,3 +173,71 @@ def occupancy_level_sizes(occ: np.ndarray, depth: int) -> np.ndarray:
             f"beyond depth {depth}"
         )
     return sizes
+
+
+def _compact3(x: np.ndarray) -> np.ndarray:
+    """Gather every 3rd bit (LSB first) of uint64 words into the low bits."""
+    m = np.uint64
+    x = x & m(0x1249249249249249)
+    x = (x | (x >> m(2))) & m(0x10C30C30C30C30C3)
+    x = (x | (x >> m(4))) & m(0x100F00F00F00F00F)
+    x = (x | (x >> m(8))) & m(0x001F0000FF0000FF)
+    x = (x | (x >> m(16))) & m(0x001F00000000FFFF)
+    x = (x | (x >> m(32))) & m(0x00000000001FFFFF)
+    return x
+
+
+def _spread3(x: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_compact3`: spread low 21 bits to every 3rd bit."""
+    m = np.uint64
+    x = x & m(0x00000000001FFFFF)
+    x = (x | (x << m(32))) & m(0x001F00000000FFFF)
+    x = (x | (x << m(16))) & m(0x001F0000FF0000FF)
+    x = (x | (x << m(8))) & m(0x100F00F00F00F00F)
+    x = (x | (x << m(4))) & m(0x10C30C30C30C30C3)
+    x = (x | (x << m(2))) & m(0x1249249249249249)
+    return x
+
+
+def level_neighbors6(codes_l: np.ndarray, level: int) -> np.ndarray:
+    """Face-neighbor occupancy of each level-``level`` node, at the same
+    level's granularity: bit 0 = x-, 1 = x+, 2 = y-, 3 = y+, 4 = z-,
+    5 = z+ (Morton digit = z + 2y + 4x, so x rides bit 2 of each digit).
+
+    The ext3-context geometry profiles (codec/geometry.py profiles 3-5)
+    condition each occupancy bit on the three of these bits on the child's
+    outward sides. Available to the decoder before any level-``level``
+    byte is read: the full node set of a level is known once the previous
+    level's bytes are decoded. This numpy definition and the C mirror in
+    native/geom.cpp are pinned to each other by the backend byte-identity
+    tests.
+    """
+    codes_l = np.asarray(codes_l).astype(np.uint64)
+    n = codes_l.size
+    out = np.zeros(n, dtype=np.uint8)
+    if level == 0 or n == 0:
+        return out
+    lim = np.uint64((1 << level) - 1)
+    axes = (
+        _compact3(codes_l >> np.uint64(2)),  # x
+        _compact3(codes_l >> np.uint64(1)),  # y
+        _compact3(codes_l),                  # z
+    )
+    bit = 0
+    for a in range(3):
+        coord = axes[a]
+        others = codes_l & ~(_spread3(lim) << np.uint64(2 - a))
+        for d in (-1, 1):
+            if d < 0:
+                valid = coord > 0
+                nc = coord - np.uint64(1)
+            else:
+                valid = coord < lim
+                nc = coord + np.uint64(1)
+            ncode = others | (_spread3(nc & lim) << np.uint64(2 - a))
+            pos = np.searchsorted(codes_l, ncode)
+            pos = np.minimum(pos, n - 1)
+            hit = (codes_l[pos] == ncode) & valid
+            out |= (hit.astype(np.uint8) << np.uint8(bit))
+            bit += 1
+    return out

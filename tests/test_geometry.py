@@ -509,3 +509,151 @@ def test_fused_native_paths_byte_identical(monkeypatch):
                                             dtype=codes.dtype)
         np.testing.assert_array_equal(back_py, codes)
         np.testing.assert_array_equal(back_nat, codes)
+
+
+# -- ext3-context profiles (profiles 3-5) ----------------------------------------
+
+
+def _body_codes(depth=8, seed=0, spv=2.0):
+    from raht3dgs_tpu.eval.synth import synthetic_body_scan
+
+    V = synthetic_body_scan(depth=depth, seed=seed, n_frames=1,
+                            samples_per_voxel=spv)[0][0]
+    return geometry.codes_from_positions(V, depth)
+
+
+def test_ext3_roundtrip_and_gain():
+    codes = _body_codes()
+    s0 = geometry.encode_geometry(codes, 8, ext3=False)
+    s3 = geometry.encode_geometry(codes, 8, ext3=True)
+    assert s0[0] == 0 and s3[0] == 3
+    # scan-like statistics at realistic size: ext3 must win
+    assert len(s3) < len(s0)
+    back = geometry.decode_geometry(s3, 8, codes.size, dtype=codes.dtype)
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_ext3_auto_threshold():
+    codes = _body_codes()
+    assert codes.size >= geometry._EXT3_AUTO_MIN
+    assert geometry.encode_geometry(codes, 8)[0] == 3
+    small = codes[:1000]
+    assert geometry.encode_geometry(small, 8)[0] == 0
+    # env override forces either family
+    import os
+
+    os.environ["RAHT3DGS_GEOM_CONTEXTS"] = "ext3"
+    try:
+        assert geometry.encode_geometry(small, 8)[0] == 3
+        os.environ["RAHT3DGS_GEOM_CONTEXTS"] = "legacy"
+        assert geometry.encode_geometry(codes, 8)[0] == 0
+    finally:
+        del os.environ["RAHT3DGS_GEOM_CONTEXTS"]
+
+
+@pytest.mark.parametrize("depth", [1, 3, 10, 21])
+@pytest.mark.parametrize("n", [1, 5, 300])
+def test_ext3_roundtrip_random(depth, n):
+    rng = np.random.default_rng(depth * 100 + n)
+    codes = _random_codes(rng, n, depth)
+    sec = geometry.encode_geometry(codes, depth, ext3=True)
+    assert sec[0] == 3
+    back = geometry.decode_geometry(sec, depth, codes.size,
+                                    dtype=codes.dtype)
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_ext3_backend_byte_identity(monkeypatch):
+    """Pins the C n6/ext3 computation to ops/octree.py:level_neighbors6."""
+    if not geometry.native_available():
+        pytest.skip("native geometry coder unavailable")
+    for depth, n, seed in [(2, 3, 0), (6, 200, 1), (10, 2000, 2),
+                           (21, 64, 3)]:
+        codes = _random_codes(np.random.default_rng(seed), n, depth)
+        nat = geometry.encode_geometry(codes, depth, ext3=True)
+        monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+        py = geometry.encode_geometry(codes, depth, ext3=True)
+        back_py = geometry.decode_geometry(nat, depth, codes.size,
+                                           dtype=codes.dtype)
+        monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+        assert nat == py, f"ext3 encoder mismatch at depth={depth} n={n}"
+        np.testing.assert_array_equal(back_py, codes)
+        back_nat = geometry.decode_geometry(py, depth, codes.size,
+                                            dtype=codes.dtype)
+        np.testing.assert_array_equal(back_nat, codes)
+    # surface workload too (exercises dense n6 patterns)
+    codes = _surface_codes(8, n=3000, seed=9)
+    nat = geometry.encode_geometry(codes, 8, ext3=True)
+    monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+    py = geometry.encode_geometry(codes, 8, ext3=True)
+    monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+    assert nat == py
+
+
+def test_ext3_temporal_roundtrip_identity_and_gain(monkeypatch):
+    depth = 8
+    c0 = _surface_codes(depth, n=6000, seed=5)
+    c1 = _shifted_codes(c0, depth, shift=(2, 1, 0))
+    s4 = geometry.encode_geometry(c1, depth, prev_codes=c0, ext3=True)
+    s5 = geometry.encode_geometry(c1, depth, prev_codes=c0,
+                                  motion=(2, 1, 0), ext3=True)
+    assert s4[0] == 4 and s5[0] == 5
+    # compensated reference still codes smaller than uncompensated
+    assert len(s5) < len(s4)
+    for sec in (s4, s5):
+        back = geometry.decode_geometry(sec, depth, c1.size,
+                                        dtype=c1.dtype, prev_codes=c0)
+        np.testing.assert_array_equal(back, c1)
+        with pytest.raises(ValueError, match="prev_codes"):
+            geometry.decode_geometry(sec, depth, c1.size)
+    if geometry.native_available():
+        monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+        s4_py = geometry.encode_geometry(c1, depth, prev_codes=c0,
+                                         ext3=True)
+        s5_py = geometry.encode_geometry(c1, depth, prev_codes=c0,
+                                         motion=(2, 1, 0), ext3=True)
+        back = geometry.decode_geometry(s4, depth, c1.size, dtype=c1.dtype,
+                                        prev_codes=c0)
+        monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+        assert s4_py == s4 and s5_py == s5
+        np.testing.assert_array_equal(back, c1)
+    # zero motion falls back to profile 4 (no 12-byte header for nothing)
+    s40 = geometry.encode_geometry(c1, depth, prev_codes=c0,
+                                   motion=(0, 0, 0), ext3=True)
+    assert s40[0] == 4 and s40 == s4
+
+
+def test_ext3_decode_rejects_corruption():
+    codes = _body_codes()
+    sec = geometry.encode_geometry(codes, 8, ext3=True)
+    assert sec[0] == 3
+    with pytest.raises(ValueError, match="corrupt|capacity|exceeds"):
+        geometry.decode_geometry(sec, 8, codes.size - 5)
+    # flip a payload byte: crc32 must catch whatever still walks
+    mut = bytearray(sec)
+    mut[len(mut) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        geometry.decode_geometry(bytes(mut), 8, codes.size)
+
+
+def test_ext3_temporal_chain_over_sequence():
+    # closed-loop chain with the ext3 profiles, as cli.decode replays it
+    depth = 8
+    from raht3dgs_tpu.eval.synth import synthetic_body_scan
+
+    frames = synthetic_body_scan(depth=depth, seed=1, n_frames=3,
+                                 samples_per_voxel=1.0)
+    codes = [geometry.codes_from_positions(V, depth) for V, _ in frames]
+    prev_enc = None
+    secs = []
+    for c in codes:
+        secs.append(geometry.encode_geometry(c, depth, prev_codes=prev_enc,
+                                             ext3=True))
+        prev_enc = c
+    assert secs[0][0] == 3 and all(s[0] == 4 for s in secs[1:])
+    prev_dec = None
+    for c, sec in zip(codes, secs):
+        dec = geometry.decode_geometry(sec, depth, c.size, dtype=c.dtype,
+                                       prev_codes=prev_dec)
+        np.testing.assert_array_equal(dec, c)
+        prev_dec = dec
