@@ -59,61 +59,90 @@ def uniform(seed, n, depth):
     return np.unique(rng.integers(0, hi, 2 * n, dtype=np.int64))[:n]
 
 
-def temporal_table():
-    """Temporal profiles on the synthetic deforming sequence: intra vs
-    profile 1 (temporal contexts) vs profile 2 (motion-compensated
-    reference) — the docs/geometry.md numbers."""
-    from raht3dgs_tpu.eval.synth import synthetic_color_sequence
+def _temporal_rows(name, depth, frames_vc):
+    """One temporal-profile comparison row: legacy (1/2) vs ext3 (4/5)."""
     from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
     from raht3dgs_tpu.ops.prelude import morton_codes_np
     from raht3dgs_tpu.ops.temporal import estimate_global_motion
 
-    print("| J | intra b/v | temporal b/v | +motion-comp b/v |")
-    print("|---|---|---|---|")
+    pf = [prepare_voxel_frame(V, C, depth) for V, C in frames_vc]
+    codes_seq = [
+        np.unique(morton_codes_np(np.floor(V).astype(np.int64), depth))
+        for V, C in frames_vc
+    ]
+    tot = {k: 0 for k in ("i0", "i3", "t1", "t2", "t4", "t5")}
+    nvox = sum(c.size for c in codes_seq[1:])
+    for i in range(1, len(codes_seq)):
+        prev, cur = codes_seq[i - 1], codes_seq[i]
+        tot["i0"] += len(geometry.encode_geometry(cur, depth, ext3=False))
+        tot["i3"] += len(geometry.encode_geometry(cur, depth, ext3=True))
+        tot["t1"] += len(geometry.encode_geometry(cur, depth,
+                                                  prev_codes=prev,
+                                                  ext3=False))
+        tot["t4"] += len(geometry.encode_geometry(cur, depth,
+                                                  prev_codes=prev,
+                                                  ext3=True))
+        mv = np.asarray(estimate_global_motion(
+            pf[i].codes, pf[i].weights, pf[i - 1].codes,
+            pf[i - 1].weights, depth,
+        ))
+        tot["t2"] += len(geometry.encode_geometry(
+            cur, depth, prev_codes=prev, motion=mv, ext3=False))
+        sec = geometry.encode_geometry(cur, depth, prev_codes=prev,
+                                       motion=mv, ext3=True)
+        back = geometry.decode_geometry(sec, depth, cur.size,
+                                        dtype=cur.dtype, prev_codes=prev)
+        assert np.array_equal(back, cur)
+        tot["t5"] += len(sec)
+    cells = " | ".join(f"{tot[k] * 8 / nvox:.3f}"
+                       for k in ("i0", "i3", "t1", "t4", "t2", "t5"))
+    print(f"| {name} | {cells} |")
+
+
+def temporal_table():
+    """Temporal profiles on the deforming-shell AND body-walk sequences:
+    legacy (0/1/2) vs ext3 (3/4/5) — the docs/geometry.md numbers."""
+    from raht3dgs_tpu.eval.synth import (synthetic_body_scan,
+                                         synthetic_color_sequence)
+
+    print("| sequence | intra p0 | intra p3 | temporal p1 | p4 | "
+          "+motion p2 | p5 |")
+    print("|---|---|---|---|---|---|---|")
     for depth in (8, 9):
         frames = synthetic_color_sequence(depth=depth, seed=0, n_frames=6)
-        pf = [prepare_voxel_frame(V, C, depth) for V, C in frames]
-        codes_seq = [
-            np.unique(morton_codes_np(np.floor(V).astype(np.int64), depth))
-            for V, C in frames
-        ]
-        intra = t1 = t2 = 0
-        nvox = sum(c.size for c in codes_seq[1:])
-        for i in range(1, len(codes_seq)):
-            prev, cur = codes_seq[i - 1], codes_seq[i]
-            intra += len(geometry.encode_geometry(cur, depth))
-            t1 += len(geometry.encode_geometry(cur, depth, prev_codes=prev))
-            mv = np.asarray(estimate_global_motion(
-                pf[i].codes, pf[i].weights, pf[i - 1].codes,
-                pf[i - 1].weights, depth,
-            ))
-            sec = geometry.encode_geometry(cur, depth, prev_codes=prev,
-                                           motion=mv)
-            back = geometry.decode_geometry(sec, depth, cur.size,
-                                            dtype=cur.dtype, prev_codes=prev)
-            assert np.array_equal(back, cur)
-            t2 += len(sec)
-        print(f"| {depth} | {intra * 8 / nvox:.3f} | {t1 * 8 / nvox:.3f} | "
-              f"{t2 * 8 / nvox:.3f} |")
+        _temporal_rows(f"shell J={depth}", depth, frames)
+    for depth in (8, 10):
+        frames = synthetic_body_scan(depth=depth, seed=0, n_frames=4)
+        _temporal_rows(f"body J={depth}", depth, frames)
+
+
+def body(depth):
+    from raht3dgs_tpu.eval.synth import synthetic_body_scan
+
+    V = synthetic_body_scan(depth=depth, seed=0, n_frames=1)[0][0]
+    return geometry.codes_from_positions(V, depth)
 
 
 def main():
     print(f"native backend: {geometry.native_available()}")
     cases = [
+        ("body J=10", body(10)),
+        ("body J=11", body(11)),
         ("shell J=10", shell(7, 600000, 10)),
         ("shell J=12", shell(7, 600000, 12)),
         ("blob J=10", blob(7, 600000, 10)),
         ("blob J=8", blob(7, 600000, 8)),
         ("uniform J=10", uniform(7, 200000, 10)),
     ]
-    print("| workload | voxels | coded b/v | occupancy b/v | raw b/v | "
-          "enc Mpts/s | dec Mpts/s |")
-    print("|---|---|---|---|---|---|---|")
+    print("| workload | voxels | b/v p0 | b/v p3 (ext3) | occupancy b/v | "
+          "raw b/v | p3 enc Mpts/s | p3 dec Mpts/s |")
+    print("|---|---|---|---|---|---|---|---|")
     for name, codes in cases:
         depth = int(name.split("J=")[1])
         occ = octree_serialize(codes, depth)
+        sec0 = geometry.encode_geometry(codes, depth, ext3=False)
         t0 = time.perf_counter()
-        sec = geometry.encode_geometry(codes, depth)
+        sec = geometry.encode_geometry(codes, depth, ext3=True)
         t1 = time.perf_counter()
         back = geometry.decode_geometry(sec, depth, codes.size,
                                         dtype=codes.dtype)
@@ -121,7 +150,8 @@ def main():
         assert np.array_equal(back, codes)
         n = codes.size
         print(
-            f"| {name} | {n} | {len(sec) * 8 / n:.2f} | "
+            f"| {name} | {n} | {len(sec0) * 8 / n:.2f} | "
+            f"{len(sec) * 8 / n:.2f} | "
             f"{occ.size * 8 / n:.2f} | {3 * depth} | "
             f"{n / (t1 - t0) / 1e6:.1f} | {n / (t2 - t1) / 1e6:.1f} |"
         )
