@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--gop", type=int, default=16)
     ap.add_argument("--steps", type=float, nargs="+",
                     default=[1, 2, 4, 8, 16, 32])
+    ap.add_argument("--workload", choices=["shell", "body"],
+                    default="shell",
+                    help="shell = deforming noisy surface; body = "
+                    "articulated humanoid walk (scan-like statistics, "
+                    "eval/synth.synthetic_body_scan)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--append", action="store_true",
                     help="append to --out instead of overwriting")
@@ -44,15 +49,21 @@ def main(argv=None) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
-    from raht3dgs_tpu.eval.synth import synthetic_color_sequence
+    from raht3dgs_tpu.eval.synth import (synthetic_body_scan,
+                                         synthetic_color_sequence)
     from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
     from raht3dgs_tpu.models.temporal import SequenceCodec
     from scripts.rd_deadzone import bd_rate
 
-    seq = synthetic_color_sequence(
-        depth=args.depth, n_frames=args.frames, samples=args.samples,
-        seed=args.seed,
-    )
+    if args.workload == "body":
+        seq = synthetic_body_scan(
+            depth=args.depth, n_frames=args.frames, seed=args.seed,
+        )
+    else:
+        seq = synthetic_color_sequence(
+            depth=args.depth, n_frames=args.frames, samples=args.samples,
+            seed=args.seed,
+        )
     frames = [prepare_voxel_frame(V, C, args.depth) for V, C in seq]
     n_total = sum(f.n_voxels for f in frames)
     print(f"{len(frames)} frames, {n_total} voxels total "
@@ -90,7 +101,8 @@ def main(argv=None) -> int:
         "# Inter-frame (I/P) coding: measured rate gain" if not args.append
         else "## Additional configuration",
         "",
-        f"Synthetic dynamic sequence (eval/synth.py deforming surface): "
+        f"Synthetic dynamic sequence (eval/synth.py, "
+        f"workload={args.workload}): "
         f"{len(frames)} frames, J={args.depth}, "
         f"~{n_total // len(frames)} voxels/frame, GOP={args.gop} "
         f"(P-frames chosen adaptively: {n_inter}/{len(frames)} frames "
