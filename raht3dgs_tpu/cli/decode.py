@@ -208,11 +208,11 @@ def _decode_one(args, stream, positions_path, output_path,
             f"stream encodes {stream.n_voxels} voxels but {positions_path} "
             f"has {len(V)} points"
         )
-    if stream.geometry is not None and stream.geometry[0] == 0:
+    if stream.geometry is not None and stream.geometry[0] in (0, 3):
         # both sources available: cross-check the sidecar against the
-        # stream's own (intra) geometry — a wrong positions file with the
-        # right point count would otherwise decode attributes onto wrong
-        # voxels silently
+        # stream's own (intra: profile 0 or ext3 profile 3) geometry — a
+        # wrong positions file with the right point count would otherwise
+        # decode attributes onto wrong voxels silently
         from raht3dgs_tpu.codec.geometry import (
             codes_from_positions,
             decode_geometry,

@@ -280,13 +280,19 @@ def _rot_x(theta):
 
 def synthetic_body_scan(depth=10, seed=0, n_frames=1, samples_per_voxel=5.0,
                         noise_vox=0.25, fold_amp=0.012, swing=0.45,
-                        motion_vox=1.5, height=1.85):
+                        motion_vox=1.5, height=1.85, phase_rate=0.9,
+                        texture_fine=8.0):
     """Articulated humanoid scans: list of ``n_frames`` (V int (N,3),
     rgb (N,3) in [0,255]) voxelized at ``depth``.
 
     Surface = tapered capsules (torso/head/arms/legs/feet) + persistent
     low-frequency cloth-fold displacement (``fold_amp`` meters, riding the
-    part) + fresh per-frame scan noise of ``noise_vox`` voxels. Colors =
+    part) + fresh per-frame scan noise of ``noise_vox`` voxels.
+    ``phase_rate`` scales articulation speed: the default 0.9 rad/frame of
+    walk phase is FAST motion (~20 deg/frame at the shoulder — a stress
+    case; limbs displace tens of voxels per frame at J=10); 30fps captures
+    of normal motion are nearer 0.1-0.2 (the temporal codecs' adaptive
+    intra fallback engages on the fast default, by design). Colors =
     per-part base + lambertian shading + persistent high-frequency texture
     + fresh sensor noise. Frames articulate: arms/legs counter-swing
     (walk-like, ``swing`` radians peak) and the body translates
@@ -299,6 +305,7 @@ def synthetic_body_scan(depth=10, seed=0, n_frames=1, samples_per_voxel=5.0,
     noise-dominated). See scripts/exp_geom_contexts.py.
     """
     rng = np.random.default_rng(seed)
+    rng_tex = np.random.default_rng(seed + 77003)
     vox = height / (1 << depth)
     # area-proportional sample counts per part
     parts = []
@@ -323,6 +330,22 @@ def synthetic_body_scan(depth=10, seed=0, n_frames=1, samples_per_voxel=5.0,
         ampt = rng.normal(size=(8, 3)) * 10.0
         tex = sum(np.cos(uvs @ kt[k] + pht[k])[:, None] * ampt[k]
                   for k in range(8)) / np.sqrt(8)
+        # fine persistent detail (fabric weave / skin pores): wavelength a
+        # few voxels at J=9-10 — the component that makes real captures
+        # expensive for an intra coder every frame but nearly free for a
+        # temporal predictor (it rides the surface point). Drawn from a
+        # SEPARATE rng stream so the main stream's call order (which pins
+        # the published geometry/occupancy tables — positions must not
+        # move) is untouched.
+        ktf = rng_tex.normal(size=(8, 2)) * np.array([420.0, 260.0])
+        phtf = rng_tex.uniform(0, 2 * np.pi, 8)
+        amptf = rng_tex.normal(size=(8, 3)) * (
+            texture_fine if grp in ("shirt", "pants")
+            else 0.6 * texture_fine)
+        tex = tex + sum(
+            np.cos(uvs @ ktf[k] + phtf[k])[:, None] * amptf[k]
+            for k in range(8)
+        ) / np.sqrt(8)
         parts.append((name, grp, sw, pts, nrm, tex))
 
     light = np.array([0.5, -0.7, 0.6])
@@ -334,7 +357,7 @@ def synthetic_body_scan(depth=10, seed=0, n_frames=1, samples_per_voxel=5.0,
     base_off = np.array([0.5 * (lim + 1) * vox,
                          0.25 * (lim + 1) * vox, 0.02])
     for t in range(n_frames):
-        phase = 0.9 * t
+        phase = phase_rate * t
         all_pts, all_rgb = [], []
         for (name, grp, sw, pts, nrm, tex) in parts:
             P = pts

@@ -4,8 +4,9 @@
 Sweeps the same step grid through both quantizers ("mid" = the
 reference's round-half-up — bitwise what ``/root/reference/python/
 encode_ply.py:148`` computes — vs the opt-in "deadzone" path,
-ops/quantize.py) on two realistic synthetic workloads (eval/synth.py):
-the 56-channel 3DGS frame and a 3-channel color cloud. Reports the full
+ops/quantize.py) on three realistic synthetic workloads (eval/synth.py):
+the 56-channel 3DGS frame, a 3-channel color cloud, and an articulated
+body scan (scan-like statistics). Reports the full
 RD tables and the Bjontegaard delta rate (BD-rate: average % rate change
 at equal PSNR; negative = deadzone spends fewer bits).
 
@@ -102,6 +103,7 @@ def main(argv=None) -> int:
     workloads.append((
         "3DGS 56-channel", args.steps,
         prepare_voxel_frame(V.astype(np.int64), attrs, args.depth),
+        args.depth,
     ))
     Vc, rgb = synthetic_color_frame(args.n, args.depth, args.seed)
     from raht3dgs_tpu.ops.color import rgb_to_yuv
@@ -112,10 +114,22 @@ def main(argv=None) -> int:
     workloads.append((
         "color YUV (encode_ply workload)", args.color_steps,
         prepare_voxel_frame(Vc.astype(np.int64), yuv, args.depth),
+        args.depth,
+    ))
+    from raht3dgs_tpu.eval.synth import synthetic_body_scan
+
+    Vb, rgbb = synthetic_body_scan(
+        depth=min(args.depth, 9), seed=args.seed, n_frames=1,
+        samples_per_voxel=2.0,
+    )[0]
+    yuvb = np.asarray(rgb_to_yuv(jnp.asarray(rgbb)))
+    workloads.append((
+        "body-scan color (scan-like statistics)", args.color_steps,
+        prepare_voxel_frame(Vb.astype(np.int64), yuvb,
+                            min(args.depth, 9)),
+        min(args.depth, 9),
     ))
 
-    def factory(**kw):
-        return AttributeCodec(args.depth, **kw)
 
     sections = [
         "# Dead-zone quantization: measured RD gain",
@@ -130,7 +144,10 @@ def main(argv=None) -> int:
         "rate on average (Bjontegaard cubic-fit method).",
         "",
     ]
-    for name, steps, frame in workloads:
+    for name, steps, frame, depth in workloads:
+        def factory(**kw):
+            return AttributeCodec(depth, **kw)
+
         mid = _sweep({}, frame, steps, factory)
         dz = _sweep(dz_kw, frame, steps, factory)
         bd = bd_rate([r for r, _ in mid], [p for _, p in mid],

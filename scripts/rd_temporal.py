@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                     help="shell = deforming noisy surface; body = "
                     "articulated humanoid walk (scan-like statistics, "
                     "eval/synth.synthetic_body_scan)")
+    ap.add_argument("--phase-rate", type=float, default=0.9,
+                    help="body articulation speed in rad of walk phase "
+                    "per frame (0.9 = stress-fast; ~0.15 matches 30fps "
+                    "capture of normal motion)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--append", action="store_true",
                     help="append to --out instead of overwriting")
@@ -58,6 +62,7 @@ def main(argv=None) -> int:
     if args.workload == "body":
         seq = synthetic_body_scan(
             depth=args.depth, n_frames=args.frames, seed=args.seed,
+            phase_rate=args.phase_rate,
         )
     else:
         seq = synthetic_color_sequence(
@@ -102,7 +107,9 @@ def main(argv=None) -> int:
         else "## Additional configuration",
         "",
         f"Synthetic dynamic sequence (eval/synth.py, "
-        f"workload={args.workload}): "
+        f"workload={args.workload}"
+        + (f", phase_rate={args.phase_rate:g}"
+           if args.workload == "body" else "") + "): "
         f"{len(frames)} frames, J={args.depth}, "
         f"~{n_total // len(frames)} voxels/frame, GOP={args.gop} "
         f"(P-frames chosen adaptively: {n_inter}/{len(frames)} frames "

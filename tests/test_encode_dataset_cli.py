@@ -126,19 +126,21 @@ def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
         assert rc == 0
         seq = SequenceReader(seq_path)
         assert len(seq) == 3
-        # geometry policy: intra (profile 0) everywhere except --inter
-        # P-frames, which carry the temporal profile (1) and reference the
-        # previous frame — I-frames keep .r3ts random access alive
+        # geometry policy: intra profiles (0 legacy / 3 ext3, by size)
+        # everywhere except --inter P-frames, which carry a temporal
+        # profile (1/2 legacy, 4/5 ext3) and reference the previous
+        # frame — I-frames keep .r3ts random access alive
         prev = None
         saw_temporal = False
         for i, st in enumerate(seq):
             assert st.geometry is not None
             if name != "inter":
-                assert st.geometry[0] == 0
+                assert st.geometry[0] in (0, 3)
             else:
-                # P-frames: temporal (1) or motion-compensated temporal (2)
-                assert st.geometry[0] == 0 or st.inter
-                assert st.geometry[0] in ((1, 2) if st.inter else (0,))
+                assert st.geometry[0] in (0, 3) or st.inter
+                assert st.geometry[0] in (
+                    (1, 2, 4, 5) if st.inter else (0, 3)
+                )
                 saw_temporal |= bool(st.inter)
             codes = decode_geometry(st.geometry, st.depth, st.n_voxels,
                                     prev_codes=prev)
