@@ -657,3 +657,33 @@ def test_ext3_temporal_chain_over_sequence():
                                        prev_codes=prev_dec)
         np.testing.assert_array_equal(dec, c)
         prev_dec = dec
+
+
+def test_ctxsim_matches_real_coder():
+    """The committed adaptive-coding simulator (native/ctxsim.cpp via
+    scripts/exp_geom_contexts.py) must reproduce the real coder's output
+    size: the docs' context-model verdicts rest on it. Bank-only model ==
+    profile 0 bytes, ext3 model == profile 3 bytes (the range coder adds
+    <0.2% framing overhead at these sizes)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    try:
+        import exp_geom_contexts as egc
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"experiment module unavailable: {e}")
+    if egc._sim.load() is None:
+        pytest.skip("ctxsim native kernel unavailable")
+    codes = _body_codes()
+    d = egc.decisions(codes, 8)
+    for model, profile_bytes in [
+        ("bank8.tree", geometry.encode_geometry(codes, 8, ext3=False)),
+        ("bank8.ext3.tree", geometry.encode_geometry(codes, 8, ext3=True)),
+    ]:
+        ctx, n_ctx = egc.MODELS[model](d, 8)
+        sim_bits = egc.sim_bits(ctx, d["bits"], n_ctx)
+        actual_bits = (len(profile_bytes) - 5) * 8  # profile byte + crc32
+        assert abs(sim_bits - actual_bits) / actual_bits < 0.005, (
+            model, sim_bits, actual_bits)
