@@ -816,10 +816,13 @@ def rasterize_gaussians(
             width=width, height=height, tile=tile,
         )
         if (os.environ.get("RAHT3DGS_RASTER_CULL", "1") not in ("", "0")
-                and os.environ.get("RAHT3DGS_RASTER_COMPACT", "0")
+                and os.environ.get("RAHT3DGS_RASTER_COMPACT", "1")
                 not in ("", "0")):
-            # opt-in (bitwise exact; TPU win pending measurement): shrink
-            # the binning sort to the post-cull width
+            # default-on (bitwise exact): shrink the binning sort to the
+            # post-cull width. Measured on v5e, 131k all-needle scene:
+            # 115.1 -> 75.7 ms/view (mtpg=128 -> compact 32); a no-op
+            # (null) on isotropic scenes where post-cull max coverage
+            # stays at the budget. RAHT3DGS_RASTER_COMPACT=0 disables.
             need = int(_max_valid_cover(
                 jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
                 jnp.asarray(opacities), jnp.asarray(viewmat),

@@ -73,7 +73,7 @@ def main():
         # same gate as rasterize_gaussians: compaction widths are sized by
         # the post-CULL probe, so timing it with the cull disabled would
         # measure a program that drops contributing entries
-        if (os.environ.get("RAHT3DGS_RASTER_COMPACT", "0") not in ("", "0")
+        if (os.environ.get("RAHT3DGS_RASTER_COMPACT", "1") not in ("", "0")
                 and os.environ.get("RAHT3DGS_RASTER_CULL", "1")
                 not in ("", "0")):
             from raht3dgs_tpu.eval.rasterize import _max_valid_cover
