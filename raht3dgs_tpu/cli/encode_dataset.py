@@ -67,10 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --inter: force an intra frame every GOP frames",
     )
     p.add_argument(
-        "--search-stride", type=int, default=1,
+        "--search-stride", type=int, default=None,
         help="with --inter: encoder-side motion-search witness sampling "
-        "stride (4 measured at ~0.06%% BD-rate cost for 4x less search "
-        "work; stream-compatible — the field is signalled)",
+        "stride (default: size-adaptive — exact below 65536 voxels, 4 "
+        "above it, where stride 4 measures 2.5x faster search on v5e at "
+        "500k for ~0.06%% BD-rate; stream-compatible — the field is "
+        "signalled; 1 = exact everywhere)",
     )
     add_geometry_arg(p)
     add_quant_args(p)

@@ -52,6 +52,13 @@ from raht3dgs_tpu.utils.timing import StageTimer
 #   xyz-interleaved in sorted-code block order
 _MOTION_HEAD = struct.Struct("<BBiiiI")
 
+# size-adaptive witness-sampling gate (encoder-side only, stream-
+# compatible): frames with fewer occupied voxels than this search
+# exactly (stride 1) — small blocks hold too few witnesses to
+# subsample; larger frames use stride 4 (2.5x faster search on v5e at
+# 500k for ~0.06% BD-rate, docs/roadmap.md).
+_STRIDE_ADAPTIVE_MIN = 65536
+
 
 def _pack_motion(codes_np, n_voxels, depth, bsl, global_mv, mv_np):
     """Serialize the per-block motion field (encoder side).
@@ -136,12 +143,12 @@ class SequenceCodec:
     def __init__(self, depth: int, gop: int = 8, adaptive: bool = True,
                  probes: int = 27, signal_motion: bool = True,
                  block_side_log: int = 4, search_iters: int = 2,
-                 search_stride: int = 1, **codec_kwargs):
+                 search_stride: Optional[int] = None, **codec_kwargs):
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if probes not in (7, 27):
             raise ValueError(f"probes must be 7 or 27, got {probes}")
-        if int(search_stride) < 1:
+        if search_stride is not None and int(search_stride) < 1:
             raise ValueError(
                 f"search_stride must be >= 1, got {search_stride}"
             )
@@ -161,9 +168,14 @@ class SequenceCodec:
         # encoder-side search depth (±search_iters voxels Chebyshev around
         # the global vector) and witness sampling stride; both
         # stream-compatible — only the signalled integers matter to the
-        # decoder
+        # decoder. stride None = size-adaptive: exact (1) below
+        # _STRIDE_ADAPTIVE_MIN occupied voxels (small blocks hold too few
+        # witnesses to subsample — the rate-win fixture regresses), 4
+        # above it (2.5x faster search on v5e at 500k, ~0.06% BD-rate,
+        # docs/roadmap.md).
         self.search_iters = int(search_iters)
-        self.search_stride = int(search_stride)
+        self.search_stride = (None if search_stride is None
+                              else int(search_stride))
         self.codec = AttributeCodec(depth, **codec_kwargs)
         self.reset()
 
@@ -201,6 +213,14 @@ class SequenceCodec:
         )
         return pred
 
+    def _effective_stride(self, n_voxels: int) -> int:
+        """Witness-sampling stride for a frame: the explicit setting, or
+        the size-adaptive default (exact under ``_STRIDE_ADAPTIVE_MIN``
+        occupied voxels, 4 above it)."""
+        if self.search_stride is not None:
+            return self.search_stride
+        return 4 if n_voxels >= _STRIDE_ADAPTIVE_MIN else 1
+
     def _search(self, frame: VoxelFrame, prev: Tuple):
         """Encoder-side v3 prediction: search the per-block field against
         the true residual, then predict with it. Returns (pred,
@@ -213,11 +233,12 @@ class SequenceCodec:
             frame.codes, frame.weights, prev_frame.codes,
             prev_frame.weights, self.depth,
         )
+        stride = self._effective_stride(frame.n_voxels)
         mv = search_block_motion(
             frame.codes, frame.attributes, frame.weights,
             prev_frame.codes, prev_recon, prev_frame.weights,
             self.depth, motion, block_side_log=self.block_side_log,
-            iters=self.search_iters, stride=self.search_stride,
+            iters=self.search_iters, stride=stride,
         )
         mv_np = np.asarray(mv)
         motion_bytes = _pack_motion(

@@ -549,3 +549,21 @@ def test_search_stride_roundtrip_and_quality(frames):
     b1 = sum(s.payload_bytes for s in s1)
     b4 = sum(s.payload_bytes for s in s4)
     assert b4 <= 1.05 * b1, (b1, b4)
+
+
+def test_search_stride_default_is_size_adaptive():
+    """The default (search_stride=None) resolves per frame: exact search
+    below the witness-density threshold, stride 4 at codec scale (the
+    measured 2.5x v5e win — docs/roadmap.md); an explicit setting always
+    wins."""
+    from raht3dgs_tpu.models.temporal import (
+        _STRIDE_ADAPTIVE_MIN,
+        SequenceCodec,
+    )
+
+    sc = SequenceCodec(6)
+    assert sc._effective_stride(_STRIDE_ADAPTIVE_MIN - 1) == 1
+    assert sc._effective_stride(_STRIDE_ADAPTIVE_MIN) == 4
+    forced = SequenceCodec(6, search_stride=2)
+    assert forced._effective_stride(_STRIDE_ADAPTIVE_MIN) == 2
+    assert forced._effective_stride(8) == 2
