@@ -244,8 +244,10 @@ def _pair_weights(codes, weights, depth: int, fdtype):
 # not cancel catastrophically). An error-free two-sum compensated pair of
 # float32s carries ~48 mantissa bits at native-f32 speed. XLA does not
 # reassociate floating point, so the two-sum identities hold compiled.
-# Selected via RAHT3DGS_SPAN_SUMS=ds|f64 — read ONCE at import; set it
-# before importing the package (jitted programs cache per traced mode).
+# Selected via RAHT3DGS_SPAN_SUMS=ds|dsflat|f64 — read ONCE at import; set
+# it before importing the package (jitted programs cache per traced mode).
+# "ds" (default) = blocked compensated scan; "dsflat" = the round-1 flat
+# association (same accuracy, slower, kept for A/B); "f64" = plain float64.
 # ---------------------------------------------------------------------------
 import os as _os
 
@@ -268,16 +270,34 @@ def _ds_combine(x, y):
     return hi, lo
 
 
-def _ds_cumsum(values_f32):
+def _ds_cumsum_flat(values_f32):
+    """Flat-association compensated prefix sums (the round-1 default)."""
+    zeros = jnp.zeros_like(values_f32)
+    return lax.associative_scan(_ds_combine, (values_f32, zeros), axis=0)
+
+
+def _ds_cumsum(values_f32, block: int = 256):
     """Compensated prefix sums along axis 0; returns (hi, lo) float32.
 
-    Default: an associative scan. RAHT3DGS_PALLAS=1 switches to the
-    single-pass Pallas kernel with an on-chip carry (ops/pallas_scan.py);
-    RAHT3DGS_PALLAS=2 uses the transposed variant (K rows x N on the lane
-    axis — full lane utilization for narrow K). Both Pallas paths are
-    correct on v5e; =1 measured slower for narrow K (uses K of 128 lanes),
-    =2 is the round-2 measurement candidate. All paths are error-free
-    compensated to ~48 mantissa bits.
+    Default (round 2): a block-decomposed scan — intra-block ds scan over
+    ``block`` rows, ds scan of block totals, one combine pass. A custom-
+    combiner ``lax.associative_scan`` lowers to odd/even slicing passes
+    whose cost scales with the scanned axis; two short axes over regular
+    layouts measured ~10x faster than the flat scan at 500k x 4 f32 on
+    v5e (scripts/exp_vox_pieces.py). Every operation stays compensated
+    (~48 mantissa bits), and integer-valued lanes (the RAHT weight
+    column) are EXACT under any association while partials are < 2**24 —
+    so the encoder==decoder bitwise weight contract (``_pair_weights``)
+    is association-independent. Float lanes' low bits differ from the
+    flat association: the stream-golden hash was re-pinned in round 2
+    (tests/test_pipeline.py::test_stream_format_frozen); decode needs no
+    cross-version agreement on these sums.
+
+    RAHT3DGS_SPAN_SUMS=dsflat restores the round-1 flat association.
+    RAHT3DGS_PALLAS=1 switches to the single-pass Pallas kernel with an
+    on-chip carry (ops/pallas_scan.py); =2 uses the transposed variant
+    (K rows x N on the lane axis). Both Pallas paths are correct on v5e
+    but measured slower than the blocked scan at codec shapes.
     """
     mode = _os.environ.get("RAHT3DGS_PALLAS", "0")
     if mode in ("1", "2") and jax.default_backend() != "cpu":
@@ -288,8 +308,26 @@ def _ds_cumsum(values_f32):
 
         kern = ds_cumsum_pallas_t if mode == "2" else ds_cumsum_pallas
         return kern(values_f32)
-    zeros = jnp.zeros_like(values_f32)
-    return lax.associative_scan(_ds_combine, (values_f32, zeros), axis=0)
+    N, K = values_f32.shape
+    if _SUM_MODE == "dsflat" or N <= 2 * block:
+        return _ds_cumsum_flat(values_f32)
+    nb = -(-N // block)
+    pad = nb * block - N
+    v = jnp.pad(values_f32, ((0, pad), (0, 0))).reshape(nb, block, K)
+    hi, lo = lax.associative_scan(
+        _ds_combine, (v, jnp.zeros_like(v)), axis=1
+    )
+    bh, bl = lax.associative_scan(
+        _ds_combine, (hi[:, -1, :], lo[:, -1, :]), axis=0
+    )
+    zrow = jnp.zeros((1, K), values_f32.dtype)
+    bh = jnp.concatenate([zrow, bh[:-1]])[:, None, :]
+    bl = jnp.concatenate([zrow, bl[:-1]])[:, None, :]
+    oh, ol = _ds_combine((bh, bl), (hi, lo))
+    return (
+        oh.reshape(nb * block, K)[:N],
+        ol.reshape(nb * block, K)[:N],
+    )
 
 
 def _prefix_pack(body, use_ds: bool):

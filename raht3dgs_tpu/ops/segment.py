@@ -23,6 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _ds_cumsum_blocked(values_f32, block: int = 256):
+    """Compensated (double-single) prefix sums — the blocked scan shared
+    with the span transform (``raht_span._ds_cumsum``, measured ~10x the
+    flat custom-combiner scan at 500k x 4 f32 on v5e; full voxelize
+    17.6 -> 11.0 ms with this plus the shifted end-gather below,
+    scripts/exp_vox_pieces.py). Integer-valued lanes (counts/weights)
+    stay exact under any association while partials are < 2**24."""
+    from raht3dgs_tpu.ops.raht_span import _ds_cumsum
+
+    return _ds_cumsum(values_f32, block=block)
+
+
 def segment_starts(first: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row index of each segment's first element, compacted to the front.
 
@@ -55,9 +67,9 @@ def sorted_segment_sums(
     # software-emulated on TPU); see ops/raht_span.py for the machinery.
     use_ds = values.dtype == jnp.float32
     if use_ds:
-        from raht3dgs_tpu.ops.raht_span import _ds_cumsum, _two_sum
+        from raht3dgs_tpu.ops.raht_span import _two_sum
 
-        hi, lo = _ds_cumsum(values)
+        hi, lo = _ds_cumsum_blocked(values)
         prefix = jnp.concatenate(
             [jnp.zeros((1, 2 * K), jnp.float32),
              jnp.concatenate([hi, lo], axis=1)]
@@ -92,9 +104,12 @@ def sorted_segment_sums(
         pack = prefix
 
     starts_c = jnp.minimum(starts, N)
-    ends = jnp.concatenate([starts_c[1:], jnp.full((1,), N, jnp.int32)])
     g_start = pack[starts_c]
-    g_end = prefix[jnp.minimum(ends, N)]
+    # Segment k ends where segment k+1 starts (ends[k] = starts_c[k+1],
+    # with prefix[N] for the last slot) — so the end-prefix rows are the
+    # start-gather's rows shifted up one slot. One (N, pk) row gather
+    # instead of two; bitwise-identical values (same rows gathered).
+    g_end = jnp.concatenate([g_start[1:, :pk], prefix[-1:]], axis=0)
     if extra_rows is not None and not fuse_extras:
         extra_pad = jnp.concatenate(
             [extra_rows, jnp.zeros((1, extra_rows.shape[1]), extra_rows.dtype)]
