@@ -17,6 +17,7 @@ the padded-voxel convention used across the framework.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -47,10 +48,14 @@ def segment_starts(first: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.where(slot < n_seg, starts, jnp.int32(N)), n_seg
 
 
+_SEGSUM_DEFAULT = os.environ.get("RAHT3DGS_SEGSUM", "shift")
+
+
 def sorted_segment_sums(
     values: jnp.ndarray,
     first: jnp.ndarray,
     extra_rows: Optional[jnp.ndarray] = None,
+    method: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-segment sums of run-partitioned ``values`` (N, K), scatter-free.
 
@@ -58,9 +63,34 @@ def sorted_segment_sums(
     ``extra_rows`` (N, E), if given, is sampled at each segment's first row
     (e.g. the segment's sort key) through the same gather.
 
+    ``method`` selects the reduction:
+
+    - ``"shift"`` (default, ``RAHT3DGS_SEGSUM`` overrides): segmented
+      Hillis-Steele doubling — ``log2(max run length)`` masked shifted-add
+      passes, then one (N, K) gather at segment starts. No prefix
+      cancellation exists, so float32 needs NO compensated lanes and the
+      boundary gather is HALF the prefix path's width; the stride loop is
+      a ``lax.while_loop`` bounded by the measured max run length (~1-4
+      iterations for typical voxel multiplicities). Measured 22 -> ~9 ms
+      at (524k, 60) f32 on v5e (scripts/exp_gsvox_pieces.py).
+    - ``"prefix"``: compensated prefix-sum differences (the round-1 path).
+      Callers with a FROZEN numeric contract pin this explicitly: the
+      temporal v2 derived-motion pipeline replays encoder-side arithmetic
+      at decode time, so its segment sums must never change association
+      (ops/temporal.py; CLAUDE.md "v2 inter streams DERIVE motion").
+
+    Integer-valued lanes are exact under either method while partials are
+    < 2**24; float lanes differ in low bits between the two (both are
+    deterministic, so any encoder==decoder replay contract holds within
+    one method).
+
     Returns (sums (N, K) — segment k in slot k, zeros in empty slots;
     firsts_extra (N, E) or None; starts (N,); n_segments ()).
     """
+    if method is None:
+        method = _SEGSUM_DEFAULT
+    if method == "shift":
+        return _sorted_segment_sums_shift(values, first, extra_rows)
     N, K = values.shape
     starts, n_seg = segment_starts(first)
     # float32 inputs use double-single compensated prefixes (float64 is
@@ -129,4 +159,77 @@ def sorted_segment_sums(
         extra = g_start[:, pk:]
     else:
         extra = extra_exact
+    return sums, extra, starts, n_seg
+
+
+def _sorted_segment_sums_shift(
+    values: jnp.ndarray,
+    first: jnp.ndarray,
+    extra_rows: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Segmented Hillis-Steele suffix doubling (see sorted_segment_sums).
+
+    Invariant after step with stride ``s``: ``x[i]`` holds the sum of
+    ``values[i : i+s) ∩ segment(i)`` — so once ``s >= max run length``,
+    every segment's FIRST row holds its full sum. Strides double; the
+    loop-carried buffer is (2N, K) with a permanently-zero tail so the
+    dynamic-stride shift is a static-size ``lax.dynamic_slice``.
+    """
+    from jax import lax
+
+    N, K = values.shape
+    starts, n_seg = segment_starts(first)
+    starts_c = jnp.minimum(starts, N)
+    ends = jnp.concatenate([starts_c[1:], jnp.full((1,), N, jnp.int32)])
+    max_run = jnp.max(ends - starts_c)  # invalid slots give N - N = 0
+
+    seg = jnp.cumsum(first.astype(jnp.int32))
+    seg_pad = jnp.concatenate([seg, jnp.full((N,), -1, jnp.int32)])
+    x_pad = jnp.concatenate([values, jnp.zeros((N, K), values.dtype)])
+
+    def cond(state):
+        stride, _ = state
+        return stride < max_run
+
+    def body(state):
+        stride, x_pad = state
+        shifted = lax.dynamic_slice(x_pad, (stride, jnp.int32(0)), (N, K))
+        seg_sh = lax.dynamic_slice(seg_pad, (stride,), (N,))
+        add = jnp.where((seg_sh == seg)[:, None], shifted, 0)
+        new_x = x_pad[:N] + add
+        return stride * 2, lax.dynamic_update_slice(x_pad, new_x, (0, 0))
+
+    _, x_pad = lax.while_loop(cond, body, (jnp.int32(1), x_pad))
+
+    # one boundary gather; extras ride it when they fit the value dtype
+    # exactly (same contract as the prefix path)
+    fuse_extras = extra_rows is not None and (
+        extra_rows.dtype == values.dtype
+        or (values.dtype == jnp.float32
+            and extra_rows.dtype in (np.float32, jnp.float32))
+    )
+    if fuse_extras:
+        E = extra_rows.shape[1]
+        pack = jnp.concatenate(
+            [x_pad[: N + 1],
+             jnp.concatenate(
+                 [extra_rows.astype(values.dtype),
+                  jnp.zeros((1, E), values.dtype)])],
+            axis=1,
+        )
+    else:
+        pack = x_pad[: N + 1]
+    g = pack[starts_c]
+    valid = (jnp.arange(N, dtype=jnp.int32) < n_seg)[:, None]
+    sums = jnp.where(valid, g[:, :K], 0)
+    if extra_rows is None:
+        extra = None
+    elif fuse_extras:
+        extra = g[:, K:]
+    else:
+        extra_pad = jnp.concatenate(
+            [extra_rows,
+             jnp.zeros((1, extra_rows.shape[1]), extra_rows.dtype)]
+        )
+        extra = extra_pad[starts_c]
     return sums, extra, starts, n_seg

@@ -227,7 +227,11 @@ def _refine_block_motion_jit(codes_t, weights_t, codes_prev, weights_prev,
         ],
         axis=1,
     )
-    sums, _, _, _ = sorted_segment_sums(vals, first)
+    # FROZEN (v2 derived-motion replay): decode re-runs this arithmetic,
+    # so the reduction must never change association. All lanes here are
+    # integer-valued f64 (offsets/counts — exact under any association),
+    # but the frozen path pins the round-1 method anyway.
+    sums, _, _, _ = sorted_segment_sums(vals, first, method="prefix")
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     cnt = sums[seg, 3]
     mean = sums[seg, :3] / jnp.maximum(cnt, 1.0)[:, None]
