@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output", required=True, help="reconstructed PLY path")
     p.add_argument(
+        "--progressive", type=int, default=0, metavar="K",
+        help="decode only the first K entropy symbols per channel — a "
+        "coarse-to-fine preview (both coefficient orders store coarse "
+        "coefficients first; with --entropy-chunk streams the prefix is "
+        "byte-addressable). 0 = full decode. Intra frames only",
+    )
+    p.add_argument(
         "--color-space", choices=("yuv", "raw", "3dgs"), default="yuv",
         help="'yuv': stream holds BT.709 YUV (the encode_ply path) and is "
         "converted back to RGB; 'raw': attributes written as-is; "
@@ -253,11 +260,29 @@ def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
             "--all-frames so the prediction can chain from frame 0"
         )
     if seq_codec is not None:
+        if args.progressive:
+            raise SystemExit(
+                "--progressive applies to standalone intra frames only "
+                "(sequence decode chains predictions through full frames)"
+            )
         rec = seq_codec.decode_frame(stream, frame)
     else:
         codec = AttributeCodec(stream.depth, dtype=dtype,
                                order_mode=stream.order_mode)
-        rec, _ = codec.decode(stream, frame.codes, frame.weights)
+        if args.progressive:
+            from raht3dgs_tpu.models.pipeline import progressive_prefix_bytes
+
+            rec, _ = codec.decode_progressive(
+                stream, frame.codes, frame.weights, args.progressive
+            )
+            print(
+                f"progressive preview: {min(args.progressive, stream.n_voxels)}"
+                f"/{stream.n_voxels} coefficients, entropy prefix "
+                f"{progressive_prefix_bytes(stream, args.progressive)} bytes "
+                f"(full: {sum(len(s) for s in stream.channels)})"
+            )
+        else:
+            rec, _ = codec.decode(stream, frame.codes, frame.weights)
 
     if morton_ordered:
         # geometry-derived positions are already in Morton order — the

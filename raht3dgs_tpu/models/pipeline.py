@@ -685,3 +685,93 @@ class AttributeCodec:
             "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth
         )
         return np.asarray(attrs)[:nvox], timer
+
+    def decode_progressive(
+        self,
+        stream: FrameStream,
+        codes: jnp.ndarray,
+        weights: jnp.ndarray,
+        n_coeffs: int,
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[np.ndarray, StageTimer]:
+        """Decode only the first ``n_coeffs`` stream symbols per channel.
+
+        Both supported coefficient orders put the structurally coarsest
+        coefficients first (the RA-GFT order lists DC/survivors before
+        details — ops/reorder.py; the weight-descending order sorts by
+        subtree weight), so a stream PREFIX is a coarse-to-fine preview:
+        the skipped symbols reconstruct as exact-zero detail coefficients
+        (both the mid-tread and dead-zone dequantizers map 0 -> 0) and the
+        inverse transform spreads the decoded coarse signal over the full
+        voxel set. ``n_coeffs >= stream.n_voxels`` reproduces ``decode``
+        bitwise (tests/test_progressive.py pins it). RLGR prefixes decode
+        standalone — the adaptive automaton's state depends only on
+        already-decoded symbols — and with chunked entropy streams
+        (``--entropy-chunk``) the prefix is *byte-addressable*:
+        :func:`progressive_prefix_bytes` reports what a receiver must
+        actually hold to run this. The reference has no progressive path
+        (its decode always materializes every coefficient,
+        ``encode_ply.py:179-208``).
+        """
+        timer = timer or StageTimer()
+        n_padded = codes.shape[0]
+        nvox = stream.n_voxels
+        D = stream.n_channels
+        k = int(min(max(n_coeffs, 1), nvox))
+        if nvox > n_padded:
+            raise ValueError(
+                f"stream encodes {nvox} voxels but the provided positions "
+                f"only cover {n_padded} padded slots — positions do not "
+                "match this stream"
+            )
+
+        inv = timer.time(
+            "Coeff_reorder_dec_time", _inverse_order_device, codes, weights,
+            jnp.int32(nvox), self.depth, stream.order_mode,
+        )
+        # zeros beyond the decoded prefix ARE the truncated coefficients
+        vals_T = np.zeros((D, n_padded), dtype=np.int32)
+        _, dec_ns = rlgr_decode_channels(
+            stream.channels, k, signed=True, out=vals_T,
+            chunk=stream.chunk,
+        )
+        timer.add("Entropy_dec_time", dec_ns / 1e9)
+
+        steps = jnp.asarray(
+            stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
+            dtype=self.dtype,
+        )
+        coeffs = timer.time(
+            "Dequant_time", _dequant_gather_device,
+            upload_quantized(pack_quantized_upload(vals_T)), inv,
+            steps, self.dtype, stream.quant_mode,
+            jnp.asarray(stream.rec_delta, dtype=self.dtype),
+        )
+        attrs = timer.time(
+            "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth
+        )
+        return np.asarray(attrs)[:nvox], timer
+
+
+def progressive_prefix_bytes(stream: FrameStream, n_coeffs: int) -> int:
+    """Entropy bytes a receiver needs for ``decode_progressive(n_coeffs)``.
+
+    Exact for chunked streams (chunk payloads are byte-aligned: the prefix
+    is the header plus every chunk overlapping ``[0, n_coeffs)``). For
+    sequential streams the RLGR prefix is bit-addressable but the coder
+    does not report symbol->byte offsets, so the full channel sizes are
+    returned (a sequential stream must be held whole anyway to decode its
+    tail later).
+    """
+    from raht3dgs_tpu.codec.rlgr import _parse_chunk_header
+
+    k = int(min(max(n_coeffs, 1), stream.n_voxels))
+    total = 0
+    for s in stream.channels:
+        if stream.chunk > 0:
+            c, lens, off = _parse_chunk_header(s)
+            need = -(-k // c)  # chunks overlapping the prefix
+            total += off + sum(lens[:need])
+        else:
+            total += len(s)
+    return total

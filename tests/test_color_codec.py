@@ -108,3 +108,41 @@ def test_cli_decode_roundtrip(tmp_path, rng):
     V2, C2, _ = read_ply_8i(tmp_path / "rec.ply")
     np.testing.assert_allclose(V2, pts.astype(float), atol=1e-4)
     assert np.abs(C2.astype(float) - rgb).mean() < 3.0
+
+
+def test_cli_decode_progressive_preview(tmp_path, rng):
+    depth = 5
+    pts, _, _ = unique_voxel_cloud(rng, 400, depth)
+    rgb = (pts * 5 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=2**depth - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2", "--csv", str(tmp_path / "e.csv"),
+         "--platform", "cpu", "--bucket", "512",
+         "--save-streams", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    stream = str(tmp_path / "frame0001_step2.r3tc")
+    recs = {}
+    for k in (16, 0):  # coarse preview, then full decode
+        out = subprocess.run(
+            [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+             "--stream", stream, "--positions", str(ply),
+             "--output", str(tmp_path / f"rec{k}.ply"),
+             "--platform", "cpu", "--bucket", "512",
+             "--progressive", str(k)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        if k:
+            assert "progressive preview: 16/" in out.stdout
+        from raht3dgs_tpu.io.ply import read_ply_8i
+
+        _, C2, _ = read_ply_8i(tmp_path / f"rec{k}.ply")
+        recs[k] = C2.astype(float)
+    full_err = np.abs(recs[0] - rgb).mean()
+    prev_err = np.abs(recs[16] - rgb).mean()
+    assert full_err < 3.0
+    assert prev_err > full_err  # a preview, not the full reconstruction
