@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
         "byte-addressable). 0 = full decode. Intra frames only",
     )
     p.add_argument(
+        "--lod", type=int, default=0, metavar="L",
+        help="level-of-detail decode: output the frame at octree depth L "
+        "(one point per occupied level-L cell, attributes = exact cell "
+        "means for unit-weight frames) from just the matching stream "
+        "prefix. Needs the RA-GFT order (the default). Intra frames only",
+    )
+    p.add_argument(
         "--color-space", choices=("yuv", "raw", "3dgs"), default="yuv",
         help="'yuv': stream holds BT.709 YUV (the encode_ply path) and is "
         "converted back to RGB; 'raw': attributes written as-is; "
@@ -260,12 +267,57 @@ def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
             "--all-frames so the prediction can chain from frame 0"
         )
     if seq_codec is not None:
-        if args.progressive:
+        if args.progressive or args.lod:
             raise SystemExit(
-                "--progressive applies to standalone intra frames only "
+                "--progressive/--lod apply to standalone intra frames only "
                 "(sequence decode chains predictions through full frames)"
             )
         rec = seq_codec.decode_frame(stream, frame)
+    elif args.lod:
+        codec = AttributeCodec(stream.depth, dtype=dtype,
+                               order_mode=stream.order_mode)
+        from raht3dgs_tpu.models.pipeline import lod_prefix_count
+
+        pos_lod, rec_lod, cell_w = codec.decode_lod(
+            stream, frame.codes, frame.weights, args.lod
+        )
+        k = lod_prefix_count(
+            np.asarray(frame.codes)[:stream.n_voxels], stream.depth,
+            args.lod,
+        )
+        print(
+            f"LOD {args.lod}/{stream.depth}: {len(pos_lod)} cells from "
+            f"{stream.n_voxels} voxels ({k} of {stream.n_voxels} "
+            "coefficients decoded)"
+        )
+        if gs_meta is not None:
+            from raht3dgs_tpu.io.ply import save_ply_3dgs
+
+            _, voxel_size, vmin_gs = gs_meta
+            scale_f = float(2 ** (stream.depth - args.lod))
+            quats = rec_lod[:, 0:4]
+            nq = np.linalg.norm(quats, axis=1, keepdims=True)
+            quats = np.where(nq > 1e-8, quats / np.maximum(nq, 1e-8),
+                             np.array([[1.0, 0, 0, 0]]))
+            save_ply_3dgs(
+                output_path,
+                means=pos_lod.astype(np.float64),
+                quats=quats,
+                scales=np.abs(rec_lod[:, 4:7]),
+                opacities=np.clip(rec_lod[:, 7], 0.0, 1.0),
+                colors=rec_lod[:, 8:],
+                voxel_size=float(voxel_size) * scale_f,
+                vmin=vmin_gs,
+            )
+        elif args.color_space == "yuv" and stream.n_channels == 3:
+            rgb = np.asarray(yuv_to_rgb(jnp.asarray(rec_lod)))
+            save_ply_ascii(output_path, pos_lod.astype(float),
+                           np.clip(rgb, 0, 255).astype(int))
+        else:
+            save_ply_ascii(output_path, pos_lod.astype(float), None)
+            np.save(output_path + ".attrs.npy", rec_lod)
+        np.save(output_path + ".cellw.npy", cell_w)
+        return
     else:
         codec = AttributeCodec(stream.depth, dtype=dtype,
                                order_mode=stream.order_mode)

@@ -752,6 +752,95 @@ class AttributeCodec:
         )
         return np.asarray(attrs)[:nvox], timer
 
+    def decode_lod(
+        self,
+        stream: FrameStream,
+        codes: jnp.ndarray,
+        weights: jnp.ndarray,
+        lod_depth: int,
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Level-of-detail decode: the frame at octree depth ``lod_depth``.
+
+        Decodes exactly the stream prefix that carries the transform's
+        coefficients ABOVE the level-``lod_depth`` cells
+        (:func:`lod_prefix_count` — the RA-GFT order makes that cut a
+        prefix), reconstructs, and collapses each cell to one output row.
+        For unit leaf weights (every driver workload: inputs are unique
+        voxels) the truncated-Haar reconstruction is constant across a
+        cell's leaves and equals the cell's MEAN attributes exactly — the
+        transform's own LOD, not a post-hoc downsample. With multiplicity
+        weights the truncation scales leaf ``i`` by ``sqrt(w_i / W_cell)``
+        (RAHT's weighted-butterfly geometry), so the returned attribute is
+        the reconstruction sampled at each cell's first leaf. Requires the
+        RA-GFT coefficient order (the weight-descending order interleaves
+        depths).
+
+        Returns ``(positions_int (M, 3) at depth lod_depth, attrs (M, D),
+        cell_weights (M,))``.
+        """
+        if stream.order_mode != "ragft":
+            raise ValueError(
+                "decode_lod needs the RA-GFT coefficient order (stream has "
+                f"{stream.order_mode!r}) — only there is a depth cut a "
+                "stream prefix"
+            )
+        timer = timer or StageTimer()
+        nvox = stream.n_voxels
+        codes_np = np.asarray(codes)[:nvox]
+        k = lod_prefix_count(codes_np, self.depth, lod_depth)
+        rec, timer = self.decode_progressive(
+            stream, codes, weights, k, timer=timer
+        )
+        shift = 3 * (self.depth - lod_depth)
+        coarse = (
+            codes_np.astype(np.uint64) >> np.uint64(shift)
+            if shift else codes_np.astype(np.uint64)
+        )
+        firsts = np.concatenate([[True], coarse[1:] != coarse[:-1]])
+        idx = np.nonzero(firsts)[0]
+        w_np = np.asarray(weights)[:nvox].astype(np.float64)
+        cell_w = np.add.reduceat(w_np, idx)
+        from raht3dgs_tpu.ops.morton import morton_decode
+
+        pos = np.asarray(
+            morton_decode(jnp.asarray(coarse[idx].astype(np.int64)),
+                          lod_depth)
+        )
+        return pos, rec[idx], cell_w
+
+
+def _msb_np(x: np.ndarray) -> np.ndarray:
+    """Index of the most-significant set bit (x > 0), vectorized numpy."""
+    x = x.astype(np.uint64)
+    b = np.zeros(x.shape, np.int32)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        b += big.astype(np.int32) * s
+        x = np.where(big, x >> np.uint64(s), x)
+    return b
+
+
+def lod_prefix_count(codes_np: np.ndarray, depth: int, lod_depth: int) -> int:
+    """Stream symbols covering an LOD cut at octree depth ``lod_depth``.
+
+    In the RA-GFT order, detail coefficients are grouped by octree depth,
+    coarsest first (ops/reorder.py) — so the coefficients an LOD-``L``
+    reconstruction needs (the DC plus every detail from merges ABOVE the
+    level-``L`` cells, i.e. merge bit-level > 3*(depth-L)) form a stream
+    PREFIX. ``codes_np`` are the frame's real (unpadded) sorted unique
+    Morton codes.
+    """
+    if not 1 <= lod_depth <= depth:
+        raise ValueError(
+            f"lod_depth must be in [1, {depth}], got {lod_depth}")
+    codes_np = np.asarray(codes_np)
+    if len(codes_np) <= 1:
+        return 1
+    drop = _msb_np(codes_np[1:] ^ codes_np[:-1]) + 1  # merge level per detail
+    group = -(-drop // 3)
+    return 1 + int(np.sum(group >= depth - lod_depth + 1))
+
 
 def progressive_prefix_bytes(stream: FrameStream, n_coeffs: int) -> int:
     """Entropy bytes a receiver needs for ``decode_progressive(n_coeffs)``.

@@ -148,3 +148,102 @@ def test_progressive_deadzone(rng):
     assert np.sqrt(np.mean((half - ref) ** 2)) >= np.sqrt(
         np.mean((full - ref) ** 2)
     ) - 1e-9
+
+
+@pytest.mark.parametrize("lod", [1, 2, 3])
+def test_decode_lod_exact_cell_means(rng, lod):
+    # unit leaf weights (the driver workloads): the LOD reconstruction
+    # must equal each cell's MEAN attributes (truncated-Haar property)
+    # up to quantization noise
+    depth = 4
+    from conftest import unique_voxel_cloud
+
+    pts, _, _ = unique_voxel_cloud(rng, 300, depth)
+    attrs = rng.uniform(0, 255, (len(pts), 3))
+    frame = prepare_voxel_frame(pts, attrs, depth, bucket=512)
+    codec = AttributeCodec(depth)
+    enc = codec.encode(frame, steps=0.01)
+    nvox = enc.stream.n_voxels
+
+    pos, rec, cw = codec.decode_lod(
+        enc.stream, frame.codes, frame.weights, lod
+    )
+
+    # numpy reference: group by coarse cell in Morton order
+    codes = np.asarray(frame.codes)[:nvox].astype(np.uint64)
+    wv = np.asarray(frame.weights)[:nvox].astype(np.float64)
+    av = np.asarray(frame.attributes)[:nvox]
+    coarse = codes >> np.uint64(3 * (depth - lod))
+    firsts = np.concatenate([[True], coarse[1:] != coarse[:-1]])
+    idx = np.nonzero(firsts)[0]
+    n_cells = len(idx)
+    assert pos.shape == (n_cells, 3)
+    ref_w = np.add.reduceat(wv, idx)
+    ref_mean = np.add.reduceat(av * wv[:, None], idx) / ref_w[:, None]
+    np.testing.assert_allclose(cw, ref_w)
+    np.testing.assert_allclose(rec, ref_mean, atol=0.02, rtol=1e-5)
+
+    # positions are the coarse Morton decodes, in Morton order
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    np.testing.assert_array_equal(
+        morton_codes_np(pos, lod).astype(np.uint64), coarse[idx]
+    )
+
+    # full-depth LOD is the complete frame
+    if lod == depth - 1:
+        pos_f, rec_f, cw_f = codec.decode_lod(
+            enc.stream, frame.codes, frame.weights, depth
+        )
+        full, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+        np.testing.assert_array_equal(rec_f, full)
+        np.testing.assert_allclose(cw_f, wv)
+
+
+def test_decode_lod_needs_ragft_order(rng):
+    depth = 4
+    from conftest import unique_voxel_cloud
+
+    pts, _, _ = unique_voxel_cloud(rng, 100, depth)
+    attrs = rng.uniform(0, 255, (len(pts), 3))
+    frame = prepare_voxel_frame(pts, attrs, depth, bucket=256)
+    codec = AttributeCodec(depth, order_mode="weight_desc")
+    enc = codec.encode(frame, steps=1.0)
+    with pytest.raises(ValueError, match="RA-GFT"):
+        codec.decode_lod(enc.stream, frame.codes, frame.weights, 2)
+
+
+def test_cli_decode_lod(tmp_path, rng):
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import read_ply_8i, save_ply_ascii
+
+    depth = 5
+    from conftest import unique_voxel_cloud
+
+    pts, _, _ = unique_voxel_cloud(rng, 400, depth)
+    rgb = (pts * 5 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=2**depth - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2",
+         "--csv", str(tmp_path / "e.csv"), "--platform", "cpu",
+         "--bucket", "512", "--save-streams", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "frame0001_step2.r3tc"),
+         "--positions", str(ply), "--output", str(tmp_path / "lod.ply"),
+         "--platform", "cpu", "--bucket", "512", "--lod", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "LOD 2/5" in out.stdout
+    V2, C2, _ = read_ply_8i(tmp_path / "lod.ply")
+    assert (V2 < 4).all() and len(V2) < len(pts)
+    cw = np.load(tmp_path / "lod.ply.cellw.npy")
+    assert cw.sum() == len(pts)  # unit weights: cells partition the voxels
