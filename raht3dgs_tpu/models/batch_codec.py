@@ -174,13 +174,20 @@ class BatchAttributeCodec:
         )
 
         narrow = _narrow_fetch_enabled()
-        # phase 1: dispatch the whole sweep (async)
+        # phase 1: dispatch the whole sweep (async); the reorder gather is
+        # hoisted — one gather serves every step (bitwise-commuting split,
+        # parallel/sharding.batched_reorder_T)
+        from raht3dgs_tpu.parallel.sharding import (
+            batched_quant_T,
+            batched_reorder_T,
+        )
+
+        coeffs_T = batched_reorder_T(coeffs, orderp)
         pend = []
         qf = jnp.asarray(self.quant_f, dtype=self.dtype)
         for s in steps_list:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
-            q = batched_quant_reorder(coeffs, sa, orderp, self.quant_mode,
-                                      qf)
+            q = batched_quant_T(coeffs_T, sa, self.quant_mode, qf)
             pend.append((s, q, _fetch_stats(q) if narrow else None))
         # phase 2: narrow + start async host copies in dispatch order
         bufs = []

@@ -206,6 +206,28 @@ def _quant_reorder_device(coeffs, steps, order, nvox, quant_mode="mid",
     return q[_pads_last(order, nvox)].T
 
 
+@jax.jit
+def _reorder_T_device(coeffs, order, nvox):
+    """The pads-last stream permutation + channel-major transpose alone.
+
+    Sweeps hoist this out of the per-step program: the reorder is a row
+    gather (per-row DMA — docs/performance.md) while quantization is
+    elementwise, and elementwise ops commute with a permutation BITWISE —
+    so one reorder serves every quantization step of a sweep."""
+    return coeffs[_pads_last(order, nvox)].T
+
+
+@partial(jax.jit, static_argnames=("quant_mode",))
+def _quant_T_device(coeffs_T, steps, quant_mode="mid", qf=0.0):
+    """Quantize an already-reordered channel-major (D, N) coefficient
+    matrix (the per-step half of the hoisted sweep split; bitwise equal
+    to ``_quant_reorder_device`` — per-channel steps broadcast along D)."""
+    st = steps[:, None] if steps.shape[0] > 1 else steps
+    if quant_mode == "deadzone":
+        return quantize_deadzone(coeffs_T, st, qf)
+    return quantize(coeffs_T, st)
+
+
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
 def _inverse_order_device(codes, weights, nvox, depth, order_mode="ragft"):
     """Decoder prelude: inverse of the pads-last stream permutation."""
@@ -608,11 +630,13 @@ class AttributeCodec:
         nvox = jnp.int32(frame.n_voxels)
         pend = []
         qf = jnp.asarray(self.quant_f, dtype=self.dtype)
+        # hoist the reorder gather out of the per-step programs: one row
+        # gather serves the whole sweep (quantization is elementwise and
+        # commutes with the permutation bitwise — _reorder_T_device)
+        coeffs_T = _reorder_T_device(coeffs, order, nvox)
         for s in steps_list:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
-            q_T = _quant_reorder_device(
-                coeffs, sa, order, nvox, self.quant_mode, qf
-            )
+            q_T = _quant_T_device(coeffs_T, sa, self.quant_mode, qf)
             pend.append((s, q_T, _fetch_stats(q_T) if narrow else None))
         bufs = []
         for s, q_T, st in pend:

@@ -136,6 +136,25 @@ def batched_quant_reorder(coeffs, steps, orderp, quant_mode="mid", qf=0.0):
     return jax.vmap(one)(coeffs, orderp)
 
 
+@jax.jit
+def batched_reorder_T(coeffs, orderp):
+    """The per-frame reorder gather + channel-major transpose alone —
+    sweeps hoist it so one gather serves every quantization step
+    (quantization is elementwise and commutes with the permutation
+    bitwise; see ``pipeline._reorder_T_device``). (B, N, D) -> (B, D, N)."""
+    return jax.vmap(lambda c, o: c[o].T)(coeffs, orderp)
+
+
+@partial(jax.jit, static_argnames=("quant_mode",))
+def batched_quant_T(coeffs_T, steps, quant_mode="mid", qf=0.0):
+    """Quantize already-reordered (B, D, N) coefficients (the per-step
+    half of the hoisted sweep split; bitwise == batched_quant_reorder)."""
+    st = steps[:, None] if steps.ndim == 1 and steps.shape[0] > 1 else steps
+    if quant_mode == "deadzone":
+        return quantize_deadzone(coeffs_T, st, qf)
+    return quantize(coeffs_T, st)
+
+
 @partial(jax.jit, static_argnames=("depth", "order_mode"))
 def batched_transform_step(codes, attrs, weights, steps, depth,
                            order_mode="ragft", nvox=None):
