@@ -189,16 +189,24 @@ class BatchAttributeCodec:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
             q = batched_quant_T(coeffs_T, sa, self.quant_mode, qf)
             pend.append((s, q, _fetch_stats(q) if narrow else None))
-        # phase 2: narrow + start async host copies in dispatch order
-        bufs = []
-        for s, q, st in pend:
-            bufs.append(
-                (s, _start_fetch(q, np.asarray(st) if st is not None
-                                 else None))
-            )
-        # phase 3: drain — fetch (mostly complete) + host entropy
+        # phase 2+3 interleaved under a bounded fetch window (see
+        # pipeline.encode_sweep — unbounded queues can thrash the
+        # transfer path; RAHT3DGS_FETCH_WINDOW=0 restores them)
+        from raht3dgs_tpu.models.pipeline import _fetch_window
+
+        window = _fetch_window(len(pend))
         out: List[Tuple[List[FrameStream], StageTimer]] = []
-        for s, p in bufs:
+        bufs: List[tuple] = []
+        i = 0
+        while len(out) < len(pend):
+            while len(bufs) < window and i < len(pend):
+                s, q, st = pend[i]
+                bufs.append(
+                    (s, _start_fetch(q, np.asarray(st) if st is not None
+                                     else None))
+                )
+                i += 1
+            s, p = bufs.pop(0)
             timer = StageTimer()
             q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
             streams, enc_ns = self._entropy_streams(q_np, frames, s)

@@ -269,6 +269,14 @@ def _gather_flat_i32(q, idx):
     return q.reshape(-1)[idx].astype(jnp.int32)
 
 
+def _fetch_window(n_steps: int) -> int:
+    """Max async host copies in flight during a sweep (0/unset-0 = all)."""
+    import os
+
+    w = int(os.environ.get("RAHT3DGS_FETCH_WINDOW", "2"))
+    return n_steps if w <= 0 else max(1, min(w, n_steps))
+
+
 def _narrow_fetch_enabled() -> bool:
     """Halving the big device->host coefficient fetch pays on remote-host
     links (the axon tunnel moves ~20-50 MB/s) but costs an extra scalar
@@ -638,14 +646,25 @@ class AttributeCodec:
             sa = jnp.atleast_1d(jnp.asarray(s, dtype=self.dtype))
             q_T = _quant_T_device(coeffs_T, sa, self.quant_mode, qf)
             pend.append((s, q_T, _fetch_stats(q_T) if narrow else None))
-        bufs = []
-        for s, q_T, st in pend:
-            bufs.append(
-                (s, _start_fetch(q_T, np.asarray(st) if st is not None
-                                 else None))
-            )
+        # bounded fetch window: keep at most W async host copies in flight
+        # (the next step's transfer overlaps this step's entropy coding).
+        # An unbounded queue measured FASTER on a quiet tunnel but can
+        # thrash it with many large buffers queued (56ch x 131k sweeps
+        # measured 0.4-0.8x serial); W=2 keeps the overlap that matters.
+        # RAHT3DGS_FETCH_WINDOW=0 restores the unbounded queue.
+        window = _fetch_window(len(pend))
         out: List[EncodedFrame] = []
-        for s, p in bufs:
+        bufs: List[tuple] = []
+        i = 0
+        while len(out) < len(pend):
+            while len(bufs) < window and i < len(pend):
+                s, q_T, st = pend[i]
+                bufs.append(
+                    (s, _start_fetch(q_T, np.asarray(st) if st is not None
+                                     else None))
+                )
+                i += 1
+            s, p = bufs.pop(0)
             timer = StageTimer()
             q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
             stream, enc_ns = self._entropy_stream(q_np, frame, s)
