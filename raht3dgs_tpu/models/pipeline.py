@@ -687,47 +687,11 @@ class AttributeCodec:
         the decoder rebuilds the transform structure from positions alone,
         mirroring the reference decode path (``encode_ply.py:199-208``).
         Returns attributes for the real voxel slots, shape (n_voxels, D).
+        (The full decode IS the n_voxels-prefix progressive decode.)
         """
-        timer = timer or StageTimer()
-        n_padded = codes.shape[0]
-        nvox = stream.n_voxels
-        D = stream.n_channels
-        if nvox > n_padded:
-            raise ValueError(
-                f"stream encodes {nvox} voxels but the provided positions "
-                f"only cover {n_padded} padded slots — positions do not "
-                "match this stream"
-            )
-
-        # decode-side structure rebuild + stream-order inversion: its own
-        # key (the reference's Coeff_reorder_dec column) — NOT the
-        # encoder's RAHT_prelude_time, which StageTimer would accumulate
-        inv = timer.time(
-            "Coeff_reorder_dec_time", _inverse_order_device, codes, weights,
-            jnp.int32(nvox), self.depth, stream.order_mode,
+        return self.decode_progressive(
+            stream, codes, weights, stream.n_voxels, timer=timer
         )
-
-        vals_T = np.zeros((D, n_padded), dtype=np.int32)
-        _, dec_ns = rlgr_decode_channels(
-            stream.channels, nvox, signed=True, out=vals_T,
-            chunk=stream.chunk,
-        )
-        timer.add("Entropy_dec_time", dec_ns / 1e9)
-
-        steps = jnp.asarray(
-            stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
-            dtype=self.dtype,
-        )
-        coeffs = timer.time(
-            "Dequant_time", _dequant_gather_device,
-            upload_quantized(pack_quantized_upload(vals_T)), inv,
-            steps, self.dtype, stream.quant_mode,
-            jnp.asarray(stream.rec_delta, dtype=self.dtype),
-        )
-        attrs = timer.time(
-            "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth
-        )
-        return np.asarray(attrs)[:nvox], timer
 
     def decode_progressive(
         self,
