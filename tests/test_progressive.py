@@ -247,3 +247,34 @@ def test_cli_decode_lod(tmp_path, rng):
     assert (V2 < 4).all() and len(V2) < len(pts)
     cw = np.load(tmp_path / "lod.ply.cellw.npy")
     assert cw.sum() == len(pts)  # unit weights: cells partition the voxels
+
+
+def test_progressive_equals_zeroed_tail_reencode(rng):
+    # independent cross-check: decode_progressive(k) must equal the FULL
+    # decode of a stream whose symbols beyond k are re-encoded as zeros
+    # (dequantized zeros ARE the truncation; the entropy layer is the only
+    # thing the prefix path short-circuits)
+    import dataclasses
+
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_encode
+
+    depth = 7
+    pts, attrs = _frame(rng, n=500, depth=depth)
+    frame = prepare_voxel_frame(pts, attrs, depth, bucket=512)
+    codec = AttributeCodec(depth)
+    enc = codec.encode(frame, steps=2.0)
+    nvox = enc.stream.n_voxels
+
+    for k in (3, 57, nvox // 3, nvox - 1):
+        prog, _ = codec.decode_progressive(
+            enc.stream, frame.codes, frame.weights, k
+        )
+        chans = []
+        for s in enc.stream.channels:
+            vals, _ = rlgr_decode(s, nvox, signed=True)
+            vals = np.asarray(vals, dtype=np.int32)
+            vals[k:] = 0
+            chans.append(rlgr_encode(vals, signed=True)[0])
+        stream2 = dataclasses.replace(enc.stream, channels=chans)
+        full2, _ = codec.decode(stream2, frame.codes, frame.weights)
+        np.testing.assert_array_equal(prog, full2)
