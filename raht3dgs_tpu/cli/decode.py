@@ -274,21 +274,30 @@ def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
             )
         rec = seq_codec.decode_frame(stream, frame)
     elif args.lod:
+        if args.progressive:
+            raise SystemExit(
+                "--progressive and --lod are mutually exclusive (an LOD "
+                "decode IS a specific progressive prefix)"
+            )
+        if gs_meta is not None and stream.n_channels < 8:
+            raise SystemExit(
+                f"--color-space 3dgs needs the 56-channel layout, stream "
+                f"has {stream.n_channels}"
+            )
         codec = AttributeCodec(stream.depth, dtype=dtype,
                                order_mode=stream.order_mode)
-        from raht3dgs_tpu.models.pipeline import lod_prefix_count
-
-        pos_lod, rec_lod, cell_w = codec.decode_lod(
-            stream, frame.codes, frame.weights, args.lod
-        )
-        k = lod_prefix_count(
-            np.asarray(frame.codes)[:stream.n_voxels], stream.depth,
-            args.lod,
-        )
+        try:
+            pos_lod, rec_lod, cell_w = codec.decode_lod(
+                stream, frame.codes, frame.weights, args.lod
+            )
+        except ValueError as e:  # bad level / non-RA-GFT order
+            raise SystemExit(str(e))
+        # the coefficients above the cut are exactly one per occupied
+        # level-L cell (lod_prefix_count == len(pos_lod) by construction)
         print(
             f"LOD {args.lod}/{stream.depth}: {len(pos_lod)} cells from "
-            f"{stream.n_voxels} voxels ({k} of {stream.n_voxels} "
-            "coefficients decoded)"
+            f"{stream.n_voxels} voxels ({len(pos_lod)} of "
+            f"{stream.n_voxels} coefficients decoded)"
         )
         if gs_meta is not None:
             from raht3dgs_tpu.io.ply import save_ply_3dgs
@@ -322,13 +331,18 @@ def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
         codec = AttributeCodec(stream.depth, dtype=dtype,
                                order_mode=stream.order_mode)
         if args.progressive:
+            if args.progressive < 0:
+                raise SystemExit(
+                    f"--progressive must be positive (got {args.progressive})"
+                )
             from raht3dgs_tpu.models.pipeline import progressive_prefix_bytes
 
             rec, _ = codec.decode_progressive(
                 stream, frame.codes, frame.weights, args.progressive
             )
+            k_eff = min(max(args.progressive, 1), stream.n_voxels)
             print(
-                f"progressive preview: {min(args.progressive, stream.n_voxels)}"
+                f"progressive preview: {k_eff}"
                 f"/{stream.n_voxels} coefficients, entropy prefix "
                 f"{progressive_prefix_bytes(stream, args.progressive)} bytes "
                 f"(full: {sum(len(s) for s in stream.channels)})"

@@ -289,9 +289,11 @@ def _ds_cumsum(values_f32, block: int = 256):
     column) are EXACT under any association while partials are < 2**24 —
     so the encoder==decoder bitwise weight contract (``_pair_weights``)
     is association-independent. Float lanes' low bits differ from the
-    flat association: the stream-golden hash was re-pinned in round 2
-    (tests/test_pipeline.py::test_stream_format_frozen); decode needs no
-    cross-version agreement on these sums.
+    flat association — legal because decode needs no cross-version
+    agreement on these sums (the default f64 golden never touches this
+    path; the f32 fast path has its OWN stream golden,
+    tests/test_pipeline.py::test_stream_format_frozen_f32, which a
+    deliberate association change must re-pin).
 
     RAHT3DGS_SPAN_SUMS=dsflat restores the round-1 flat association.
     RAHT3DGS_PALLAS=1 switches to the single-pass Pallas kernel with an

@@ -225,6 +225,37 @@ def test_stream_format_frozen(rng):
     ), "bitstream format drifted — if intentional, bump VERSION + this hash"
 
 
+def test_stream_format_frozen_f32(rng):
+    # The f32 fast path's OWN golden: its coefficient low bits depend on
+    # the compensated-scan association (ops/raht_span._ds_cumsum), which
+    # the f64 golden above never touches. A deliberate association change
+    # is legal (decode needs no cross-version agreement) but must be a
+    # CONSCIOUS re-pin here, never silent drift.
+    import hashlib
+    import os
+
+    import jax.numpy as jnp
+
+    from conftest import unique_voxel_cloud
+
+    if os.environ.get("RAHT3DGS_RAHT_IMPL", "span") != "span":
+        pytest.skip("golden hash pins the default (span) transform")
+    if os.environ.get("RAHT3DGS_SPAN_SUMS", "ds") != "ds":
+        pytest.skip("golden hash pins the default (ds blocked) f32 sums")
+    r = np.random.default_rng(42)
+    pts, _, _ = unique_voxel_cloud(r, 600, 6)
+    attrs = (pts * 7 % 256).astype(np.float64)
+    frame = prepare_voxel_frame(pts, attrs, 6, bucket=1024,
+                                dtype=jnp.float32)
+    blob = AttributeCodec(6, dtype=jnp.float32).encode(
+        frame, steps=4.0
+    ).stream.to_bytes()
+    assert hashlib.sha256(blob).hexdigest() == (
+        "ffbc0dfc716218a8fdc2fbd1368d91304d60e460cd80be1b65163b2f8efc9de0"
+    ), ("f32-path bitstream drifted — if the scan association changed "
+        "deliberately, re-pin this hash")
+
+
 def test_codec_at_maximum_depth_21(rng):
     """J=21 — the int64 Morton ceiling (the MATLAB reference caps J there,
     matlab/encode_ply.m:27). Full encode->stream->decode roundtrip."""

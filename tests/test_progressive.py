@@ -278,3 +278,47 @@ def test_progressive_equals_zeroed_tail_reencode(rng):
         stream2 = dataclasses.replace(enc.stream, channels=chans)
         full2, _ = codec.decode(stream2, frame.codes, frame.weights)
         np.testing.assert_array_equal(prog, full2)
+
+
+def test_cli_lod_progressive_mutually_exclusive(tmp_path, rng):
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import save_ply_ascii
+
+    depth = 5
+    from conftest import unique_voxel_cloud
+
+    pts, _, _ = unique_voxel_cloud(rng, 200, depth)
+    rgb = (pts * 5 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=2**depth - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2",
+         "--csv", str(tmp_path / "e.csv"), "--platform", "cpu",
+         "--bucket", "256", "--save-streams", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    stream = str(tmp_path / "frame0001_step2.r3tc")
+    base = [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+            "--stream", stream, "--positions", str(ply),
+            "--output", str(tmp_path / "o.ply"), "--platform", "cpu",
+            "--bucket", "256"]
+    # combined flags rejected cleanly
+    out = subprocess.run(base + ["--lod", "2", "--progressive", "5"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode != 0
+    assert "mutually exclusive" in out.stderr
+    # out-of-range LOD: clean SystemExit, not a traceback
+    out = subprocess.run(base + ["--lod", "9"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode != 0
+    assert "lod_depth must be in [1, 5]" in out.stderr
+    assert "Traceback" not in out.stderr
+    # negative --progressive rejected
+    out = subprocess.run(base + ["--progressive", "-3"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode != 0
+    assert "must be positive" in out.stderr
