@@ -8,8 +8,12 @@ Morton code), which admits a scatter-free evaluation:
 - segment starts are flagged by ``first`` (boundary mask);
 - ``argsort(~first)`` compacts the boundary row indices to the front in
   ascending order (stable sort of a boolean key — cheap on TPU);
-- per-segment sums are differences of (float64) prefix sums gathered at
-  consecutive boundaries — two wide row gathers total, any lane count.
+- per-segment sums are either segmented shifted-adds (the "shift"
+  default: log2(max run) masked add passes + ONE boundary gather — no
+  prefix cancellation, so no compensated lanes) or differences of
+  compensated/f64 prefix sums gathered at consecutive boundaries (the
+  "prefix" method, pinned by frozen-replay callers). See
+  :func:`sorted_segment_sums`.
 
 Results are padded to N slots (segment k in slot k, zeros after), matching
 the padded-voxel convention used across the framework.
