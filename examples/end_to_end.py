@@ -12,6 +12,7 @@ Covers the full surface a reference user needs:
 8. fused serving: stream -> decode + multi-view render in ONE program
 9. self-contained streams: lossless geometry sections (incl. temporal
    prediction between frames) — decode with no out-of-band positions
+10. progressive (prefix) decode + level-of-detail decode
 
 Run: python examples/end_to_end.py  (CPU by default; add --tpu for the
 default platform)
@@ -240,6 +241,26 @@ def main() -> int:
         f"bits/voxel lossless geometry (raw would be 21); temporal "
         f"P-frame section {len(sec_p) * 8 / codes1.size:.2f} b/v "
         f"(motion-compensated prediction from the previous frame)"
+    )
+
+    # --- 10. progressive + LOD decode -----------------------------------
+    from raht3dgs_tpu.models import progressive_prefix_bytes
+
+    k = max(frame.n_voxels // 10, 1)
+    preview, _ = codec.decode_progressive(
+        enc.stream, frame.codes, frame.weights, k
+    )
+    pos_lod, rec_lod, cell_w = codec.decode_lod(
+        enc.stream, frame.codes, frame.weights, depth - 3
+    )
+    full_rmse = float(np.sqrt(np.mean((rec - ref) ** 2)))
+    prev_rmse = float(np.sqrt(np.mean((preview - ref) ** 2)))
+    print(
+        f"[10] progressive: first {k}/{frame.n_voxels} coefficients -> "
+        f"RMSE {prev_rmse:.2f} (full: {full_rmse:.2f}); LOD {depth - 3}: "
+        f"{len(pos_lod)} cells with exact cell-mean attributes "
+        f"(prefix {progressive_prefix_bytes(enc.stream, len(pos_lod))} "
+        f"of {sum(len(s) for s in enc.stream.channels)} entropy bytes)"
     )
     print("done.")
     return 0
