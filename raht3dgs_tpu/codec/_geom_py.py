@@ -195,6 +195,85 @@ def decode(buf: bytes, depth: int, max_bytes: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
+def decode_codes_lod(
+    buf: bytes, depth: int, max_level: int, cap: int
+) -> np.ndarray:
+    """LOD (prefix) decode of a profile-0 payload: walk octree levels
+    0..max_level-1 only and return the uint64 node codes AT ``max_level``
+    (coarse positions, 3*max_level bits). Breadth-first order makes the
+    level cut a stream prefix — the range decoder stops early; no CRC
+    (it covers the full walk). Mirrors native geom_decode_codes_lod."""
+    if depth == 0 or cap == 0:
+        raise ValueError("decoded occupancy walk exceeds capacity")
+    if max_level < 1 or max_level > depth:
+        raise ValueError(f"max_level must be in 1..{depth}, got {max_level}")
+    from raht3dgs_tpu.ops.octree import _BITS8
+
+    dec = _RangeDecoder(buf, _NUM_CTX)
+    level_codes = np.zeros(1, dtype=np.uint64)
+    for level in range(max_level):
+        if level_codes.size > cap:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+        base = _bank_base(level)
+        out = np.empty(level_codes.size, dtype=np.uint8)
+        for j in range(level_codes.size):
+            out[j] = dec.decode_byte(base)
+        rows, cols = np.nonzero(_BITS8[out])
+        level_codes = (level_codes[rows] << np.uint64(3)) | cols.astype(
+            np.uint64
+        )
+        if level_codes.size > cap:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+    return level_codes
+
+
+def decode3_lod(
+    buf: bytes, depth: int, max_level: int, cap: int
+) -> np.ndarray:
+    """Profile-3 counterpart of :func:`decode_codes_lod` (ext3 contexts)."""
+    if depth == 0 or cap == 0:
+        raise ValueError("decoded occupancy walk exceeds capacity")
+    if max_level < 1 or max_level > depth:
+        raise ValueError(f"max_level must be in 1..{depth}, got {max_level}")
+    from raht3dgs_tpu.ops.octree import _BITS8, level_neighbors6
+
+    dec = _RangeDecoder(buf, _NUM_CTX3)
+    level_codes = np.zeros(1, dtype=np.uint64)
+    for level in range(max_level):
+        if level_codes.size > cap:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+        n6 = level_neighbors6(level_codes, level).tolist()
+        out = np.empty(level_codes.size, dtype=np.uint8)
+        for j in range(level_codes.size):
+            ctx = 1
+            b = 0
+            for i in range(8):
+                if i == 7 and ctx == 1:
+                    bit = 1  # forced: occupancy bytes are never zero
+                else:
+                    bit = dec.decode_bit(
+                        _bank_base3(level, _ext3_of(n6[j], i)) + ctx
+                    )
+                b |= bit << i
+                ctx = (ctx << 1) | bit
+            out[j] = b
+        rows, cols = np.nonzero(_BITS8[out])
+        level_codes = (level_codes[rows] << np.uint64(3)) | cols.astype(
+            np.uint64
+        )
+        if level_codes.size > cap:
+            raise ValueError(
+                "decoded occupancy walk exceeds capacity (corrupt stream?)"
+            )
+    return level_codes
+
+
 # -- temporal coder (geometry profiles 1-2) -------------------------------------
 # Stateful level-by-level mirror of native/geom.cpp's geom_enc_*/geom_dec_*.
 

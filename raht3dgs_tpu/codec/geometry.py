@@ -94,6 +94,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         pu8,
     ]
     lib.geom_dec_level4.restype = ctypes.c_int
+    # LOD (level-prefix) intra decodes
+    lib.geom_decode_codes_lod.argtypes = [
+        pu8, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.geom_decode_codes_lod.restype = ctypes.c_int
+    lib.geom_decode_codes3_lod.argtypes = lib.geom_decode_codes_lod.argtypes
+    lib.geom_decode_codes3_lod.restype = ctypes.c_int
 
 
 _native = NativeLib(
@@ -661,9 +670,109 @@ def decode_geometry(
     return codes
 
 
+def decode_geometry_lod(
+    data: bytes, depth: int, n_voxels: int, level: int, dtype=None,
+    prev_codes: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Level-of-detail geometry decode: section bytes -> the sorted unique
+    Morton codes of the octree nodes AT depth ``level`` (coarse positions
+    on the 2^level grid).
+
+    Breadth-first occupancy makes a level cut a stream *prefix*: the range
+    decoder walks levels 0..level-1 and stops, skipping the deep levels
+    that dominate both the stream and the decode work — the geometry
+    counterpart of the attribute codec's ``decode_lod``
+    (models/pipeline.py), for previews where only positions are needed.
+    Cost scales with the node count at the cut (~8x per level), not with
+    ``n_voxels``.
+
+    ``level == depth`` delegates to the full :func:`decode_geometry`
+    (checksum-verified). Partial decodes cannot verify the stream CRC
+    (it covers the full walk); the per-level capacity bound against
+    ``n_voxels`` still applies. Temporal-profile sections need
+    ``prev_codes`` (the previous frame's FULL-depth codes).
+    """
+    if not 1 <= level <= depth:
+        raise ValueError(f"lod level must be in 1..{depth}, got {level}")
+    if level == depth:
+        return decode_geometry(data, depth, n_voxels, dtype=dtype,
+                               prev_codes=prev_codes)
+    if n_voxels < 1:
+        raise ValueError(f"n_voxels must be >= 1, got {n_voxels}")
+    _check_n_voxels(n_voxels, depth)
+    if len(data) < 1 + _CRC_HEAD.size:
+        raise ValueError("empty or truncated geometry section")
+    (crc,) = _CRC_HEAD.unpack(data[1 : 1 + _CRC_HEAD.size])
+    body = data[1 + _CRC_HEAD.size :]
+    if dtype is None:
+        dtype = np.int32 if level <= 10 else np.int64
+    if data[0] in (_PROFILE_V1_TEMPORAL, _PROFILE_V4_TEMPORAL_EXT):
+        return _decode_temporal(
+            body, depth, n_voxels, dtype, prev_codes, crc,
+            ext3=data[0] == _PROFILE_V4_TEMPORAL_EXT, max_level=level,
+        )
+    if data[0] in (_PROFILE_V2_TEMPORAL_MC, _PROFILE_V5_TEMPORAL_MC_EXT):
+        if len(body) < _MC_HEAD.size:
+            raise ValueError("truncated geometry section: motion cut off")
+        mv = _MC_HEAD.unpack(body[: _MC_HEAD.size])
+        if prev_codes is not None:
+            prev_codes = _shift_codes(prev_codes, depth, mv)
+        return _decode_temporal(
+            body[_MC_HEAD.size :], depth, n_voxels, dtype, prev_codes, crc,
+            ext3=data[0] == _PROFILE_V5_TEMPORAL_MC_EXT, max_level=level,
+        )
+    if data[0] not in (_PROFILE_V0, _PROFILE_V3_INTRA_EXT):
+        raise ValueError(f"unknown geometry coder profile {data[0]}")
+    ext3 = data[0] == _PROFILE_V3_INTRA_EXT
+    if _use_native():
+        lib = _load()
+        fn = lib.geom_decode_codes3_lod if ext3 else lib.geom_decode_codes_lod
+        buf = np.ascontiguousarray(np.frombuffer(body, dtype=np.uint8))
+        out = np.empty(n_voxels, dtype=np.uint64)
+        out_n = ctypes.c_size_t()
+        rc = fn(
+            _u8ptr(buf), buf.size, depth, level,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), out.size,
+            ctypes.byref(out_n),
+        )
+        if rc != 0:
+            raise ValueError(
+                f"geometry LOD decode failed (rc={rc}): corrupt stream or "
+                "capacity overflow"
+            )
+        u = out[: out_n.value]
+    else:
+        fn = _geom_py.decode3_lod if ext3 else _geom_py.decode_codes_lod
+        try:
+            u = fn(body, depth, level, n_voxels)
+        except MemoryError:
+            raise ValueError(
+                "corrupt geometry stream: decode exceeded plausible memory"
+            )
+    codes = u.astype(dtype)
+    if np.dtype(dtype) != np.uint64 and np.any(codes.astype(np.uint64) != u):
+        raise ValueError(f"decoded codes overflow dtype {np.dtype(dtype)}")
+    return codes
+
+
+def positions_from_geometry_lod(
+    data: bytes, depth: int, n_voxels: int, level: int
+) -> np.ndarray:
+    """LOD counterpart of :func:`positions_from_geometry`: ``(M, 3)``
+    integer positions on the 2^level coarse grid, Morton order."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.ops.morton import morton_decode
+
+    codes = decode_geometry_lod(data, depth, n_voxels, level)
+    return np.asarray(
+        morton_decode(jnp.asarray(codes), level), dtype=np.int64
+    )
+
+
 def _decode_temporal(
     payload: bytes, depth: int, n_voxels: int, dtype, prev_codes, crc,
-    ext3: bool = False,
+    ext3: bool = False, max_level: Optional[int] = None,
 ) -> np.ndarray:
     if prev_codes is None:
         raise ValueError(
@@ -689,8 +798,9 @@ def _decode_temporal(
         )
     level_codes = np.zeros(1, dtype=np.uint64)
     occ_all = []
+    n_levels = depth if max_level is None else max_level
     try:
-        for l in range(depth):
+        for l in range(n_levels):
             # each internal node has at least one descendant leaf, so a
             # level can never hold more nodes than the header voxel count
             if level_codes.size > n_voxels:
@@ -713,6 +823,12 @@ def _decode_temporal(
         raise ValueError(
             "corrupt geometry stream: decode exceeded plausible memory"
         )
+    if max_level is not None:
+        # partial (LOD) walk: the CRC covers the full occupancy stream and
+        # the header count the leaf level — neither applies at a level cut
+        if dtype is None:
+            dtype = np.int32 if n_levels <= 10 else np.int64
+        return level_codes.astype(dtype)
     if zlib.crc32(np.concatenate(occ_all).tobytes()) != crc:
         raise ValueError(
             "corrupt geometry stream: occupancy checksum mismatch "

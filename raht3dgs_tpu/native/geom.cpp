@@ -389,6 +389,39 @@ int geom_decode_codes(const uint8_t* buf, size_t buf_len, size_t depth,
   return 0;
 }
 
+// LOD (prefix) decode of an intra (profile 0) section: walk only octree
+// levels 0..max_level-1 and return the node codes AT level max_level —
+// coarse positions without decoding the deep levels that dominate the
+// stream (breadth-first order makes a level cut a stream prefix; the
+// range decoder simply stops early). No CRC: the checksum covers the full
+// occupancy walk and cannot be verified on a partial decode — the Python
+// front-end cross-checks the node count bound instead.
+int geom_decode_codes_lod(const uint8_t* buf, size_t buf_len, size_t depth,
+                          size_t max_level, uint64_t* out, size_t out_cap,
+                          size_t* out_n) {
+  if (depth == 0 || out_cap == 0) return -2;
+  if (max_level == 0 || max_level > depth) return -2;
+  RangeDecoder dec(buf, buf_len);
+  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+  std::vector<uint64_t> cur(1, 0), next;
+  for (size_t level = 0; level < max_level; ++level) {
+    uint16_t* bank = bank_of(probs.data(), level);
+    next.clear();
+    next.reserve(cur.size() * 2);
+    for (uint64_t code : cur) {
+      const uint8_t b = decode_byte(dec, bank);
+      for (unsigned c = 0; c < 8; ++c) {
+        if ((b >> c) & 1u) next.push_back((code << 3) | c);
+      }
+    }
+    if (next.size() > out_cap) return -2;
+    cur.swap(next);
+  }
+  std::memcpy(out, cur.data(), cur.size() * sizeof(uint64_t));
+  *out_n = cur.size();
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Temporal coder (geometry profile 1): stateful level-by-level API.
 //
@@ -763,6 +796,37 @@ int geom_decode_codes3(const uint8_t* buf, size_t buf_len, size_t depth,
   std::memcpy(out, cur.data(), cur.size() * sizeof(uint64_t));
   *out_n = cur.size();
   *crc_out = crc ^ 0xFFFFFFFFu;
+  return 0;
+}
+
+// LOD decode of an ext3 intra (profile 3) section — the profile-3
+// counterpart of geom_decode_codes_lod (same early-stop contract).
+int geom_decode_codes3_lod(const uint8_t* buf, size_t buf_len, size_t depth,
+                           size_t max_level, uint64_t* out, size_t out_cap,
+                           size_t* out_n) {
+  if (depth == 0 || out_cap == 0) return -2;
+  if (max_level == 0 || max_level > depth) return -2;
+  RangeDecoder dec(buf, buf_len);
+  std::vector<uint16_t> probs(kNumCtx3, kProbInit);
+  std::vector<uint64_t> cur(1, 0), next;
+  std::vector<uint8_t> n6;
+  LevelHash nbr;
+  for (size_t level = 0; level < max_level; ++level) {
+    n6.resize(cur.size());
+    compute_n6(cur.data(), cur.size(), level, n6.data(), &nbr);
+    next.clear();
+    next.reserve(cur.size() * 2);
+    for (size_t j = 0; j < cur.size(); ++j) {
+      const uint8_t b = decode_byte3(dec, probs.data(), level, n6[j]);
+      for (unsigned c = 0; c < 8; ++c) {
+        if ((b >> c) & 1u) next.push_back((cur[j] << 3) | c);
+      }
+    }
+    if (next.size() > out_cap) return -2;
+    cur.swap(next);
+  }
+  std::memcpy(out, cur.data(), cur.size() * sizeof(uint64_t));
+  *out_n = cur.size();
   return 0;
 }
 

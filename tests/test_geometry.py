@@ -687,3 +687,98 @@ def test_ctxsim_matches_real_coder():
         actual_bits = (len(profile_bytes) - 5) * 8  # profile byte + crc32
         assert abs(sim_bits - actual_bits) / actual_bits < 0.005, (
             model, sim_bits, actual_bits)
+
+
+# -- level-of-detail (prefix-level) decode --------------------------------------
+# decode_geometry_lod walks only octree levels 0..L-1 and returns the node
+# codes at depth L: ground truth is unique(codes >> 3*(depth-L)). Covers
+# all six profiles and both backends (streams are byte-identical, so the
+# python backend re-reads the native encoder's bytes).
+
+
+def _lod_truth(codes, depth, level):
+    return np.unique(codes.astype(np.uint64) >> np.uint64(3 * (depth - level)))
+
+
+@pytest.mark.parametrize("ext3", [False, True])
+def test_geometry_lod_intra(ext3, monkeypatch):
+    depth = 8
+    codes = _surface_codes(depth, n=5000, seed=11)
+    sec = geometry.encode_geometry(codes, depth, ext3=ext3)
+    assert sec[0] == (3 if ext3 else 0)
+    for level in (1, 2, 4, 6, depth):
+        want = _lod_truth(codes, depth, level)
+        got = geometry.decode_geometry_lod(sec, depth, codes.size, level)
+        np.testing.assert_array_equal(got.astype(np.uint64), want)
+        monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+        got_py = geometry.decode_geometry_lod(sec, depth, codes.size, level)
+        monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+        np.testing.assert_array_equal(got_py.astype(np.uint64), want)
+
+
+@pytest.mark.parametrize("ext3", [False, True])
+@pytest.mark.parametrize("motion", [None, (1, -2, 0)])
+def test_geometry_lod_temporal(ext3, motion, monkeypatch):
+    depth = 8
+    c0 = _surface_codes(depth, n=5000, seed=12)
+    c1 = _shifted_codes(c0, depth)
+    sec = geometry.encode_geometry(c1, depth, prev_codes=c0, motion=motion,
+                                   ext3=ext3)
+    for level in (1, 3, 5, depth):
+        want = _lod_truth(c1, depth, level)
+        got = geometry.decode_geometry_lod(sec, depth, c1.size, level,
+                                           prev_codes=c0)
+        np.testing.assert_array_equal(got.astype(np.uint64), want)
+    monkeypatch.setenv("RAHT3DGS_GEOM_NATIVE", "0")
+    got_py = geometry.decode_geometry_lod(sec, depth, c1.size, 4,
+                                          prev_codes=c0)
+    monkeypatch.delenv("RAHT3DGS_GEOM_NATIVE")
+    np.testing.assert_array_equal(got_py.astype(np.uint64),
+                                  _lod_truth(c1, depth, 4))
+
+
+def test_geometry_lod_validates_args():
+    depth = 6
+    codes = _surface_codes(depth, n=400, seed=13)
+    sec = geometry.encode_geometry(codes, depth)
+    with pytest.raises(ValueError, match="lod level"):
+        geometry.decode_geometry_lod(sec, depth, codes.size, 0)
+    with pytest.raises(ValueError, match="lod level"):
+        geometry.decode_geometry_lod(sec, depth, codes.size, depth + 1)
+    # temporal section without the reference frame
+    c1 = _shifted_codes(codes, depth)
+    sec_t = geometry.encode_geometry(c1, depth, prev_codes=codes)
+    with pytest.raises(ValueError, match="prev_codes"):
+        geometry.decode_geometry_lod(sec_t, depth, c1.size, 3)
+
+
+def test_geometry_lod_full_level_delegates_with_crc():
+    """level == depth goes through the checksum-verified full decode."""
+    depth = 6
+    codes = _surface_codes(depth, n=400, seed=14)
+    sec = bytearray(geometry.encode_geometry(codes, depth))
+    sec[3] ^= 0x40  # corrupt the crc field
+    with pytest.raises(ValueError, match="checksum"):
+        geometry.decode_geometry_lod(bytes(sec), depth, codes.size, depth)
+
+
+def test_geometry_lod_positions():
+    depth = 7
+    codes = _surface_codes(depth, n=1500, seed=15)
+    sec = geometry.encode_geometry(codes, depth)
+    level = 4
+    V = geometry.positions_from_geometry_lod(sec, depth, codes.size, level)
+    assert V.shape == (_lod_truth(codes, depth, level).size, 3)
+    assert V.min() >= 0 and V.max() < (1 << level)
+
+
+def test_geometry_lod_dtype_tier():
+    """LOD code dtype follows the CUT level's bit budget, not the leaf
+    depth's — a J=21 stream decoded at level 6 yields int32 codes."""
+    rng = np.random.default_rng(16)
+    codes = _random_codes(rng, 300, 21)
+    sec = geometry.encode_geometry(codes, 21)
+    got = geometry.decode_geometry_lod(sec, 21, codes.size, 6)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got.astype(np.uint64),
+                                  _lod_truth(codes, 21, 6))
