@@ -262,6 +262,17 @@ def main() -> int:
         f"(prefix {progressive_prefix_bytes(enc.stream, len(pos_lod))} "
         f"of {sum(len(s) for s in enc.stream.channels)} entropy bytes)"
     )
+
+    # the geometry counterpart: coarse POSITIONS from a prefix-level walk
+    # of the section coded in [9] — the deep octree levels are never
+    # entropy-decoded (CLI: decode --geometry-lod L)
+    from raht3dgs_tpu.codec.geometry import positions_from_geometry_lod
+
+    V_coarse = positions_from_geometry_lod(sec, 7, codes0.size, 4)
+    print(
+        f"[10b] geometry LOD 4/7: {len(V_coarse)} coarse cells from "
+        f"{codes0.size} voxels without full geometry decode"
+    )
     print("done.")
     return 0
 

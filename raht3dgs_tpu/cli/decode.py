@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
         "prefix. Needs the RA-GFT order (the default). Intra frames only",
     )
     p.add_argument(
+        "--geometry-lod", type=int, default=0, metavar="L",
+        help="positions-only preview: decode the stream's lossless "
+        "geometry section at octree depth L (a prefix-level walk — deep "
+        "levels are never entropy-decoded) and write the coarse 2^L-grid "
+        "positions as a PLY, skipping attribute decode entirely. Needs "
+        "--code-geometry streams; intra geometry sections only",
+    )
+    p.add_argument(
         "--color-space", choices=("yuv", "raw", "3dgs"), default="yuv",
         help="'yuv': stream holds BT.709 YUV (the encode_ply path) and is "
         "converted back to RGB; 'raw': attributes written as-is; "
@@ -151,6 +159,48 @@ def _decode_one(args, stream, positions_path, output_path,
     from the stream (the caller threads them as the next frame's temporal
     reference), else None."""
     from raht3dgs_tpu.io.ply import read_ply
+
+    if args.geometry_lod:
+        if args.progressive or args.lod:
+            raise SystemExit(
+                "--geometry-lod is a positions-only preview — it cannot "
+                "combine with --progressive/--lod attribute decode"
+            )
+        if stream.geometry is None:
+            raise SystemExit(
+                "--geometry-lod needs a stream with a lossless geometry "
+                "section (re-encode with --code-geometry)"
+            )
+        if stream.geometry[0] not in (0, 3):
+            raise SystemExit(
+                "--geometry-lod applies to intra geometry sections only "
+                "(temporal sections chain full-depth codes from frame 0)"
+            )
+        if not 1 <= args.geometry_lod <= stream.depth:
+            raise SystemExit(
+                f"--geometry-lod must be in 1..{stream.depth} "
+                f"(stream depth), got {args.geometry_lod}"
+            )
+        from raht3dgs_tpu.codec.geometry import positions_from_geometry_lod
+        from raht3dgs_tpu.io.ply import save_ply_ascii
+
+        V = positions_from_geometry_lod(
+            stream.geometry, stream.depth, stream.n_voxels,
+            args.geometry_lod,
+        )
+        # scale coarse cells back onto the stream's full-depth grid so
+        # previews at different L overlay (cell centers at full depth)
+        scale = float(2 ** (stream.depth - args.geometry_lod))
+        save_ply_ascii(
+            output_path, (V.astype(np.float64) + 0.5) * scale - 0.5,
+            width=(1 << stream.depth) - 1,
+        )
+        print(
+            f"geometry LOD {args.geometry_lod}/{stream.depth}: "
+            f"{len(V)} coarse cells from {stream.n_voxels} voxels "
+            f"-> {output_path}"
+        )
+        return None
 
     if positions_path is None:
         if stream.geometry is None:

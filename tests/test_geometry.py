@@ -782,3 +782,59 @@ def test_geometry_lod_dtype_tier():
     assert got.dtype == np.int32
     np.testing.assert_array_equal(got.astype(np.uint64),
                                   _lod_truth(codes, 21, 6))
+
+
+def test_cli_geometry_lod_preview(tmp_path):
+    import subprocess
+    import sys
+
+    from raht3dgs_tpu.io.ply import read_ply, save_ply_ascii
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    rng = np.random.default_rng(21)
+    depth = 5
+    lim = 1 << depth
+    pts = np.unique(rng.integers(0, lim, size=(500, 3)), axis=0)
+    rgb = (pts * 7 % 256).astype(int)
+    ply = tmp_path / "f.ply"
+    save_ply_ascii(ply, pts.astype(float), rgb, width=lim - 1)
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.encode_ply",
+         "--input", str(ply), "--steps", "2",
+         "--csv", str(tmp_path / "e.csv"), "--platform", "cpu",
+         "--bucket", "512", "--save-streams", str(tmp_path),
+         "--code-geometry"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    level = 3
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "frame0001_step2.r3tc"),
+         "--output", str(tmp_path / "coarse.ply"),
+         "--geometry-lod", str(level),
+         "--platform", "cpu", "--bucket", "512"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert f"geometry LOD {level}/{depth}" in out.stdout
+    v = read_ply(tmp_path / "coarse.ply").vertices
+    V = np.stack([v["x"], v["y"], v["z"]], axis=1)
+    codes = np.sort(morton_codes_np(pts.astype(np.int64), depth))
+    want = np.unique(codes.astype(np.uint64) >> np.uint64(3 * (depth - level)))
+    # output positions are full-depth cell centers of the coarse cells
+    scale = 2.0 ** (depth - level)
+    Vc = np.floor((V + 0.5) / scale).astype(np.int64)
+    got = np.sort(morton_codes_np(Vc, level).astype(np.uint64))
+    np.testing.assert_array_equal(got, want)
+    # guard: cannot combine with attribute LOD
+    out = subprocess.run(
+        [sys.executable, "-m", "raht3dgs_tpu.cli.decode",
+         "--stream", str(tmp_path / "frame0001_step2.r3tc"),
+         "--output", str(tmp_path / "x.ply"),
+         "--geometry-lod", "2", "--lod", "2",
+         "--platform", "cpu", "--bucket", "512"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "positions-only" in out.stderr
