@@ -626,7 +626,14 @@ struct LevelHash {
 
 // Face-neighbor occupancy byte of every node in a sorted level-`level`
 // code array. Mirror of ops/octree.py:level_neighbors6 (pinned by the
-// backend byte-identity tests).
+// backend byte-identity tests — the VALUES are frozen format, the
+// implementation is free).
+//
+// Per axis, exactly ONE of the two face neighbors shares the node's
+// parent cell (the one reached by flipping the coordinate's low bit):
+// sorted codes make siblings a contiguous run, so those 3 probes are
+// answered from the run's 8-bit octant mask instead of the hash — only
+// the 3 parent-crossing probes pay a (cache-missing) table lookup.
 void compute_n6(const uint64_t* codes, size_t n, size_t level,
                 uint8_t* out, LevelHash* scratch) {
   if (level == 0) {
@@ -635,25 +642,41 @@ void compute_n6(const uint64_t* codes, size_t n, size_t level,
   }
   scratch->build(codes, n);
   const uint64_t lim = (1ull << level) - 1;
-  for (size_t j = 0; j < n; ++j) {
-    const uint64_t c = codes[j];
-    uint8_t b = 0;
-    unsigned bit = 0;
-    for (int a = 0; a < 3; ++a) {
-      const unsigned sh = static_cast<unsigned>(2 - a);
-      const uint64_t coord = compact3(c >> sh);
-      const uint64_t others = c & ~(spread3(lim) << sh);
-      for (int d = -1; d <= 1; d += 2, ++bit) {
-        const bool valid = d < 0 ? coord > 0 : coord < lim;
-        if (!valid) continue;
-        const uint64_t ncode =
-            others | (spread3(coord + static_cast<uint64_t>(
-                                          static_cast<int64_t>(d)))
-                      << sh);
-        if (scratch->contains(ncode)) b |= 1u << bit;
-      }
+  size_t j = 0;
+  while (j < n) {
+    const uint64_t parent = codes[j] >> 3;
+    size_t j1 = j;
+    uint8_t occ = 0;  // the parent's occupancy byte, rebuilt from the run
+    while (j1 < n && (codes[j1] >> 3) == parent) {
+      occ |= static_cast<uint8_t>(1u << (codes[j1] & 7u));
+      ++j1;
     }
-    out[j] = b;
+    for (size_t k = j; k < j1; ++k) {
+      const uint64_t c = codes[k];
+      const unsigned oct = static_cast<unsigned>(c & 7u);
+      uint8_t b = 0;
+      unsigned bit = 0;
+      for (int a = 0; a < 3; ++a) {
+        const unsigned sh = static_cast<unsigned>(2 - a);
+        const unsigned low = (oct >> sh) & 1u;
+        // in-parent side: flip the octant bit, test the run mask
+        const unsigned in_bit = bit + (low ? 0u : 1u);  // low=1: d=-1
+        if ((occ >> (oct ^ (1u << sh))) & 1u) b |= 1u << in_bit;
+        // parent-crossing side: hash probe (grid-edge guarded)
+        const uint64_t coord = compact3(c >> sh);
+        const unsigned out_bit = bit + (low ? 1u : 0u);
+        const bool valid = low ? coord < lim : coord > 0;
+        if (valid) {
+          const uint64_t ncoord = low ? coord + 1 : coord - 1;
+          const uint64_t ncode =
+              (c & ~(spread3(lim) << sh)) | (spread3(ncoord) << sh);
+          if (scratch->contains(ncode)) b |= 1u << out_bit;
+        }
+        bit += 2;
+      }
+      out[k] = b;
+    }
+    j = j1;
   }
 }
 
