@@ -825,9 +825,16 @@ def _decode_temporal(
         )
     if max_level is not None:
         # partial (LOD) walk: the CRC covers the full occupancy stream and
-        # the header count the leaf level — neither applies at a level cut
-        if dtype is None:
-            dtype = np.int32 if n_levels <= 10 else np.int64
+        # the header count the leaf level — neither applies at a level cut,
+        # but the per-level capacity bound still does (the loop checks it
+        # only at the top of each iteration, so the final expansion at the
+        # cut level needs its own check, like the intra LOD decoders).
+        if level_codes.size > n_voxels:
+            raise ValueError(
+                "corrupt temporal geometry stream: level walk exceeds "
+                f"{n_voxels} voxels"
+            )
+        assert dtype is not None  # decode_geometry_lod resolves the tier
         return level_codes.astype(dtype)
     if zlib.crc32(np.concatenate(occ_all).tobytes()) != crc:
         raise ValueError(

@@ -45,7 +45,27 @@ def bd_rate(rate_a, psnr_a, rate_b, psnr_b) -> float:
     return (math.exp(avg) - 1.0) * 100.0
 
 
-def _sweep(codec_cls_kwargs, frame, steps, codec_factory):
+def _psnr_3dgs(rec, ref):
+    """Reference 3DGS metric: all-channel MSE-based PSNR
+    (`/root/reference/python/encode_3dgs.py:297-299`)."""
+    import numpy as np
+
+    mse = float(np.mean((rec - ref) ** 2))
+    return -10.0 * math.log10(mse + 1e-10)
+
+
+def _psnr_y255(rec, ref):
+    """Reference color metric: Y-channel PSNR vs 255 peak
+    (`/root/reference/python/encode_ply.py:151-152` — computed there on
+    the Y coefficient quantization error normalized by N*255^2, which by
+    RAHT orthonormality equals this signal-domain Y MSE / 255^2)."""
+    import numpy as np
+
+    mse = float(np.mean((rec[:, 0] - ref[:, 0]) ** 2))
+    return -10.0 * math.log10(mse / 255.0**2 + 1e-12)
+
+
+def _sweep(codec_cls_kwargs, frame, steps, codec_factory, psnr_fn):
     """(bpp, psnr) per step for one codec configuration."""
     import numpy as np
 
@@ -55,9 +75,7 @@ def _sweep(codec_cls_kwargs, frame, steps, codec_factory):
     out = []
     for enc in codec.encode_sweep(frame, steps, coeffs=coeffs, order=order):
         rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
-        mse = float(np.mean((rec - ref) ** 2))
-        psnr = -10.0 * math.log10(mse + 1e-10)
-        out.append((enc.stream.bpp(), psnr))
+        out.append((enc.stream.bpp(), psnr_fn(rec, ref)))
     return out
 
 
@@ -103,7 +121,7 @@ def main(argv=None) -> int:
     workloads.append((
         "3DGS 56-channel", args.steps,
         prepare_voxel_frame(V.astype(np.int64), attrs, args.depth),
-        args.depth,
+        args.depth, _psnr_3dgs, "all-channel PSNR (encode_3dgs.py:297-299)",
     ))
     Vc, rgb = synthetic_color_frame(args.n, args.depth, args.seed)
     from raht3dgs_tpu.ops.color import rgb_to_yuv
@@ -114,7 +132,7 @@ def main(argv=None) -> int:
     workloads.append((
         "color YUV (encode_ply workload)", args.color_steps,
         prepare_voxel_frame(Vc.astype(np.int64), yuv, args.depth),
-        args.depth,
+        args.depth, _psnr_y255, "Y-PSNR vs 255 peak (encode_ply.py:151-152)",
     ))
     from raht3dgs_tpu.eval.synth import synthetic_body_scan
 
@@ -127,7 +145,8 @@ def main(argv=None) -> int:
         "body-scan color (scan-like statistics)", args.color_steps,
         prepare_voxel_frame(Vb.astype(np.int64), yuvb,
                             min(args.depth, 9)),
-        min(args.depth, 9),
+        min(args.depth, 9), _psnr_y255,
+        "Y-PSNR vs 255 peak (encode_ply.py:151-152)",
     ))
 
 
@@ -144,16 +163,18 @@ def main(argv=None) -> int:
         "rate on average (Bjontegaard cubic-fit method).",
         "",
     ]
-    for name, steps, frame, depth in workloads:
+    for name, steps, frame, depth, psnr_fn, metric_note in workloads:
         def factory(**kw):
             return AttributeCodec(depth, **kw)
 
-        mid = _sweep({}, frame, steps, factory)
-        dz = _sweep(dz_kw, frame, steps, factory)
+        mid = _sweep({}, frame, steps, factory, psnr_fn)
+        dz = _sweep(dz_kw, frame, steps, factory, psnr_fn)
         bd = bd_rate([r for r, _ in mid], [p for _, p in mid],
                      [r for r, _ in dz], [p for _, p in dz])
         sections += [
             f"## {name}",
+            "",
+            f"Distortion metric: {metric_note}.",
             "",
             "| step | mid bpp | mid PSNR | dz bpp | dz PSNR |",
             "|---|---|---|---|---|",

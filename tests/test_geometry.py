@@ -752,6 +752,22 @@ def test_geometry_lod_validates_args():
         geometry.decode_geometry_lod(sec_t, depth, c1.size, 3)
 
 
+def test_geometry_lod_temporal_capacity_at_cut_level():
+    """The per-level capacity bound applies to the FINAL expansion of a
+    temporal LOD walk too, not just the levels before the cut."""
+    depth = 8
+    c0 = _surface_codes(depth, n=5000, seed=17)
+    c1 = _shifted_codes(c0, depth)
+    sec = geometry.encode_geometry(c1, depth, prev_codes=c0)
+    level = 5
+    n_at_cut = _lod_truth(c1, depth, level).size
+    n_before = _lod_truth(c1, depth, level - 1).size
+    lie = n_at_cut - 1
+    assert n_before <= lie  # violation happens only at the cut level
+    with pytest.raises(ValueError, match="level walk exceeds"):
+        geometry.decode_geometry_lod(sec, depth, lie, level, prev_codes=c0)
+
+
 def test_geometry_lod_full_level_delegates_with_crc():
     """level == depth goes through the checksum-verified full decode."""
     depth = 6
