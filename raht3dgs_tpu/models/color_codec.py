@@ -99,7 +99,14 @@ def encode_color_frame(
     """
     timer = StageTimer()
     t0 = time.perf_counter()
-    yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C_rgb)), dtype=dtype))
+    codec = codec or AttributeCodec(depth, dtype=dtype)
+    if codec.impl == "golden":
+        # byte-parity mode: the reference's exact homogeneous YUV form
+        from raht3dgs_tpu.ops.color import rgb_to_yuv_parity
+
+        yuv = rgb_to_yuv_parity(np.asarray(C_rgb))
+    else:
+        yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C_rgb)), dtype=dtype))
     frame = prepare_voxel_frame(
         np.floor(np.asarray(V)).astype(np.int64),
         yuv,
@@ -109,7 +116,6 @@ def encode_color_frame(
     )
     timer.add("RAHT_prelude_time", time.perf_counter() - t0)
 
-    codec = codec or AttributeCodec(depth, dtype=dtype)
     coeffs, order, structure, timer = codec.transform(frame, timer)
     # coefficient fetch only on the coeff-domain-PSNR path (decode=False):
     # on the default path it is a pointless blocking device->host transfer

@@ -550,10 +550,33 @@ class AttributeCodec:
         # Coefficient stream order: "ragft" (reference Python drivers),
         # "weight_desc" (MATLAB encoder_RAHT_RLGR.m), or "morton".
         self.order_mode = order_mode
-        # Forward-transform implementation (span / dense / compact / scan).
-        # "span" (closed form) is the TPU fast path and the default; "dense"
-        # is the bitwise golden used by the 1e-12 crosscheck tooling.
+        # Forward-transform implementation (span / dense / compact / scan /
+        # golden). "span" (closed form) is the TPU fast path and the
+        # default; "dense" is the bitwise golden used by the 1e-12
+        # crosscheck tooling. "golden" runs the transform on HOST through
+        # the ragged numpy golden (ops/prelude.py) with torch-compatible
+        # sqrt — bit-identical coefficients to the torch reference
+        # pipeline, so streams are byte-identical even at quantization tie
+        # points (scripts/rd_parity_j18.py); it is a parity tool, not a
+        # performance path.
         self.impl = impl or os.environ.get("RAHT3DGS_RAHT_IMPL", "span")
+        if self.impl == "golden":
+            if self.order_mode != "ragft":
+                raise ValueError(
+                    "impl='golden' (reference byte parity) supports only "
+                    f"the 'ragft' coefficient order, got {order_mode!r}"
+                )
+            if self.quant_mode != "mid":
+                raise ValueError(
+                    "impl='golden' replays the reference quantizer only "
+                    f"(quant_mode='mid'), got {quant_mode!r}"
+                )
+            if depth > 20:
+                raise ValueError(
+                    "impl='golden' covers the reference's int64 Morton "
+                    f"range (depth <= 20), got {depth}"
+                )
+            self._golden_cache: Optional[tuple] = None
         # Entropy chunk size: 0 = sequential streams (reference-compatible
         # automaton per channel); >0 = self-contained chunks that encode and
         # decode in parallel on multi-core hosts (codec/rlgr.py).
@@ -570,9 +593,55 @@ class AttributeCodec:
             dtype32=jnp.dtype(self.dtype) == jnp.dtype("float32"),
         )
 
+    # -- golden (reference byte-parity) host path ---------------------------
+
+    def _golden_prelude(self, codes, nvox: int):
+        """Ragged reference prelude on the real code slice, cached by
+        content hash (decode sweeps re-enter per step)."""
+        import hashlib
+
+        from raht3dgs_tpu.ops.prelude import prelude
+
+        codes_np = np.asarray(codes)[:nvox].astype(np.int64)
+        key = (nvox, hashlib.sha1(codes_np.tobytes()).hexdigest())
+        if self._golden_cache is not None and self._golden_cache[0] == key:
+            return self._golden_cache[1]
+        out = prelude(codes_np, 3 * self.depth)
+        self._golden_cache = (key, out)
+        return out
+
+    def _golden_transform(self, frame: VoxelFrame):
+        from raht3dgs_tpu.ops.prelude import parity_sqrt, raht_forward_lists
+
+        n = frame.n_voxels
+        P = frame.codes.shape[0]
+        w_np = np.asarray(frame.weights)[:n]
+        if not np.all(w_np == 1):
+            raise ValueError(
+                "impl='golden' replays the reference pipeline, which has "
+                "unit leaf weights (unique-voxel inputs); this frame "
+                "carries multiplicity weights"
+            )
+        Lists, Flags, weights, order = self._golden_prelude(frame.codes, n)
+        attrs = np.asarray(frame.attributes)[:n].astype(np.float64)
+        T, _w = raht_forward_lists(attrs, Lists, Flags, weights,
+                                   sqrt_fn=parity_sqrt())
+        coeffs = np.zeros((P, attrs.shape[1]), dtype=np.float64)
+        coeffs[:n] = T
+        # pads already last -> the downstream pads-last reorder is a no-op
+        order_p = np.concatenate(
+            [order, np.arange(n, P, dtype=np.int64)]
+        ).astype(np.int32)
+        return coeffs, order_p
+
     def transform(self, frame: VoxelFrame, timer: Optional[StageTimer] = None):
         """Forward RAHT + RA-GFT order (device). Returns (coeffs, order, structure)."""
         timer = timer or StageTimer()
+        if self.impl == "golden":
+            coeffs, order = timer.time(
+                "RAHT_transform_time", self._golden_transform, frame
+            )
+            return coeffs, order, None, timer
         coeffs, order, structure = timer.time(
             "RAHT_transform_time",
             _transform_device,
@@ -731,6 +800,8 @@ class AttributeCodec:
                 f"only cover {n_padded} padded slots — positions do not "
                 "match this stream"
             )
+        if self.impl == "golden":
+            return self._golden_decode(stream, codes, k, timer)
 
         inv = timer.time(
             "Coeff_reorder_dec_time", _inverse_order_device, codes, weights,
@@ -758,6 +829,46 @@ class AttributeCodec:
             "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth
         )
         return np.asarray(attrs)[:nvox], timer
+
+    def _golden_decode(self, stream: FrameStream, codes, k: int,
+                       timer: StageTimer) -> Tuple[np.ndarray, StageTimer]:
+        """Host decode mirroring the reference's op order bit-for-bit:
+        RLGR -> dequant (q * step) -> inverse RA-GFT reorder -> ragged
+        iRAHT with torch-compatible sqrt (``encode_ply.py:199-208``)."""
+        if stream.order_mode != "ragft" or stream.quant_mode != "mid":
+            raise ValueError(
+                "impl='golden' decodes reference-shaped streams only "
+                "(ragft order, mid quantizer)"
+            )
+        from raht3dgs_tpu.ops.prelude import (
+            parity_sqrt,
+            raht_inverse_lists,
+        )
+
+        nvox = stream.n_voxels
+        D = stream.n_channels
+        Lists, Flags, weights_l, order = timer.time(
+            "Coeff_reorder_dec_time", self._golden_prelude, codes, nvox
+        )
+        vals_T = np.zeros((D, nvox), dtype=np.int32)
+        _, dec_ns = rlgr_decode_channels(
+            stream.channels, k, signed=True, out=vals_T, chunk=stream.chunk
+        )
+        timer.add("Entropy_dec_time", dec_ns / 1e9)
+
+        def _dequant():
+            steps = stream.steps if stream.steps.shape[0] > 1 else stream.steps[0]
+            deq = vals_T.T.astype(np.float64) * steps  # (nvox, D) stream order
+            coeffs = np.empty((nvox, D), dtype=np.float64)
+            coeffs[order] = deq
+            return coeffs
+
+        coeffs = timer.time("Dequant_time", _dequant)
+        rec = timer.time(
+            "iRAHT_time", raht_inverse_lists, coeffs, Lists, Flags,
+            weights_l, sqrt_fn=parity_sqrt(),
+        )
+        return rec, timer
 
     def decode_lod(
         self,

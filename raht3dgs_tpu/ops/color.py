@@ -20,7 +20,12 @@ _RGB2YUV = (
     (0.7152, -0.385428, -0.454153),
     (0.0722, 0.5, -0.045847),
 )
-_CHROMA_OFFSET = 128.0 / 255.0  # 0.50196078...
+# The reference hardcodes the chroma offset as the 8-digit literal
+# 0.50196078 (`/root/reference/python/utils.py:21-22`), NOT the exact
+# 128/255 = 0.50196078431...: using the exact value shifts every U/V by
+# ~1.1e-6 (x255) against the reference, which is visible in byte-level
+# RD parity. Match the literal.
+_CHROMA_OFFSET = 0.50196078
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -37,6 +42,35 @@ def rgb_to_yuv(rgb: jnp.ndarray, dtype=jnp.float64) -> jnp.ndarray:
     M = jnp.asarray(_RGB2YUV, dtype=dtype)
     yuv = rgb @ M + jnp.asarray([0.0, _CHROMA_OFFSET, _CHROMA_OFFSET], dtype=dtype)
     return jnp.clip(yuv, 0.0, 1.0) * 255.0
+
+
+def rgb_to_yuv_parity(rgb) -> "np.ndarray":
+    """Bitwise replication of the reference ``rgb_to_yuv`` on host.
+
+    Evaluates the exact homogeneous form the reference uses —
+    ``hstack(rgb/255, 1) @ Q`` with the 4x3 matrix including the offset
+    row (`/root/reference/python/utils.py:15-22`) — in numpy float64, so
+    the result is bit-identical to the torch implementation (verified on
+    integer-RGB content; both BLAS K=4 dots round identically). The jitted
+    :func:`rgb_to_yuv` computes the same map as ``rgb @ M + offset`` whose
+    different association can differ in the last ulp — irrelevant
+    everywhere except byte-exact stream parity (the ``golden`` codec
+    impl, scripts/rd_parity_j18.py)."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.float64)
+    if rgb.ndim != 2 or rgb.shape[1] != 3:
+        raise ValueError(f"expected (N, 3) array, got {rgb.shape}")
+    Q = np.array(
+        [
+            [0.2126, -0.114572, 0.5],
+            [0.7152, -0.385428, -0.454153],
+            [0.0722, 0.5, -0.045847],
+            [0.0, _CHROMA_OFFSET, _CHROMA_OFFSET],
+        ]
+    )
+    rgb1 = np.hstack([rgb / 255.0, np.ones((rgb.shape[0], 1))])
+    return np.clip(rgb1 @ Q, 0.0, 1.0) * 255.0
 
 
 @partial(jax.jit, static_argnames=("dtype",))

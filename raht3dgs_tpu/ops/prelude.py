@@ -106,13 +106,37 @@ def prelude(
     return Lists, Flags, weights, order
 
 
+def parity_sqrt():
+    """sqrt bit-compatible with the torch reference pipeline.
+
+    torch's CPU float64 ``sqrt`` is NOT correctly rounded (measured: 1-ulp
+    high on ~0.03% of inputs vs numpy/libm's IEEE result) — and the
+    reference's butterfly constants ``a = sqrt(w0/(w0+w1))`` inherit those
+    ulps, which flip ``floor(x/step + 0.5)`` decisions for coefficients
+    sitting on exact half-integer tie points (integer-color content
+    produces many). Byte-exact stream parity with the torch reference
+    therefore needs torch's own sqrt for a/b; everything else in the
+    butterfly (div/mul/add) is correctly rounded in both stacks."""
+    import torch
+
+    def _sqrt(x: np.ndarray) -> np.ndarray:
+        return torch.sqrt(torch.from_numpy(np.ascontiguousarray(x))).numpy()
+
+    return _sqrt
+
+
 def raht_forward_lists(
     C: np.ndarray,
     Lists: TList[np.ndarray],
     Flags: TList[np.ndarray],
     weights: TList[np.ndarray],
+    sqrt_fn=np.sqrt,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """List-based forward RAHT (golden; matches ``RAHT.py:253-336``)."""
+    """List-based forward RAHT (golden; matches ``RAHT.py:253-336``).
+
+    ``sqrt_fn``: the square root used for the butterfly constants —
+    ``np.sqrt`` (IEEE) by default, :func:`parity_sqrt` for bit-exact
+    parity with the torch reference."""
     T = C.astype(np.float64).copy()
     N = T.shape[0]
     w = np.ones(N, dtype=np.float64)
@@ -125,8 +149,8 @@ def raht_forward_lists(
             continue
         w0 = weights[j][flag].astype(np.float64)
         w1 = weights[j][right].astype(np.float64)
-        a = np.sqrt(w0 / (w0 + w1))[:, None]
-        b = np.sqrt(w1 / (w0 + w1))[:, None]
+        a = sqrt_fn(w0 / (w0 + w1))[:, None]
+        b = sqrt_fn(w1 / (w0 + w1))[:, None]
         x0 = T[i0].copy()
         x1 = T[i1].copy()
         T[i0] = a * x0 + b * x1
@@ -142,6 +166,7 @@ def raht_inverse_lists(
     Lists: TList[np.ndarray],
     Flags: TList[np.ndarray],
     weights: TList[np.ndarray],
+    sqrt_fn=np.sqrt,
 ) -> np.ndarray:
     """List-based inverse RAHT (golden; matches ``iRAHT.py:40-114``)."""
     C = T.astype(np.float64).copy()
@@ -154,8 +179,8 @@ def raht_inverse_lists(
             continue
         w0 = weights[j][flag].astype(np.float64)
         w1 = weights[j][right].astype(np.float64)
-        a = np.sqrt(w0 / (w0 + w1))[:, None]
-        b = np.sqrt(w1 / (w0 + w1))[:, None]
+        a = sqrt_fn(w0 / (w0 + w1))[:, None]
+        b = sqrt_fn(w1 / (w0 + w1))[:, None]
         t0 = C[i0].copy()
         t1 = C[i1].copy()
         C[i0] = a * t0 - b * t1
