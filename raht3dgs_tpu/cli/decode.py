@@ -33,7 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".r3tc frame bitstream or .r3ts sequence file")
     p.add_argument(
         "--frame-index", type=int, default=0,
-        help="frame to decode when --stream is an .r3ts sequence",
+        help="frame to decode when --stream is an .r3ts sequence. "
+        "Predicted (P) frames replay the chain from the nearest "
+        "preceding I-frame automatically (needs --code-geometry "
+        "streams); bound the replay cost at encode time with --gop",
     )
     p.add_argument(
         "--all-frames", action="store_true",
@@ -144,6 +147,10 @@ def _run(args) -> int:
         print(f"sequence of {len(seq)} frames; decoding frame "
               f"{args.frame_index}")
         stream = seq.frame(args.frame_index)
+        seq_codec, geom_prev = _replay_to(seq, args, stream)
+        _decode_one(args, stream, args.positions, args.output,
+                    seq_codec=seq_codec, geom_prev=geom_prev)
+        return 0
     else:
         from raht3dgs_tpu.codec.bitstream import FrameStream
 
@@ -151,6 +158,90 @@ def _run(args) -> int:
             stream = FrameStream.from_bytes(f.read())
     _decode_one(args, stream, args.positions, args.output)
     return 0
+
+
+def _replay_to(seq, args, stream):
+    """GOP random access to one frame of an .r3ts sequence.
+
+    A predicted frame (inter attributes and/or temporal geometry) depends
+    on its predecessors, so `--frame-index` on one walks BACK to the
+    nearest clean entry point (intra attributes + intra geometry — the
+    encoder keeps I-frames geometry-intra exactly so these entry points
+    exist, docs/geometry.md) and silently replays the chain up to the
+    target. Returns (seq_codec, geom_prev_codes) for the target's decode;
+    (None, None) when the target is itself a clean entry point. Cost is
+    O(frames since the last I-frame) — bound it at encode time with
+    --gop."""
+    i = args.frame_index
+
+    def _clean(s):
+        return not s.inter and (
+            s.geometry is None or s.geometry[0] in (0, 3)
+        )
+
+    if i == 0 or _clean(stream):
+        return None, None
+    if args.progressive or args.lod or args.geometry_lod:
+        raise SystemExit(
+            "--progressive/--lod/--geometry-lod apply to intra frames "
+            "only — this frame is predicted (pick an I-frame index)"
+        )
+    chain = {i: stream}
+    start = i
+    while start > 0 and not _clean(chain[start]):
+        start -= 1
+        chain[start] = seq.frame(start)
+    if not _clean(chain[start]):
+        raise SystemExit(
+            "no clean random-access point precedes this frame (frame 0 "
+            "is predicted?) — decode with --all-frames"
+        )
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.codec.geometry import decode_geometry
+    from raht3dgs_tpu.models.pipeline import prepare_voxel_frame
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+    from raht3dgs_tpu.ops.morton import morton_decode
+
+    print(f"predicted frame: replaying the chain from frame {start}")
+    sc = None
+    geom_prev = None
+    prev_depth = None
+    for j in range(start, i):
+        s = chain.get(j) or seq.frame(j)
+        if s.geometry is None:
+            raise SystemExit(
+                "random access to a predicted frame needs self-contained "
+                "geometry in every chained frame (re-encode with "
+                "--code-geometry) or --all-frames with --positions"
+            )
+        if sc is None or s.depth != prev_depth:
+            sc = SequenceCodec(
+                s.depth,
+                dtype=jnp.float32 if s.dtype32 else jnp.float64,
+            )
+        codes = decode_geometry(
+            s.geometry, s.depth, s.n_voxels,
+            prev_codes=geom_prev if prev_depth == s.depth else None,
+        )
+        V = np.asarray(
+            morton_decode(jnp.asarray(codes), s.depth), dtype=np.int64
+        )
+        frame = prepare_voxel_frame(
+            V, np.zeros((len(V), s.n_channels)), s.depth,
+            bucket=args.bucket, dtype=sc.codec.dtype,
+        )
+        sc.decode_frame(s, frame)  # advances the prediction chain
+        geom_prev = codes
+        prev_depth = s.depth
+    if prev_depth != stream.depth:
+        # depth changed right before the target: predictions don't chain
+        # across depth changes (encoder rule), so the target must be
+        # intra — but _clean() said otherwise. Corrupt stream.
+        raise SystemExit(
+            "corrupt sequence: predicted frame follows a depth change"
+        )
+    return sc, geom_prev
 
 
 def _decode_one(args, stream, positions_path, output_path,

@@ -1,0 +1,175 @@
+"""Beyond-reference features COMPOSE: one flag-product end-to-end test.
+
+Encodes a short temporally-correlated sequence with EVERY beyond-reference
+encode flag at once — ``--inter --code-geometry --entropy-chunk
+--quant-mode deadzone --save-sequence`` — then exercises the full decode
+surface on the resulting .r3ts: all-frames decode, random access to a
+P-frame, ``--progressive``, ``--lod``, and ``--geometry-lod``. Pins that
+the features compose rather than merely coexist (each is tested alone
+elsewhere)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from raht3dgs_tpu.io.ply import save_ply_ascii
+from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+DEPTH = 5
+N_FRAMES = 4
+
+
+@pytest.fixture(scope="module")
+def composed(tmp_path_factory):
+    """Encode once (module scope — the decode tests share the stream)."""
+    tmp_path = tmp_path_factory.mktemp("compose")
+    rng = np.random.default_rng(7)
+    d = tmp_path / "8iVFBv2" / "loot" / "Ply"
+    d.mkdir(parents=True)
+    base = rng.integers(0, 2**DEPTH, (900, 3))
+    cols = rng.integers(0, 255, (900, 3))
+    originals = []
+    for k in range(N_FRAMES):
+        pts = np.clip(base + k, 0, 2**DEPTH - 1)  # drifting cloud
+        _, first = np.unique(morton_codes_np(pts, DEPTH), return_index=True)
+        originals.append((pts[first], cols[first]))
+        save_ply_ascii(
+            d / f"loot_vox10_{1000 + k:04d}.ply", pts[first].astype(float),
+            cols[first].astype(float), width=2**DEPTH - 1,
+        )
+
+    from raht3dgs_tpu.cli.encode_dataset import main as enc_main
+
+    seq = tmp_path / "seq.r3ts"
+    rc = enc_main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(tmp_path), "--frames", "1", str(N_FRAMES),
+        "--steps", "2",
+        "--inter", "--code-geometry", "--entropy-chunk", "128",
+        "--quant-mode", "deadzone",
+        "--save-sequence", str(seq),
+        "--platform", "cpu", "--csv", str(tmp_path / "runtime.csv"),
+    ])
+    assert rc == 0 and seq.exists()
+    return tmp_path, seq, originals
+
+
+def _decode(args):
+    from raht3dgs_tpu.cli.decode import main as dec_main
+
+    assert dec_main([*args, "--platform", "cpu"]) == 0
+
+
+def _read_ply(path):
+    from raht3dgs_tpu.io.ply import read_ply_8i
+
+    V, C, _ = read_ply_8i(str(path))
+    return np.asarray(V), np.asarray(C)
+
+
+def test_stream_carries_every_feature(composed):
+    """The container actually records the full flag product (not silently
+    dropping one), including at least one true P-frame."""
+    tmp_path, seq, _ = composed
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+    reader = SequenceReader(str(seq))
+    assert len(reader) == N_FRAMES
+    streams = [reader.frame(i) for i in range(N_FRAMES)]
+    assert all(s.geometry is not None for s in streams)
+    assert all(s.chunk == 128 for s in streams)
+    assert all(s.quant_mode == "deadzone" for s in streams)
+    assert not streams[0].inter  # first frame is the I-frame
+    assert any(s.inter for s in streams[1:]), (
+        "adaptive fallback chose intra for every frame — the drifting-"
+        "cloud fixture should produce P-frames"
+    )
+    # geometry profile discipline: intra frames must carry intra geometry
+    # (random access), P-frames may use temporal geometry profiles
+    for s in streams:
+        prof = s.geometry[0]
+        if not s.inter:
+            assert prof in (0, 3), f"intra frame has temporal geometry {prof}"
+
+
+def test_all_frames_decode_self_contained(composed):
+    """--all-frames, NO --positions (geometry sections supply them):
+    every frame reconstructs near the original."""
+    tmp_path, seq, originals = composed
+    out = tmp_path / "dec_{i}.ply"
+    _decode(["--stream", str(seq), "--all-frames",
+             "--output", str(out), "--color-space", "yuv"])
+    for i, (V0, C0) in enumerate(originals):
+        V, C = _read_ply(str(out).replace("{i}", str(i)))
+        assert V.shape == V0.shape
+        # positions are lossless (geometry section); compare as sets via
+        # Morton order
+        o = np.argsort(morton_codes_np(V0.astype(np.int64), DEPTH))
+        np.testing.assert_array_equal(V.astype(np.int64), V0[o])
+        # step-2 quantization + YUV<->RGB roundtrip (int truncation)
+        mse = np.mean((C.astype(float) - C0[o].astype(float)) ** 2)
+        assert mse < 16.0, f"frame {i}: mse {mse}"
+
+
+def test_random_access_matches_all_frames(composed):
+    """Decoding one P-frame by index == the same frame from the full
+    sequence decode, byte-for-byte."""
+    tmp_path, seq, _ = composed
+    idx = N_FRAMES - 1
+    full = tmp_path / "ra_full_{i}.ply"
+    one = tmp_path / "ra_one.ply"
+    _decode(["--stream", str(seq), "--all-frames",
+             "--output", str(full), "--color-space", "yuv"])
+    _decode(["--stream", str(seq), "--frame-index", str(idx),
+             "--output", str(one), "--color-space", "yuv"])
+    a = open(str(full).replace("{i}", str(idx)), "rb").read()
+    b = open(one, "rb").read()
+    assert a == b
+
+
+def test_progressive_on_composed_stream(composed):
+    """--progressive on the I-frame of the composed stream (chunked
+    entropy => the prefix is byte-addressable)."""
+    tmp_path, seq, originals = composed
+    fullp = tmp_path / "prog_full.ply"
+    prog = tmp_path / "prog_k.ply"
+    _decode(["--stream", str(seq), "--frame-index", "0",
+             "--output", str(fullp), "--color-space", "yuv"])
+    _decode(["--stream", str(seq), "--frame-index", "0",
+             "--progressive", "40", "--output", str(prog),
+             "--color-space", "yuv"])
+    _, Cf = _read_ply(fullp)
+    _, Cp = _read_ply(prog)
+    assert Cf.shape == Cp.shape
+    assert np.mean((Cf.astype(float) - Cp.astype(float)) ** 2) > 0
+
+
+def test_lod_on_composed_stream(composed):
+    tmp_path, seq, originals = composed
+    lod = tmp_path / "lod3.ply"
+    _decode(["--stream", str(seq), "--frame-index", "0", "--lod", "3",
+             "--output", str(lod), "--color-space", "yuv"])
+    V, C = _read_ply(lod)
+    V0 = originals[0][0]
+    want = np.unique(
+        morton_codes_np(V0.astype(np.int64), DEPTH) >> np.int64(6)
+    ).size
+    assert len(V) == want  # one point per occupied level-3 cell
+    assert V.max() < 2**3
+
+
+def test_geometry_lod_positions_preview(composed):
+    tmp_path, seq, originals = composed
+    out = tmp_path / "glod.ply"
+    _decode(["--stream", str(seq), "--frame-index", "0",
+             "--geometry-lod", "3", "--output", str(out)])
+    from raht3dgs_tpu.io.ply import read_ply
+
+    V = np.stack([read_ply(str(out)).vertices[n] for n in "xyz"], axis=1)
+    V0 = originals[0][0]
+    want = np.unique(
+        morton_codes_np(V0.astype(np.int64), DEPTH) >> np.int64(6)
+    ).size
+    # positions-only preview, cell centers scaled onto the full-depth grid
+    assert len(V) == want and V.max() < 2**DEPTH
