@@ -30,7 +30,13 @@ N = 500_000
 DEPTH = 10
 D_ATTR = 3
 PAD_TO = 1 << 19  # 524288-slot bucket
-REFERENCE_CPU_MPTS = 0.492
+# Same-machine reference denominators (BASELINE.md). The current driver
+# host has ONE CPU core; both legs re-measured on it 2026-08-19 (torch
+# fp64; RLGR via the byte-identical native coder, which is FASTER than
+# the reference's pybind path — a conservative denominator):
+REFERENCE_CPU_MPTS = 0.660        # prelude+RAHT+iRAHT roundtrip
+REFERENCE_CPU_E2E_MPTS = 0.642    # + quant, reorder, RLGR enc+dec, dequant
+E2E_STEP = 16.0                   # mid-grid reference operating point
 WARMUP = 2
 ITERS = 3
 BURST = 8
@@ -198,6 +204,89 @@ def main() -> None:
     err = np.abs(rec - attrs[:n_real]).max()
     assert err < 1e-2, f"roundtrip error {err}"
 
+    # ---- second metric: the full E2E codec leg — transform + quantize +
+    # reorder + device->host symbol fetch + RLGR encode + RLGR decode +
+    # quantized upload + dequant + inverse RAHT. Pipelined burst with a
+    # LAST-ONLY fetch of the final reconstruction (executions on one
+    # device stream run in order, so a scalar from the last frame's
+    # output bounds completion of the whole burst): per-frame throughput
+    # is then bounded by the slower of device compute and the symbol
+    # transfers, not by serial tunnel round-trips. The reconstruction
+    # stays on device — the serving path (models/serving.py) consumes it
+    # there.
+    from raht3dgs_tpu.models.pipeline import (
+        AttributeCodec,
+        VoxelFrame,
+        _dequant_gather_device,
+        _finish_fetch,
+        _inverse_device,
+        _inverse_order_device,
+        _start_fetch,
+        pack_quantized_upload,
+        upload_quantized,
+    )
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode_channels
+
+    frame = VoxelFrame(
+        codes=codes_j, attributes=attrs_j, weights=weights_j,
+        n_voxels=n_real, depth=DEPTH, vmin=np.zeros(3), width=float(1 << DEPTH),
+    )
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32, impl=impl)
+    E2E_BURST = 4
+    steps_j = jnp.asarray(E2E_STEP, dtype=jnp.float32)
+
+    def e2e_burst():
+        # encode side: codec.encode_sweep pipelines the transform+quant
+        # programs and their async symbol fetches (byte-identical streams)
+        encs = codec.encode_sweep(frame, [E2E_STEP] * E2E_BURST)
+        # decode side: per frame, host entropy decode + quantized upload +
+        # device dequant/inverse dispatch (async); nothing blocks until
+        # the final scalar fetch
+        rec = None
+        for enc in encs:
+            s = enc.stream
+            vals_T = np.zeros((s.n_channels, PAD_TO), dtype=np.int32)
+            rlgr_decode_channels(s.channels, s.n_voxels, out=vals_T,
+                                 chunk=s.chunk)
+            inv = _inverse_order_device(
+                codes_j, weights_j, jnp.int32(s.n_voxels), DEPTH,
+                s.order_mode,
+            )
+            coeffs = _dequant_gather_device(
+                upload_quantized(pack_quantized_upload(vals_T)), inv,
+                steps_j, jnp.float32, s.quant_mode,
+            )
+            rec = _inverse_device(coeffs, codes_j, weights_j, DEPTH)
+        float(rec[0, 0])  # last-only fetch: bounds the whole burst
+        return encs[-1], rec
+
+    enc, rec2 = e2e_burst()  # warmup (compiles the decode-side programs)
+
+    def measure_e2e():
+        times = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            enc, rec2 = e2e_burst()
+            times.append((time.perf_counter() - t0) / E2E_BURST)
+        return min(times), enc, rec2
+
+    E2E_DEGRADED = 0.0 if os.environ.get(
+        "RAHT3DGS_BENCH_PLATFORM") == "cpu" else 0.5
+    best_e2e, enc, rec2 = measure_e2e()
+    for _ in range(2):
+        if n_real / best_e2e / 1e6 >= E2E_DEGRADED:
+            break
+        print("bench: degraded e2e measurement; retrying", file=sys.stderr)
+        time.sleep(20)
+        b2, enc, rec2 = measure_e2e()
+        best_e2e = min(best_e2e, b2)
+    err2 = np.abs(np.asarray(rec2)[:n_real] - attrs[:n_real]).max()
+    # sanity (not the parity bound): quantization noise through the
+    # inverse stays O(step); corruption would be orders larger
+    assert err2 <= 2 * E2E_STEP, f"e2e reconstruction error {err2}"
+    assert enc.stream.bpp() > 0
+    e2e_mpts = n_real / best_e2e / 1e6
+
     mpts = n_real / best / 1e6
     record = {
         "metric": "raht_transform_roundtrip_throughput",
@@ -207,6 +296,15 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "fallback": fallback,
         "probe_attempts": probe_attempts,
+        "baseline_mpts": REFERENCE_CPU_MPTS,
+        "e2e_codec": {
+            "value": round(e2e_mpts, 4),
+            "unit": "Mpts/s",
+            "vs_baseline": round(e2e_mpts / REFERENCE_CPU_E2E_MPTS, 2),
+            "baseline_mpts": REFERENCE_CPU_E2E_MPTS,
+            "step": E2E_STEP,
+            "bpp": round(enc.stream.bpp(), 4),
+        },
     }
     # Last-known-good bookkeeping: the shared tunnel can wedge for hours
     # (CLAUDE.md "TPU etiquette"), so a fallback record additionally cites

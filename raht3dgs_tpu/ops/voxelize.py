@@ -28,6 +28,18 @@ from raht3dgs_tpu.ops.raht import _code_lanes, _lanes_code
 from raht3dgs_tpu.ops.segment import sorted_segment_sums
 
 
+def _vox_sort_mode() -> str:
+    """"payload" (default): narrow payloads ride the sort as extra
+    operands; "pair": always (code, row) sort + post-sort row gather.
+    Read per call so tests can A/B without reimport (the jit retraces on
+    the changed branch via the mode's effect on the traced graph — the
+    env read happens at trace time, so set it BEFORE first use per shape,
+    or clear caches)."""
+    import os
+
+    return os.environ.get("RAHT3DGS_VOX_SORT", "payload")
+
+
 class VoxelizeResult(NamedTuple):
     """Padded, Morton-sorted voxelization output (all shapes static in N).
 
@@ -174,10 +186,30 @@ def voxelize(
 
     # one sort yields both the sorted codes and the permutation (argsort
     # alone would leave M[sort_idx] as an extra 1-lane gather)
-    Ms, sort_idx = jax.lax.sort((M, row), num_keys=1)
-    # one wide (N, 3+D) row gather instead of two narrow ones — row gathers
-    # cost roughly the same regardless of width on TPU (docs/performance.md)
-    PCs = jnp.concatenate([V0, C], axis=1)[sort_idx]
+    PCall = jnp.concatenate([V0, C], axis=1)
+    if _vox_sort_mode() == "payload" and PCall.shape[1] <= 6:
+        # carry the payload THROUGH the sort as extra operands: the
+        # post-sort (N, 3+D) row gather was ~2.5 ms of the 500k program
+        # (per-row DMA); the sort network's compare-exchanges move the
+        # same lanes for ~1 ms instead (pair+gather 6.69 ms -> payload
+        # sort 5.07 ms on v5e, scripts/exp_vox_payload_sort.py). One sort
+        # permutation applies to every operand, so outputs match the
+        # gather formulation exactly (up to tie order among duplicate
+        # codes — both formulations are unstable there). Wide attribute
+        # sets (3DGS's 56 channels) keep the gather: dozens of sort
+        # operands cost more than one row DMA.
+        out = jax.lax.sort(
+            (M, row) + tuple(PCall[:, i] for i in range(PCall.shape[1])),
+            num_keys=1,
+        )
+        Ms, sort_idx = out[0], out[1]
+        PCs = jnp.stack(out[2:], axis=1)
+    else:
+        Ms, sort_idx = jax.lax.sort((M, row), num_keys=1)
+        # one wide (N, 3+D) row gather instead of two narrow ones — row
+        # gathers cost about the same regardless of width on TPU
+        # (docs/performance.md)
+        PCs = PCall[sort_idx]
     V0s = PCs[:, :3]
     Cs = PCs[:, 3:]
     # pads carry sentinel codes that sort after every real code, so the

@@ -168,3 +168,33 @@ def test_positions_equal_decoded_codes(rng):
         want = np.asarray(morton_decode(res.codes, depth))[:nv]
         np.testing.assert_array_equal(got, want)
         assert got.dtype == want.dtype
+
+
+def test_payload_sort_matches_pair_gather(rng, monkeypatch):
+    """The payload-through-sort formulation (RAHT3DGS_VOX_SORT=payload,
+    default for <= 6 columns) == the pair-sort + row-gather formulation:
+    codes/counts/positions exactly, float outputs to association noise
+    (tie order among duplicate codes is unstable in both)."""
+    import jax
+
+    depth = 5
+    PC = make_cloud(rng, 700, depth, dup_frac=0.4)
+    outs = {}
+    for mode in ("payload", "pair"):
+        monkeypatch.setenv("RAHT3DGS_VOX_SORT", mode)
+        jax.clear_caches()  # the env var is read at trace time
+        outs[mode] = voxelize(jnp.asarray(PC), depth)
+    monkeypatch.delenv("RAHT3DGS_VOX_SORT")
+    jax.clear_caches()
+    a, b = outs["payload"], outs["pair"]
+    assert int(a.nvox) == int(b.nvox)
+    n = int(a.nvox)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.attributes)[:n], np.asarray(b.attributes)[:n],
+        rtol=1e-9, atol=1e-9,
+    )
