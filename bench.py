@@ -3,12 +3,15 @@
 Measures the fused prelude+forward+inverse RAHT transform (the codec hot
 path) at the reference scale: N=500k unique voxels, J=10, 3 color channels.
 
-Baseline (vs_baseline denominator): the reference implementation
+Baselines (vs_baseline denominators): the reference implementation
 (RAHT_param_reorder_fast + RAHT2_optimized + inverse_RAHT_optimized,
-/root/reference/python) measured on this machine's CPU with torch fp64 and
-8 threads at the identical workload: 0.492 Mpts/s (best of 3 after warmup;
-see BASELINE.md — the repo publishes no transform-throughput numbers of its
-own, and its GPU figures cover voxelization only).
+/root/reference/python) measured on THIS machine's CPU (torch fp64; the
+current driver host has one core) at the identical workload — see the
+REFERENCE_CPU_* constants below and BASELINE.md for protocol and history
+(the repo publishes no transform-throughput numbers of its own, and its
+GPU figures cover voxelization only). A second metric, ``e2e_codec``,
+covers the full encode->decode leg incl. entropy coding and the symbol
+transfers.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": ..., "unit": "Mpts/s", "vs_baseline": ...,
@@ -218,10 +221,8 @@ def main() -> None:
         AttributeCodec,
         VoxelFrame,
         _dequant_gather_device,
-        _finish_fetch,
         _inverse_device,
         _inverse_order_device,
-        _start_fetch,
         pack_quantized_upload,
         upload_quantized,
     )

@@ -396,7 +396,12 @@ def _decode_attrs(args, stream, V, gs_meta, output_path, seq_codec,
     from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
     from raht3dgs_tpu.ops.color import yuv_to_rgb
 
-    dtype = jnp_dtype(args.dtype)
+    # sequence decode replays the ENCODER's transform dtype (stream flag
+    # bit 7; the SequenceCodec was built from it) — the frame arrays must
+    # follow it too, or the closed loop's butterfly precision diverges
+    # from the encoder's (CLAUDE.md: "decoder must replay encoder dtype")
+    dtype = (seq_codec.codec.dtype if seq_codec is not None
+             else jnp_dtype(args.dtype))
     frame = prepare_voxel_frame(
         np.floor(V).astype(np.int64),
         np.zeros((len(V), stream.n_channels)),

@@ -801,7 +801,7 @@ class AttributeCodec:
                 "match this stream"
             )
         if self.impl == "golden":
-            return self._golden_decode(stream, codes, k, timer)
+            return self._golden_decode(stream, codes, weights, k, timer)
 
         inv = timer.time(
             "Coeff_reorder_dec_time", _inverse_order_device, codes, weights,
@@ -830,7 +830,7 @@ class AttributeCodec:
         )
         return np.asarray(attrs)[:nvox], timer
 
-    def _golden_decode(self, stream: FrameStream, codes, k: int,
+    def _golden_decode(self, stream: FrameStream, codes, weights, k: int,
                        timer: StageTimer) -> Tuple[np.ndarray, StageTimer]:
         """Host decode mirroring the reference's op order bit-for-bit:
         RLGR -> dequant (q * step) -> inverse RA-GFT reorder -> ragged
@@ -839,6 +839,15 @@ class AttributeCodec:
             raise ValueError(
                 "impl='golden' decodes reference-shaped streams only "
                 "(ragft order, mid quantizer)"
+            )
+        # same contract as the encode side: the ragged golden rebuilds
+        # unit-leaf run-length weights from codes alone, so multiplicity
+        # weights would silently invert with the wrong butterflies
+        if not np.all(np.asarray(weights)[: stream.n_voxels] == 1):
+            raise ValueError(
+                "impl='golden' replays the reference pipeline, which has "
+                "unit leaf weights (unique-voxel inputs); this frame "
+                "carries multiplicity weights"
             )
         from raht3dgs_tpu.ops.prelude import (
             parity_sqrt,

@@ -31,10 +31,10 @@ from raht3dgs_tpu.ops.segment import sorted_segment_sums
 def _vox_sort_mode() -> str:
     """"payload" (default): narrow payloads ride the sort as extra
     operands; "pair": always (code, row) sort + post-sort row gather.
-    Read per call so tests can A/B without reimport (the jit retraces on
-    the changed branch via the mode's effect on the traced graph — the
-    env read happens at trace time, so set it BEFORE first use per shape,
-    or clear caches)."""
+    The env var is read at TRACE time and the jit cache key does not
+    include it — set it before the first voxelize() call at a given
+    shape, or ``jax.clear_caches()`` between A/B legs (as the equality
+    test does)."""
     import os
 
     return os.environ.get("RAHT3DGS_VOX_SORT", "payload")
@@ -192,12 +192,12 @@ def voxelize(
         # post-sort (N, 3+D) row gather was ~2.5 ms of the 500k program
         # (per-row DMA); the sort network's compare-exchanges move the
         # same lanes for ~1 ms instead (pair+gather 6.69 ms -> payload
-        # sort 5.07 ms on v5e, scripts/exp_vox_payload_sort.py). One sort
-        # permutation applies to every operand, so outputs match the
-        # gather formulation exactly (up to tie order among duplicate
-        # codes — both formulations are unstable there). Wide attribute
-        # sets (3DGS's 56 channels) keep the gather: dozens of sort
-        # operands cost more than one row DMA.
+        # sort 5.07 ms on v5e, scripts/exp_vox_payload_sort.py). lax.sort
+        # is STABLE by default and one permutation applies to every
+        # operand, so the outputs are BITWISE the gather formulation's,
+        # duplicate-code ties included (pinned in test_voxelize). Wide
+        # attribute sets (3DGS's 56 channels) keep the gather: dozens of
+        # sort operands cost more than one row DMA.
         out = jax.lax.sort(
             (M, row) + tuple(PCall[:, i] for i in range(PCall.shape[1])),
             num_keys=1,

@@ -173,3 +173,48 @@ def test_geometry_lod_positions_preview(composed):
     ).size
     # positions-only preview, cell centers scaled onto the full-depth grid
     assert len(V) == want and V.max() < 2**DEPTH
+
+
+def test_random_access_replays_encoder_dtype(tmp_path):
+    """A float32-encoded inter sequence decoded with the CLI's default
+    float64 flag: both --all-frames and P-frame random access must build
+    frames with the STREAM's dtype (flag bit 7 — the closed loop needs
+    the encoder's precision), so their outputs stay byte-identical."""
+    rng = np.random.default_rng(11)
+    d = tmp_path / "8iVFBv2" / "loot" / "Ply"
+    d.mkdir(parents=True)
+    base = rng.integers(0, 2**DEPTH, (700, 3))
+    cols = rng.integers(0, 255, (700, 3))
+    for k in range(3):
+        pts = np.clip(base + k, 0, 2**DEPTH - 1)
+        _, first = np.unique(morton_codes_np(pts, DEPTH), return_index=True)
+        save_ply_ascii(
+            d / f"loot_vox10_{1000 + k:04d}.ply", pts[first].astype(float),
+            cols[first].astype(float), width=2**DEPTH - 1,
+        )
+    from raht3dgs_tpu.cli.encode_dataset import main as enc_main
+
+    seq = tmp_path / "seq32.r3ts"
+    assert enc_main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(tmp_path), "--frames", "1", "3",
+        "--steps", "2", "--inter", "--code-geometry",
+        "--dtype", "float32",
+        "--save-sequence", str(seq),
+        "--platform", "cpu", "--csv", str(tmp_path / "rt.csv"),
+    ]) == 0
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+    streams = [SequenceReader(str(seq)).frame(i) for i in range(3)]
+    assert all(s.dtype32 for s in streams)
+    assert any(s.inter for s in streams[1:]), "fixture produced no P-frame"
+    idx = max(i for i, s in enumerate(streams) if s.inter)
+    full = tmp_path / "f32_{i}.ply"
+    one = tmp_path / "f32_one.ply"
+    # default --dtype (float64): the decoder must still replay float32
+    _decode(["--stream", str(seq), "--all-frames",
+             "--output", str(full), "--color-space", "yuv"])
+    _decode(["--stream", str(seq), "--frame-index", str(idx),
+             "--output", str(one), "--color-space", "yuv"])
+    a = open(str(full).replace("{i}", str(idx)), "rb").read()
+    assert a == open(one, "rb").read()

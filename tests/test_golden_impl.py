@@ -182,3 +182,10 @@ def test_golden_mode_guards(rng):
     g = AttributeCodec(depth, impl="golden")
     with pytest.raises(ValueError, match="multiplicity"):
         g.transform(frame)
+    # the decode side has the same hole-free contract: a multiplicity
+    # frame must not silently invert with unit-weight butterflies
+    d = AttributeCodec(depth, impl="span")
+    uframe = prepare_voxel_frame(V, rgb.astype(np.float64), depth)
+    enc = d.encode(uframe, 2.0)
+    with pytest.raises(ValueError, match="multiplicity"):
+        g.decode(enc.stream, frame.codes, frame.weights)

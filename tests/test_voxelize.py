@@ -172,9 +172,9 @@ def test_positions_equal_decoded_codes(rng):
 
 def test_payload_sort_matches_pair_gather(rng, monkeypatch):
     """The payload-through-sort formulation (RAHT3DGS_VOX_SORT=payload,
-    default for <= 6 columns) == the pair-sort + row-gather formulation:
-    codes/counts/positions exactly, float outputs to association noise
-    (tie order among duplicate codes is unstable in both)."""
+    default for <= 6 columns) is BITWISE the pair-sort + row-gather
+    formulation, duplicate-code ties included (lax.sort is stable by
+    default; the one stable permutation applies to every operand)."""
     import jax
 
     depth = 5
@@ -194,7 +194,9 @@ def test_payload_sort_matches_pair_gather(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(a.positions), np.asarray(b.positions)
     )
-    np.testing.assert_allclose(
-        np.asarray(a.attributes)[:n], np.asarray(b.attributes)[:n],
-        rtol=1e-9, atol=1e-9,
+    np.testing.assert_array_equal(
+        np.asarray(a.attributes)[:n], np.asarray(b.attributes)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.delta_attr), np.asarray(b.delta_attr)
     )
