@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         "uses the batched codec, optionally sharded over all local devices",
     )
     p.add_argument(
+        "--target-bpp", type=float, default=None,
+        help="instead of a step sweep, search each frame's quantization "
+        "step for this rate budget (device-side rate model + refinement, "
+        "models/rd_search.py — constant-rate sequence encoding); "
+        "composes with --save-sequence/--code-geometry, not with "
+        "--inter/--batch",
+    )
+    p.add_argument(
         "--inter", action="store_true",
         help="temporal I/P coding: predict each frame from the previous "
         "reconstruction and code the residual (closed loop, adaptive "
@@ -97,7 +105,8 @@ def _run(args) -> int:
     if n_frames is None:
         return 1
     first, last = args.frames or (1, n_frames)
-    if args.save_sequence and len(args.steps) != 1:
+    if (args.save_sequence and args.target_bpp is None
+            and len(args.steps) != 1):
         print("--save-sequence requires exactly one --steps value",
               file=sys.stderr)
         return 2
@@ -106,6 +115,12 @@ def _run(args) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
+    if args.target_bpp is not None:
+        if args.inter or args.batch:
+            print("--target-bpp composes with the frame loop only "
+                  "(drop --inter/--batch)", file=sys.stderr)
+            return 2
+        return _run_target(args, first, last, log, dtype)
     if args.inter:
         if len(args.steps) != 1:
             print("--inter requires exactly one --steps value",
@@ -152,6 +167,79 @@ def _run(args) -> int:
                     pt.encoded.stream.geometry = geom
                 seq_streams.append(pt.encoded.stream)
         print(f"frame {frame} done")
+    log.close()
+    if args.save_sequence:
+        from raht3dgs_tpu.codec.bitstream import write_sequence
+
+        total = write_sequence(args.save_sequence, seq_streams)
+        print(f"sequence: {len(seq_streams)} frames, {total} bytes "
+              f"-> {args.save_sequence}")
+    return 0
+
+
+def _run_target(args, first, last, log, dtype) -> int:
+    """Constant-rate sequence encoding: search each frame's quantization
+    step for the --target-bpp budget (device-side RLGR rate model +
+    true-encode refinement), log one CSV row per frame, optionally write
+    the .r3ts. Beyond-reference: the reference has no rate control."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raht3dgs_tpu.io.datasets import get_pointcloud
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.models.pipeline import AttributeCodec, prepare_voxel_frame
+    from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+
+    codec_cache = {}
+    seq_streams = []
+    for frame_idx in range(first, last + 1):
+        out = get_pointcloud(args.dataset, args.sequence, frame_idx,
+                             args.data_root)
+        if out is None:
+            print(f"frame {frame_idx}: load failed, skipping",
+                  file=sys.stderr)
+            continue
+        V, C, depth = out
+        codec = codec_cache.setdefault(
+            depth, AttributeCodec(depth, dtype=dtype,
+                                  chunk=args.entropy_chunk,
+                                  **quant_kwargs(args))
+        )
+        t0 = _time.perf_counter()
+        yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C)), dtype=dtype))
+        fr = prepare_voxel_frame(
+            np.floor(np.asarray(V)).astype(np.int64), yuv, depth,
+            bucket=args.bucket, dtype=dtype,
+        )
+        res = search_step_for_bpp(fr, args.target_bpp, codec=codec)
+        search_s = _time.perf_counter() - t0
+        rec, _ = codec.decode(res.encoded.stream, fr.codes, fr.weights)
+        psnr = y_psnr_db(
+            np.asarray(fr.attributes)[: fr.n_voxels, 0], rec[:, 0]
+        )
+        print(
+            f"frame {frame_idx}: target {args.target_bpp:.3f} bpp -> "
+            f"step {res.step:.4f}, actual {res.bpp:.4f} bpp, Y-PSNR "
+            f"{psnr:.2f} dB ({res.probes} device probes, {search_s:.2f}s)"
+        )
+        log.row(RDPoint(
+            frame=frame_idx, step=float(res.step), bpp=res.bpp, psnr=psnr,
+            n_voxels=fr.n_voxels,
+            stream_bytes=res.encoded.stream.payload_bytes,
+            times={"Quant_time": search_s},
+        ).csv_row())
+        if args.save_sequence:
+            s = res.encoded.stream
+            if args.code_geometry:
+                from raht3dgs_tpu.codec.geometry import (
+                    geometry_from_positions,
+                )
+
+                s.geometry = geometry_from_positions(V, depth)
+            seq_streams.append(s)
     log.close()
     if args.save_sequence:
         from raht3dgs_tpu.codec.bitstream import write_sequence

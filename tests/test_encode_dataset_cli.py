@@ -160,3 +160,40 @@ def test_geometry_sequence_all_paths(dataset_tree, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     for i in range(3):
         assert (tmp_path / f"rec_{i}.ply").exists()
+
+
+def test_target_bpp_sequence(dataset_tree, tmp_path):
+    """--target-bpp: constant-rate sequence encoding — every real frame
+    lands at or under budget (within the search's refinement tolerance),
+    rows carry the searched step, and the .r3ts decodes."""
+    from raht3dgs_tpu.cli.encode_dataset import main
+
+    out = tmp_path / "runtime_t.csv"
+    seq = tmp_path / "seq_t.r3ts"
+    rc = main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(dataset_tree), "--frames", "1", "4",
+        "--target-bpp", "6.0", "--code-geometry",
+        "--save-sequence", str(seq),
+        "--platform", "cpu", "--csv", str(out),
+    ])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3  # 3 real frames (1002 missing)
+    for r in rows:
+        assert float(r["Rate_bpp"]) <= 6.0 * 1.05
+        assert float(r["Quantization_Step"]) > 0
+        assert float(r["psnr"]) > 20.0
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+    reader = SequenceReader(str(seq))
+    assert len(reader) == 3
+    assert all(reader.frame(i).geometry is not None for i in range(3))
+    # flags must compose: --target-bpp --inter is refused, not ignored
+    assert main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(dataset_tree), "--target-bpp", "2.0",
+        "--inter", "--platform", "cpu",
+        "--csv", str(tmp_path / "x.csv"),
+    ]) == 2
