@@ -60,8 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="instead of a step sweep, search each frame's quantization "
         "step for this rate budget (device-side rate model + refinement, "
         "models/rd_search.py — constant-rate sequence encoding); "
-        "composes with --save-sequence/--code-geometry, not with "
-        "--inter/--batch",
+        "composes with --save-sequence/--code-geometry and with --inter "
+        "(each I/P candidate searches its own step; finer step wins at "
+        "equal rate), not with --batch",
     )
     p.add_argument(
         "--inter", action="store_true",
@@ -116,10 +117,12 @@ def _run(args) -> int:
     codec_cache = {}
 
     if args.target_bpp is not None:
-        if args.inter or args.batch:
-            print("--target-bpp composes with the frame loop only "
-                  "(drop --inter/--batch)", file=sys.stderr)
+        if args.batch:
+            print("--target-bpp composes with the frame loop or --inter "
+                  "(drop --batch)", file=sys.stderr)
             return 2
+        if args.inter:
+            return _run_inter(args, first, last, log, dtype)
         return _run_target(args, first, last, log, dtype)
     if args.inter:
         if len(args.steps) != 1:
@@ -266,7 +269,7 @@ def _run_inter(args, first, last, log, dtype) -> int:
 
     import jax.numpy as jnp
 
-    step = args.steps[0]
+    step = args.steps[0] if args.target_bpp is None else None
     codecs = {}
     seq_streams = []
     geom_prev = (None, None)  # (codes, depth) of the last saved frame
@@ -301,20 +304,26 @@ def _run_inter(args, first, last, log, dtype) -> int:
             bucket=args.bucket, dtype=dtype,
         )
         timer = StageTimer()
-        stream, rec = sc.encode_frame(frame, step, timer=timer)
+        if args.target_bpp is not None:
+            stream, rec, used_step = sc.encode_frame_target(
+                frame, args.target_bpp, timer=timer
+            )
+        else:
+            stream, rec = sc.encode_frame(frame, step, timer=timer)
+            used_step = step
         n_inter += bool(stream.inter)
         n_done += 1
         psnr = y_psnr_db(
             np.asarray(frame.attributes)[: frame.n_voxels, 0], rec[:, 0]
         )
         pt = RDPoint(
-            frame=frame_idx, step=float(step),
+            frame=frame_idx, step=float(used_step),
             bpp=stream.bpp(), psnr=psnr, n_voxels=frame.n_voxels,
             stream_bytes=stream.payload_bytes, times=timer.stages,
         )
         log.row(pt.csv_row())
         kind = "P" if stream.inter else "I"
-        print(f"frame {frame_idx} [{kind}] step {step:g}: "
+        print(f"frame {frame_idx} [{kind}] step {used_step:g}: "
               f"{pt.bpp:.4f} bpp, Y-PSNR {psnr:.2f} dB "
               f"({frame.n_voxels} voxels)")
         if args.save_sequence:

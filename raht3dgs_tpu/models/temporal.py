@@ -331,6 +331,74 @@ class SequenceCodec:
         self._index += 1
         return stream, rec
 
+    def encode_frame_target(
+        self, frame: VoxelFrame, target_bpp: float,
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[FrameStream, np.ndarray, float]:
+        """Rate-targeted incremental encode: (stream, reconstruction,
+        achieved step).
+
+        Each candidate (intra; inter when the GOP allows it) searches its
+        OWN quantization step for the budget (models/rd_search.py; the
+        inter candidate's budget is reduced by its signalled motion
+        bytes). At equal rate the adaptive choice is the candidate with
+        the FINER step: the transform is orthonormal and the residual
+        rides the same transform, so uniform-quantizer distortion is
+        ~step^2/12 in either domain — smaller step = lower distortion.
+        Decoders need nothing new: the chosen step is recorded in the
+        stream like any other."""
+        import time as _time
+
+        from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+
+        timer = timer if timer is not None else StageTimer()
+        force_intra = self._prev is None or (self._index % self.gop == 0)
+        enc_intra = step_intra = None
+        if force_intra or self.adaptive:
+            t0 = _time.perf_counter()
+            r = search_step_for_bpp(frame, target_bpp, codec=self.codec)
+            timer.add("Quant_time", _time.perf_counter() - t0)
+            enc_intra, step_intra = r.encoded, r.step
+        chosen, step, pred = enc_intra, step_intra, None
+        if not force_intra:
+            t0 = _time.perf_counter()
+            if self.signal_motion:
+                p, motion_bytes = self._search(frame, self._prev)
+            else:
+                p = self._predict(frame, self._prev, probes=self.probes)
+                motion_bytes = None
+            n = max(frame.n_voxels, 1)
+            budget = target_bpp - (
+                len(motion_bytes) * 8.0 / n if motion_bytes else 0.0
+            )
+            r2 = None
+            if budget > 0:
+                r2 = search_step_for_bpp(
+                    _residual_frame(frame, p), budget, codec=self.codec
+                )
+            timer.add("Predict_time", _time.perf_counter() - t0)
+            if r2 is not None:
+                enc_inter = r2.encoded
+                enc_inter.stream.inter = True
+                enc_inter.stream.probes = self.probes
+                enc_inter.stream.motion = motion_bytes
+                if enc_intra is None or r2.step < step_intra:
+                    chosen, step, pred = enc_inter, r2.step, p
+        if chosen is None:  # adaptive off AND the motion ate the budget
+            r = search_step_for_bpp(frame, target_bpp, codec=self.codec)
+            chosen, step = r.encoded, r.step
+        stream = chosen.stream
+        if not stream.inter:
+            pred = None
+        rec, _ = self.codec.decode(
+            stream, frame.codes, frame.weights, timer=timer
+        )
+        if pred is not None:
+            rec = rec + np.asarray(pred)[: frame.n_voxels]
+        self._prev = (frame, self._padded_recon(frame, rec))
+        self._index += 1
+        return stream, rec, float(step)
+
     def encode_sequence(
         self,
         frames: Sequence[VoxelFrame],

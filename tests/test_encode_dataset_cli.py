@@ -190,10 +190,51 @@ def test_target_bpp_sequence(dataset_tree, tmp_path):
     reader = SequenceReader(str(seq))
     assert len(reader) == 3
     assert all(reader.frame(i).geometry is not None for i in range(3))
-    # flags must compose: --target-bpp --inter is refused, not ignored
+    # --batch cannot compose (refused, not ignored)
     assert main([
         "--dataset", "8iVFBv2", "--sequence", "loot",
         "--data-root", str(dataset_tree), "--target-bpp", "2.0",
-        "--inter", "--platform", "cpu",
+        "--batch", "2", "--platform", "cpu",
         "--csv", str(tmp_path / "x.csv"),
     ]) == 2
+
+
+def test_target_bpp_inter_sequence(dataset_tree, tmp_path):
+    """--target-bpp --inter: rate-controlled temporal coding — each I/P
+    candidate searches its own step; every frame lands at or under
+    budget and at least one P-frame appears on the drifting fixture."""
+    import numpy as np
+
+    from raht3dgs_tpu.cli.encode_dataset import main
+
+    out = tmp_path / "runtime_ti.csv"
+    seq = tmp_path / "seq_ti.r3ts"
+    rc = main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(dataset_tree), "--frames", "1", "4",
+        "--target-bpp", "5.0", "--inter", "--code-geometry",
+        "--save-sequence", str(seq),
+        "--platform", "cpu", "--csv", str(out),
+    ])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    for r in rows:
+        assert float(r["Rate_bpp"]) <= 5.0 * 1.05
+        assert float(r["psnr"]) > 15.0
+    # the searched steps may differ per frame (that IS rate control)
+    from raht3dgs_tpu.codec.bitstream import SequenceReader
+
+    reader = SequenceReader(str(seq))
+    streams = [reader.frame(i) for i in range(len(reader))]
+    assert any(s.inter for s in streams[1:]), "no P-frame chosen"
+    assert not streams[0].inter
+    # the rate-controlled inter stream decodes through the ordinary CLI
+    from raht3dgs_tpu.cli.decode import main as dec_main
+
+    assert dec_main([
+        "--stream", str(seq), "--all-frames",
+        "--output", str(tmp_path / "ti_{i}.ply"),
+        "--color-space", "yuv", "--platform", "cpu",
+    ]) == 0
