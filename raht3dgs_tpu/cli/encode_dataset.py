@@ -65,6 +65,21 @@ def build_parser() -> argparse.ArgumentParser:
         "equal rate), not with --batch",
     )
     p.add_argument(
+        "--cbr", action="store_true",
+        help="with --target-bpp: sequence-global leaky-bucket allocation — "
+        "carry each frame's unspent budget forward as credit (capped at "
+        "--cbr-burst), recovering the per-frame search's systematic "
+        "underspend while keeping the one-sided streaming guarantee "
+        "(cumulative spend <= n*target at every prefix; "
+        "models/rate_control.py)",
+    )
+    p.add_argument(
+        "--cbr-burst", type=float, default=None,
+        help="with --cbr: bucket depth in bpp — the maximum credit carried "
+        "across frames = the decoder buffer a fixed-rate channel needs "
+        "(default: one frame's budget)",
+    )
+    p.add_argument(
         "--inter", action="store_true",
         help="temporal I/P coding: predict each frame from the previous "
         "reconstruction and code the residual (closed loop, adaptive "
@@ -116,6 +131,10 @@ def _run(args) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
+    if (args.cbr or args.cbr_burst is not None) and args.target_bpp is None:
+        print("--cbr is a rate-control mode; it requires --target-bpp",
+              file=sys.stderr)
+        return 2
     if args.target_bpp is not None:
         if args.batch:
             print("--target-bpp composes with the frame loop or --inter "
@@ -180,6 +199,16 @@ def _run(args) -> int:
     return 0
 
 
+def _make_controller(args):
+    """The sequence-global allocator for --cbr, else None (independent
+    per-frame budgets)."""
+    if not (args.cbr or args.cbr_burst is not None):
+        return None
+    from raht3dgs_tpu.models.rate_control import RateController
+
+    return RateController(args.target_bpp, burst=args.cbr_burst)
+
+
 def _run_target(args, first, last, log, dtype) -> int:
     """Constant-rate sequence encoding: search each frame's quantization
     step for the --target-bpp budget (device-side RLGR rate model +
@@ -198,6 +227,7 @@ def _run_target(args, first, last, log, dtype) -> int:
 
     codec_cache = {}
     seq_streams = []
+    rc = _make_controller(args)
     for frame_idx in range(first, last + 1):
         out = get_pointcloud(args.dataset, args.sequence, frame_idx,
                              args.data_root)
@@ -217,15 +247,20 @@ def _run_target(args, first, last, log, dtype) -> int:
             np.floor(np.asarray(V)).astype(np.int64), yuv, depth,
             bucket=args.bucket, dtype=dtype,
         )
-        res = search_step_for_bpp(fr, args.target_bpp, codec=codec)
+        budget = rc.frame_budget() if rc is not None else args.target_bpp
+        res = search_step_for_bpp(fr, budget, codec=codec)
+        if rc is not None:
+            rc.update(res.bpp)
         search_s = _time.perf_counter() - t0
         rec, _ = codec.decode(res.encoded.stream, fr.codes, fr.weights)
         psnr = y_psnr_db(
             np.asarray(fr.attributes)[: fr.n_voxels, 0], rec[:, 0]
         )
+        cbr = (f", cum {rc.mean_bpp:.4f}, credit {rc.credit:.4f}"
+               if rc is not None else "")
         print(
-            f"frame {frame_idx}: target {args.target_bpp:.3f} bpp -> "
-            f"step {res.step:.4f}, actual {res.bpp:.4f} bpp, Y-PSNR "
+            f"frame {frame_idx}: budget {budget:.3f} bpp -> "
+            f"step {res.step:.4f}, actual {res.bpp:.4f} bpp{cbr}, Y-PSNR "
             f"{psnr:.2f} dB ({res.probes} device probes, {search_s:.2f}s)"
         )
         log.row(RDPoint(
@@ -270,6 +305,7 @@ def _run_inter(args, first, last, log, dtype) -> int:
     import jax.numpy as jnp
 
     step = args.steps[0] if args.target_bpp is None else None
+    rc = _make_controller(args) if args.target_bpp is not None else None
     codecs = {}
     seq_streams = []
     geom_prev = (None, None)  # (codes, depth) of the last saved frame
@@ -305,9 +341,13 @@ def _run_inter(args, first, last, log, dtype) -> int:
         )
         timer = StageTimer()
         if args.target_bpp is not None:
+            budget = (rc.frame_budget() if rc is not None
+                      else args.target_bpp)
             stream, rec, used_step = sc.encode_frame_target(
-                frame, args.target_bpp, timer=timer
+                frame, budget, timer=timer
             )
+            if rc is not None:
+                rc.update(stream.bpp())
         else:
             stream, rec = sc.encode_frame(frame, step, timer=timer)
             used_step = step
@@ -323,8 +363,10 @@ def _run_inter(args, first, last, log, dtype) -> int:
         )
         log.row(pt.csv_row())
         kind = "P" if stream.inter else "I"
+        cbr = (f", cum {rc.mean_bpp:.4f}, credit {rc.credit:.4f}"
+               if rc is not None else "")
         print(f"frame {frame_idx} [{kind}] step {used_step:g}: "
-              f"{pt.bpp:.4f} bpp, Y-PSNR {psnr:.2f} dB "
+              f"{pt.bpp:.4f} bpp{cbr}, Y-PSNR {psnr:.2f} dB "
               f"({frame.n_voxels} voxels)")
         if args.save_sequence:
             if args.code_geometry:

@@ -86,7 +86,7 @@ def _msb(x: jnp.ndarray, bits: int) -> jnp.ndarray:
     return jnp.where(hi > 0, 32 + msb32(hi), msb32(lo)).astype(jnp.int32)
 
 
-def _nearest_ge(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
+def _nearest_ge_flat(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
     """prev_ge[i] (previous j with B[j] >= B[i], else -1) and next_ge[i]
     (next k with B[k] >= B[i], else N), batched over the value alphabet.
 
@@ -148,6 +148,160 @@ def _nearest_ge(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
     w_prev = jnp.sum(onef * lastW_excl, axis=0)
     w_next = jnp.sum(onef * nextW_excl, axis=0)
     return prev_ge, next_ge, w_prev, w_next
+
+
+def _nge_stage(Bc, orig, lo: int, hi: int, n_slots: int,
+               Wc=None, w_total=None):
+    """Nearest->= scans for threshold rows ``[lo, hi)`` over one compact
+    subsequence.
+
+    ``Bc (M,)`` are the B values of the subsequence, ``orig (M,)`` their
+    ORIGINAL positions (strictly ascending for real rows; padding rows
+    carry ``Bc == -1`` / ``orig == n_slots`` and never win a scan). The
+    cummax/cummin propagate ``orig`` directly, so outputs are global
+    positions — for the full array (``orig == arange``) this is exactly
+    the flat kernel restricted to rows [lo, hi). Returns per-element
+    (prev_ge, next_ge[, w_prev, w_next]) — valid only where
+    ``lo <= Bc < hi`` (other rows contract to 0 and must be masked).
+    """
+    vals = jnp.arange(lo, hi, dtype=Bc.dtype)
+    ge = Bc[None, :] >= vals[:, None]                     # (V, M)
+    nrows = hi - lo
+    last = lax.cummax(jnp.where(ge, orig, -1), axis=1)
+    nxt = lax.cummin(
+        jnp.where(ge, orig, n_slots), axis=1, reverse=True
+    )
+    onehot = (Bc[None, :] == vals[:, None]).astype(jnp.int32)
+    last_excl = jnp.concatenate(
+        [jnp.full((nrows, 1), -1, jnp.int32), last[:, :-1]], axis=1
+    )
+    next_excl = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((nrows, 1), n_slots, jnp.int32)], axis=1
+    )
+    prev_ge = jnp.sum(onehot * last_excl, axis=0, dtype=jnp.int32)
+    next_ge = jnp.sum(onehot * next_excl, axis=0, dtype=jnp.int32)
+    if Wc is None:
+        return prev_ge, next_ge
+    lastW = lax.cummax(
+        jnp.where(ge, Wc[None, :], jnp.zeros((), Wc.dtype)), axis=1
+    )
+    nxtW = lax.cummin(jnp.where(ge, Wc[None, :], w_total), axis=1,
+                      reverse=True)
+    lastW_excl = jnp.concatenate(
+        [jnp.zeros((nrows, 1), Wc.dtype), lastW[:, :-1]], axis=1
+    )
+    nextW_excl = jnp.concatenate(
+        [nxtW[:, 1:], jnp.full((nrows, 1), 1.0, Wc.dtype) * w_total],
+        axis=1,
+    )
+    onef = onehot.astype(Wc.dtype)
+    w_prev = jnp.sum(onef * lastW_excl, axis=0)
+    w_next = jnp.sum(onef * nextW_excl, axis=0)
+    return prev_ge, next_ge, w_prev, w_next
+
+
+def _nge_tier_plan(N: int, n_vals: int):
+    """Static tier plan [(lo, hi, M), ...] for :func:`_nearest_ge_tiered`,
+    or None when tiering cannot help (small N or alphabet).
+
+    The bound making this exact: codes are sorted and unique, so positions
+    with ``B[i] >= v`` (adjacent pairs differing at bit >= v) number at
+    most ``#distinct(codes >> v) <= 2^(levels - v)``, plus the row-0
+    sentinel. High-threshold rows therefore scan a provably small compact
+    subsequence instead of all N.
+    """
+    levels = n_vals - 2
+    if N < 8192:
+        return None
+    # first boundary: the smallest threshold whose candidate-set bound is
+    # <= N/8 (an 8x first cut; below t1 the bound exceeds N/8 and full-N
+    # rows are unavoidable)
+    t1 = levels - (max(N // 8, 1)).bit_length() + 1
+    if t1 < 2 or t1 >= n_vals - 1:
+        return None
+    plan = [(0, t1, N)]
+    lo = t1
+    while lo < n_vals:
+        bound = (1 << max(levels - lo, 0)) + 1          # +1: sentinel row
+        M = min(N, -(-bound // 256) * 256)              # lane-align
+        if M <= 2048 or lo + 3 >= n_vals:
+            plan.append((lo, n_vals, M))
+            break
+        plan.append((lo, lo + 3, M))
+        lo += 3
+    return plan
+
+
+def _nearest_ge_tiered(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
+    """Tiered :func:`_nearest_ge_flat`: identical outputs (bitwise — all
+    scans are selection ops picking the same elements), but high-threshold
+    rows run over compacted candidate subsequences whose sizes are bounded
+    by the sorted-unique-code structure (see :func:`_nge_tier_plan`),
+    cutting the (V, N) scan volume from ``(3J+2)*N`` to roughly
+    ``(levels - log2 N + 3)*N`` plus a geometric tail.
+    """
+    N = B.shape[0]
+    plan = _nge_tier_plan(N, n_vals)
+    if plan is None:
+        return _nearest_ge_flat(B, n_vals, W)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    Wrow = None if W is None else W[:N]
+    w_total = None if W is None else W[N]
+
+    # stage 0 over the full array writes the outputs directly (elements
+    # with B >= t1 contract to 0 there and are overwritten by their own
+    # tier's scatter below — every element belongs to exactly one tier)
+    lo0, hi0, _ = plan[0]
+    out = _nge_stage(B, idx, lo0, hi0, N, Wrow, w_total)
+    prev_ge, next_ge = out[0], out[1]
+    if W is not None:
+        w_prev, w_next = out[2], out[3]
+
+    Bc, orig, Wc, Mc = B, idx, Wrow, N
+    for lo, hi, M in plan[1:]:
+        # compact the candidates for thresholds >= lo; padding rows get
+        # B=-1 (never >= lo), orig=N (the dummy scatter slot)
+        mask = Bc >= lo
+        sel = jnp.nonzero(mask, size=M, fill_value=Mc)[0]
+        Bp = jnp.concatenate([Bc, jnp.full((1,), -1, Bc.dtype)])
+        op = jnp.concatenate([orig, jnp.full((1,), N, jnp.int32)])
+        Bc, orig, Mc = Bp[sel], op[sel], M
+        if W is not None:
+            Wp = jnp.concatenate([Wc, jnp.zeros((1,), Wc.dtype)])
+            Wc = Wp[sel]
+        out = _nge_stage(Bc, orig, lo, hi, N, Wc, w_total)
+        in_range = (Bc >= lo) & (Bc < jnp.asarray(hi, Bc.dtype))
+        tgt = jnp.where(in_range, orig, N)              # N = dummy slot
+        pair = jnp.stack([out[0], out[1]], axis=1)
+        ipad = jnp.concatenate(
+            [jnp.stack([prev_ge, next_ge], axis=1),
+             jnp.zeros((1, 2), jnp.int32)]
+        ).at[tgt].set(pair)
+        prev_ge, next_ge = ipad[:N, 0], ipad[:N, 1]
+        if W is not None:
+            wpair = jnp.stack([out[2], out[3]], axis=1)
+            wpad = jnp.concatenate(
+                [jnp.stack([w_prev, w_next], axis=1),
+                 jnp.zeros((1, 2), w_prev.dtype)]
+            ).at[tgt].set(wpair)
+            w_prev, w_next = wpad[:N, 0], wpad[:N, 1]
+    if W is None:
+        return prev_ge, next_ge
+    return prev_ge, next_ge, w_prev, w_next
+
+
+# flat|tiered — read ONCE at import (jitted programs cache per mode); the
+# two produce bitwise-identical outputs (test_raht_span.py pins it), so
+# this is purely a performance A/B.
+import os as _os  # noqa: E402  (also imported below for _SUM_MODE)
+
+_NGE_MODE = _os.environ.get("RAHT3DGS_NEARESTGE", "flat")
+
+
+def _nearest_ge(B: jnp.ndarray, n_vals: int, W: jnp.ndarray = None):
+    if _NGE_MODE == "tiered":
+        return _nearest_ge_tiered(B, n_vals, W)
+    return _nearest_ge_flat(B, n_vals, W)
 
 
 def _span_topology(codes, depth: int, W=None):

@@ -238,3 +238,49 @@ def test_target_bpp_inter_sequence(dataset_tree, tmp_path):
         "--output", str(tmp_path / "ti_{i}.ply"),
         "--color-space", "yuv", "--platform", "cpu",
     ]) == 0
+
+
+def test_target_bpp_cbr(dataset_tree, tmp_path):
+    """--cbr: leaky-bucket credit carry — prefix means stay at or under
+    target (the streaming guarantee) while the sequence spends at least
+    as much of the budget as independent per-frame searches."""
+    import numpy as np
+
+    from raht3dgs_tpu.cli.encode_dataset import main
+
+    rates = {}
+    for mode, extra in (("indep", []), ("cbr", ["--cbr"])):
+        out = tmp_path / f"runtime_{mode}.csv"
+        rc = main([
+            "--dataset", "8iVFBv2", "--sequence", "loot",
+            "--data-root", str(dataset_tree), "--frames", "1", "4",
+            "--target-bpp", "4.0", *extra,
+            "--platform", "cpu", "--csv", str(out),
+        ])
+        assert rc == 0
+        with open(out) as f:
+            rates[mode] = [float(r["Rate_bpp"])
+                           for r in csv.DictReader(f)]
+        assert len(rates[mode]) == 3
+    for k in range(3):  # every prefix mean at or under target
+        assert np.mean(rates["cbr"][: k + 1]) <= 4.0 * 1.001
+    assert np.mean(rates["cbr"]) >= np.mean(rates["indep"]) - 1e-9
+    # the CBR inter path accepts the flag too
+    rc = main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(dataset_tree), "--frames", "1", "4",
+        "--target-bpp", "4.0", "--cbr", "--inter",
+        "--platform", "cpu", "--csv", str(tmp_path / "ci.csv"),
+    ])
+    assert rc == 0
+    with open(tmp_path / "ci.csv") as f:
+        ci = [float(r["Rate_bpp"]) for r in csv.DictReader(f)]
+    for k in range(len(ci)):
+        assert np.mean(ci[: k + 1]) <= 4.0 * 1.001
+    # --cbr without --target-bpp is refused, not ignored
+    assert main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(dataset_tree),
+        "--cbr", "--platform", "cpu",
+        "--csv", str(tmp_path / "y.csv"),
+    ]) == 2

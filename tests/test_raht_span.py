@@ -341,3 +341,52 @@ def test_pair_weights_bitwise_identity_fuzz(rng):
         np.testing.assert_array_equal(
             np.asarray(fwd.structure.drop_level), np.asarray(st.drop_level)
         )
+
+
+def test_nearest_ge_tiered_matches_flat(rng):
+    """The tiered nearest->= kernel (RAHT3DGS_NEARESTGE=tiered) is bitwise
+    identical to the flat kernel on real padded code topology in every
+    dtype tier (int32/int64/uint64), positions and W-propagation alike.
+    All its scans are selection ops picking the same elements, so this is
+    exact equality, not tolerance."""
+    from raht3dgs_tpu.ops.morton import code_dtype, pad_code
+    from raht3dgs_tpu.ops.raht import num_levels
+    from raht3dgs_tpu.ops.raht_span import (
+        _msb,
+        _nearest_ge_flat,
+        _nearest_ge_tiered,
+        _nge_tier_plan,
+    )
+
+    N = 8192
+    for depth in (10, 18, 21):
+        _, codes, _ = unique_voxel_cloud(rng, 6000, depth)
+        n = len(codes)
+        pads = np.asarray(
+            pad_code(depth, N, jnp.arange(n, N)).astype(jnp.uint64)
+        )
+        codes_p = np.concatenate([codes.astype(np.uint64), pads])
+        levels = num_levels(depth, N)
+        cj = jnp.asarray(codes_p).astype(code_dtype(depth, N))
+        diff = cj[1:] ^ cj[:-1]
+        B = jnp.concatenate(
+            [
+                jnp.full((1,), levels + 1, jnp.int32),
+                _msb(diff, levels).astype(jnp.int32),
+            ]
+        )
+        n_vals = levels + 2
+        assert _nge_tier_plan(N, n_vals) is not None, f"J={depth}: no plan"
+        for args in ((B, n_vals),):
+            want = _nearest_ge_flat(*args)
+            got = _nearest_ge_tiered(*args)
+            for a, b in zip(want, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        w = rng.integers(1, 5, N).astype(np.float64)
+        W = jnp.asarray(np.concatenate([[0.0], np.cumsum(w)]))
+        wantw = _nearest_ge_flat(B, n_vals, W)
+        gotw = _nearest_ge_tiered(B, n_vals, W)
+        for a, b in zip(wantw, gotw):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # below the tiering threshold the dispatcher falls back to flat
+    assert _nge_tier_plan(4096, 34) is None

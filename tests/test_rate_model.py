@@ -84,3 +84,82 @@ def test_search_with_steps_fn_vector(rng):
     )
     assert res.bpp <= 8.0 * 1.02
     assert res.step > 0
+
+
+# ---- sequence-global allocation (models/rate_control.py) ----------------
+
+
+def test_rate_controller_invariants():
+    """Prefix invariant + burst bound, against a simulated one-sided
+    search that spends a random fraction of each frame's budget."""
+    import numpy as np
+
+    from raht3dgs_tpu.models.rate_control import RateController
+
+    rng = np.random.default_rng(0)
+    for burst in (0.0, 0.5, 2.0, None):
+        rc = RateController(2.0, burst=burst)
+        cap = 2.0 if burst is None else burst
+        spent = []
+        for _ in range(200):
+            budget = rc.frame_budget()
+            assert budget <= 2.0 + cap + 1e-12
+            actual = budget * rng.uniform(0.5, 1.0)
+            rc.update(actual)
+            spent.append(actual)
+            # the streaming guarantee: every prefix mean <= target
+            assert np.mean(spent) <= 2.0 + 1e-12
+            assert 0.0 <= rc.credit <= cap + 1e-12
+        assert rc.mean_bpp <= 2.0 + 1e-12
+        if cap > 0:
+            # carrying credit must spend more than independent budgets
+            # would on this 50-100% spender (which averages 75% of 2.0)
+            assert rc.mean_bpp > 1.5
+
+
+def test_rate_controller_rejects_overspend():
+    import pytest
+
+    from raht3dgs_tpu.models.rate_control import RateController
+
+    rc = RateController(1.0, burst=0.5)
+    rc.update(0.9)
+    with pytest.raises(ValueError):
+        rc.update(rc.frame_budget() + 0.01)
+    with pytest.raises(ValueError):
+        RateController(0.0)
+    with pytest.raises(ValueError):
+        RateController(1.0, burst=-1.0)
+
+
+def test_cbr_tightens_sequence_tracking(rng):
+    """End-to-end: CBR credit carry lands the sequence mean closer to the
+    target than independent per-frame budgets, without any prefix ever
+    exceeding it (tiny 3-frame sequence, real encodes)."""
+    from raht3dgs_tpu.models.rate_control import RateController
+
+    depth = 6
+    frames = []
+    for k in range(3):
+        pts, _, _ = unique_voxel_cloud(rng, 1200 + 40 * k, depth)
+        attrs = (pts * (7 + k) % 256).astype(np.float64)
+        frames.append(
+            prepare_voxel_frame(pts.astype(np.int64), attrs, depth,
+                                bucket=2048)
+        )
+    codec = AttributeCodec(depth)
+    target = 3.0
+
+    indep = [search_step_for_bpp(f, target, codec=codec).bpp
+             for f in frames]
+    assert max(indep) <= target * 1.001
+
+    rc = RateController(target)
+    cbr = []
+    for f in frames:
+        r = search_step_for_bpp(f, rc.frame_budget(), codec=codec)
+        rc.update(r.bpp)
+        cbr.append(r.bpp)
+    for k in range(len(cbr)):
+        assert np.mean(cbr[: k + 1]) <= target * 1.001, (k, cbr)
+    assert np.mean(cbr) >= np.mean(indep) - 1e-9, (cbr, indep)
