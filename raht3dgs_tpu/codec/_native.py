@@ -22,11 +22,14 @@ class NativeLib:
 
     def __init__(self, src: str, lib: str,
                  configure: Callable[[ctypes.CDLL], None],
-                 extra_flags: tuple = ()):
+                 extra_flags: tuple = (), deps: tuple = ()):
         self._src = src
         self._lib_path = lib
         self._configure = configure
         self._extra_flags = tuple(extra_flags)
+        # extra source dependencies (headers): an edit to any of them
+        # must trigger a rebuild just like an edit to the main source
+        self._deps = tuple(deps)
         self._lib: Optional[ctypes.CDLL] = None
         self._tried_build = False
 
@@ -47,9 +50,10 @@ class NativeLib:
     def load(self) -> Optional[ctypes.CDLL]:
         if self._lib is not None:
             return self._lib
-        if not os.path.exists(self._lib_path) or (
-            os.path.exists(self._src)
-            and os.path.getmtime(self._src) > os.path.getmtime(self._lib_path)
+        if not os.path.exists(self._lib_path) or any(
+            os.path.exists(s)
+            and os.path.getmtime(s) > os.path.getmtime(self._lib_path)
+            for s in (self._src, *self._deps)
         ):
             if self._tried_build:
                 return None

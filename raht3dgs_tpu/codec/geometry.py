@@ -109,6 +109,7 @@ _native = NativeLib(
     os.path.join(_NATIVE_DIR, "geom.cpp"),
     os.path.join(_NATIVE_DIR, "libgeom.so"),
     _configure,
+    deps=(os.path.join(_NATIVE_DIR, "range_coder.h"),),
 )
 
 
