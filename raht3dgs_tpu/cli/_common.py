@@ -74,6 +74,15 @@ def add_quant_args(p: argparse.ArgumentParser) -> None:
         "0.5 - f = bin midpoint; slightly less approximates the "
         "Laplacian centroid)",
     )
+    p.add_argument(
+        "--entropy", choices=("rlgr", "rac", "auto"), default="rlgr",
+        help="attribute entropy coder: 'rlgr' = the reference coder "
+        "(byte-parity default); 'rac' = adaptive binary range coding "
+        "(-7..-13%% rate at IDENTICAL reconstructions, docs/"
+        "rd_attr_entropy.md); 'auto' = per-channel min of both (never "
+        "worse than rlgr). Recorded per channel in the stream — decode "
+        "auto-detects",
+    )
 
 
 def quant_kwargs(args) -> dict:
@@ -82,6 +91,7 @@ def quant_kwargs(args) -> dict:
         "quant_mode": args.quant_mode,
         "quant_f": args.quant_f,
         "rec_delta": args.rec_delta,
+        "entropy": getattr(args, "entropy", "rlgr"),
     }
 
 

@@ -30,6 +30,14 @@ deadzone fields and the motion section — the bitstream is then fully
 self-contained and the decoder needs no out-of-band positions. Writers
 emit 4 only when geometry is attached, so attribute-only streams stay
 byte-identical to older writers.
+
+Version-5 streams insert ``u8 flags2`` (+ conditional fields) directly
+after ``flags``. flags2 bit0: a ``ceil(n_channels/8)``-byte per-channel
+ENTROPY MAP follows — bit c set means channel c's payload is a RAC
+stream (``codec/rac.py``, the -7..-13% adaptive-binary profile) instead
+of RLGR. Emitted only when some channel uses RAC; under v5 the geometry
+section is always present (0 = none) and inter frames always carry the
+motion section.
 """
 
 from __future__ import annotations
@@ -57,7 +65,18 @@ VERSION_MOTION = 3
 # codec/geometry.py format) between the deadzone fields and the motion
 # section. Emitted only when geometry is attached.
 VERSION_GEOM = 4
-_READ_VERSIONS = (1, 2, 3, 4)
+# v5 = v4 layout + a second flag byte immediately after `flags` (the
+# first byte is full). flags2 bit0: a per-channel ENTROPY MAP — a
+# ceil(n_channels/8)-byte little-endian bitmask directly after flags2;
+# bit c set means channel c's payload is a RAC stream (codec/rac.py)
+# instead of RLGR. Unknown flags2 bits are a hard parse error (a future
+# writer's stream must fail loudly, not decode garbage). Writers emit 5
+# only when some channel actually uses RAC, so RLGR-only streams stay
+# byte-identical to older writers; under v5 the geometry section is
+# always present (length 0 = none) and the motion section is always
+# present on inter frames, mirroring the v4 rules.
+VERSION_ENTROPY = 5
+_READ_VERSIONS = (1, 2, 3, 4, 5)
 FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
 _ORDER_SHIFT = 1
@@ -105,6 +124,9 @@ class FrameStream:
     dtype32: bool = False          # transform ran in float32 (else f64)
     motion: bytes = None           # signalled motion field (v3 inter)
     geometry: bytes = None         # lossless geometry section (v4)
+    # per-channel entropy coder: None = all RLGR (pre-v5 byte layout);
+    # else a length-n_channels tuple of bools, True = RAC (v5)
+    entropy_map: tuple = None
 
     @property
     def n_channels(self) -> int:
@@ -159,7 +181,17 @@ class FrameStream:
             flags |= _PROBE_SETS.index(self.probes) << _PROBE_SHIFT
         if self.dtype32:
             flags |= FLAG_DTYPE32
-        if self.geometry is not None:
+        emap = None
+        if self.entropy_map is not None and any(self.entropy_map):
+            emap = tuple(bool(b) for b in self.entropy_map)
+            if len(emap) != self.n_channels:
+                raise ValueError(
+                    f"entropy_map has {len(emap)} entries for "
+                    f"{self.n_channels} channels"
+                )
+        if emap is not None:
+            version = VERSION_ENTROPY
+        elif self.geometry is not None:
             version = VERSION_GEOM
         elif self.inter and self.motion is not None:
             version = VERSION_MOTION
@@ -175,6 +207,13 @@ class FrameStream:
             self.n_voxels,
             steps.shape[0],
         )
+        if version >= VERSION_ENTROPY:
+            head += struct.pack("<B", 1)  # flags2: bit0 = entropy map
+            bits = bytearray((self.n_channels + 7) // 8)
+            for c, is_rac in enumerate(emap):
+                if is_rac:
+                    bits[c // 8] |= 1 << (c % 8)
+            head += bytes(bits)
         head += steps.tobytes()
         vmin = np.asarray(self.vmin, dtype=np.float64)
         if vmin.shape != (3,):
@@ -186,17 +225,19 @@ class FrameStream:
         if self.quant_mode == "deadzone":
             head += struct.pack("<dd", float(self.quant_f),
                                 float(self.rec_delta))
-        if self.geometry is not None:
-            head += struct.pack("<I", len(self.geometry))
-            head += self.geometry
+        # v5 always carries the geometry length field (0 = none) so the
+        # reader's version>=4 section walk stays uniform
+        if self.geometry is not None or version >= VERSION_ENTROPY:
+            head += struct.pack("<I", len(self.geometry or b""))
+            head += self.geometry or b""
         # v3 emits a motion section only when motion exists (version
-        # selection guarantees it); v4 streams may be inter WITHOUT
+        # selection guarantees it); v4/v5 streams may be inter WITHOUT
         # signalled motion (derived-motion v2 semantics + geometry), so
-        # under v4 the section is always present on inter frames and a
+        # from v4 on the section is always present on inter frames and a
         # zero length means "derived" — otherwise the reader would consume
         # the channel-length table as motion bytes
         if self.inter and (self.motion is not None
-                           or version == VERSION_GEOM):
+                           or version >= VERSION_GEOM):
             head += struct.pack("<I", len(self.motion or b""))
             head += self.motion or b""
         head += struct.pack(f"<{self.n_channels}I", *[len(c) for c in self.channels])
@@ -224,6 +265,27 @@ class FrameStream:
                 f"corrupt stream: {n_steps} steps for {n_ch} channels "
                 "(must be 1 or one per channel)"
             )
+        entropy_map = None
+        if version >= VERSION_ENTROPY:
+            if len(data) < off + 1:
+                raise ValueError("truncated stream: flags2 byte cut off")
+            flags2 = data[off]
+            off += 1
+            if flags2 & ~0x1:
+                raise ValueError(
+                    f"corrupt stream: unknown flags2 bits 0x{flags2:02x}"
+                )
+            if flags2 & 0x1:
+                nb = (n_ch + 7) // 8
+                if len(data) < off + nb:
+                    raise ValueError(
+                        "truncated stream: entropy map cut off"
+                    )
+                entropy_map = tuple(
+                    bool(data[off + c // 8] >> (c % 8) & 1)
+                    for c in range(n_ch)
+                )
+                off += nb
         fixed = (8 * n_steps + 24 + 8 + (4 if flags & FLAG_CHUNKED else 0)
                  + (16 if flags & FLAG_DEADZONE else 0))
         if len(data) < off + fixed:
@@ -250,7 +312,8 @@ class FrameStream:
             off += 4
             if len(data) < off + glen:
                 raise ValueError("truncated stream: geometry section cut off")
-            geometry = data[off : off + glen]
+            # v5 writers always emit the field; 0 means "no geometry"
+            geometry = data[off : off + glen] if glen else None
             off += glen
         motion = None
         if version >= 3 and flags & FLAG_INTER:
@@ -295,6 +358,7 @@ class FrameStream:
             dtype32=bool(flags & FLAG_DTYPE32),
             motion=motion,
             geometry=geometry,
+            entropy_map=entropy_map,
         )
 
 

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from raht3dgs_tpu.codec.bitstream import FrameStream
-from raht3dgs_tpu.codec.rlgr import rlgr_decode_channels
 from raht3dgs_tpu.models.pipeline import VoxelFrame, prepare_voxel_frame
 from raht3dgs_tpu.parallel.sharding import (
     batched_decode_step,
@@ -58,6 +57,7 @@ class BatchAttributeCodec:
         quant_mode: str = "mid",
         quant_f: float = 0.3,
         rec_delta: float = 0.12,
+        entropy: str = "rlgr",
     ):
         self.depth = depth
         self.dtype = dtype
@@ -70,6 +70,10 @@ class BatchAttributeCodec:
         self.quant_mode = quant_mode
         self.quant_f = float(quant_f)
         self.rec_delta = float(rec_delta)
+        # entropy coder selection mirrors AttributeCodec (pipeline.py)
+        if entropy not in ("rlgr", "rac", "auto"):
+            raise ValueError(f"unknown entropy coder {entropy!r}")
+        self.entropy = entropy
 
     def _stack(self, frames: Sequence[VoxelFrame]):
         codes = jnp.stack([f.codes for f in frames])
@@ -134,6 +138,7 @@ class BatchAttributeCodec:
                 quant_mode=self.quant_mode, quant_f=self.quant_f,
                 rec_delta=self.rec_delta,
                 dtype32=jnp.dtype(self.dtype) == jnp.dtype("float32"),
+                entropy=self.entropy,
             )
             enc_ns += ns
             streams.append(stream)
@@ -273,12 +278,12 @@ class BatchAttributeCodec:
         B = len(frames)
         N = frames[0].codes.shape[0]
         D = streams[0].n_channels
+        from raht3dgs_tpu.models.pipeline import decode_entropy_channels
+
         qfull = np.zeros((B, D, N), dtype=np.int32)
         dec_ns = 0
         for i, (s, f) in enumerate(zip(streams, frames)):
-            _, ns = rlgr_decode_channels(
-                s.channels, s.n_voxels, out=qfull[i], chunk=s.chunk
-            )
+            _, ns = decode_entropy_channels(s, s.n_voxels, qfull[i])
             dec_ns += ns
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 

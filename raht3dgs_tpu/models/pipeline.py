@@ -371,7 +371,7 @@ def _narrow_fetch(q_T) -> np.ndarray:
 def build_entropy_stream(
     q_np: np.ndarray, frame, steps, *, depth: int, order_mode: str,
     chunk: int, quant_mode: str = "mid", quant_f: float = 0.5,
-    rec_delta: float = 0.0, dtype32: bool = False,
+    rec_delta: float = 0.0, dtype32: bool = False, entropy: str = "rlgr",
 ):
     """Host entropy-code one frame's quantized (D, N) channel matrix and
     wrap it as a FrameStream; returns ``(stream, encode_ns)``.
@@ -379,10 +379,16 @@ def build_entropy_stream(
     The SINGLE place the stream format is assembled — AttributeCodec's
     encode/encode_sweep and BatchAttributeCodec's both paths all route
     through it, so a format change cannot diverge between the
-    byte-identity-pinned paths. ``frame`` supplies n_voxels/vmin/width."""
-    channels, enc_ns = rlgr_encode_channels(
-        q_np, signed=True, channel_major=True, chunk=chunk,
-        n=frame.n_voxels,
+    byte-identity-pinned paths. ``frame`` supplies n_voxels/vmin/width.
+
+    ``entropy`` selects the coder per channel: "rlgr" (reference parity,
+    pre-v5 container bytes), "rac" (the adaptive-binary profile,
+    codec/rac.py — measured -7..-13% rate at identical reconstructions),
+    or "auto" (encode both, keep the smaller stream PER CHANNEL — never
+    worse than rlgr by more than 0 bytes; the per-channel choice rides
+    the v5 entropy map)."""
+    channels, emap, enc_ns = encode_entropy_channels(
+        q_np, entropy, chunk=chunk, n=frame.n_voxels,
     )
     stream = FrameStream(
         depth=depth,
@@ -397,8 +403,76 @@ def build_entropy_stream(
         quant_f=quant_f,
         rec_delta=rec_delta,
         dtype32=dtype32,
+        entropy_map=emap,
     )
     return stream, enc_ns
+
+
+def encode_entropy_channels(q_np: np.ndarray, entropy: str, *, chunk: int,
+                            n: int):
+    """Per-channel entropy encode under the selected coder; returns
+    ``(channels, entropy_map_or_None, elapsed_ns)``."""
+    if entropy == "rlgr":
+        channels, enc_ns = rlgr_encode_channels(
+            q_np, signed=True, channel_major=True, chunk=chunk, n=n,
+        )
+        return channels, None, enc_ns
+    from raht3dgs_tpu.codec.rac import rac_encode_channels
+
+    if entropy == "rac":
+        channels, enc_ns = rac_encode_channels(
+            q_np, channel_major=True, chunk=chunk, n=n,
+        )
+        return channels, (True,) * len(channels), enc_ns
+    if entropy != "auto":
+        raise ValueError(f"unknown entropy coder {entropy!r}")
+    rl, ns1 = rlgr_encode_channels(
+        q_np, signed=True, channel_major=True, chunk=chunk, n=n,
+    )
+    ra, ns2 = rac_encode_channels(q_np, channel_major=True, chunk=chunk, n=n)
+    emap = tuple(len(b) < len(a) for a, b in zip(rl, ra))
+    channels = [b if use else a for a, b, use in zip(rl, ra, emap)]
+    return channels, (emap if any(emap) else None), ns1 + ns2
+
+
+def decode_entropy_channels(stream: FrameStream, n: int, out: np.ndarray):
+    """Decode the first ``n`` symbols of every channel payload into the
+    rows of ``out``, dispatching per channel on the stream's entropy map
+    (absent/False = RLGR, True = RAC). Returns ``(out, elapsed_ns)``."""
+    emap = stream.entropy_map
+    if emap is None or not any(emap):
+        return rlgr_decode_channels(
+            stream.channels, n, signed=True, out=out, chunk=stream.chunk,
+        )
+    from raht3dgs_tpu.codec.rac import (
+        rac_decode,
+        rac_decode_channels,
+        rac_decode_chunked,
+    )
+
+    if all(emap):
+        return rac_decode_channels(
+            stream.channels, n, out, chunk=stream.chunk,
+            n_total=stream.n_voxels,
+        )
+    import time as _t
+
+    from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_decode_chunked
+
+    t0 = _t.perf_counter_ns()
+    for d, is_rac in enumerate(emap):
+        payload = stream.channels[d]
+        if is_rac:
+            if stream.chunk > 0:
+                rac_decode_chunked(payload, n, stream.n_voxels,
+                                   out=out[d, :n])
+            else:
+                rac_decode(payload, n, stream.n_voxels, out=out[d, :n])
+        elif stream.chunk > 0:
+            rlgr_decode_chunked(payload, n, signed=True, out=out[d])
+        else:
+            rlgr_decode(payload, n, signed=True, out=out[d])
+    return out, _t.perf_counter_ns() - t0
 
 
 def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
@@ -532,6 +606,7 @@ class AttributeCodec:
         quant_mode: str = "mid",
         quant_f: float = 0.3,
         rec_delta: float = 0.12,
+        entropy: str = "rlgr",
     ):
         import os
 
@@ -581,6 +656,14 @@ class AttributeCodec:
         # automaton per channel); >0 = self-contained chunks that encode and
         # decode in parallel on multi-core hosts (codec/rlgr.py).
         self.chunk = int(chunk)
+        # Entropy coder: "rlgr" (reference parity), "rac" (adaptive-binary
+        # profile, -7..-13% rate at identical reconstructions), "auto"
+        # (per-channel min of both — never worse than rlgr). The choice is
+        # recorded per channel in the stream (container v5 entropy map),
+        # so decode needs no matching option.
+        if entropy not in ("rlgr", "rac", "auto"):
+            raise ValueError(f"unknown entropy coder {entropy!r}")
+        self.entropy = entropy
 
     # -- encoding ---------------------------------------------------------
 
@@ -591,6 +674,7 @@ class AttributeCodec:
             quant_mode=self.quant_mode, quant_f=self.quant_f,
             rec_delta=self.rec_delta,
             dtype32=jnp.dtype(self.dtype) == jnp.dtype("float32"),
+            entropy=self.entropy,
         )
 
     # -- golden (reference byte-parity) host path ---------------------------
@@ -809,10 +893,7 @@ class AttributeCodec:
         )
         # zeros beyond the decoded prefix ARE the truncated coefficients
         vals_T = np.zeros((D, n_padded), dtype=np.int32)
-        _, dec_ns = rlgr_decode_channels(
-            stream.channels, k, signed=True, out=vals_T,
-            chunk=stream.chunk,
-        )
+        _, dec_ns = decode_entropy_channels(stream, k, vals_T)
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 
         steps = jnp.asarray(
@@ -860,9 +941,7 @@ class AttributeCodec:
             "Coeff_reorder_dec_time", self._golden_prelude, codes, nvox
         )
         vals_T = np.zeros((D, nvox), dtype=np.int32)
-        _, dec_ns = rlgr_decode_channels(
-            stream.channels, k, signed=True, out=vals_T, chunk=stream.chunk
-        )
+        _, dec_ns = decode_entropy_channels(stream, k, vals_T)
         timer.add("Entropy_dec_time", dec_ns / 1e9)
 
         def _dequant():

@@ -366,7 +366,7 @@ def test_container_v1_still_parses():
     blob[4] = 4  # v4 expects a geometry section this v2 blob doesn't have
     with pytest.raises(ValueError, match="truncated"):
         FrameStream.from_bytes(bytes(blob))
-    blob[4] = 5
+    blob[4] = 6
     with pytest.raises(ValueError, match="unsupported version"):
         FrameStream.from_bytes(bytes(blob))
 
