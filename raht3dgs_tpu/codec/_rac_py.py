@@ -23,11 +23,13 @@ _ADAPT_SHIFT = 5
 _TOP = 1 << 24
 _MASK32 = 0xFFFFFFFF
 
-_NUM_CTX = 3  # sig, gt1, gt2
+_NUM_CTX = 3       # sig, gt1, gt2 (profile 0)
+_NUM_CTX_COND = 6  # {sig, gt1, gt2} x cond bit (profile 1)
 _BUCKETS = 8
 _MAX_K = 15
 _ESCAPE_Q = 20
 _PROFILE = 0
+_PROFILE_COND = 1
 
 
 def _top_of(n: int) -> int:
@@ -55,7 +57,7 @@ class _Encoder:
         self._rng = _MASK32
         self._cache = 0
         self._cache_size = 1
-        self.probs = [_PROB_INIT] * _NUM_CTX
+        self.probs = [_PROB_INIT] * _NUM_CTX_COND
 
     def _shift_low(self):
         low = self._low
@@ -106,7 +108,7 @@ class _Decoder:
         self._blen = len(buf)
         self._bpos = 1  # skip the initial cache byte (always 0)
         self._rng = _MASK32
-        self.probs = [_PROB_INIT] * _NUM_CTX
+        self.probs = [_PROB_INIT] * _NUM_CTX_COND
         code = 0
         for _ in range(4):
             code = (code << 8) | (
@@ -154,8 +156,10 @@ class _Decoder:
         return v
 
 
-def rac_encode_py(q: np.ndarray) -> bytes:
-    """Encode int32 symbols; byte-identical to native rac_encode."""
+def rac_encode_py(q: np.ndarray, cond: np.ndarray = None) -> bytes:
+    """Encode int32 symbols; byte-identical to native rac_encode.
+    ``cond`` (uint8, len n) selects profile 1: every adaptive decision
+    doubles its context on cond[i] != 0."""
     q = np.ascontiguousarray(q, dtype=np.int32)
     n = len(q)
     top = _top_of(n)
@@ -178,20 +182,25 @@ def rac_encode_py(q: np.ndarray) -> bytes:
             if best is None or c < best:
                 best, bk = c, k
         ks.append(bk)
-    head = bytearray([_PROFILE])
+    head = bytearray([_PROFILE_COND if cond is not None else _PROFILE])
     for b in range(0, _BUCKETS, 2):
         head.append(ks[b] | (ks[b + 1] << 4))
+    stride = 1 if cond is None else 2
+    cb = None if cond is None else (
+        np.ascontiguousarray(cond, dtype=np.uint8) != 0
+    )
     enc = _Encoder()
     for i in range(n):
+        y = 0 if cb is None else int(cb[i])
         m = int(mag[i])
-        enc.encode_bit(0, 1 if m else 0)
+        enc.encode_bit(0 * stride + y, 1 if m else 0)
         if m == 0:
             continue
         enc.encode_direct(1 if q[i] < 0 else 0, 1)
-        enc.encode_bit(1, 1 if m > 1 else 0)
+        enc.encode_bit(1 * stride + y, 1 if m > 1 else 0)
         if m <= 1:
             continue
-        enc.encode_bit(2, 1 if m > 2 else 0)
+        enc.encode_bit(2 * stride + y, 1 if m > 2 else 0)
         if m <= 2:
             continue
         rem = m - 3
@@ -211,12 +220,14 @@ def rac_encode_py(q: np.ndarray) -> bytes:
 
 
 def rac_decode_py(buf: bytes, n_decode: int, n_total: int,
-                  out: np.ndarray = None) -> np.ndarray:
+                  out: np.ndarray = None,
+                  cond: np.ndarray = None) -> np.ndarray:
     """Decode the first n_decode of n_total symbols; mirror of native
-    rac_decode."""
+    rac_decode. ``cond`` must be given iff the stream is profile 1."""
     if n_decode > n_total:
         raise ValueError(f"n_decode {n_decode} > n_total {n_total}")
-    if len(buf) < 1 + _BUCKETS // 2 or buf[0] != _PROFILE:
+    want = _PROFILE if cond is None else _PROFILE_COND
+    if len(buf) < 1 + _BUCKETS // 2 or buf[0] != want:
         raise ValueError("bad RAC stream: short header or unknown profile")
     ks = []
     for b in range(0, _BUCKETS, 2):
@@ -226,15 +237,20 @@ def rac_decode_py(buf: bytes, n_decode: int, n_total: int,
     dec = _Decoder(buf[1 + _BUCKETS // 2:])
     if out is None:
         out = np.empty(n_decode, dtype=np.int32)
+    stride = 1 if cond is None else 2
+    cb = None if cond is None else (
+        np.ascontiguousarray(cond, dtype=np.uint8) != 0
+    )
     for i in range(n_decode):
-        if not dec.decode_bit(0):
+        y = 0 if cb is None else int(cb[i])
+        if not dec.decode_bit(0 * stride + y):
             out[i] = 0
             continue
         neg = dec.decode_direct(1)
         m = 1
-        if dec.decode_bit(1):
+        if dec.decode_bit(1 * stride + y):
             m = 2
-            if dec.decode_bit(2):
+            if dec.decode_bit(2 * stride + y):
                 k = ks[_bucket_of(i, top)]
                 quot = 0
                 while quot < _ESCAPE_Q and dec.decode_direct(1):

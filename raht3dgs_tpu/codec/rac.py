@@ -57,6 +57,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         _pu8, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, _pi32,
     ]
     lib.rac_decode.restype = ctypes.c_int
+    lib.rac_encode_cond.argtypes = [
+        _pi32, _pu8, ctypes.c_size_t, ctypes.POINTER(_pu8), _psz,
+    ]
+    lib.rac_encode_cond.restype = ctypes.c_int
+    lib.rac_decode_cond.argtypes = [
+        _pu8, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, _pu8,
+        _pi32,
+    ]
+    lib.rac_decode_cond.restype = ctypes.c_int
     lib.rac_buffer_free.argtypes = [_pu8]
     lib.rac_encode_batch.argtypes = [
         _pi32, _psz, _psz, ctypes.c_size_t, ctypes.c_int,
@@ -95,9 +104,23 @@ def _sz_ptr(arr: np.ndarray):
     return arr.ctypes.data_as(_psz)
 
 
-def rac_encode(values: np.ndarray, backend: str = "auto") -> Tuple[bytes, int]:
-    """Encode int32 symbols; returns ``(stream, elapsed_ns)``."""
+def rac_encode(values: np.ndarray, backend: str = "auto",
+               cond: Optional[np.ndarray] = None) -> Tuple[bytes, int]:
+    """Encode int32 symbols; returns ``(stream, elapsed_ns)``.
+
+    ``cond`` (uint8/bool, len n) selects PROFILE 1: every adaptive
+    decision doubles its context on cond[i] != 0 — by convention the
+    co-located decoded channel-0 significance (cross-channel profile).
+    The profile byte self-describes in the stream."""
     seq = np.ascontiguousarray(values, dtype=np.int32).ravel()
+    if cond is not None:
+        cond = np.ascontiguousarray(
+            np.asarray(cond) != 0, dtype=np.uint8
+        ).ravel()
+        if len(cond) < len(seq):
+            raise ValueError(
+                f"cond has {len(cond)} entries for {len(seq)} symbols"
+            )
     lib = _load() if backend in ("auto", "native") else None
     if backend == "native" and lib is None:
         raise RuntimeError("native RAC backend unavailable")
@@ -105,28 +128,43 @@ def rac_encode(values: np.ndarray, backend: str = "auto") -> Tuple[bytes, int]:
     if lib is not None and backend != "python":
         out = _pu8()
         out_len = ctypes.c_size_t()
-        rc = lib.rac_encode(
-            seq.ctypes.data_as(_pi32), len(seq),
-            ctypes.byref(out), ctypes.byref(out_len),
-        )
+        if cond is not None:
+            rc = lib.rac_encode_cond(
+                seq.ctypes.data_as(_pi32), cond.ctypes.data_as(_pu8),
+                len(seq), ctypes.byref(out), ctypes.byref(out_len),
+            )
+        else:
+            rc = lib.rac_encode(
+                seq.ctypes.data_as(_pi32), len(seq),
+                ctypes.byref(out), ctypes.byref(out_len),
+            )
         if rc != 0:
             raise RuntimeError(f"rac_encode failed (rc={rc})")
         data = ctypes.string_at(out, out_len.value)
         lib.rac_buffer_free(out)
     else:
-        data = _rac_py.rac_encode_py(seq)
+        data = _rac_py.rac_encode_py(seq, cond=cond)
     return data, time.perf_counter_ns() - t0
 
 
 def rac_decode(
     stream: bytes, n: int, n_total: Optional[int] = None,
     backend: str = "auto", out: Optional[np.ndarray] = None,
+    cond: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int]:
     """Decode the first ``n`` of ``n_total`` symbols (``n_total`` defaults
-    to ``n`` — a full decode); returns ``(int32 array, elapsed_ns)``."""
+    to ``n`` — a full decode); returns ``(int32 array, elapsed_ns)``.
+    ``cond`` must be given iff the stream is profile 1 (its first ``n``
+    entries are read)."""
     n_total = n if n_total is None else n_total
     if n > n_total:
         raise ValueError(f"n {n} > n_total {n_total}")
+    if cond is not None:
+        cond = np.ascontiguousarray(
+            np.asarray(cond) != 0, dtype=np.uint8
+        ).ravel()
+        if len(cond) < n:
+            raise ValueError(f"cond has {len(cond)} entries for {n} symbols")
     lib = _load() if backend in ("auto", "native") else None
     if backend == "native" and lib is None:
         raise RuntimeError("native RAC backend unavailable")
@@ -136,13 +174,19 @@ def rac_decode(
     assert out.dtype == np.int32 and out.flags.c_contiguous and len(out) >= n
     if lib is not None and backend != "python":
         buf = ctypes.cast(ctypes.c_char_p(stream), _pu8)
-        rc = lib.rac_decode(
-            buf, len(stream), n, n_total, out.ctypes.data_as(_pi32)
-        )
+        if cond is not None:
+            rc = lib.rac_decode_cond(
+                buf, len(stream), n, n_total, cond.ctypes.data_as(_pu8),
+                out.ctypes.data_as(_pi32),
+            )
+        else:
+            rc = lib.rac_decode(
+                buf, len(stream), n, n_total, out.ctypes.data_as(_pi32)
+            )
         if rc != 0:
             raise ValueError(f"bad RAC stream (rc={rc})")
     else:
-        _rac_py.rac_decode_py(stream, n, n_total, out=out)
+        _rac_py.rac_decode_py(stream, n, n_total, out=out, cond=cond)
     return out, time.perf_counter_ns() - t0
 
 
@@ -150,19 +194,25 @@ def rac_decode(
 
 
 def rac_encode_chunked(
-    values: np.ndarray, chunk: int = 65536
+    values: np.ndarray, chunk: int = 65536,
+    cond: Optional[np.ndarray] = None,
 ) -> Tuple[bytes, int]:
     """Self-contained fixed-size chunks for parallel entropy coding —
     the same ``u32 chunk | u32 n_chunks | u32 len[i]...`` framing as
     :func:`codec.rlgr.rlgr_encode_chunked` (the container's FLAG_CHUNKED
-    bit covers both coders). Bucketing is chunk-local."""
+    bit covers both coders). Bucketing (and profile-1 conditioning, when
+    ``cond`` is given) is chunk-local."""
     values = np.ascontiguousarray(values, dtype=np.int32)
     n = len(values)
     chunk = max(int(chunk), 1)
     n_chunks = max((n + chunk - 1) // chunk, 1)
-    parts = [values[i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
+    parts = [
+        (values[i * chunk:(i + 1) * chunk],
+         None if cond is None else cond[i * chunk:(i + 1) * chunk])
+        for i in range(n_chunks)
+    ]
     t0 = time.perf_counter_ns()
-    results = _map_tasks(lambda p: rac_encode(p)[0], parts)
+    results = _map_tasks(lambda p: rac_encode(p[0], cond=p[1])[0], parts)
     elapsed = time.perf_counter_ns() - t0
     head = _pack_chunk_header(chunk, [len(r) for r in results])
     return head + b"".join(results), elapsed
@@ -171,6 +221,7 @@ def rac_encode_chunked(
 def rac_decode_chunked(
     stream: bytes, n: int, n_total: Optional[int] = None,
     out: Optional[np.ndarray] = None,
+    cond: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int]:
     """Decode a :func:`rac_encode_chunked` stream's first ``n`` symbols.
 
@@ -198,10 +249,25 @@ def rac_decode_chunked(
             rac_decode(
                 stream[offs[i]:offs[i + 1]], m, enc_m,
                 out=out[i * chunk:][:m],
+                cond=None if cond is None
+                else cond[i * chunk:i * chunk + m],
             )
 
     _map_tasks(_one, list(range((n + chunk - 1) // chunk)))
     return out, time.perf_counter_ns() - t0
+
+
+def rac_stream_profile(payload: bytes, chunk: int = 0) -> int:
+    """The leading profile byte of a (possibly chunked) RAC channel
+    payload; -1 when it cannot be read (corrupt/empty). Profile 1 streams
+    need channel-0 conditioning at decode (pipeline dispatches on this)."""
+    try:
+        if chunk > 0:
+            _, _, off = _parse_chunk_header(payload)
+            return payload[off] if len(payload) > off else -1
+        return payload[0] if payload else -1
+    except ValueError:
+        return -1
 
 
 # -- per-channel entry points (the pipeline's entropy stage) -------------------

@@ -19,6 +19,7 @@ Per-stage timings mirror the reference CSV schema names.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
@@ -426,19 +427,50 @@ def encode_entropy_channels(q_np: np.ndarray, entropy: str, *, chunk: int,
         return channels, (True,) * len(channels), enc_ns
     if entropy != "auto":
         raise ValueError(f"unknown entropy coder {entropy!r}")
+    from raht3dgs_tpu.codec.rac import rac_encode, rac_encode_chunked
+
     rl, ns1 = rlgr_encode_channels(
         q_np, signed=True, channel_major=True, chunk=chunk, n=n,
     )
     ra, ns2 = rac_encode_channels(q_np, channel_major=True, chunk=chunk, n=n)
-    emap = tuple(len(b) < len(a) for a, b in zip(rl, ra))
-    channels = [b if use else a for a, b, use in zip(rl, ra, emap)]
-    return channels, (emap if any(emap) else None), ns1 + ns2
+    # third candidate for channels > 0: the cross-channel profile (RAC
+    # profile 1) conditioned on channel 0's significance — the decoder
+    # derives the same bits from its decoded channel 0, whichever coder
+    # channel 0 itself used
+    D = q_np.shape[0]
+    cond = np.ascontiguousarray(q_np[0, :n] != 0, dtype=np.uint8)
+    t0 = time.perf_counter_ns()
+    rows = np.ascontiguousarray(q_np[:, :n], dtype=np.int32)
+    if chunk > 0:
+        rc = [None] + [
+            rac_encode_chunked(rows[d], chunk, cond=cond)[0]
+            for d in range(1, D)
+        ]
+    else:
+        rc = [None] + [
+            rac_encode(rows[d], cond=cond)[0] for d in range(1, D)
+        ]
+    ns3 = time.perf_counter_ns() - t0
+    channels, emap = [], []
+    for d in range(D):
+        cands = [(rl[d], False), (ra[d], True)]
+        if rc[d] is not None:
+            cands.append((rc[d], True))
+        best = min(cands, key=lambda c: len(c[0]))
+        channels.append(best[0])
+        emap.append(best[1])
+    emap = tuple(emap)
+    return channels, (emap if any(emap) else None), ns1 + ns2 + ns3
 
 
 def decode_entropy_channels(stream: FrameStream, n: int, out: np.ndarray):
     """Decode the first ``n`` symbols of every channel payload into the
     rows of ``out``, dispatching per channel on the stream's entropy map
-    (absent/False = RLGR, True = RAC). Returns ``(out, elapsed_ns)``."""
+    (absent/False = RLGR, True = RAC; a RAC payload's leading profile
+    byte selects plain (0) vs channel-0-conditioned (1) contexts — the
+    conditioned channels decode after channel 0, whose decoded
+    significance supplies the conditioning bits). Returns
+    ``(out, elapsed_ns)``."""
     emap = stream.entropy_map
     if emap is None or not any(emap):
         return rlgr_decode_channels(
@@ -448,9 +480,20 @@ def decode_entropy_channels(stream: FrameStream, n: int, out: np.ndarray):
         rac_decode,
         rac_decode_channels,
         rac_decode_chunked,
+        rac_stream_profile,
     )
 
-    if all(emap):
+    profiles = [
+        rac_stream_profile(stream.channels[d], stream.chunk) if is_rac
+        else -1
+        for d, is_rac in enumerate(emap)
+    ]
+    if emap[0] and profiles[0] == 1:
+        raise ValueError(
+            "corrupt stream: channel 0 cannot use the cross-channel "
+            "profile (it is the conditioning source)"
+        )
+    if all(emap) and not any(p == 1 for p in profiles):
         return rac_decode_channels(
             stream.channels, n, out, chunk=stream.chunk,
             n_total=stream.n_voxels,
@@ -460,18 +503,28 @@ def decode_entropy_channels(stream: FrameStream, n: int, out: np.ndarray):
     from raht3dgs_tpu.codec.rlgr import rlgr_decode, rlgr_decode_chunked
 
     t0 = _t.perf_counter_ns()
-    for d, is_rac in enumerate(emap):
+    cond = None
+
+    def _one(d):
         payload = stream.channels[d]
-        if is_rac:
+        if emap[d]:
+            kw = {} if profiles[d] != 1 else {"cond": cond}
             if stream.chunk > 0:
                 rac_decode_chunked(payload, n, stream.n_voxels,
-                                   out=out[d, :n])
+                                   out=out[d, :n], **kw)
             else:
-                rac_decode(payload, n, stream.n_voxels, out=out[d, :n])
+                rac_decode(payload, n, stream.n_voxels, out=out[d, :n],
+                           **kw)
         elif stream.chunk > 0:
             rlgr_decode_chunked(payload, n, signed=True, out=out[d])
         else:
             rlgr_decode(payload, n, signed=True, out=out[d])
+
+    _one(0)
+    if any(p == 1 for p in profiles):
+        cond = np.ascontiguousarray(out[0, :n] != 0, dtype=np.uint8)
+    for d in range(1, len(emap)):
+        _one(d)
     return out, _t.perf_counter_ns() - t0
 
 

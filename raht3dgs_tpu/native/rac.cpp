@@ -53,11 +53,16 @@ using raht_rc::RangeDecoder;
 using raht_rc::RangeEncoder;
 using raht_rc::kProbInit;
 
-constexpr unsigned kNumCtx = 3;       // sig, gt1, gt2
+constexpr unsigned kNumCtx = 3;       // sig, gt1, gt2 (profile 0)
+constexpr unsigned kNumCtxCond = 6;   // {sig,gt1,gt2} x ysig (profile 1)
 constexpr unsigned kBuckets = 8;
 constexpr unsigned kMaxK = 15;        // 4-bit field
 constexpr unsigned kEscapeQ = 20;     // quotient cap before 32-bit escape
 constexpr uint8_t kProfile = 0;
+// profile 1: cross-channel conditioning — every adaptive decision kind
+// doubles its contexts on cond[i] (conventionally: is the CO-LOCATED
+// decoded channel-0 coefficient nonzero). Same header/Rice layout.
+constexpr uint8_t kProfileCond = 1;
 
 inline unsigned bit_len_u64(uint64_t v) {
   return v ? 64u - static_cast<unsigned>(__builtin_clzll(v)) : 0u;
@@ -81,15 +86,10 @@ inline uint64_t rice_cost(uint32_t rem, unsigned k) {
   return q >= kEscapeQ ? kEscapeQ + 32 : q + 1 + k;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Encode n int32 symbols into a malloc'd buffer returned via *out /
-// *out_len (caller frees with rac_buffer_free). Returns 0 on success,
-// -1 on allocation failure, -2 on bad arguments.
-int rac_encode(const int32_t* q, size_t n, uint8_t** out,
-               size_t* out_len) {
+// Shared coding core: cond == nullptr selects profile 0 (3 contexts);
+// else profile 1, each decision kind's context doubled on cond[i] != 0.
+int encode_impl(const int32_t* q, size_t n, const uint8_t* cond,
+                uint8_t** out, size_t* out_len) {
   if (!q || !out || !out_len) return -2;
   const unsigned top = top_of(n);
 
@@ -119,23 +119,25 @@ int rac_encode(const int32_t* q, size_t n, uint8_t** out,
   // pass 2: header + range-coded payload
   ByteSink sink;
   if (!sink.buf) return -1;
-  sink.put(kProfile);
+  sink.put(cond ? kProfileCond : kProfile);
   for (unsigned b = 0; b < kBuckets; b += 2)
     sink.put(static_cast<uint8_t>(ks[b] | (ks[b + 1] << 4)));
   RangeEncoder enc(&sink);
-  uint16_t probs[kNumCtx];
-  for (unsigned c = 0; c < kNumCtx; ++c) probs[c] = kProbInit;
+  uint16_t probs[kNumCtxCond];
+  for (unsigned c = 0; c < kNumCtxCond; ++c) probs[c] = kProbInit;
   for (size_t i = 0; i < n; ++i) {
+    const unsigned y = cond ? (cond[i] ? 1u : 0u) : 0u;
+    const unsigned stride = cond ? 2u : 1u;
     const int32_t v = q[i];
     const uint32_t mag =
         v < 0 ? static_cast<uint32_t>(-static_cast<int64_t>(v))
               : static_cast<uint32_t>(v);
-    enc.encode_bit(&probs[0], mag != 0);
+    enc.encode_bit(&probs[0 * stride + y], mag != 0);
     if (mag == 0) continue;
     enc.encode_direct(v < 0, 1);
-    enc.encode_bit(&probs[1], mag > 1);
+    enc.encode_bit(&probs[1 * stride + y], mag > 1);
     if (mag <= 1) continue;
-    enc.encode_bit(&probs[2], mag > 2);
+    enc.encode_bit(&probs[2 * stride + y], mag > 2);
     if (mag <= 2) continue;
     const uint32_t rem = mag - 3;
     const unsigned k = ks[bucket_of(i, top)];
@@ -156,14 +158,11 @@ int rac_encode(const int32_t* q, size_t n, uint8_t** out,
   return 0;
 }
 
-// Decode the first n_decode symbols of a stream that encoded n_total
-// symbols (prefix decodes use n_decode < n_total; the bucket table
-// depends only on n_total). Returns 0 on success, -2 on bad arguments or
-// an unknown profile byte.
-int rac_decode(const uint8_t* buf, size_t len, size_t n_decode,
-               size_t n_total, int32_t* out) {
+int decode_impl(const uint8_t* buf, size_t len, size_t n_decode,
+                size_t n_total, const uint8_t* cond, int32_t* out) {
   if (!buf || !out || n_decode > n_total) return -2;
-  if (len < 1 + kBuckets / 2 || buf[0] != kProfile) return -2;
+  const uint8_t want = cond ? kProfileCond : kProfile;
+  if (len < 1 + kBuckets / 2 || buf[0] != want) return -2;
   uint8_t ks[kBuckets];
   for (unsigned b = 0; b < kBuckets; b += 2) {
     ks[b] = buf[1 + b / 2] & 0x0F;
@@ -171,18 +170,20 @@ int rac_decode(const uint8_t* buf, size_t len, size_t n_decode,
   }
   const unsigned top = top_of(n_total);
   RangeDecoder dec(buf + 1 + kBuckets / 2, len - 1 - kBuckets / 2);
-  uint16_t probs[kNumCtx];
-  for (unsigned c = 0; c < kNumCtx; ++c) probs[c] = kProbInit;
+  uint16_t probs[kNumCtxCond];
+  for (unsigned c = 0; c < kNumCtxCond; ++c) probs[c] = kProbInit;
   for (size_t i = 0; i < n_decode; ++i) {
-    if (!dec.decode_bit(&probs[0])) {
+    const unsigned y = cond ? (cond[i] ? 1u : 0u) : 0u;
+    const unsigned stride = cond ? 2u : 1u;
+    if (!dec.decode_bit(&probs[0 * stride + y])) {
       out[i] = 0;
       continue;
     }
     const unsigned neg = dec.decode_direct(1);
     uint32_t mag = 1;
-    if (dec.decode_bit(&probs[1])) {
+    if (dec.decode_bit(&probs[1 * stride + y])) {
       mag = 2;
-      if (dec.decode_bit(&probs[2])) {
+      if (dec.decode_bit(&probs[2 * stride + y])) {
         const unsigned k = ks[bucket_of(i, top)];
         uint32_t quot = 0;
         while (quot < kEscapeQ && dec.decode_direct(1)) ++quot;
@@ -198,6 +199,42 @@ int rac_decode(const uint8_t* buf, size_t len, size_t n_decode,
     out[i] = neg ? -static_cast<int64_t>(mag) : static_cast<int64_t>(mag);
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n int32 symbols into a malloc'd buffer returned via *out /
+// *out_len (caller frees with rac_buffer_free). Returns 0 on success,
+// -1 on allocation failure, -2 on bad arguments.
+int rac_encode(const int32_t* q, size_t n, uint8_t** out,
+               size_t* out_len) {
+  return encode_impl(q, n, nullptr, out, out_len);
+}
+
+// Profile-1 encode: every adaptive decision conditions on cond[i] != 0
+// (the co-located decoded channel-0 significance by convention).
+int rac_encode_cond(const int32_t* q, const uint8_t* cond, size_t n,
+                    uint8_t** out, size_t* out_len) {
+  if (!cond) return -2;
+  return encode_impl(q, n, cond, out, out_len);
+}
+
+// Decode the first n_decode symbols of a stream that encoded n_total
+// symbols (prefix decodes use n_decode < n_total; the bucket table
+// depends only on n_total). Returns 0 on success, -2 on bad arguments or
+// an unknown profile byte.
+int rac_decode(const uint8_t* buf, size_t len, size_t n_decode,
+               size_t n_total, int32_t* out) {
+  return decode_impl(buf, len, n_decode, n_total, nullptr, out);
+}
+
+// Profile-1 decode; cond must hold the first n_decode conditioning bits.
+int rac_decode_cond(const uint8_t* buf, size_t len, size_t n_decode,
+                    size_t n_total, const uint8_t* cond, int32_t* out) {
+  if (!cond) return -2;
+  return decode_impl(buf, len, n_decode, n_total, cond, out);
 }
 
 void rac_buffer_free(uint8_t* p) { std::free(p); }

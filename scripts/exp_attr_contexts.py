@@ -107,6 +107,12 @@ def model_bits(q: np.ndarray, model: str) -> float:
         """(per-symbol context ids, #contexts-per-channel-slot) for model."""
         if model == "flat":
             return np.zeros(n, np.int32), 1
+        if model == "xch":
+            # channel 0 flat; channels >0 condition sig/gt1/gt2 on whether
+            # the CO-LOCATED channel-0 coefficient is nonzero (2 ctx)
+            if ch == 0:
+                return np.zeros(n, np.int32), 2
+            return ysig[ch].astype(np.int32), 2
         if model == "prev":
             return prevb[ch], 4
         if model == "pos":
@@ -194,7 +200,7 @@ def main(argv=None) -> int:
     coeffs, order, _, _ = codec.transform(frame)
     n = frame.n_voxels
     print(f"content={args.content} n={n} J={args.depth}")
-    models = ("flat", "prev", "pos", "prev+pos", "prev+pos+xch")
+    models = ("flat", "xch", "prev+pos+xch")
     hdr = f"{'step':>6} {'rlgr_bpp':>9}" + "".join(
         f" {m:>14}" for m in models
     )

@@ -123,6 +123,13 @@ def test_rac_reconstruction_bitwise_equals_rlgr(frame_and_transform, chunk):
 
 
 def test_auto_picks_per_channel_min(frame_and_transform):
+    """auto = per-channel min over {rlgr, rac profile 0, and (channels
+    > 0) rac profile 1 conditioned on channel 0's significance}."""
+    import numpy as np
+
+    from raht3dgs_tpu.codec.rac import rac_encode
+    from raht3dgs_tpu.models.pipeline import _quant_reorder_device
+
     frame, coeffs, order = frame_and_transform
     rl = AttributeCodec(depth=8, entropy="rlgr").encode(
         frame, 16.0, coeffs=coeffs, order=order).stream
@@ -130,9 +137,18 @@ def test_auto_picks_per_channel_min(frame_and_transform):
         frame, 16.0, coeffs=coeffs, order=order).stream
     au = AttributeCodec(depth=8, entropy="auto").encode(
         frame, 16.0, coeffs=coeffs, order=order).stream
+    import jax.numpy as jnp
+
+    q = np.asarray(_quant_reorder_device(
+        coeffs, jnp.atleast_1d(jnp.asarray(16.0, jnp.float64)), order,
+        jnp.int32(frame.n_voxels), "mid", jnp.asarray(0.0, jnp.float64),
+    ))[:, : frame.n_voxels].astype(np.int32)
+    cond = (q[0] != 0).astype(np.uint8)
     for d in range(3):
-        want = min(rl.channels[d], ra.channels[d], key=len)
-        assert au.channels[d] == want
+        cands = [rl.channels[d], ra.channels[d]]
+        if d > 0:
+            cands.append(rac_encode(q[d], cond=cond)[0])
+        assert au.channels[d] == min(cands, key=len)
 
 
 def test_progressive_and_lod_on_rac_stream(frame_and_transform):
