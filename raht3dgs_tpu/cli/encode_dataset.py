@@ -80,6 +80,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: one frame's budget)",
     )
     p.add_argument(
+        "--two-pass", action="store_true",
+        help="with --target-bpp: constant-QUALITY sequence allocation — "
+        "pass 1 sums the device rate model over all frames, pass 2 "
+        "true-encodes the sequence at ONE shared step, the finest whose "
+        "total rate fits sum(n)*target (capped-VBR: the guarantee is "
+        "whole-sequence, not per-prefix; hard frames get the bits easy "
+        "frames leave; models/rd_search.py:search_global_step_for_bpp). "
+        "Holds the sequence's frames in memory; not with --cbr/--inter",
+    )
+    p.add_argument(
         "--inter", action="store_true",
         help="temporal I/P coding: predict each frame from the previous "
         "reconstruction and code the residual (closed loop, adaptive "
@@ -135,6 +145,17 @@ def _run(args) -> int:
         print("--cbr is a rate-control mode; it requires --target-bpp",
               file=sys.stderr)
         return 2
+    if args.two_pass:
+        if args.target_bpp is None:
+            print("--two-pass is a rate-control mode; it requires "
+                  "--target-bpp", file=sys.stderr)
+            return 2
+        if args.cbr or args.cbr_burst is not None or args.inter or args.batch:
+            print("--two-pass allocates the whole sequence at once; it "
+                  "composes with --save-sequence/--code-geometry but not "
+                  "with --cbr/--inter/--batch", file=sys.stderr)
+            return 2
+        return _run_two_pass(args, first, last, log, dtype)
     if args.target_bpp is not None:
         if args.batch:
             print("--target-bpp composes with the frame loop or --inter "
@@ -271,6 +292,93 @@ def _run_target(args, first, last, log, dtype) -> int:
         ).csv_row())
         if args.save_sequence:
             s = res.encoded.stream
+            if args.code_geometry:
+                from raht3dgs_tpu.codec.geometry import (
+                    geometry_from_positions,
+                )
+
+                s.geometry = geometry_from_positions(V, depth)
+            seq_streams.append(s)
+    log.close()
+    if args.save_sequence:
+        from raht3dgs_tpu.codec.bitstream import write_sequence
+
+        total = write_sequence(args.save_sequence, seq_streams)
+        print(f"sequence: {len(seq_streams)} frames, {total} bytes "
+              f"-> {args.save_sequence}")
+    return 0
+
+
+def _run_two_pass(args, first, last, log, dtype) -> int:
+    """Constant-quality sequence allocation under a total-rate cap: one
+    shared step for every frame (models/rd_search.py:
+    search_global_step_for_bpp). Loads and prepares the whole range
+    first — the allocator needs every frame's rate curve before the
+    first byte is spent."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raht3dgs_tpu.io.datasets import get_pointcloud
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.models.pipeline import (
+        AttributeCodec,
+        prepare_voxel_frame,
+    )
+    from raht3dgs_tpu.models.rd_search import search_global_step_for_bpp
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+
+    t0 = _time.perf_counter()
+    frames, metas = [], []
+    for frame_idx in range(first, last + 1):
+        out = get_pointcloud(args.dataset, args.sequence, frame_idx,
+                             args.data_root)
+        if out is None:
+            print(f"frame {frame_idx}: load failed, skipping",
+                  file=sys.stderr)
+            continue
+        V, C, depth = out
+        yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C)), dtype=dtype))
+        frames.append(prepare_voxel_frame(
+            np.floor(np.asarray(V)).astype(np.int64), yuv, depth,
+            bucket=args.bucket, dtype=dtype,
+        ))
+        metas.append((frame_idx, V, depth))
+    if not frames:
+        print("no frames loaded", file=sys.stderr)
+        return 1
+    depths = {d for _, _, d in metas}
+    if len(depths) > 1:
+        print(f"--two-pass needs one octree depth across the range, got "
+              f"{sorted(depths)} (encode per-depth subranges, or use the "
+              "per-frame --target-bpp search)", file=sys.stderr)
+        return 2
+    depth = metas[0][2]
+    codec = AttributeCodec(depth, dtype=dtype, chunk=args.entropy_chunk,
+                           **quant_kwargs(args))
+    res = search_global_step_for_bpp(frames, args.target_bpp, codec=codec)
+    search_s = _time.perf_counter() - t0
+    print(f"two-pass: step {res.step:.4f} for {len(frames)} frames, "
+          f"sequence {res.total_bpp:.4f} bpp vs target "
+          f"{args.target_bpp:.3f} ({res.probes} device probes, "
+          f"{search_s:.2f}s)")
+    seq_streams = []
+    for (frame_idx, V, _), fr, enc in zip(metas, frames, res.encoded):
+        rec, _ = codec.decode(enc.stream, fr.codes, fr.weights)
+        psnr = y_psnr_db(
+            np.asarray(fr.attributes)[: fr.n_voxels, 0], rec[:, 0]
+        )
+        print(f"frame {frame_idx}: {enc.stream.bpp():.4f} bpp, Y-PSNR "
+              f"{psnr:.2f} dB")
+        log.row(RDPoint(
+            frame=frame_idx, step=float(res.step), bpp=enc.stream.bpp(),
+            psnr=psnr, n_voxels=fr.n_voxels,
+            stream_bytes=enc.stream.payload_bytes,
+            times={"Quant_time": search_s / len(frames)},
+        ).csv_row())
+        if args.save_sequence:
+            s = enc.stream
             if args.code_geometry:
                 from raht3dgs_tpu.codec.geometry import (
                     geometry_from_positions,

@@ -113,3 +113,133 @@ def search_step_for_bpp(
         encoded=enc,
         probes=probes,
     )
+
+
+@dataclass
+class GlobalRateSearchResult:
+    step: float
+    total_bpp: float          # sum(bits) / sum(n_voxels) <= target_bpp
+    target_bpp: float
+    encoded: list             # one EncodedFrame per input frame
+    probes: int
+
+
+def search_global_step_for_bpp(
+    frames,
+    target_bpp: float,
+    codec: Optional[AttributeCodec] = None,
+    lo: float = 0.25,
+    hi: float = 4096.0,
+    grid_size: int = 64,
+    refine: int = 6,
+    steps_fn=None,
+) -> GlobalRateSearchResult:
+    """Two-pass constant-quality sequence allocation: ONE quantization
+    step for every frame — the finest whose TOTAL rate fits the sequence
+    budget ``target_bpp * sum(n_voxels)``.
+
+    The per-frame search (:func:`search_step_for_bpp`) holds every frame
+    AT OR UNDER the per-frame budget, which forces quality to track each
+    frame's coding difficulty — easy frames get finer steps than hard
+    ones. This allocator instead spends the whole sequence budget where
+    the distortion is (the hard frames), the classic constant-quality /
+    capped-VBR trade: the guarantee weakens from per-prefix to
+    whole-sequence (``sum(actual bits) <= sum(n) * target``), quality
+    variance across frames drops to the content's own variance at one
+    step. Pass 1 = the vmapped device rate model summed over frames;
+    pass 2 = true encodes of the whole sequence, ratio-refined on the
+    total. All frames must share one octree depth (one codec)."""
+    if not frames:
+        raise ValueError("no frames")
+    if not np.isfinite(target_bpp) or target_bpp <= 0:
+        raise ValueError(f"target_bpp must be positive, got {target_bpp}")
+    codec = codec or AttributeCodec(frames[0].depth)
+    if any(f.depth != frames[0].depth for f in frames):
+        raise ValueError(
+            "two-pass allocation needs a single octree depth across the "
+            "sequence (per-frame depths vary — use the per-frame search)"
+        )
+    if steps_fn is None:
+        steps_fn = lambda s: s  # noqa: E731
+
+    grid = np.geomspace(lo, hi, grid_size)
+    steps_mat = np.stack(
+        [np.atleast_1d(np.asarray(steps_fn(s), dtype=np.float64))
+         for s in grid]
+    )
+    total_n = sum(f.n_voxels for f in frames)
+    est_bits = np.zeros(grid_size)
+    prepared = []
+    for f in frames:
+        coeffs, order, _, _ = codec.transform(f)
+        prepared.append((f, coeffs, order))
+        valid = jnp.arange(f.codes.shape[0]) < f.n_voxels
+        ests = np.asarray(_estimate_bpp_grid(
+            coeffs, jnp.asarray(steps_mat, dtype=coeffs.dtype), valid,
+            f.n_voxels,
+        ))
+        est_bits += ests * f.n_voxels
+    probes = len(frames)
+    est_target_bits = target_bpp * MODEL_CALIBRATION * total_n
+    fits = est_bits <= est_target_bits
+    step = float(grid[int(np.argmax(fits))]) if fits.any() else hi
+
+    def encode_all(s):
+        return [
+            codec.encode(f, steps=steps_fn(s), coeffs=c, order=o)
+            for f, c, o in prepared
+        ]
+
+    def total_bpp(encs):
+        return sum(e.stream.payload_bytes * 8 for e in encs) / total_n
+
+    # bracket [finest known-over, coarsest known-under], then geometric
+    # bisection — a multiplicative walk overshoots badly where rate is
+    # steep in step (measured 0.38 bpp at a 1.0 target on textured
+    # content), while bisection converges to the finest under-budget
+    # step on the true sequence rate curve
+    encs = encode_all(step)
+    best = (step, encs) if total_bpp(encs) <= target_bpp else None
+    over = step if best is None else None
+    under = step if best is not None else None
+    walk = 0
+    while over is None and step > lo and walk < 8:
+        step = float(max(step / 4.0, lo))
+        encs = encode_all(step)
+        walk += 1
+        if total_bpp(encs) <= target_bpp:
+            under, best = step, (step, encs)
+        else:
+            over = step
+    while under is None and step < hi and walk < 16:
+        step = float(min(step * 4.0, hi))
+        encs = encode_all(step)
+        walk += 1
+        if total_bpp(encs) <= target_bpp:
+            under, best = step, (step, encs)
+        else:
+            over = step
+    if best is None:
+        # even `hi` overshoots: return the coarsest attempt (the caller
+        # sees total_bpp > target and can decide)
+        return GlobalRateSearchResult(
+            step=float(step), total_bpp=total_bpp(encs),
+            target_bpp=target_bpp, encoded=encs, probes=probes,
+        )
+    for _ in range(refine):
+        if over is None or under / over < 1.05:
+            break
+        mid = float(np.sqrt(over * under))
+        encs = encode_all(mid)
+        if total_bpp(encs) <= target_bpp:
+            under, best = mid, (mid, encs)
+        else:
+            over = mid
+    step, encs = best
+    return GlobalRateSearchResult(
+        step=float(step),
+        total_bpp=total_bpp(encs),
+        target_bpp=target_bpp,
+        encoded=encs,
+        probes=probes,
+    )

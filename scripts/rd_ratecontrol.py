@@ -97,8 +97,12 @@ def main(argv=None) -> int:
         "intra path through the sequence-global leaky-bucket allocator "
         "(`--cbr`, models/rate_control.py): unspent budget carries "
         "forward as credit, so the mean climbs back toward target — while "
-        "every PREFIX mean stays at or under it (asserted). `[synthetic]` "
-        "content, like all RD artifacts in this repo.",
+        "every PREFIX mean stays at or under it (asserted). The `2pass` "
+        "columns run the constant-quality allocator (`--two-pass`, one "
+        "shared step for the whole sequence, total <= budget asserted): "
+        "same rate class, but the per-frame PSNR spread (`PSNR spread "
+        "cbr/2p`, max-min dB) collapses to the content's own variance. "
+        "`[synthetic]` content, like all RD artifacts in this repo.",
         *report_rows,
     ])
     print()
@@ -112,9 +116,10 @@ def main(argv=None) -> int:
 
 _TABLE_HEAD = ("| target bpp | intra mean bpp | intra max over "
                "| intra Y-PSNR | +cbr mean bpp | +cbr Y-PSNR "
+               "| 2pass mean bpp | 2pass Y-PSNR | PSNR spread cbr/2p "
                "| inter mean bpp | inter max over "
                "| inter Y-PSNR | frame kinds |")
-_TABLE_SEP = "|---|---|---|---|---|---|---|---|---|---|"
+_TABLE_SEP = "|---|---|---|---|---|---|---|---|---|---|---|---|---|"
 
 
 def _sweep_budgets(args, frames):
@@ -156,6 +161,19 @@ def _sweep_budgets(args, frames):
             assert np.mean(cbr_bpp) <= budget + 1e-9, "prefix overshoot!"
         # carrying credit spends at least what independent budgets did
         assert np.mean(cbr_bpp) >= np.mean(intra_bpp) - 1e-9
+        # two-pass constant-quality allocation (--target-bpp --two-pass):
+        # one shared step, whole-sequence budget, tighter quality spread
+        from raht3dgs_tpu.models.rd_search import search_global_step_for_bpp
+
+        gres = search_global_step_for_bpp(frames, budget, codec=codec)
+        tp_bpp, tp_psnr = [], []
+        for f, enc in zip(frames, gres.encoded):
+            rec, _ = codec.decode(enc.stream, f.codes, f.weights)
+            tp_bpp.append(enc.stream.bpp())
+            tp_psnr.append(y_psnr_db(
+                np.asarray(f.attributes)[: f.n_voxels, 0], rec[:, 0]
+            ))
+        assert gres.total_bpp <= budget + 1e-9, "sequence overshoot!"
         # temporal rate targeting (encode_dataset --target-bpp --inter)
         sc = SequenceCodec(args.depth, gop=8)
         inter_bpp, inter_psnr, kinds = [], [], []
@@ -173,6 +191,8 @@ def _sweep_budgets(args, frames):
             f"| {np.mean(intra_bpp):.3f} | {over_i:+.4f} "
             f"| {np.mean(intra_psnr):.2f} "
             f"| {np.mean(cbr_bpp):.3f} | {np.mean(cbr_psnr):.2f} "
+            f"| {np.mean(tp_bpp):.3f} | {np.mean(tp_psnr):.2f} "
+            f"| {np.ptp(cbr_psnr):.2f}/{np.ptp(tp_psnr):.2f} "
             f"| {np.mean(inter_bpp):.3f} | {over_t:+.4f} "
             f"| {np.mean(inter_psnr):.2f} | {''.join(kinds)} |"
         )

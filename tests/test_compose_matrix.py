@@ -47,7 +47,7 @@ def composed(tmp_path_factory):
         "--data-root", str(tmp_path), "--frames", "1", str(N_FRAMES),
         "--steps", "2",
         "--inter", "--code-geometry", "--entropy-chunk", "128",
-        "--quant-mode", "deadzone",
+        "--quant-mode", "deadzone", "--entropy", "auto",
         "--save-sequence", str(seq),
         "--platform", "cpu", "--csv", str(tmp_path / "runtime.csv"),
     ])
@@ -85,6 +85,11 @@ def test_stream_carries_every_feature(composed):
         "adaptive fallback chose intra for every frame — the drifting-"
         "cloud fixture should produce P-frames"
     )
+    # --entropy auto recorded per channel (v5 map) wherever RAC won; at
+    # this tiny scale RLGR may win every channel, but the flag must not
+    # corrupt anything — decode tests below pin correctness either way
+    assert all(s.entropy_map is None or len(s.entropy_map) == 3
+               for s in streams)
     # geometry profile discipline: intra frames must carry intra geometry
     # (random access), P-frames may use temporal geometry profiles
     for s in streams:

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -163,3 +164,47 @@ def test_cbr_tightens_sequence_tracking(rng):
     for k in range(len(cbr)):
         assert np.mean(cbr[: k + 1]) <= target * 1.001, (k, cbr)
     assert np.mean(cbr) >= np.mean(indep) - 1e-9, (cbr, indep)
+
+
+def test_two_pass_global_step(rng):
+    """Constant-quality allocation: ONE step for every frame, sequence
+    total at or under budget, and the step is the finest such step on
+    its refinement trajectory (coarsening it further must stay under)."""
+    from raht3dgs_tpu.models.rd_search import search_global_step_for_bpp
+
+    depth = 6
+    frames = []
+    for k in range(3):
+        pts, _, _ = unique_voxel_cloud(rng, 1000 + 300 * k, depth)
+        attrs = (pts * (5 + 3 * k) % 256).astype(np.float64)
+        frames.append(
+            prepare_voxel_frame(pts.astype(np.int64), attrs, depth,
+                                bucket=2048)
+        )
+    codec = AttributeCodec(depth)
+    target = 3.0
+    res = search_global_step_for_bpp(frames, target, codec=codec)
+    assert res.total_bpp <= target * 1.001
+    assert len(res.encoded) == 3
+    # one shared step: every stream records it
+    for enc in res.encoded:
+        assert float(enc.stream.steps[0]) == res.step
+    # total accounting matches the per-frame streams
+    bits = sum(e.stream.payload_bytes * 8 for e in res.encoded)
+    n = sum(f.n_voxels for f in frames)
+    assert abs(bits / n - res.total_bpp) < 1e-12
+
+
+def test_two_pass_rejects_mixed_depth(rng):
+    from raht3dgs_tpu.models.rd_search import search_global_step_for_bpp
+
+    pts5, _, _ = unique_voxel_cloud(rng, 500, 5)
+    pts6, _, _ = unique_voxel_cloud(rng, 500, 6)
+    f5 = prepare_voxel_frame(pts5.astype(np.int64),
+                             (pts5 % 256).astype(np.float64), 5,
+                             bucket=1024)
+    f6 = prepare_voxel_frame(pts6.astype(np.int64),
+                             (pts6 % 256).astype(np.float64), 6,
+                             bucket=1024)
+    with pytest.raises(ValueError, match="depth"):
+        search_global_step_for_bpp([f5, f6], 2.0)
