@@ -80,6 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: one frame's budget)",
     )
     p.add_argument(
+        "--cbr-gop", type=int, default=0,
+        help="with --cbr: reset the carried credit every K frames — "
+        "per-GOP budgets, so a receiver joining at any GOP boundary "
+        "streams within rate without history (each GOP independently "
+        "satisfies the prefix invariant). With --inter, align K with "
+        "--gop so budget segments match random-access segments",
+    )
+    p.add_argument(
         "--two-pass", action="store_true",
         help="with --target-bpp: constant-QUALITY sequence allocation — "
         "pass 1 sums the device rate model over all frames, pass 2 "
@@ -141,7 +149,8 @@ def _run(args) -> int:
     dtype = jnp_dtype(args.dtype)
     codec_cache = {}
 
-    if (args.cbr or args.cbr_burst is not None) and args.target_bpp is None:
+    if (args.cbr or args.cbr_burst is not None
+            or args.cbr_gop) and args.target_bpp is None:
         print("--cbr is a rate-control mode; it requires --target-bpp",
               file=sys.stderr)
         return 2
@@ -223,7 +232,8 @@ def _run(args) -> int:
 def _make_controller(args):
     """The sequence-global allocator for --cbr, else None (independent
     per-frame budgets)."""
-    if not (args.cbr or args.cbr_burst is not None):
+    if not (args.cbr or args.cbr_burst is not None
+            or getattr(args, "cbr_gop", 0)):
         return None
     from raht3dgs_tpu.models.rate_control import RateController
 
@@ -268,6 +278,9 @@ def _run_target(args, first, last, log, dtype) -> int:
             np.floor(np.asarray(V)).astype(np.int64), yuv, depth,
             bucket=args.bucket, dtype=dtype,
         )
+        if rc is not None and args.cbr_gop > 0 and (
+                (frame_idx - first) % args.cbr_gop == 0):
+            rc.reset_credit()
         budget = rc.frame_budget() if rc is not None else args.target_bpp
         res = search_step_for_bpp(fr, budget, codec=codec)
         if rc is not None:
@@ -449,6 +462,9 @@ def _run_inter(args, first, last, log, dtype) -> int:
         )
         timer = StageTimer()
         if args.target_bpp is not None:
+            if rc is not None and args.cbr_gop > 0 and (
+                    (frame_idx - first) % args.cbr_gop == 0):
+                rc.reset_credit()
             budget = (rc.frame_budget() if rc is not None
                       else args.target_bpp)
             stream, rec, used_step = sc.encode_frame_target(

@@ -85,3 +85,14 @@ class RateController:
     def mean_bpp(self) -> float:
         """Cumulative mean spend (<= target_bpp by the prefix invariant)."""
         return self.spent / self.frames if self.frames else 0.0
+
+    def reset_credit(self) -> None:
+        """Drop carried credit — the per-GOP budget boundary.
+
+        A receiver that tunes in at a random-access point must not depend
+        on credit accumulated before it joined: resetting at each GOP
+        start makes every GOP's spend satisfy the prefix invariant
+        INDEPENDENTLY (``sum(actual in gop[0..k]) <= (k+1)*T``), so any
+        suffix of GOPs streams within the channel rate. Forgetting credit
+        only tightens the global invariant."""
+        self.credit = 0.0

@@ -155,3 +155,41 @@ def test_3dgs_self_contained_decode(ckpt, tmp_path):
     np.testing.assert_allclose(vs0, vs1, rtol=1e-6)
     np.testing.assert_allclose(vmin0, vmin1, rtol=1e-6)
     assert np.abs(a0[order] - a1).max() < 0.02
+
+
+def test_encode_3dgs_entropy_auto(ckpt, tmp_path):
+    """--entropy auto on the 56-channel driver: identical reconstruction,
+    never-larger stream, decode CLI auto-detects the v5 entropy map."""
+    import glob as _glob
+
+    from raht3dgs_tpu.cli.decode import main as decode_main
+    from raht3dgs_tpu.cli.encode_3dgs import main as enc_main
+    from raht3dgs_tpu.cli.voxelize_3dgs import main as vox_main
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply
+
+    outdir = tmp_path / "vox"
+    assert vox_main([
+        "--ckpt", str(ckpt), "--depth", "6", "--output-dir", str(outdir),
+        "--render", "none", "--platform", "cpu",
+    ]) == 0
+    voxply = _glob.glob(str(outdir / "*compressed*.ply"))[0]
+
+    sizes, recs = {}, {}
+    for entropy in ("rlgr", "auto"):
+        sdir = tmp_path / f"streams_{entropy}"
+        assert enc_main([
+            "--input", voxply, "--steps", "0.01", "--platform", "cpu",
+            "--save-streams", str(sdir), "--entropy", entropy,
+        ]) == 0
+        stream = _glob.glob(str(sdir / "*.r3tc"))[0]
+        sizes[entropy] = os.path.getsize(stream)
+        recon = tmp_path / f"recon_{entropy}.ply"
+        assert decode_main([
+            "--stream", stream, "--positions", voxply,
+            "--output", str(recon), "--color-space", "3dgs",
+            "--platform", "cpu",
+        ]) == 0
+        recs[entropy] = read_compressed_3dgs_ply(str(recon))
+    # identical reconstruction (pure rate feature), never-larger payload
+    np.testing.assert_array_equal(recs["rlgr"][1], recs["auto"][1])
+    assert sizes["auto"] <= sizes["rlgr"] + 8  # v5 header overhead bound

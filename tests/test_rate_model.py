@@ -208,3 +208,33 @@ def test_two_pass_rejects_mixed_depth(rng):
                              bucket=1024)
     with pytest.raises(ValueError, match="depth"):
         search_global_step_for_bpp([f5, f6], 2.0)
+
+
+def test_cbr_gop_segments_independent(rng):
+    """reset_credit at GOP boundaries: every GOP's spend independently
+    satisfies the prefix invariant (a receiver joining at a boundary
+    streams within rate with zero history)."""
+    from raht3dgs_tpu.models.rate_control import RateController
+
+    depth = 6
+    frames = []
+    for k in range(4):
+        pts, _, _ = unique_voxel_cloud(rng, 900 + 80 * k, depth)
+        attrs = (pts * (3 + k) % 256).astype(np.float64)
+        frames.append(prepare_voxel_frame(pts.astype(np.int64), attrs,
+                                          depth, bucket=1024))
+    codec = AttributeCodec(depth)
+    target, gop = 3.0, 2
+    rc = RateController(target)
+    spends = []
+    for i, f in enumerate(frames):
+        if i % gop == 0:
+            rc.reset_credit()
+            assert rc.credit == 0.0
+        r = search_step_for_bpp(f, rc.frame_budget(), codec=codec)
+        rc.update(r.bpp)
+        spends.append(r.bpp)
+    for g0 in range(0, len(frames), gop):
+        seg = spends[g0:g0 + gop]
+        for k in range(len(seg)):
+            assert np.mean(seg[: k + 1]) <= target * 1.001, (g0, k, seg)
