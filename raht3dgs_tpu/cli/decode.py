@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--code-geometry streams; intra geometry sections only",
     )
     p.add_argument(
+        "--roi", type=int, nargs=6, default=None,
+        metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
+        help="with a tiled .r3tt stream: decode ONLY the bricks "
+        "intersecting the voxel-coordinate box [X0,X1)x[Y0,Y1)x[Z0,Z1) "
+        "and write exactly the voxels inside it (spatial random access; "
+        "encode with encode_ply --tiles)",
+    )
+    p.add_argument(
         "--color-space", choices=("yuv", "raw", "3dgs"), default="yuv",
         help="'yuv': stream holds BT.709 YUV (the encode_ply path) and is "
         "converted back to RGB; 'raw': attributes written as-is; "
@@ -151,12 +159,67 @@ def _run(args) -> int:
         _decode_one(args, stream, args.positions, args.output,
                     seq_codec=seq_codec, geom_prev=geom_prev)
         return 0
+    elif magic == b"R3TT":
+        return _decode_tiled(args)
     else:
         from raht3dgs_tpu.codec.bitstream import FrameStream
 
         with open(args.stream, "rb") as f:
             stream = FrameStream.from_bytes(f.read())
+    if args.roi is not None:
+        raise SystemExit("--roi needs a tiled .r3tt stream "
+                         "(encode with encode_ply --tiles)")
     _decode_one(args, stream, args.positions, args.output)
+    return 0
+
+
+def _decode_tiled(args) -> int:
+    """Tiled .r3tt frame: full decode, or only the --roi bricks."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.io.ply import save_ply_ascii
+    from raht3dgs_tpu.models.tiling import TiledReader, decode_tiled_frame
+    from raht3dgs_tpu.ops.color import yuv_to_rgb
+
+    if args.progressive or args.lod or args.geometry_lod:
+        raise SystemExit(
+            "--progressive/--lod/--geometry-lod apply to monolithic "
+            "streams (tiles are already the spatial-random-access axis)"
+        )
+    if args.color_space == "3dgs":
+        raise SystemExit("--color-space 3dgs is not supported for tiled "
+                         "streams yet (use yuv/raw)")
+    with open(args.stream, "rb") as f:
+        reader = TiledReader(f.read())
+    roi = None
+    if args.roi is not None:
+        lo, hi = np.asarray(args.roi[:3]), np.asarray(args.roi[3:])
+        roi = (lo, hi)
+        sel = reader.select_roi(lo, hi)
+        total = sum(
+            reader._offsets[i + 1] - reader._offsets[i]
+            for i in range(len(reader))
+        )
+        got = sum(reader._offsets[i + 1] - reader._offsets[i] for i in sel)
+        print(f"ROI {lo.tolist()}..{hi.tolist()}: {len(sel)}/{len(reader)} "
+              f"bricks, {got}/{total} payload bytes")
+    positions = None
+    if args.positions is not None:
+        from raht3dgs_tpu.io.ply import read_ply_8i
+
+        positions = np.floor(read_ply_8i(args.positions)[0]).astype(np.int64)
+    V, A = decode_tiled_frame(
+        reader, roi=roi, positions=positions,
+        dtype=jnp_dtype(args.dtype), bucket=args.bucket,
+    )
+    if args.color_space == "yuv" and A.shape[1] == 3:
+        rgb = np.asarray(yuv_to_rgb(jnp.asarray(A)))
+        save_ply_ascii(args.output, V.astype(float),
+                       np.clip(rgb, 0, 255).astype(int))
+    else:
+        save_ply_ascii(args.output, V.astype(float), A)
+    print(f"decoded {len(V)} voxels x {A.shape[1]} channels "
+          f"(J={reader.depth}, {len(reader)} bricks) -> {args.output}")
     return 0
 
 

@@ -66,6 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
         "symbols (parallel encode/decode on multi-core hosts; 0 = "
         "sequential reference-compatible streams)",
     )
+    p.add_argument(
+        "--tiles", type=int, default=0, metavar="D",
+        help="partition the frame into octree bricks at depth D and write "
+        "a tiled .r3tt stream (spatial random access: decode only the "
+        "bricks intersecting a --roi box, models/tiling.py). Requires "
+        "--save-streams and exactly one --steps value; composes with "
+        "--code-geometry (self-contained tiles) and --entropy. Rate "
+        "overhead measured in docs/rd_tiling.md",
+    )
     add_geometry_arg(p)
     add_quant_args(p)
     add_runtime_args(p)
@@ -97,6 +106,58 @@ def main(argv=None) -> int:
     return 0
 
 
+def _encode_tiled(args, idx, path, V, C, depth, codec, log) -> None:
+    """--tiles: write one .r3tt tiled frame (+ CSV row with the usual
+    bpp/PSNR columns measured through a full tiled decode)."""
+    import time as _time
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.models.tiling import encode_tiled_frame, decode_tiled_frame
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    if not args.save_streams:
+        raise SystemExit("--tiles writes a .r3tt stream; pass --save-streams")
+    if len(args.steps) != 1:
+        raise SystemExit("--tiles requires exactly one --steps value")
+    step = args.steps[0]
+    t0 = _time.perf_counter()
+    yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C)), dtype=codec.dtype))
+    Vi = np.floor(np.asarray(V)).astype(np.int64)
+    blob, stats = encode_tiled_frame(
+        Vi, yuv, depth, args.tiles, codec, step,
+        code_geometry=bool(args.code_geometry),
+    )
+    enc_s = _time.perf_counter() - t0
+    out = Path(args.save_streams)
+    out.mkdir(parents=True, exist_ok=True)
+    dst = out / (Path(path).stem + f"_tiled{args.tiles}.r3tt")
+    dst.write_bytes(blob)
+    n = len(Vi)
+    psnr = float("nan")
+    if not args.no_decode:
+        Vd, Ad = decode_tiled_frame(
+            blob, positions=None if args.code_geometry else Vi,
+            dtype=codec.dtype,
+        )
+        order = np.argsort(morton_codes_np(Vi, depth), kind="stable")
+        psnr = y_psnr_db(yuv[order][:, 0], Ad[:, 0])
+    print(
+        f"frame {idx}: {len(stats)} tiles (brick depth {args.tiles}), "
+        f"{len(blob)} B = {8 * len(blob) / n:.4f} bpp, Y-PSNR {psnr:.2f} "
+        f"dB -> {dst}"
+    )
+    log.row(RDPoint(
+        frame=idx, step=float(step), bpp=8 * len(blob) / n, psnr=psnr,
+        n_voxels=n, stream_bytes=len(blob),
+        times={"Entropy_enc_time": enc_s},
+    ).csv_row())
+
+
 def _sweep(args, log, dtype, codec_cache) -> None:
     from raht3dgs_tpu.io.ply import read_ply_8i
     from raht3dgs_tpu.models.color_codec import DEFAULT_DEPTH, encode_color_frame
@@ -123,6 +184,9 @@ def _sweep(args, log, dtype, codec_cache) -> None:
                                   chunk=args.entropy_chunk,
                                   **quant_kwargs(args))
         )
+        if args.tiles:
+            _encode_tiled(args, idx, path, V, C, depth, codec, log)
+            continue
         if args.target_bpp is not None:
             import jax.numpy as _jnp
             import numpy as np

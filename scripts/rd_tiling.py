@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Tiled-frame (ROI / spatial random access) rate overhead and ROI wins.
+
+Measures the ``.r3tt`` tiled container (models/tiling.py) against the
+monolithic stream on a realistic-scale synthetic frame: rate overhead
+(per-tile headers + entropy adaptation restarts + per-brick DC) as a
+function of brick depth, reconstruction quality (PSNR at the same step),
+and the ROI economics — the fraction of bytes a receiver must fetch and
+entropy-decode for a box query vs the monolithic stream's "everything".
+
+    python scripts/rd_tiling.py [--n 200000] [--depth 10] \
+        [--out docs/rd_tiling.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--depth", type=int, default=10)
+    ap.add_argument("--step", type=float, default=16.0)
+    ap.add_argument("--bricks", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--entropy", default="rlgr")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raht3dgs_tpu.eval.synth import synthetic_body_scan
+    from raht3dgs_tpu.models.color_codec import y_psnr_db
+    from raht3dgs_tpu.models.pipeline import (
+        AttributeCodec,
+        prepare_voxel_frame,
+    )
+    from raht3dgs_tpu.models.tiling import (
+        TiledReader,
+        decode_tiled_frame,
+        encode_tiled_frame,
+    )
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    V, rgb = synthetic_body_scan(depth=args.depth, seed=args.seed,
+                                 n_frames=1)[0]
+    if len(V) > args.n:
+        V, rgb = V[: args.n], rgb[: args.n]
+    yuv = np.asarray(rgb_to_yuv(jnp.asarray(rgb)))
+    codec = AttributeCodec(args.depth, entropy=args.entropy)
+
+    frame = prepare_voxel_frame(V, yuv, args.depth)
+    mono = codec.encode(frame, args.step)
+    rec, _ = codec.decode(mono.stream, frame.codes, frame.weights)
+    order = np.argsort(morton_codes_np(V.astype(np.int64), args.depth),
+                       kind="stable")
+    y0 = yuv[order][:, 0]
+    mono_bytes = len(mono.stream.to_bytes())
+    mono_psnr = y_psnr_db(y0, rec[:, 0])
+    n = frame.n_voxels
+    print(f"monolithic: {mono_bytes} B ({8 * mono_bytes / n:.4f} bpp), "
+          f"Y-PSNR {mono_psnr:.2f} dB, n={n}")
+
+    side = 1 << args.depth
+    roi = (np.array([side // 4] * 3), np.array([side // 2] * 3))
+
+    lines = [
+        "# Tiled frames (.r3tt): rate overhead and ROI economics "
+        "`[synthetic]`", "",
+        f"Body-scan content, n={n}, J={args.depth}, step {args.step:g}, "
+        f"entropy={args.entropy} (scripts/rd_tiling.py). Monolithic "
+        f"stream: {8 * mono_bytes / n:.4f} bpp at Y-PSNR "
+        f"{mono_psnr:.2f} dB. ROI = the frame's central "
+        "[side/4, side/2)^3 box. 'ROI bytes' is what a receiver "
+        "fetches+decodes for the box with tiles vs EVERYTHING with the "
+        "monolithic stream.", "",
+        "| brick depth | tiles | bpp | Δrate | Y-PSNR | ROI tiles | "
+        "ROI bytes | vs mono |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for bd in args.bricks:
+        blob, stats = encode_tiled_frame(
+            V, yuv, args.depth, bd, codec, args.step, bucket=1 << 12,
+        )
+        reader = TiledReader(blob)
+        Vd, Ad = decode_tiled_frame(blob, positions=V)
+        psnr = y_psnr_db(y0, Ad[:, 0])
+        sel = reader.select_roi(*roi)
+        roi_bytes = sum(len(reader.tile_bytes(i)) for i in sel)
+        line = (f"| {bd} | {len(reader)} | {8 * len(blob) / n:.4f} | "
+                f"{100 * (len(blob) / mono_bytes - 1):+.1f}% | "
+                f"{psnr:.2f} | {len(sel)}/{len(reader)} | "
+                f"{roi_bytes} | {100 * roi_bytes / mono_bytes:.1f}% |")
+        lines.append(line)
+        print(line)
+    lines += [
+        "",
+        "Quality note: tiled PSNR differs slightly from monolithic at the",
+        "same step — each brick quantizes its own DC band instead of",
+        "sharing the global top-of-tree butterflies; the Δ is sub-0.1 dB",
+        "at realistic tile sizes (table).",
+        "",
+        "Geometry: tiles may carry per-brick geometry sections",
+        "(`code_geometry=True`) for fully self-contained ROI decode; at",
+        "small tile sizes per-section context restarts cost noticeably",
+        "more than one global section — prefer positions-supplied decode",
+        "or brick depths giving >= ~4k voxels/tile when rate matters.",
+    ]
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""Tiled frames (.r3tt): spatial random access.
+
+Correctness contracts: tile union in key order == global Morton order;
+ROI decode == the exact box subset of the full decode; per-tile streams
+are standard FrameStreams (every codec feature applies per tile);
+corrupt containers fail loudly."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from raht3dgs_tpu.eval.synth import synthetic_color_frame  # noqa: E402
+from raht3dgs_tpu.models.pipeline import (  # noqa: E402
+    AttributeCodec,
+    prepare_voxel_frame,
+)
+from raht3dgs_tpu.models.tiling import (  # noqa: E402
+    TiledReader,
+    brick_keys_np,
+    decode_tiled_frame,
+    encode_tiled_frame,
+)
+from raht3dgs_tpu.ops.color import rgb_to_yuv  # noqa: E402
+from raht3dgs_tpu.ops.prelude import morton_codes_np  # noqa: E402
+
+DEPTH = 8
+
+
+@pytest.fixture(scope="module")
+def content():
+    V, rgb = synthetic_color_frame(n=7000, depth=DEPTH, seed=9)
+    yuv = np.asarray(rgb_to_yuv(jnp.asarray(rgb)))
+    return V, yuv
+
+
+@pytest.fixture(scope="module")
+def tiled(content):
+    V, yuv = content
+    codec = AttributeCodec(DEPTH)
+    blob, stats = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0,
+                                     code_geometry=True)
+    return blob, stats, codec
+
+
+def test_container_roundtrip_and_order(content, tiled):
+    V, yuv = content
+    blob, stats, _ = tiled
+    reader = TiledReader(blob)
+    assert len(reader) == len(stats)
+    assert sum(n for _, n, _ in stats) == len(V)
+    # keys ascending and consistent with the voxels' brick keys
+    codes = morton_codes_np(V.astype(np.int64), DEPTH)
+    want_keys = np.unique(brick_keys_np(np.sort(codes), DEPTH, 2))
+    np.testing.assert_array_equal(reader.keys, want_keys)
+    # full decode reproduces global Morton order
+    Vd, Ad = decode_tiled_frame(blob)
+    order = np.argsort(codes, kind="stable")
+    np.testing.assert_array_equal(Vd, V[order])
+    assert Ad.shape == (len(V), 3)
+
+
+def test_roi_equals_full_decode_subset(content, tiled):
+    V, _ = content
+    blob, _, _ = tiled
+    Vd, Ad = decode_tiled_frame(blob)
+    for lo, hi in (((0, 0, 0), (128, 128, 128)),
+                   ((64, 0, 32), (200, 256, 100))):
+        Vr, Ar = decode_tiled_frame(blob, roi=(lo, hi))
+        keep = np.all((Vd >= np.asarray(lo)) & (Vd < np.asarray(hi)),
+                      axis=1)
+        np.testing.assert_array_equal(Vr, Vd[keep])
+        np.testing.assert_array_equal(Ar, Ad[keep])
+
+
+def test_positions_supplied_decode_matches_geometry(content, tiled):
+    V, yuv = content
+    blob_geom, _, codec = tiled
+    blob_pos, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0,
+                                     code_geometry=False)
+    Vg, Ag = decode_tiled_frame(blob_geom)
+    Vp, Ap = decode_tiled_frame(blob_pos, positions=V)
+    np.testing.assert_array_equal(Vg, Vp)
+    np.testing.assert_array_equal(Ag, Ap)
+
+
+def test_tiles_are_standard_streams_with_features(content):
+    """Per-tile streams carry the full codec feature set (deadzone +
+    chunked + RAC entropy) — tiling composes, not forks."""
+    V, yuv = content
+    codec = AttributeCodec(DEPTH, quant_mode="deadzone", chunk=512,
+                           entropy="auto")
+    blob, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0)
+    reader = TiledReader(blob)
+    s = reader.tile(0)
+    assert s.quant_mode == "deadzone" and s.chunk == 512
+    Vd, Ad = decode_tiled_frame(blob, positions=V)
+    assert len(Vd) == len(V)
+
+
+def test_tile_quality_close_to_monolithic(content):
+    """Same step: tiled reconstruction within a small PSNR delta of the
+    monolithic transform (per-brick DC vs shared top butterflies)."""
+    V, yuv = content
+    codec = AttributeCodec(DEPTH)
+    frame = prepare_voxel_frame(V, yuv, DEPTH)
+    enc = codec.encode(frame, 8.0)
+    rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+    blob, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0)
+    _, Ad = decode_tiled_frame(blob, positions=V)
+    order = np.argsort(morton_codes_np(V.astype(np.int64), DEPTH),
+                       kind="stable")
+    y = yuv[order][:, 0]
+
+    def psnr(a):
+        return -10 * np.log10(np.mean((a - y) ** 2) / 255.0**2 + 1e-12)
+
+    assert abs(psnr(rec[:, 0]) - psnr(Ad[:, 0])) < 0.5
+
+
+def test_guards(content, tiled):
+    V, yuv = content
+    blob, _, codec = tiled
+    with pytest.raises(ValueError, match="brick_depth"):
+        encode_tiled_frame(V, yuv, DEPTH, DEPTH, codec, 8.0)
+    with pytest.raises(ValueError, match="brick_depth"):
+        encode_tiled_frame(V, yuv, DEPTH, 0, codec, 8.0)
+    with pytest.raises(ValueError, match="magic"):
+        TiledReader(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        TiledReader(blob[:40])
+    with pytest.raises(ValueError, match="empty ROI"):
+        decode_tiled_frame(blob, roi=((0, 0, 0), (0, 1, 1)))
+    with pytest.raises(ValueError, match="no occupied brick"):
+        # content never fills the last corner brick alone at this seed?
+        # use a box fully outside the grid's occupied range instead:
+        # keys cover occupied bricks only, so an out-of-occupancy box in
+        # the far corner may still hit one — probe a degenerate sliver
+        # between voxels by construction: [255,255,255)+1 wraps outside
+        decode_tiled_frame(blob, roi=((256, 256, 256), (257, 257, 257)))
+
+
+def test_cli_tiles_roi_roundtrip(tmp_path, content):
+    from raht3dgs_tpu.cli.decode import main as dec_main
+    from raht3dgs_tpu.cli.encode_ply import main as enc_main
+    from raht3dgs_tpu.io.ply import read_ply_8i, save_ply_ascii
+
+    V, yuv = content
+    rng = np.random.default_rng(0)
+    rgb = np.clip(rng.integers(0, 255, (len(V), 3)), 0, 255)
+    src = tmp_path / "frame.ply"
+    save_ply_ascii(src, V.astype(float), rgb.astype(float),
+                   width=2**DEPTH - 1)
+    rc = enc_main([
+        "--input", str(src), "--steps", "8", "--tiles", "2",
+        "--code-geometry", "--save-streams", str(tmp_path / "streams"),
+        "--platform", "cpu", "--csv", str(tmp_path / "t.csv"),
+    ])
+    assert rc == 0
+    r3tt = tmp_path / "streams" / "frame_tiled2.r3tt"
+    assert r3tt.exists()
+    out = tmp_path / "roi.ply"
+    rc = dec_main([
+        "--stream", str(r3tt), "--roi", "0", "0", "0", "128", "128", "128",
+        "--output", str(out), "--platform", "cpu",
+    ])
+    assert rc == 0
+    Vr, Cr, _ = read_ply_8i(str(out))
+    assert len(Vr) > 0
+    assert np.all(Vr < 128)
+    # every ROI voxel is a real frame voxel
+    codes_all = set(morton_codes_np(V.astype(np.int64), DEPTH).tolist())
+    codes_roi = morton_codes_np(np.floor(Vr).astype(np.int64), DEPTH)
+    assert set(codes_roi.tolist()) <= codes_all
