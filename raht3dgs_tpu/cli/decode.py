@@ -114,6 +114,13 @@ def _run(args) -> int:
                     "--all-frames needs a '{i}' placeholder in --output "
                     "(and in --positions when given)"
                 )
+            if seq.frame_bytes(0)[:4] == b"R3TT":
+                for i in range(len(seq)):
+                    _decode_tiled_blob(args, seq.frame_bytes(i),
+                                       args.output.format(i=i))
+                print(f"decoded all {len(seq)} tiled frames of "
+                      f"{args.stream}")
+                return 0
             streams = [seq.frame(i) for i in range(len(seq))]
             seq_codecs = {}
             if any(s.inter for s in streams):
@@ -154,13 +161,17 @@ def _run(args) -> int:
             return 0
         print(f"sequence of {len(seq)} frames; decoding frame "
               f"{args.frame_index}")
+        fb = seq.frame_bytes(args.frame_index)
+        if fb[:4] == b"R3TT":
+            return _decode_tiled_blob(args, fb, args.output)
         stream = seq.frame(args.frame_index)
         seq_codec, geom_prev = _replay_to(seq, args, stream)
         _decode_one(args, stream, args.positions, args.output,
                     seq_codec=seq_codec, geom_prev=geom_prev)
         return 0
     elif magic == b"R3TT":
-        return _decode_tiled(args)
+        with open(args.stream, "rb") as f:
+            return _decode_tiled_blob(args, f.read(), args.output)
     else:
         from raht3dgs_tpu.codec.bitstream import FrameStream
 
@@ -173,7 +184,7 @@ def _run(args) -> int:
     return 0
 
 
-def _decode_tiled(args) -> int:
+def _decode_tiled_blob(args, data: bytes, output_path: str) -> int:
     """Tiled .r3tt frame: full decode, or only the --roi bricks."""
     import jax.numpy as jnp
 
@@ -189,8 +200,7 @@ def _decode_tiled(args) -> int:
     if args.color_space == "3dgs":
         raise SystemExit("--color-space 3dgs is not supported for tiled "
                          "streams yet (use yuv/raw)")
-    with open(args.stream, "rb") as f:
-        reader = TiledReader(f.read())
+    reader = TiledReader(data)
     roi = None
     if args.roi is not None:
         lo, hi = np.asarray(args.roi[:3]), np.asarray(args.roi[3:])
@@ -214,12 +224,12 @@ def _decode_tiled(args) -> int:
     )
     if args.color_space == "yuv" and A.shape[1] == 3:
         rgb = np.asarray(yuv_to_rgb(jnp.asarray(A)))
-        save_ply_ascii(args.output, V.astype(float),
+        save_ply_ascii(output_path, V.astype(float),
                        np.clip(rgb, 0, 255).astype(int))
     else:
-        save_ply_ascii(args.output, V.astype(float), A)
+        save_ply_ascii(output_path, V.astype(float), A)
     print(f"decoded {len(V)} voxels x {A.shape[1]} channels "
-          f"(J={reader.depth}, {len(reader)} bricks) -> {args.output}")
+          f"(J={reader.depth}, {len(reader)} bricks) -> {output_path}")
     return 0
 
 

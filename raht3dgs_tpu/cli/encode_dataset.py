@@ -98,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
         "Holds the sequence's frames in memory; not with --cbr/--inter",
     )
     p.add_argument(
+        "--tiles", type=int, default=0, metavar="D",
+        help="write each frame as a TILED .r3tt blob inside the .r3ts "
+        "sequence (octree bricks at depth D; spatial random access — "
+        "decode any frame's --roi box from only the intersecting "
+        "bricks). Requires --save-sequence and one --steps value; "
+        "implies --code-geometry per brick; intra frames only "
+        "(not with --inter/--batch/--target-bpp)",
+    )
+    p.add_argument(
         "--inter", action="store_true",
         help="temporal I/P coding: predict each frame from the previous "
         "reconstruction and code the residual (closed loop, adaptive "
@@ -154,6 +163,16 @@ def _run(args) -> int:
         print("--cbr is a rate-control mode; it requires --target-bpp",
               file=sys.stderr)
         return 2
+    if args.tiles:
+        if not args.save_sequence or len(args.steps) != 1:
+            print("--tiles needs --save-sequence and exactly one --steps "
+                  "value", file=sys.stderr)
+            return 2
+        if args.inter or args.batch or args.target_bpp is not None:
+            print("--tiles is intra-only for now (not with --inter/"
+                  "--batch/--target-bpp)", file=sys.stderr)
+            return 2
+        return _run_tiled(args, first, last, log, dtype)
     if args.two_pass:
         if args.target_bpp is None:
             print("--two-pass is a rate-control mode; it requires "
@@ -319,6 +338,75 @@ def _run_target(args, first, last, log, dtype) -> int:
         total = write_sequence(args.save_sequence, seq_streams)
         print(f"sequence: {len(seq_streams)} frames, {total} bytes "
               f"-> {args.save_sequence}")
+    return 0
+
+
+def _run_tiled(args, first, last, log, dtype) -> int:
+    """Tiled intra sequence: one .r3tt blob per frame inside the .r3ts
+    (every frame then supports decode --roi spatial random access)."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raht3dgs_tpu.io.datasets import get_pointcloud
+    from raht3dgs_tpu.models.color_codec import RDPoint, y_psnr_db
+    from raht3dgs_tpu.models.pipeline import AttributeCodec
+    from raht3dgs_tpu.models.tiling import (
+        decode_tiled_frame,
+        encode_tiled_frame,
+    )
+    from raht3dgs_tpu.ops.color import rgb_to_yuv
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    step = args.steps[0]
+    codec_cache = {}
+    blobs = []
+    for frame_idx in range(first, last + 1):
+        out = get_pointcloud(args.dataset, args.sequence, frame_idx,
+                             args.data_root)
+        if out is None:
+            print(f"frame {frame_idx}: load failed, skipping",
+                  file=sys.stderr)
+            continue
+        V, C, depth = out
+        if not 0 < args.tiles < depth:
+            print(f"--tiles must be in (0, {depth}) for this sequence's "
+                  f"depth", file=sys.stderr)
+            return 2
+        codec = codec_cache.setdefault(
+            depth, AttributeCodec(depth, dtype=dtype,
+                                  chunk=args.entropy_chunk,
+                                  **quant_kwargs(args))
+        )
+        t0 = _time.perf_counter()
+        Vi = np.floor(np.asarray(V)).astype(np.int64)
+        yuv = np.asarray(rgb_to_yuv(jnp.asarray(np.asarray(C)),
+                                    dtype=dtype))
+        blob, stats = encode_tiled_frame(
+            Vi, yuv, depth, args.tiles, codec, step, code_geometry=True,
+        )
+        enc_s = _time.perf_counter() - t0
+        psnr = float("nan")
+        if not args.no_decode:
+            _, Ad = decode_tiled_frame(blob, dtype=dtype)
+            order = np.argsort(morton_codes_np(Vi, depth), kind="stable")
+            psnr = y_psnr_db(yuv[order][:, 0], Ad[:, 0])
+        n = len(Vi)
+        print(f"frame {frame_idx}: {len(stats)} tiles, {len(blob)} B = "
+              f"{8 * len(blob) / n:.4f} bpp, Y-PSNR {psnr:.2f} dB")
+        log.row(RDPoint(
+            frame=frame_idx, step=float(step), bpp=8 * len(blob) / n,
+            psnr=psnr, n_voxels=n, stream_bytes=len(blob),
+            times={"Entropy_enc_time": enc_s},
+        ).csv_row())
+        blobs.append(blob)
+    log.close()
+    from raht3dgs_tpu.codec.bitstream import write_sequence
+
+    total = write_sequence(args.save_sequence, blobs)
+    print(f"sequence: {len(blobs)} tiled frames, {total} bytes "
+          f"-> {args.save_sequence}")
     return 0
 
 

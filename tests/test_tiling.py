@@ -172,3 +172,50 @@ def test_cli_tiles_roi_roundtrip(tmp_path, content):
     codes_all = set(morton_codes_np(V.astype(np.int64), DEPTH).tolist())
     codes_roi = morton_codes_np(np.floor(Vr).astype(np.int64), DEPTH)
     assert set(codes_roi.tolist()) <= codes_all
+
+
+def test_tiled_sequence_cli(tmp_path):
+    """encode_dataset --tiles: .r3ts of .r3tt blobs; any frame decodes
+    by index with --roi (spatio-TEMPORAL random access)."""
+    from raht3dgs_tpu.cli.decode import main as dec_main
+    from raht3dgs_tpu.cli.encode_dataset import main as enc_main
+    from raht3dgs_tpu.io.ply import read_ply_8i, save_ply_ascii
+
+    rng = np.random.default_rng(4)
+    depth = 5
+    d = tmp_path / "8iVFBv2" / "loot" / "Ply"
+    d.mkdir(parents=True)
+    for k in range(2):
+        pts = rng.integers(0, 2**depth, (800, 3))
+        _, first = np.unique(morton_codes_np(pts, depth),
+                             return_index=True)
+        pts = pts[first]
+        cols = rng.integers(0, 255, (len(pts), 3))
+        save_ply_ascii(d / f"loot_vox10_{1000 + k:04d}.ply",
+                       pts.astype(float), cols.astype(float),
+                       width=2**depth - 1)
+    seq = tmp_path / "seq.r3ts"
+    rc = enc_main([
+        "--dataset", "8iVFBv2", "--sequence", "loot",
+        "--data-root", str(tmp_path), "--frames", "1", "2",
+        "--steps", "4", "--tiles", "2", "--save-sequence", str(seq),
+        "--platform", "cpu", "--csv", str(tmp_path / "t.csv"),
+    ])
+    assert rc == 0
+    out = tmp_path / "f1_roi.ply"
+    rc = dec_main([
+        "--stream", str(seq), "--frame-index", "1",
+        "--roi", "0", "0", "0", "16", "16", "16",
+        "--output", str(out), "--platform", "cpu",
+    ])
+    assert rc == 0
+    Vr, _, _ = read_ply_8i(str(out))
+    assert len(Vr) > 0 and np.all(Vr < 16)
+    # full-frame decode of a tiled sequence frame also works
+    full = tmp_path / "f1_full.ply"
+    assert dec_main([
+        "--stream", str(seq), "--frame-index", "1",
+        "--output", str(full), "--platform", "cpu",
+    ]) == 0
+    Vf, _, _ = read_ply_8i(str(full))
+    assert len(Vf) >= len(Vr)
