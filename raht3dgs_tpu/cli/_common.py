@@ -83,6 +83,14 @@ def add_quant_args(p: argparse.ArgumentParser) -> None:
         "worse than rlgr). Recorded per channel in the stream — decode "
         "auto-detects",
     )
+    p.add_argument(
+        "--predict", action="store_true",
+        help="inter-depth predicted RAHT (ops/praht.py): code each depth "
+        "group's coefficients as residuals against an upsampled "
+        "prediction from the coarser depth's reconstruction, with a "
+        "per-depth on/off decision signalled in the stream (opt-in RD "
+        "improver; decode auto-detects; see docs/rd_predict.md)",
+    )
 
 
 def quant_kwargs(args) -> dict:
@@ -92,6 +100,7 @@ def quant_kwargs(args) -> dict:
         "quant_f": args.quant_f,
         "rec_delta": args.rec_delta,
         "entropy": getattr(args, "entropy", "rlgr"),
+        "predict": getattr(args, "predict", False),
     }
 
 

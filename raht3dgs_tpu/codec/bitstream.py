@@ -35,7 +35,10 @@ Version-5 streams insert ``u8 flags2`` (+ conditional fields) directly
 after ``flags``. flags2 bit0: a ``ceil(n_channels/8)``-byte per-channel
 ENTROPY MAP follows — bit c set means channel c's payload is a RAC
 stream (``codec/rac.py``, the -7..-13% adaptive-binary profile) instead
-of RLGR. Emitted only when some channel uses RAC; under v5 the geometry
+of RLGR. flags2 bit1: the coefficients are inter-depth PREDICTED-RAHT
+residuals (``ops/praht.py``) — a ``u32 predict_mask`` (bit ``d-1`` set =
+depth ``d`` coded prediction residuals) follows the entropy-map bytes.
+flags2 is emitted only when some bit is set; under v5 the geometry
 section is always present (0 = none) and inter frames always carry the
 motion section.
 """
@@ -69,13 +72,18 @@ VERSION_GEOM = 4
 # first byte is full). flags2 bit0: a per-channel ENTROPY MAP — a
 # ceil(n_channels/8)-byte little-endian bitmask directly after flags2;
 # bit c set means channel c's payload is a RAC stream (codec/rac.py)
-# instead of RLGR. Unknown flags2 bits are a hard parse error (a future
-# writer's stream must fail loudly, not decode garbage). Writers emit 5
-# only when some channel actually uses RAC, so RLGR-only streams stay
-# byte-identical to older writers; under v5 the geometry section is
-# always present (length 0 = none) and the motion section is always
-# present on inter frames, mirroring the v4 rules.
+# instead of RLGR. flags2 bit1: PREDICTED-RAHT coefficients
+# (ops/praht.py) — a u32 predict_mask follows the entropy-map bytes
+# (after flags2 itself when bit0 is unset). Unknown flags2 bits are a
+# hard parse error (a future writer's stream must fail loudly, not
+# decode garbage). Writers emit 5 only when some flags2 bit is actually
+# set, so plain streams stay byte-identical to older writers; under v5
+# the geometry section is always present (length 0 = none) and the
+# motion section is always present on inter frames, mirroring the v4
+# rules.
 VERSION_ENTROPY = 5
+FLAG2_ENTROPY_MAP = 1
+FLAG2_PREDICT = 1 << 1
 _READ_VERSIONS = (1, 2, 3, 4, 5)
 FLAG_SIGNED = 1
 # flags bits 1-2: coefficient order the encoder used (decoder must mirror it)
@@ -127,6 +135,10 @@ class FrameStream:
     # per-channel entropy coder: None = all RLGR (pre-v5 byte layout);
     # else a length-n_channels tuple of bools, True = RAC (v5)
     entropy_map: tuple = None
+    # inter-depth predicted RAHT (ops/praht.py): symbols are prediction
+    # residuals; predict_mask bit d-1 set = depth d used prediction
+    predict: bool = False
+    predict_mask: int = 0
 
     @property
     def n_channels(self) -> int:
@@ -189,7 +201,7 @@ class FrameStream:
                     f"entropy_map has {len(emap)} entries for "
                     f"{self.n_channels} channels"
                 )
-        if emap is not None:
+        if emap is not None or self.predict:
             version = VERSION_ENTROPY
         elif self.geometry is not None:
             version = VERSION_GEOM
@@ -208,12 +220,23 @@ class FrameStream:
             steps.shape[0],
         )
         if version >= VERSION_ENTROPY:
-            head += struct.pack("<B", 1)  # flags2: bit0 = entropy map
-            bits = bytearray((self.n_channels + 7) // 8)
-            for c, is_rac in enumerate(emap):
-                if is_rac:
-                    bits[c // 8] |= 1 << (c % 8)
-            head += bytes(bits)
+            flags2 = (FLAG2_ENTROPY_MAP if emap is not None else 0) | (
+                FLAG2_PREDICT if self.predict else 0
+            )
+            head += struct.pack("<B", flags2)
+            if emap is not None:
+                bits = bytearray((self.n_channels + 7) // 8)
+                for c, is_rac in enumerate(emap):
+                    if is_rac:
+                        bits[c // 8] |= 1 << (c % 8)
+                head += bytes(bits)
+            if self.predict:
+                if not 0 <= self.predict_mask < (1 << 32):
+                    raise ValueError(
+                        f"predict_mask {self.predict_mask:#x} does not fit "
+                        "u32"
+                    )
+                head += struct.pack("<I", self.predict_mask)
         head += steps.tobytes()
         vmin = np.asarray(self.vmin, dtype=np.float64)
         if vmin.shape != (3,):
@@ -266,16 +289,18 @@ class FrameStream:
                 "(must be 1 or one per channel)"
             )
         entropy_map = None
+        predict = False
+        predict_mask = 0
         if version >= VERSION_ENTROPY:
             if len(data) < off + 1:
                 raise ValueError("truncated stream: flags2 byte cut off")
             flags2 = data[off]
             off += 1
-            if flags2 & ~0x1:
+            if flags2 & ~(FLAG2_ENTROPY_MAP | FLAG2_PREDICT):
                 raise ValueError(
                     f"corrupt stream: unknown flags2 bits 0x{flags2:02x}"
                 )
-            if flags2 & 0x1:
+            if flags2 & FLAG2_ENTROPY_MAP:
                 nb = (n_ch + 7) // 8
                 if len(data) < off + nb:
                     raise ValueError(
@@ -286,6 +311,16 @@ class FrameStream:
                     for c in range(n_ch)
                 )
                 off += nb
+            if flags2 & FLAG2_PREDICT:
+                if len(data) < off + 4:
+                    raise ValueError(
+                        "truncated stream: predict mask cut off"
+                    )
+                predict = True
+                (predict_mask,) = struct.unpack(
+                    "<I", data[off : off + 4]
+                )
+                off += 4
         fixed = (8 * n_steps + 24 + 8 + (4 if flags & FLAG_CHUNKED else 0)
                  + (16 if flags & FLAG_DEADZONE else 0))
         if len(data) < off + fixed:
@@ -359,6 +394,8 @@ class FrameStream:
             motion=motion,
             geometry=geometry,
             entropy_map=entropy_map,
+            predict=predict,
+            predict_mask=predict_mask,
         )
 
 

@@ -58,7 +58,16 @@ class BatchAttributeCodec:
         quant_f: float = 0.3,
         rec_delta: float = 0.12,
         entropy: str = "rlgr",
+        predict: bool = False,
     ):
+        if predict:
+            # the predicted transform is a sequential host closed loop
+            # (ops/praht.py) — nothing to batch on device; drivers fall
+            # back to per-frame AttributeCodec(predict=True)
+            raise ValueError(
+                "BatchAttributeCodec does not support predict=True; use "
+                "AttributeCodec per frame"
+            )
         self.depth = depth
         self.dtype = dtype
         self.order_mode = order_mode

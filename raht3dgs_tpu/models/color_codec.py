@@ -116,7 +116,18 @@ def encode_color_frame(
     )
     timer.add("RAHT_prelude_time", time.perf_counter() - t0)
 
-    coeffs, order, structure, timer = codec.transform(frame, timer)
+    if codec.predict:
+        # the predicted transform runs its own closed loop inside
+        # encode_sweep; there is no device coefficient array to hoist,
+        # and the coefficient-domain PSNR shortcut does not apply
+        if not decode:
+            raise ValueError(
+                "decode=False uses the coefficient-domain PSNR shortcut, "
+                "which does not exist for the predicted transform"
+            )
+        coeffs = order = None
+    else:
+        coeffs, order, structure, timer = codec.transform(frame, timer)
     # coefficient fetch only on the coeff-domain-PSNR path (decode=False):
     # on the default path it is a pointless blocking device->host transfer
     coeffs_np = None if decode else np.asarray(coeffs)[: frame.n_voxels]

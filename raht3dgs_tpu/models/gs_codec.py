@@ -114,7 +114,12 @@ def encode_gs_frame(
     timer.add("RAHT_prelude_time", time.perf_counter() - t0)
 
     codec = codec or AttributeCodec(depth, dtype=dtype)
-    coeffs, order, structure, timer = codec.transform(frame, timer)
+    if codec.predict:
+        # predicted transform: the closed loop runs inside encode_sweep;
+        # no device coefficients to hoist across steps
+        coeffs = order = None
+    else:
+        coeffs, order, structure, timer = codec.transform(frame, timer)
     ref_sorted = np.asarray(frame.attributes)[: frame.n_voxels]
     D = attributes.shape[1]
 

@@ -373,6 +373,7 @@ def build_entropy_stream(
     q_np: np.ndarray, frame, steps, *, depth: int, order_mode: str,
     chunk: int, quant_mode: str = "mid", quant_f: float = 0.5,
     rec_delta: float = 0.0, dtype32: bool = False, entropy: str = "rlgr",
+    predict: bool = False, predict_mask: int = 0,
 ):
     """Host entropy-code one frame's quantized (D, N) channel matrix and
     wrap it as a FrameStream; returns ``(stream, encode_ns)``.
@@ -405,6 +406,8 @@ def build_entropy_stream(
         rec_delta=rec_delta,
         dtype32=dtype32,
         entropy_map=emap,
+        predict=predict,
+        predict_mask=predict_mask,
     )
     return stream, enc_ns
 
@@ -660,6 +663,7 @@ class AttributeCodec:
         quant_f: float = 0.3,
         rec_delta: float = 0.12,
         entropy: str = "rlgr",
+        predict: bool = False,
     ):
         import os
 
@@ -717,10 +721,29 @@ class AttributeCodec:
         if entropy not in ("rlgr", "rac", "auto"):
             raise ValueError(f"unknown entropy coder {entropy!r}")
         self.entropy = entropy
+        # Inter-depth predicted RAHT (ops/praht.py): encode codes
+        # prediction residuals in the same stream layout; opt-in RD
+        # improver. Decode is flag-driven (any codec instance decodes a
+        # predicted stream), so `predict` only steers the encoder.
+        if predict:
+            if self.order_mode != "ragft":
+                raise ValueError(
+                    "predict=True needs the RA-GFT coefficient order "
+                    "(the depth groups must be stream-sequential), got "
+                    f"{order_mode!r}"
+                )
+            if self.impl == "golden":
+                raise ValueError(
+                    "impl='golden' is the reference byte-parity mode; "
+                    "the predicted transform has no reference "
+                    "counterpart — drop one of the two"
+                )
+        self.predict = bool(predict)
 
     # -- encoding ---------------------------------------------------------
 
-    def _entropy_stream(self, q_np: np.ndarray, frame: VoxelFrame, steps):
+    def _entropy_stream(self, q_np: np.ndarray, frame: VoxelFrame, steps,
+                        predict_mask: Optional[int] = None):
         return build_entropy_stream(
             q_np, frame, steps, depth=self.depth,
             order_mode=self.order_mode, chunk=self.chunk,
@@ -728,7 +751,41 @@ class AttributeCodec:
             rec_delta=self.rec_delta,
             dtype32=jnp.dtype(self.dtype) == jnp.dtype("float32"),
             entropy=self.entropy,
+            predict=predict_mask is not None,
+            predict_mask=predict_mask or 0,
         )
+
+    def _praht_fdtype(self, stream: Optional[FrameStream] = None):
+        """The predicted loop's numpy dtype: decode replays the encoder's
+        recorded precision (the closed loop depends on it), encode uses
+        the codec's own."""
+        if stream is not None:
+            return np.float32 if stream.dtype32 else np.float64
+        return (
+            np.float32
+            if jnp.dtype(self.dtype) == jnp.dtype("float32")
+            else np.float64
+        )
+
+    def _praht_encode(self, frame: VoxelFrame, steps,
+                      timer: StageTimer) -> EncodedFrame:
+        """Host closed-loop predicted-RAHT encode (ops/praht.py)."""
+        from raht3dgs_tpu.ops.praht import praht_encode
+
+        n = frame.n_voxels
+        sym_T, mask, _ = timer.time(
+            "RAHT_transform_time", praht_encode,
+            np.asarray(frame.codes)[:n], np.asarray(frame.attributes)[:n],
+            np.asarray(frame.weights)[:n], self.depth,
+            np.atleast_1d(np.asarray(steps, dtype=np.float64)),
+            quant_mode=self.quant_mode, quant_f=self.quant_f,
+            rec_delta=self.rec_delta, fdtype=self._praht_fdtype(),
+        )
+        stream, enc_ns = self._entropy_stream(
+            sym_T, frame, steps, predict_mask=mask
+        )
+        timer.add("Entropy_enc_time", enc_ns / 1e9)
+        return EncodedFrame(stream=stream, timer=timer)
 
     # -- golden (reference byte-parity) host path ---------------------------
 
@@ -801,6 +858,8 @@ class AttributeCodec:
     ) -> EncodedFrame:
         """Full encode: transform (unless given), quantize, reorder, RLGR."""
         timer = timer or StageTimer()
+        if self.predict:
+            return self._praht_encode(frame, steps, timer)
         if coeffs is None or order is None:
             coeffs, order, _, timer = self.transform(frame, timer)
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
@@ -838,6 +897,10 @@ class AttributeCodec:
         (overlap shows up as ~0), so summed stage columns track the
         pipelined wall time without double counting.
         """
+        if self.predict:
+            # every step is its own closed loop (the reconstruction the
+            # prediction feeds on depends on the step) — nothing to hoist
+            return [self.encode(frame, s) for s in steps_list]
         if coeffs is None or order is None:
             coeffs, order, _, _ = self.transform(frame)
         narrow = _narrow_fetch_enabled()
@@ -937,6 +1000,8 @@ class AttributeCodec:
                 f"only cover {n_padded} padded slots — positions do not "
                 "match this stream"
             )
+        if stream.predict:
+            return self._praht_decode(stream, codes, weights, k, timer)
         if self.impl == "golden":
             return self._golden_decode(stream, codes, weights, k, timer)
 
@@ -963,6 +1028,36 @@ class AttributeCodec:
             "iRAHT_time", _inverse_device, coeffs, codes, weights, self.depth
         )
         return np.asarray(attrs)[:nvox], timer
+
+    def _praht_decode(self, stream: FrameStream, codes, weights, k: int,
+                      timer: StageTimer,
+                      lod_depth: Optional[int] = None):
+        """Host decode of a predicted-RAHT stream (flag-driven — any codec
+        instance handles it; the loop replays the encoder's recorded
+        dtype). Symbols past the ``k``-prefix stay zero residuals, so a
+        truncated stream reconstructs as the prediction cascade."""
+        if stream.order_mode != "ragft":
+            raise ValueError(
+                "corrupt stream: predicted transform requires the RA-GFT "
+                f"coefficient order, stream has {stream.order_mode!r}"
+            )
+        from raht3dgs_tpu.ops.praht import praht_decode
+
+        nvox = stream.n_voxels
+        vals_T = np.zeros((stream.n_channels, nvox), dtype=np.int32)
+        _, dec_ns = decode_entropy_channels(stream, k, vals_T)
+        timer.add("Entropy_dec_time", dec_ns / 1e9)
+        out = timer.time(
+            "iRAHT_time", praht_decode, vals_T,
+            np.asarray(codes)[:nvox], np.asarray(weights)[:nvox],
+            self.depth,
+            stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
+            predict_mask=stream.predict_mask,
+            quant_mode=stream.quant_mode, quant_f=stream.quant_f,
+            rec_delta=stream.rec_delta,
+            fdtype=self._praht_fdtype(stream), lod_depth=lod_depth,
+        )
+        return out, timer
 
     def _golden_decode(self, stream: FrameStream, codes, weights, k: int,
                        timer: StageTimer) -> Tuple[np.ndarray, StageTimer]:
@@ -1048,6 +1143,21 @@ class AttributeCodec:
         nvox = stream.n_voxels
         codes_np = np.asarray(codes)[:nvox]
         k = lod_prefix_count(codes_np, self.depth, lod_depth)
+        if stream.predict:
+            # the predicted loop yields the reconstructed cell means AT
+            # the cut depth directly — no leaf pass, no collapse
+            if nvox > codes.shape[0]:
+                raise ValueError(
+                    f"stream encodes {nvox} voxels but the provided "
+                    f"positions only cover {codes.shape[0]} padded slots "
+                    "— positions do not match this stream"
+                )
+            (cell_codes, means, cell_w), timer = self._praht_decode(
+                stream, codes, weights, k, timer, lod_depth=lod_depth
+            )
+            from raht3dgs_tpu.ops.praht import _decode_axes_np
+
+            return _decode_axes_np(cell_codes, lod_depth), means, cell_w
         rec, timer = self.decode_progressive(
             stream, codes, weights, k, timer=timer
         )

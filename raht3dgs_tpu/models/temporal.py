@@ -154,6 +154,14 @@ class SequenceCodec:
             )
         if int(search_iters) < 1:
             raise ValueError(f"search_iters must be >= 1, got {search_iters}")
+        if codec_kwargs.get("predict"):
+            # the temporal closed loop replays the codec's device decode;
+            # composing it with the praht host closed loop is unvalidated
+            raise ValueError(
+                "SequenceCodec does not support predict=True (inter + "
+                "predicted-RAHT composition is not implemented); encode "
+                "all-intra with AttributeCodec(predict=True) instead"
+            )
         self.depth = depth
         self.gop = int(gop)
         self.adaptive = bool(adaptive)

@@ -1,0 +1,433 @@
+"""Inter-depth predicted RAHT ("PRAHT") — transform-domain prediction.
+
+Beyond-reference attribute-coding mode in the spirit of MPEG G-PCC's
+upsampled-prediction RAHT: the plain transform's exact symbol LAYOUT is
+kept (the RA-GFT stream order — DC first, then detail groups from the
+coarsest octree depth to the finest, ``ops/reorder.py``), but each depth
+group's AC coefficients are replaced by prediction RESIDUALS against an
+upsampled prediction computed from the previous (coarser) depth's
+*reconstructed* cell means. Inter-cell correlation that plain RAHT can
+only exploit within a butterfly pair is removed across cell boundaries,
+which is where most of the rate in smooth content lives.
+
+Closed loop, coarse to fine (both sides run the identical numpy code, so
+the loop is bitwise self-consistent; the stream records the transform
+dtype so a float32 encode replays in float32):
+
+1. depth 0: quantize the DC (``sqrt(W_root) * mean``), reconstruct the
+   root mean.
+2. depth d: predict every depth-``d`` cell mean from the reconstructed
+   depth-``d-1`` means (weighted average of the parent and its occupied
+   face/edge neighbors toward the child's octant — weights 4/2/1, the
+   classic upsampling stencil). Transform the TRUE cell means and the
+   predicted means with the same 3 sub-level butterflies (grouped by
+   parent; identical weights, hence identical butterfly constants); code
+   ``quantize(AC_true - AC_pred)``. Reconstruct children by the inverse
+   butterfly from the parent's reconstructed DC and
+   ``AC_pred + dequantize(q)``; descend.
+
+Per depth the encoder picks prediction ON/OFF by a codelength proxy and
+signals the choice in a bitmask (prediction helps only while inter-cell
+correlation survives at that scale; on noise-like detail the residual
+can cost MORE than the plain coefficient). Bit ``d-1`` set = depth ``d``
+coded residuals.
+
+Because group ``d`` symbols occupy the same stream positions as the
+plain transform's, everything layered on the stream layout keeps
+working: prefix (progressive) decode — skipped symbols reconstruct as
+zero residuals, i.e. the decoder returns the PREDICTION cascade, a
+smoother preview than plain truncation — LOD cuts
+(``pipeline.lod_prefix_count``), chunked entropy payloads, and both
+entropy coders.
+
+The reference has no prediction of any kind (its transform is plain
+RAHT end-to-end, ``/root/reference/python/RAHT.py``); this mode is
+opt-in (``AttributeCodec(predict=True)``, ``encode_ply --predict``) and
+is a host-side (numpy) path like the entropy and geometry coders — the
+depth recursion is sequential with quantization inside the loop, and
+bitwise encoder/decoder agreement across platforms matters more than
+device throughput here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+__all__ = [
+    "cell_pyramid",
+    "praht_encode",
+    "praht_decode",
+    "predict_means",
+]
+
+_U3 = np.uint64(3)
+_U7 = np.uint64(7)
+
+
+def _decode_axes_np(codes: np.ndarray, depth: int) -> np.ndarray:
+    """(M, 3) integer positions from Morton codes, digit = z + 2y + 4x
+    (mirrors ``ops/morton.py`` on host; depth <= 20 fits int64)."""
+    c = codes.astype(np.int64)
+    V = np.zeros((c.shape[0], 3), dtype=np.int64)
+    for i in range(depth):
+        V[:, 2] |= ((c >> (3 * i)) & 1) << i
+        V[:, 1] |= ((c >> (3 * i + 1)) & 1) << i
+        V[:, 0] |= ((c >> (3 * i + 2)) & 1) << i
+    return V
+
+
+def cell_pyramid(
+    codes: np.ndarray,
+    weights: np.ndarray,
+    depth: int,
+    attrs: Optional[np.ndarray] = None,
+    fdtype=np.float64,
+) -> List[tuple]:
+    """Per-depth occupied-cell stats, leaves up.
+
+    Returns ``pyr[d] = (codes_d (M_d,) uint64, W_d (M_d,) fdtype,
+    S_d (M_d, D) fdtype | None)`` for ``d = 0..depth`` — sorted unique
+    depth-``d`` cell codes, total cell weights, and (when ``attrs`` is
+    given) weighted attribute sums. The decoder builds the same pyramid
+    without attrs; both sides reduce in the same (sequential reduceat)
+    order, so the weights — and every butterfly constant derived from
+    them — are bitwise identical.
+    """
+    codes = np.asarray(codes)
+    cur = codes.astype(np.uint64)
+    W = np.asarray(weights, dtype=fdtype)
+    S = None
+    if attrs is not None:
+        S = np.asarray(attrs, dtype=fdtype) * W[:, None]
+    pyr: List[tuple] = [None] * (depth + 1)
+    pyr[depth] = (cur, W, S)
+    for d in range(depth - 1, -1, -1):
+        pc = pyr[d + 1][0] >> _U3
+        firsts = np.concatenate([[True], pc[1:] != pc[:-1]])
+        idx = np.nonzero(firsts)[0]
+        W_d = np.add.reduceat(pyr[d + 1][1], idx)
+        S_d = (
+            None
+            if S is None
+            else np.add.reduceat(pyr[d + 1][2], idx, axis=0)
+        )
+        pyr[d] = (pc[idx], W_d, S_d)
+    return pyr
+
+
+def _pairings(codes_d: np.ndarray, W_d: np.ndarray, fdtype):
+    """The 3 sub-level butterfly schedules for one octree depth.
+
+    Pairs adjacent active cells whose codes agree above bit ``j`` for
+    ``j = 1..3`` — cells of different parents differ above bit 3, so
+    pairing stays within a parent group, exactly the global transform's
+    levels ``3*(depth-d)+1..+3`` restricted to this depth
+    (``ops/raht.py:_level_mask`` semantics). Returns
+    ``(pairs, idx_surv)``: per sub-level ``(i0, i1, a, b)`` with the
+    butterfly constants already computed from the (chained) weights, and
+    the surviving slots — one per parent, in parent order.
+    """
+    M = codes_d.shape[0]
+    w = W_d.astype(fdtype).copy()
+    idx = np.arange(M)
+    pairs = []
+    for j in (1, 2, 3):
+        cj = codes_d[idx]
+        if cj.size <= 1:
+            break
+        eq = ((cj[:-1] ^ cj[1:]) >> np.uint64(j)) == 0
+        if not eq.any():
+            continue
+        flag = np.append(eq, False)
+        right = np.concatenate([[False], eq])
+        i0 = idx[flag]
+        i1 = idx[right]
+        w0 = w[i0]
+        w1 = w[i1]
+        tot = w0 + w1
+        a = np.sqrt(w0 / tot)[:, None]
+        b = np.sqrt(w1 / tot)[:, None]
+        pairs.append((i0, i1, a, b))
+        w[i0] = tot
+        idx = idx[~right]
+    return pairs, idx
+
+
+def _forward3(T: np.ndarray, pairs) -> np.ndarray:
+    """Apply one depth's butterflies (values in, coefficients out)."""
+    T = T.copy()
+    for i0, i1, a, b in pairs:
+        x0 = T[i0].copy()
+        x1 = T[i1].copy()
+        T[i0] = a * x0 + b * x1
+        T[i1] = -b * x0 + a * x1
+    return T
+
+
+def _inverse3(T: np.ndarray, pairs) -> np.ndarray:
+    """Invert one depth's butterflies (coefficients in, values out)."""
+    C = T.copy()
+    for i0, i1, a, b in reversed(pairs):
+        t0 = C[i0].copy()
+        t1 = C[i1].copy()
+        C[i0] = a * t0 - b * t1
+        C[i1] = b * t0 + a * t1
+    return C
+
+
+# upsampling stencil: the child's own parent, then the three face and
+# three edge neighbors toward the child's octant (weights 4/2/1 — the
+# G-PCC-style inverse-distance ladder). The corner neighbor adds ~0 in
+# the ctxsim-style sweeps and one more searchsorted pass; omitted.
+_FACE_EDGE_OFFSETS = (
+    ((1, 0, 0), 2.0),
+    ((0, 1, 0), 2.0),
+    ((0, 0, 1), 2.0),
+    ((1, 1, 0), 1.0),
+    ((1, 0, 1), 1.0),
+    ((0, 1, 1), 1.0),
+)
+
+
+def predict_means(
+    parent_codes: np.ndarray,
+    parent_means: np.ndarray,
+    child_codes: np.ndarray,
+    d: int,
+    fdtype=np.float64,
+) -> np.ndarray:
+    """Upsample depth-``d-1`` reconstructed cell means to depth-``d`` cells.
+
+    For each child cell: a weighted average of its parent (weight 4) and
+    the occupied face (2) / edge (1) neighbor parents displaced toward
+    the child's octant. Unoccupied or out-of-grid neighbors drop out of
+    the average; the parent itself always exists, so the denominator is
+    never zero. ``parent_codes`` must be sorted (they are a pyramid
+    level).
+    """
+    pc = child_codes >> _U3
+    o = (child_codes & _U7).astype(np.int64)
+    # octant digit = z + 2y + 4x  ->  displacement direction per axis
+    delta = (
+        np.stack([(o >> 2) & 1, (o >> 1) & 1, o & 1], axis=1) * 2 - 1
+    )
+    j = np.searchsorted(parent_codes, pc)
+    num = 4.0 * parent_means[j]
+    den = np.full(child_codes.shape[0], 4.0, dtype=fdtype)
+    if d >= 2:
+        base = _decode_axes_np(pc, d - 1)
+        lim = np.int64(1) << (d - 1)
+        last = len(parent_codes) - 1
+        for off, wt in _FACE_EDGE_OFFSETS:
+            npos = base + delta * np.asarray(off, dtype=np.int64)
+            valid = np.all((npos >= 0) & (npos < lim), axis=1)
+            ncode = morton_codes_np(
+                np.where(valid[:, None], npos, 0), d - 1
+            ).astype(np.uint64)
+            k = np.minimum(
+                np.searchsorted(parent_codes, ncode), last
+            )
+            hit = valid & (parent_codes[k] == ncode)
+            num[hit] += wt * parent_means[k[hit]]
+            den[hit] += wt
+    return (num / den[:, None]).astype(fdtype, copy=False)
+
+
+def _quantize_np(x, steps, quant_mode, f):
+    if quant_mode == "deadzone":
+        return (np.sign(x) * np.floor(np.abs(x) / steps + f)).astype(
+            np.int32
+        )
+    return np.floor(x / steps + 0.5).astype(np.int32)
+
+
+def _dequantize_np(q, steps, quant_mode, delta, fdtype):
+    qf = q.astype(fdtype)
+    if quant_mode == "deadzone":
+        return (np.sign(qf) * (np.abs(qf) + delta) * steps).astype(
+            fdtype, copy=False
+        )
+    return (qf * steps).astype(fdtype, copy=False)
+
+
+def _codelen_proxy(q: np.ndarray) -> float:
+    """Exp-Golomb-style codelength proxy for the per-depth predict
+    decision: ``sum(2*floor(log2(|q|+1)) + 1)`` bits. Monotone in
+    magnitude and run-friendly like both real coders; only the encoder
+    evaluates it (the choice is signalled), so it need not match either
+    coder's exact cost."""
+    a = np.abs(q, dtype=np.int64)
+    return float(np.sum(2 * np.floor(np.log2(a + 1.0)) + 1.0))
+
+
+def _steps_row(steps: np.ndarray, fdtype) -> np.ndarray:
+    """(1,) or (D,) steps as a broadcastable row in the loop dtype."""
+    s = np.atleast_1d(np.asarray(steps, dtype=fdtype))
+    return s[None, :] if s.shape[0] > 1 else s
+
+
+def praht_encode(
+    codes: np.ndarray,
+    attrs: np.ndarray,
+    weights: np.ndarray,
+    depth: int,
+    steps,
+    *,
+    quant_mode: str = "mid",
+    quant_f: float = 0.3,
+    rec_delta: float = 0.12,
+    fdtype=np.float64,
+    adaptive: bool = True,
+) -> Tuple[np.ndarray, int, np.ndarray]:
+    """Closed-loop predicted-RAHT encode of one frame (real rows only).
+
+    ``codes`` are sorted unique leaf Morton codes; ``steps`` is scalar or
+    per-channel. Returns ``(sym (D, N) int32 in stream order,
+    predict_mask, rec (N, D) leaf reconstruction)`` — ``sym`` feeds
+    :func:`models.pipeline.build_entropy_stream` directly, and ``rec``
+    is the decoder's exact output (same loop), so drivers get distortion
+    for free. ``adaptive=False`` forces prediction on at every depth.
+    """
+    codes = np.asarray(codes)
+    if codes.ndim != 1:
+        raise ValueError("codes must be 1-D sorted unique Morton codes")
+    N, D = np.asarray(attrs).shape
+    pyr = cell_pyramid(codes, weights, depth, attrs=attrs, fdtype=fdtype)
+    st = _steps_row(steps, fdtype)
+    f = fdtype(quant_f)
+    dl = fdtype(rec_delta)
+
+    sym = np.zeros((N, D), dtype=np.int32)
+    # DC: sqrt(W_root) * root mean — the survivor coefficient
+    W0 = pyr[0][1]
+    m0 = pyr[0][2] / W0[:, None]
+    dc = np.sqrt(W0)[:, None] * m0
+    qdc = _quantize_np(dc, st, quant_mode, f)
+    sym[0] = qdc[0]
+    m_rec = _dequantize_np(qdc, st, quant_mode, dl, fdtype) / np.sqrt(
+        W0
+    )[:, None]
+    pos = 1
+    mask = 0
+    rec: Optional[np.ndarray] = None
+    for d in range(1, depth + 1):
+        codes_d, W_d, S_d = pyr[d]
+        pcodes, pW, _ = pyr[d - 1]
+        n_ac = codes_d.shape[0] - pcodes.shape[0]
+        pairs, idx_surv = _pairings(codes_d, W_d, fdtype)
+        sq = np.sqrt(W_d)[:, None].astype(fdtype, copy=False)
+        is_ac = np.ones(codes_d.shape[0], dtype=bool)
+        is_ac[idx_surv] = False
+        T_pred = None
+        use_pred = False
+        if n_ac:
+            m_true = S_d / W_d[:, None]
+            T_true = _forward3(m_true * sq, pairs)
+            pred = predict_means(pcodes, m_rec, codes_d, d, fdtype)
+            T_pred = _forward3(pred * sq, pairs)
+            q_pred = _quantize_np(
+                T_true[is_ac] - T_pred[is_ac], st, quant_mode, f
+            )
+            if adaptive:
+                q_plain = _quantize_np(T_true[is_ac], st, quant_mode, f)
+                use_pred = _codelen_proxy(q_pred) < _codelen_proxy(
+                    q_plain
+                )
+                q = q_pred if use_pred else q_plain
+            else:
+                use_pred = True
+                q = q_pred
+            sym[pos : pos + n_ac] = q
+            pos += n_ac
+        if use_pred:
+            mask |= 1 << (d - 1)
+        T_rec = np.zeros((codes_d.shape[0], D), dtype=fdtype)
+        if n_ac:
+            deq = _dequantize_np(q, st, quant_mode, dl, fdtype)
+            T_rec[is_ac] = (T_pred[is_ac] + deq) if use_pred else deq
+        T_rec[idx_surv] = np.sqrt(pW)[:, None] * m_rec
+        m_rec = _inverse3(T_rec, pairs) / sq
+        if d == depth:
+            rec = m_rec
+    if pos != N:
+        raise AssertionError(
+            f"praht symbol walk covered {pos} of {N} coefficients"
+        )
+    return np.ascontiguousarray(sym.T), mask, np.asarray(rec)
+
+
+def praht_decode(
+    sym_T: np.ndarray,
+    codes: np.ndarray,
+    weights: np.ndarray,
+    depth: int,
+    steps,
+    *,
+    predict_mask: int,
+    quant_mode: str = "mid",
+    quant_f: float = 0.3,
+    rec_delta: float = 0.12,
+    fdtype=np.float64,
+    lod_depth: Optional[int] = None,
+):
+    """Decode a predicted-RAHT stream's (D, N) symbol matrix.
+
+    ``sym_T`` may be prefix-filled (progressive decode): symbols past the
+    decoded prefix are zero residuals, so the reconstruction falls back
+    to the prediction cascade — a smooth coarse-to-fine preview.
+    ``lod_depth`` stops the descent early and returns
+    ``(cell_codes (M,) uint64, means (M, D), cell_weights (M,))`` at
+    that depth; otherwise returns the (N, D) leaf attributes. Mirrors
+    :func:`praht_encode` exactly (identical numpy ops — the closed loop
+    is bitwise shared).
+    """
+    codes = np.asarray(codes)
+    D, N = np.asarray(sym_T).shape
+    if N != codes.shape[0]:
+        raise ValueError(
+            f"symbol matrix covers {N} coefficients for {codes.shape[0]} "
+            "voxels"
+        )
+    target = depth if lod_depth is None else lod_depth
+    if not 0 <= target <= depth:
+        raise ValueError(f"lod_depth must be in [0, {depth}], got {lod_depth}")
+    pyr = cell_pyramid(codes, weights, depth, fdtype=fdtype)
+    st = _steps_row(steps, fdtype)
+    f = fdtype(quant_f)
+    dl = fdtype(rec_delta)
+    sym = np.ascontiguousarray(np.asarray(sym_T).T)
+
+    W0 = pyr[0][1]
+    m_rec = _dequantize_np(
+        sym[0][None, :], st, quant_mode, dl, fdtype
+    ) / np.sqrt(W0)[:, None]
+    pos = 1
+    for d in range(1, target + 1):
+        codes_d, W_d, _ = pyr[d]
+        pcodes, pW, _ = pyr[d - 1]
+        n_ac = codes_d.shape[0] - pcodes.shape[0]
+        pairs, idx_surv = _pairings(codes_d, W_d, fdtype)
+        sq = np.sqrt(W_d)[:, None].astype(fdtype, copy=False)
+        is_ac = np.ones(codes_d.shape[0], dtype=bool)
+        is_ac[idx_surv] = False
+        T_rec = np.zeros((codes_d.shape[0], D), dtype=fdtype)
+        if n_ac:
+            deq = _dequantize_np(
+                sym[pos : pos + n_ac], st, quant_mode, dl, fdtype
+            )
+            if predict_mask >> (d - 1) & 1:
+                pred = predict_means(pcodes, m_rec, codes_d, d, fdtype)
+                T_pred = _forward3(pred * sq, pairs)
+                T_rec[is_ac] = T_pred[is_ac] + deq
+            else:
+                T_rec[is_ac] = deq
+            pos += n_ac
+        T_rec[idx_surv] = np.sqrt(pW)[:, None] * m_rec
+        m_rec = _inverse3(T_rec, pairs) / sq
+    if lod_depth is None:
+        return np.asarray(m_rec)
+    return pyr[target][0], np.asarray(m_rec), np.asarray(pyr[target][1])
