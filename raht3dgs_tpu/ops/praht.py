@@ -179,18 +179,31 @@ def _inverse3(T: np.ndarray, pairs) -> np.ndarray:
     return C
 
 
-# upsampling stencil: the child's own parent, then the three face and
-# three edge neighbors toward the child's octant (weights 4/2/1 — the
-# G-PCC-style inverse-distance ladder). The corner neighbor adds ~0 in
-# the ctxsim-style sweeps and one more searchsorted pass; omitted.
-_FACE_EDGE_OFFSETS = (
-    ((1, 0, 0), 2.0),
-    ((0, 1, 0), 2.0),
-    ((0, 0, 1), 2.0),
-    ((1, 1, 0), 1.0),
-    ((1, 0, 1), 1.0),
-    ((0, 1, 1), 1.0),
-)
+def _axis_masks(d: int):
+    """Per-axis Morton bit masks at depth ``d`` (digit = z + 2y + 4x, so
+    z occupies bits 3i, y bits 3i+1, x bits 3i+2)."""
+    mz = 0
+    for i in range(d):
+        mz |= 1 << (3 * i)
+    return (np.uint64(mz << 2), np.uint64(mz << 1), np.uint64(mz))
+
+
+def _step_axis(codes, mask, low, direction):
+    """One-voxel Morton neighbor step along one axis, per-row direction.
+
+    The classic masked-arithmetic trick: filling the OTHER axes' bits
+    with ones makes the increment's carry propagate only through this
+    axis's (interleaved) bits; decrement borrows within the masked value
+    directly. Exactly equals decode->±1->re-encode, without the per-bit
+    loops. Returns ``(stepped_codes, valid)`` — invalid rows (grid
+    boundary) carry wrapped garbage and MUST be gated by ``valid``.
+    """
+    m = codes & mask
+    pos = direction > 0
+    inc = (((codes | ~mask) + low) & mask) | (codes & ~mask)
+    dec = ((m - low) & mask) | (codes & ~mask)
+    valid = np.where(pos, m != mask, m != 0)
+    return np.where(pos, inc, dec), valid
 
 
 def predict_means(
@@ -204,33 +217,39 @@ def predict_means(
 
     For each child cell: a weighted average of its parent (weight 4) and
     the occupied face (2) / edge (1) neighbor parents displaced toward
-    the child's octant. Unoccupied or out-of-grid neighbors drop out of
-    the average; the parent itself always exists, so the denominator is
-    never zero. ``parent_codes`` must be sorted (they are a pyramid
-    level).
+    the child's octant — the G-PCC-style inverse-distance ladder (the
+    corner neighbor adds ~0 and one more lookup pass; omitted).
+    Unoccupied or out-of-grid neighbors drop out of the average; the
+    parent itself always exists, so the denominator is never zero.
+    ``parent_codes`` must be sorted (they are a pyramid level).
+
+    FROZEN replay contract (CLAUDE.md): the stencil order (face x, y, z,
+    then edges xy, xz, yz) and the per-hit accumulation order are part
+    of the closed loop — streams decode by re-running this exact
+    function.
     """
     pc = child_codes >> _U3
     o = (child_codes & _U7).astype(np.int64)
-    # octant digit = z + 2y + 4x  ->  displacement direction per axis
-    delta = (
-        np.stack([(o >> 2) & 1, (o >> 1) & 1, o & 1], axis=1) * 2 - 1
-    )
     j = np.searchsorted(parent_codes, pc)
     num = 4.0 * parent_means[j]
     den = np.full(child_codes.shape[0], 4.0, dtype=fdtype)
     if d >= 2:
-        base = _decode_axes_np(pc, d - 1)
-        lim = np.int64(1) << (d - 1)
+        masks = _axis_masks(d - 1)
+        lows = (np.uint64(1) << np.uint64(2), np.uint64(1) << np.uint64(1),
+                np.uint64(1))
+        # octant digit = z + 2y + 4x -> step direction per axis
+        dirs = (o[:, None] >> np.asarray([2, 1, 0])) & 1
+        face, fvalid = zip(*(
+            _step_axis(pc, masks[ax], lows[ax], dirs[:, ax])
+            for ax in range(3)
+        ))
+        cands = [(face[ax], fvalid[ax], 2.0) for ax in range(3)]
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            s, v = _step_axis(face[a], masks[b], lows[b], dirs[:, b])
+            cands.append((s, v & fvalid[a], 1.0))
         last = len(parent_codes) - 1
-        for off, wt in _FACE_EDGE_OFFSETS:
-            npos = base + delta * np.asarray(off, dtype=np.int64)
-            valid = np.all((npos >= 0) & (npos < lim), axis=1)
-            ncode = morton_codes_np(
-                np.where(valid[:, None], npos, 0), d - 1
-            ).astype(np.uint64)
-            k = np.minimum(
-                np.searchsorted(parent_codes, ncode), last
-            )
+        for ncode, valid, wt in cands:
+            k = np.minimum(np.searchsorted(parent_codes, ncode), last)
             hit = valid & (parent_codes[k] == ncode)
             num[hit] += wt * parent_means[k[hit]]
             den[hit] += wt
