@@ -116,8 +116,11 @@ def _run(args) -> int:
                 )
             if seq.frame_bytes(0)[:4] == b"R3TT":
                 for i in range(len(seq)):
-                    _decode_tiled_blob(args, seq.frame_bytes(i),
-                                       args.output.format(i=i))
+                    _decode_tiled_blob(
+                        args, seq.frame_bytes(i), args.output.format(i=i),
+                        positions_path=None if args.positions is None
+                        else args.positions.format(i=i),
+                    )
                 print(f"decoded all {len(seq)} tiled frames of "
                       f"{args.stream}")
                 return 0
@@ -184,8 +187,14 @@ def _run(args) -> int:
     return 0
 
 
-def _decode_tiled_blob(args, data: bytes, output_path: str) -> int:
-    """Tiled .r3tt frame: full decode, or only the --roi bricks."""
+def _decode_tiled_blob(args, data: bytes, output_path: str,
+                       positions_path: str = None) -> int:
+    """Tiled .r3tt frame: full decode, or only the --roi bricks.
+
+    ``positions_path`` overrides ``args.positions`` (the --all-frames
+    loop formats the per-frame '{i}' placeholder before calling in)."""
+    if positions_path is None:
+        positions_path = args.positions
     import jax.numpy as jnp
 
     from raht3dgs_tpu.io.ply import save_ply_ascii
@@ -214,10 +223,10 @@ def _decode_tiled_blob(args, data: bytes, output_path: str) -> int:
         print(f"ROI {lo.tolist()}..{hi.tolist()}: {len(sel)}/{len(reader)} "
               f"bricks, {got}/{total} payload bytes")
     positions = None
-    if args.positions is not None:
+    if positions_path is not None:
         from raht3dgs_tpu.io.ply import read_ply_8i
 
-        positions = np.floor(read_ply_8i(args.positions)[0]).astype(np.int64)
+        positions = np.floor(read_ply_8i(positions_path)[0]).astype(np.int64)
     V, A = decode_tiled_frame(
         reader, roi=roi, positions=positions,
         dtype=jnp_dtype(args.dtype), bucket=args.bucket,

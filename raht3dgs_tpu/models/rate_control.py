@@ -24,6 +24,7 @@ decoder buffer of ``burst`` bpp-equivalents never underflows.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 
@@ -60,24 +61,43 @@ class RateController:
             raise ValueError(f"burst must be >= 0, got {self.burst}")
 
     def frame_budget(self) -> float:
-        """The budget the NEXT frame may spend (target + carried credit)."""
-        return self.target_bpp + self.credit
+        """The budget the NEXT frame may spend (target + carried credit).
+
+        Carried debt (negative credit, see :meth:`update`) shrinks the
+        budget, but never below a small positive floor — the per-frame
+        search requires a positive target, and every real coder has a
+        per-stream floor (header + terminator bytes) anyway."""
+        return max(self.target_bpp + self.credit, 1e-6)
 
     def update(self, actual_bpp: float) -> None:
-        """Record a frame's actual spend (must be <= :meth:`frame_budget`,
-        the per-frame search's one-sided contract)."""
+        """Record a frame's actual spend.
+
+        The per-frame search is one-sided *when the budget is feasible*;
+        when even the coarsest step cannot fit (tiny frames or very low
+        targets, where per-channel coder floor bytes dominate) the search
+        returns the best-effort overshoot. That overshoot is recorded as
+        *debt* (negative credit): later frames repay it, keeping the
+        long-run mean pinned to the target instead of crashing the
+        sequence encode mid-run. Debt is floored symmetrically with the
+        credit cap so one pathological frame cannot starve the rest of
+        the sequence indefinitely."""
         budget = self.frame_budget()
         if actual_bpp > budget + 1e-9:
-            raise ValueError(
+            warnings.warn(
                 f"frame spent {actual_bpp:.6f} bpp against a "
-                f"{budget:.6f} budget — the per-frame search broke its "
-                "one-sided contract"
+                f"{budget:.6f} budget (coder floor likely exceeds the "
+                "target); carrying the overshoot as debt",
+                RuntimeWarning,
+                stacklevel=2,
             )
-        # credit accrues only REAL underspend, never a loan: the prefix
-        # invariant sum(actual) <= n*target follows by induction, and the
-        # min() cap only forgets surplus (tightening the invariant).
+        # credit accrues only REAL underspend, never a loan: while spends
+        # stay within budget the prefix invariant sum(actual) <= n*target
+        # holds by induction (the min() cap only forgets surplus). An
+        # infeasible overshoot breaks the invariant by at most the
+        # overshoot itself and is repaid through the debt floor below.
         self.credit = min(self.credit + self.target_bpp - actual_bpp,
                           self.burst)
+        self.credit = max(self.credit, -(self.burst + self.target_bpp))
         self.frames += 1
         self.spent += actual_bpp
 

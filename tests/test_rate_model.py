@@ -118,15 +118,28 @@ def test_rate_controller_invariants():
             assert rc.mean_bpp > 1.5
 
 
-def test_rate_controller_rejects_overspend():
+def test_rate_controller_overspend_becomes_debt():
+    """An infeasible frame (coder floor above budget) must degrade to
+    carried debt + warning, not crash the sequence encode mid-run."""
     import pytest
 
     from raht3dgs_tpu.models.rate_control import RateController
 
     rc = RateController(1.0, burst=0.5)
     rc.update(0.9)
-    with pytest.raises(ValueError):
-        rc.update(rc.frame_budget() + 0.01)
+    credit_before = rc.credit
+    with pytest.warns(RuntimeWarning, match="debt"):
+        rc.update(rc.frame_budget() + 0.25)
+    assert rc.credit < credit_before  # overshoot recorded as debt
+    assert rc.frame_budget() > 0  # later searches still get a valid target
+    # debt is floored: a pathological spend can't starve the sequence forever
+    with pytest.warns(RuntimeWarning):
+        rc.update(1000.0)
+    assert rc.credit >= -(rc.burst + rc.target_bpp) - 1e-12
+    # repayment: in-budget frames restore positive credit eventually
+    for _ in range(5):
+        rc.update(0.0)
+    assert rc.credit > 0
     with pytest.raises(ValueError):
         RateController(0.0)
     with pytest.raises(ValueError):

@@ -174,6 +174,43 @@ def test_cli_tiles_roi_roundtrip(tmp_path, content):
     assert set(codes_roi.tolist()) <= codes_all
 
 
+def test_tiled_sequence_all_frames_with_positions(tmp_path, content):
+    """--all-frames on a tiled .r3ts encoded WITHOUT geometry sections:
+    the per-frame '{i}' positions template must be formatted per frame
+    (regression: the loop used to pass the raw template through, so
+    every frame failed with file-not-found)."""
+    from raht3dgs_tpu.cli.decode import main as dec_main
+    from raht3dgs_tpu.codec.bitstream import write_sequence
+    from raht3dgs_tpu.io.ply import read_ply_8i, save_ply_ascii
+
+    V, yuv = content
+    codec = AttributeCodec(DEPTH)
+    blobs = []
+    for k in range(2):
+        Ak = yuv + float(k)  # distinct per-frame attributes
+        blob, _ = encode_tiled_frame(V, Ak, DEPTH, 2, codec, 8.0,
+                                     code_geometry=False)
+        blobs.append(blob)
+        save_ply_ascii(tmp_path / f"pos{k}.ply", V.astype(float),
+                       np.zeros((len(V), 3)), width=2**DEPTH - 1)
+    seq = tmp_path / "tiled.r3ts"
+    write_sequence(seq, blobs)
+    rc = dec_main([
+        "--stream", str(seq), "--all-frames",
+        "--positions", str(tmp_path / "pos{i}.ply"),
+        "--output", str(tmp_path / "out{i}.ply"),
+        "--color-space", "raw", "--platform", "cpu",
+    ])
+    assert rc == 0
+    codes = morton_codes_np(V.astype(np.int64), DEPTH)
+    order = np.argsort(codes, kind="stable")
+    for k in range(2):
+        Vr, Ar, _ = read_ply_8i(str(tmp_path / f"out{k}.ply"))
+        assert len(Vr) == len(V)
+        np.testing.assert_array_equal(np.floor(Vr).astype(np.int64),
+                                      V[order])
+
+
 def test_tiled_sequence_cli(tmp_path):
     """encode_dataset --tiles: .r3ts of .r3tt blobs; any frame decodes
     by index with --roi (spatio-TEMPORAL random access)."""
