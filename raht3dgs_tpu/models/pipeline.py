@@ -739,8 +739,52 @@ class AttributeCodec:
                     "counterpart — drop one of the two"
                 )
         self.predict = bool(predict)
+        # step-independent predicted-loop state (ops/praht.py): geometry
+        # plans and true-coefficient caches shared across a sweep's steps,
+        # a rate search's probes, and the temporal codec's intra/residual
+        # candidate pair (same geometry, two attribute sets). Small FIFOs —
+        # plans are O(N) host memory.
+        self._praht_plans: dict = {}
+        self._praht_tcs: dict = {}
 
     # -- encoding ---------------------------------------------------------
+
+    def _praht_context(self, codes_np: np.ndarray, w_np: np.ndarray,
+                       fdtype, attrs_np: Optional[np.ndarray] = None):
+        """(plan, true_coeffs-or-None) for one frame's real rows, cached by
+        content hash (sweeps/searches re-enter per step; the praht call
+        itself re-verifies the plan against the codes, so a hash collision
+        cannot decode the wrong stream)."""
+        import hashlib
+
+        gkey = (
+            codes_np.shape[0], self.depth, np.dtype(fdtype).name,
+            hashlib.sha1(codes_np.tobytes()).hexdigest(),
+            hashlib.sha1(np.ascontiguousarray(w_np).tobytes()).hexdigest(),
+        )
+        plan = self._praht_plans.get(gkey)
+        if plan is None:
+            from raht3dgs_tpu.ops.praht import praht_plan
+
+            plan = praht_plan(codes_np, w_np, self.depth, fdtype=fdtype)
+            while len(self._praht_plans) >= 2:
+                self._praht_plans.pop(next(iter(self._praht_plans)))
+            self._praht_plans[gkey] = plan
+        if attrs_np is None:
+            return plan, None
+        tkey = gkey + (
+            hashlib.sha1(np.ascontiguousarray(attrs_np).tobytes())
+            .hexdigest(),
+        )
+        tc = self._praht_tcs.get(tkey)
+        if tc is None:
+            from raht3dgs_tpu.ops.praht import praht_true_coeffs
+
+            tc = praht_true_coeffs(plan, attrs_np)
+            while len(self._praht_tcs) >= 4:
+                self._praht_tcs.pop(next(iter(self._praht_tcs)))
+            self._praht_tcs[tkey] = tc
+        return plan, tc
 
     def _entropy_stream(self, q_np: np.ndarray, frame: VoxelFrame, steps,
                         predict_mask: Optional[int] = None):
@@ -769,18 +813,28 @@ class AttributeCodec:
 
     def _praht_encode(self, frame: VoxelFrame, steps,
                       timer: StageTimer) -> EncodedFrame:
-        """Host closed-loop predicted-RAHT encode (ops/praht.py)."""
+        """Host closed-loop predicted-RAHT encode (ops/praht.py); the
+        step-independent plan + true coefficients come from the per-frame
+        cache, so sweeps and rate searches pay the geometry work once."""
         from raht3dgs_tpu.ops.praht import praht_encode
 
         n = frame.n_voxels
-        sym_T, mask, _ = timer.time(
-            "RAHT_transform_time", praht_encode,
-            np.asarray(frame.codes)[:n], np.asarray(frame.attributes)[:n],
-            np.asarray(frame.weights)[:n], self.depth,
-            np.atleast_1d(np.asarray(steps, dtype=np.float64)),
-            quant_mode=self.quant_mode, quant_f=self.quant_f,
-            rec_delta=self.rec_delta, fdtype=self._praht_fdtype(),
-        )
+        codes_np = np.asarray(frame.codes)[:n]
+        attrs_np = np.asarray(frame.attributes)[:n]
+        w_np = np.asarray(frame.weights)[:n]
+        fdtype = self._praht_fdtype()
+
+        def _run():
+            plan, tc = self._praht_context(codes_np, w_np, fdtype, attrs_np)
+            return praht_encode(
+                codes_np, attrs_np, w_np, self.depth,
+                np.atleast_1d(np.asarray(steps, dtype=np.float64)),
+                quant_mode=self.quant_mode, quant_f=self.quant_f,
+                rec_delta=self.rec_delta, fdtype=fdtype,
+                plan=plan, true_coeffs=tc,
+            )
+
+        sym_T, mask, _ = timer.time("RAHT_transform_time", _run)
         stream, enc_ns = self._entropy_stream(
             sym_T, frame, steps, predict_mask=mask
         )
@@ -899,7 +953,11 @@ class AttributeCodec:
         """
         if self.predict:
             # every step is its own closed loop (the reconstruction the
-            # prediction feeds on depends on the step) — nothing to hoist
+            # prediction feeds on depends on the step); the step-
+            # independent geometry plan + true coefficients are hoisted
+            # through the per-frame cache (_praht_context) — the first
+            # step builds them, the rest reuse (~5x at 1M/J=18,
+            # docs/rd_predict.md)
             return [self.encode(frame, s) for s in steps_list]
         if coeffs is None or order is None:
             coeffs, order, _, _ = self.transform(frame)
@@ -1047,16 +1105,23 @@ class AttributeCodec:
         vals_T = np.zeros((stream.n_channels, nvox), dtype=np.int32)
         _, dec_ns = decode_entropy_channels(stream, k, vals_T)
         timer.add("Entropy_dec_time", dec_ns / 1e9)
-        out = timer.time(
-            "iRAHT_time", praht_decode, vals_T,
-            np.asarray(codes)[:nvox], np.asarray(weights)[:nvox],
-            self.depth,
-            stream.steps if stream.steps.shape[0] > 1 else stream.steps[0],
-            predict_mask=stream.predict_mask,
-            quant_mode=stream.quant_mode, quant_f=stream.quant_f,
-            rec_delta=stream.rec_delta,
-            fdtype=self._praht_fdtype(stream), lod_depth=lod_depth,
-        )
+        codes_np = np.asarray(codes)[:nvox]
+        w_np = np.asarray(weights)[:nvox]
+        fdtype = self._praht_fdtype(stream)
+
+        def _run():
+            plan, _ = self._praht_context(codes_np, w_np, fdtype)
+            return praht_decode(
+                vals_T, codes_np, w_np, self.depth,
+                stream.steps if stream.steps.shape[0] > 1
+                else stream.steps[0],
+                predict_mask=stream.predict_mask,
+                quant_mode=stream.quant_mode, quant_f=stream.quant_f,
+                rec_delta=stream.rec_delta,
+                fdtype=fdtype, lod_depth=lod_depth, plan=plan,
+            )
+
+        out = timer.time("iRAHT_time", _run)
         return out, timer
 
     def _golden_decode(self, stream: FrameStream, codes, weights, k: int,

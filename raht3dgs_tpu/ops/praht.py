@@ -51,7 +51,7 @@ device throughput here.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -61,7 +61,10 @@ __all__ = [
     "cell_pyramid",
     "praht_encode",
     "praht_decode",
+    "praht_plan",
+    "praht_true_coeffs",
     "predict_means",
+    "PrahtPlan",
 ]
 
 _U3 = np.uint64(3)
@@ -133,7 +136,10 @@ def _pairings(codes_d: np.ndarray, W_d: np.ndarray, fdtype):
     """
     M = codes_d.shape[0]
     w = W_d.astype(fdtype).copy()
-    idx = np.arange(M)
+    # int32 indices: fancy-index gathers/scatters only (no arithmetic), so
+    # the narrower dtype cannot change any float result; it halves the
+    # footprint of plans held across a sweep
+    idx = np.arange(M, dtype=np.int32)
     pairs = []
     for j in (1, 2, 3):
         cj = codes_d[idx]
@@ -256,6 +262,161 @@ def predict_means(
     return (num / den[:, None]).astype(fdtype, copy=False)
 
 
+class _LevelPlan(NamedTuple):
+    """Step-independent per-depth schedule of the predicted loop.
+
+    Everything here depends only on geometry (codes + weights): the
+    butterfly pairings with their constants, the survivor/AC partition,
+    the weight square-roots, and the prediction STENCIL — the base parent
+    index per child plus, per neighbor candidate (in the FROZEN stencil
+    order: face x, y, z, then edges xy, xz, yz), the children it hits and
+    the parent it contributes. Replaying the stencil is bitwise identical
+    to re-deriving it (:func:`predict_means` accumulates the same values
+    in the same order), so plans are pure reuse, not a format change.
+    """
+
+    n_ac: int
+    pairs: tuple          # ((i0, i1, a, b), ...) sub-level butterflies
+    idx_surv: np.ndarray  # (M_parents,) int32 surviving slots
+    is_ac: np.ndarray     # (M_d,) bool
+    sq: np.ndarray        # (M_d, 1) sqrt cell weights, fdtype
+    sqrt_pw: np.ndarray   # (M_parents, 1) sqrt parent weights, fdtype
+    base_j: np.ndarray    # (M_d,) int32 parent index per child
+    cands: tuple          # ((hit_rows int32, parent_idx int32, wt), ...)
+
+
+class PrahtPlan(NamedTuple):
+    """Step-independent per-frame precomputation for the predicted loop.
+
+    The closed loop runs once per (frame, step); its geometry work — the
+    cell pyramid, the butterfly schedules, and the 9-candidate neighbor
+    stencil — is step-independent and dominates the wall-clock (~85% at
+    1M voxels / J=18, docs/rd_predict.md). Encode sweeps, rate searches,
+    and decode reuse one plan across every step. ``pyramid[d] = (codes_d,
+    W_d, reduceat_idx)`` (idx is None at the leaf level).
+    """
+
+    depth: int
+    fdtype: type
+    pyramid: tuple
+    levels: tuple         # levels[d-1] = _LevelPlan for depth d
+    sqrt_w0: np.ndarray   # (1, 1) sqrt root weight column
+
+
+def _stencil(parent_codes: np.ndarray, child_codes: np.ndarray, d: int):
+    """Precompute :func:`predict_means`'s geometry: the base parent index
+    and the per-candidate (hit_rows, parent_idx, weight) lists, in the
+    frozen stencil order."""
+    pc = child_codes >> _U3
+    o = (child_codes & _U7).astype(np.int64)
+    base_j = np.searchsorted(parent_codes, pc).astype(np.int32)
+    cands_out = []
+    if d >= 2:
+        masks = _axis_masks(d - 1)
+        lows = (np.uint64(1) << np.uint64(2), np.uint64(1) << np.uint64(1),
+                np.uint64(1))
+        dirs = (o[:, None] >> np.asarray([2, 1, 0])) & 1
+        face, fvalid = zip(*(
+            _step_axis(pc, masks[ax], lows[ax], dirs[:, ax])
+            for ax in range(3)
+        ))
+        cands = [(face[ax], fvalid[ax], 2.0) for ax in range(3)]
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            s, v = _step_axis(face[a], masks[b], lows[b], dirs[:, b])
+            cands.append((s, v & fvalid[a], 1.0))
+        last = len(parent_codes) - 1
+        for ncode, valid, wt in cands:
+            k = np.minimum(np.searchsorted(parent_codes, ncode), last)
+            hit = valid & (parent_codes[k] == ncode)
+            rows = np.flatnonzero(hit).astype(np.int32)
+            cands_out.append((rows, k[rows].astype(np.int32), wt))
+    return base_j, tuple(cands_out)
+
+
+def _predict_from_stencil(lv: _LevelPlan, parent_means: np.ndarray,
+                          fdtype) -> np.ndarray:
+    """Replay of :func:`predict_means` from a precomputed stencil —
+    identical accumulation values and order, hence bitwise equal."""
+    num = 4.0 * parent_means[lv.base_j]
+    den = np.full(num.shape[0], 4.0, dtype=fdtype)
+    for rows, k, wt in lv.cands:
+        num[rows] += wt * parent_means[k]
+        den[rows] += wt
+    return (num / den[:, None]).astype(fdtype, copy=False)
+
+
+def praht_plan(
+    codes: np.ndarray,
+    weights: np.ndarray,
+    depth: int,
+    fdtype=np.float64,
+) -> PrahtPlan:
+    """Build the step-independent plan for one frame's predicted loop."""
+    codes = np.asarray(codes)
+    if codes.ndim != 1:
+        raise ValueError("codes must be 1-D sorted unique Morton codes")
+    cur = codes.astype(np.uint64)
+    W = np.asarray(weights, dtype=fdtype)
+    pyramid: List[tuple] = [None] * (depth + 1)
+    pyramid[depth] = (cur, W, None)
+    for d in range(depth - 1, -1, -1):
+        pc = pyramid[d + 1][0] >> _U3
+        firsts = np.concatenate([[True], pc[1:] != pc[:-1]])
+        idx = np.nonzero(firsts)[0]
+        pyramid[d] = (pc[idx], np.add.reduceat(pyramid[d + 1][1], idx), idx)
+    levels = []
+    for d in range(1, depth + 1):
+        codes_d, W_d, _ = pyramid[d]
+        pcodes, pW, _ = pyramid[d - 1]
+        pairs, idx_surv = _pairings(codes_d, W_d, fdtype)
+        is_ac = np.ones(codes_d.shape[0], dtype=bool)
+        is_ac[idx_surv] = False
+        base_j, cands = _stencil(pcodes, codes_d, d)
+        levels.append(_LevelPlan(
+            n_ac=codes_d.shape[0] - pcodes.shape[0],
+            pairs=tuple(pairs),
+            idx_surv=np.asarray(idx_surv, dtype=np.int32),
+            is_ac=is_ac,
+            sq=np.sqrt(W_d)[:, None].astype(fdtype, copy=False),
+            sqrt_pw=np.sqrt(pW)[:, None],
+            base_j=base_j,
+            cands=cands,
+        ))
+    return PrahtPlan(
+        depth=depth,
+        fdtype=fdtype,
+        pyramid=tuple(pyramid),
+        levels=tuple(levels),
+        sqrt_w0=np.sqrt(pyramid[0][1])[:, None],
+    )
+
+
+def praht_true_coeffs(plan: PrahtPlan, attrs: np.ndarray):
+    """Per-frame true-signal coefficients (step-independent encode half).
+
+    Returns ``(dc (1, D), tt_ac)`` where ``tt_ac[d-1]`` holds depth
+    ``d``'s true AC coefficients — exactly the ``_forward3(m_true * sq,
+    pairs)[is_ac]`` rows the per-step loop quantizes. One call serves a
+    whole sweep/rate search of the same frame.
+    """
+    fdtype = plan.fdtype
+    S = np.asarray(attrs, dtype=fdtype) * plan.pyramid[plan.depth][1][:, None]
+    sums: List[np.ndarray] = [None] * (plan.depth + 1)
+    sums[plan.depth] = S
+    for d in range(plan.depth - 1, -1, -1):
+        sums[d] = np.add.reduceat(sums[d + 1], plan.pyramid[d][2], axis=0)
+    dc = plan.sqrt_w0 * (sums[0] / plan.pyramid[0][1][:, None])
+    tt_ac = []
+    for d in range(1, plan.depth + 1):
+        lv = plan.levels[d - 1]
+        if lv.n_ac:
+            m_true = sums[d] / plan.pyramid[d][1][:, None]
+            tt_ac.append(_forward3(m_true * lv.sq, lv.pairs)[lv.is_ac])
+        else:
+            tt_ac.append(None)
+    return dc, tt_ac
+
+
 def _quantize_np(x, steps, quant_mode, f):
     if quant_mode == "deadzone":
         return (np.sign(x) * np.floor(np.abs(x) / steps + f)).astype(
@@ -289,6 +450,25 @@ def _steps_row(steps: np.ndarray, fdtype) -> np.ndarray:
     return s[None, :] if s.shape[0] > 1 else s
 
 
+def _check_plan(plan: PrahtPlan, codes: np.ndarray, weights, depth: int,
+                fdtype) -> None:
+    """A stale plan silently decodes the WRONG stream — verify it matches
+    this frame's geometry (O(N) compares, negligible vs the loop)."""
+    if plan.depth != depth or plan.fdtype != fdtype:
+        raise ValueError(
+            f"plan was built for depth={plan.depth}/"
+            f"{np.dtype(plan.fdtype).name}, frame needs depth={depth}/"
+            f"{np.dtype(fdtype).name}"
+        )
+    leaf_codes, leaf_w, _ = plan.pyramid[depth]
+    if leaf_codes.shape[0] != codes.shape[0] or not np.array_equal(
+        leaf_codes, codes.astype(np.uint64)
+    ):
+        raise ValueError("plan does not match this frame's Morton codes")
+    if not np.array_equal(leaf_w, np.asarray(weights, dtype=fdtype)):
+        raise ValueError("plan does not match this frame's weights")
+
+
 def praht_encode(
     codes: np.ndarray,
     attrs: np.ndarray,
@@ -301,6 +481,8 @@ def praht_encode(
     rec_delta: float = 0.12,
     fdtype=np.float64,
     adaptive: bool = True,
+    plan: Optional[PrahtPlan] = None,
+    true_coeffs=None,
 ) -> Tuple[np.ndarray, int, np.ndarray]:
     """Closed-loop predicted-RAHT encode of one frame (real rows only).
 
@@ -310,49 +492,49 @@ def praht_encode(
     :func:`models.pipeline.build_entropy_stream` directly, and ``rec``
     is the decoder's exact output (same loop), so drivers get distortion
     for free. ``adaptive=False`` forces prediction on at every depth.
+
+    ``plan`` (:func:`praht_plan`) and ``true_coeffs``
+    (:func:`praht_true_coeffs`) are the step-independent halves — pass
+    them to amortize sweeps and rate searches; outputs are bitwise
+    identical with or without them (the plan replays the exact same
+    float ops in the same order).
     """
     codes = np.asarray(codes)
     if codes.ndim != 1:
         raise ValueError("codes must be 1-D sorted unique Morton codes")
     N, D = np.asarray(attrs).shape
-    pyr = cell_pyramid(codes, weights, depth, attrs=attrs, fdtype=fdtype)
+    if plan is None:
+        plan = praht_plan(codes, weights, depth, fdtype=fdtype)
+    else:
+        _check_plan(plan, codes, weights, depth, fdtype)
+    if true_coeffs is None:
+        true_coeffs = praht_true_coeffs(plan, attrs)
+    dc, tt_ac = true_coeffs
     st = _steps_row(steps, fdtype)
     f = fdtype(quant_f)
     dl = fdtype(rec_delta)
 
     sym = np.zeros((N, D), dtype=np.int32)
     # DC: sqrt(W_root) * root mean — the survivor coefficient
-    W0 = pyr[0][1]
-    m0 = pyr[0][2] / W0[:, None]
-    dc = np.sqrt(W0)[:, None] * m0
     qdc = _quantize_np(dc, st, quant_mode, f)
     sym[0] = qdc[0]
-    m_rec = _dequantize_np(qdc, st, quant_mode, dl, fdtype) / np.sqrt(
-        W0
-    )[:, None]
+    m_rec = _dequantize_np(qdc, st, quant_mode, dl, fdtype) / plan.sqrt_w0
     pos = 1
     mask = 0
     rec: Optional[np.ndarray] = None
     for d in range(1, depth + 1):
-        codes_d, W_d, S_d = pyr[d]
-        pcodes, pW, _ = pyr[d - 1]
-        n_ac = codes_d.shape[0] - pcodes.shape[0]
-        pairs, idx_surv = _pairings(codes_d, W_d, fdtype)
-        sq = np.sqrt(W_d)[:, None].astype(fdtype, copy=False)
-        is_ac = np.ones(codes_d.shape[0], dtype=bool)
-        is_ac[idx_surv] = False
+        lv = plan.levels[d - 1]
+        n_ac = lv.n_ac
         T_pred = None
         use_pred = False
         if n_ac:
-            m_true = S_d / W_d[:, None]
-            T_true = _forward3(m_true * sq, pairs)
-            pred = predict_means(pcodes, m_rec, codes_d, d, fdtype)
-            T_pred = _forward3(pred * sq, pairs)
+            pred = _predict_from_stencil(lv, m_rec, fdtype)
+            T_pred = _forward3(pred * lv.sq, lv.pairs)
             q_pred = _quantize_np(
-                T_true[is_ac] - T_pred[is_ac], st, quant_mode, f
+                tt_ac[d - 1] - T_pred[lv.is_ac], st, quant_mode, f
             )
             if adaptive:
-                q_plain = _quantize_np(T_true[is_ac], st, quant_mode, f)
+                q_plain = _quantize_np(tt_ac[d - 1], st, quant_mode, f)
                 use_pred = _codelen_proxy(q_pred) < _codelen_proxy(
                     q_plain
                 )
@@ -364,12 +546,12 @@ def praht_encode(
             pos += n_ac
         if use_pred:
             mask |= 1 << (d - 1)
-        T_rec = np.zeros((codes_d.shape[0], D), dtype=fdtype)
+        T_rec = np.zeros((lv.is_ac.shape[0], D), dtype=fdtype)
         if n_ac:
             deq = _dequantize_np(q, st, quant_mode, dl, fdtype)
-            T_rec[is_ac] = (T_pred[is_ac] + deq) if use_pred else deq
-        T_rec[idx_surv] = np.sqrt(pW)[:, None] * m_rec
-        m_rec = _inverse3(T_rec, pairs) / sq
+            T_rec[lv.is_ac] = (T_pred[lv.is_ac] + deq) if use_pred else deq
+        T_rec[lv.idx_surv] = lv.sqrt_pw * m_rec
+        m_rec = _inverse3(T_rec, lv.pairs) / lv.sq
         if d == depth:
             rec = m_rec
     if pos != N:
@@ -392,6 +574,7 @@ def praht_decode(
     rec_delta: float = 0.12,
     fdtype=np.float64,
     lod_depth: Optional[int] = None,
+    plan: Optional[PrahtPlan] = None,
 ):
     """Decode a predicted-RAHT stream's (D, N) symbol matrix.
 
@@ -402,7 +585,8 @@ def praht_decode(
     ``(cell_codes (M,) uint64, means (M, D), cell_weights (M,))`` at
     that depth; otherwise returns the (N, D) leaf attributes. Mirrors
     :func:`praht_encode` exactly (identical numpy ops — the closed loop
-    is bitwise shared).
+    is bitwise shared). ``plan`` reuses :func:`praht_plan`'s
+    step-independent geometry (bitwise-identical output).
     """
     codes = np.asarray(codes)
     D, N = np.asarray(sym_T).shape
@@ -414,39 +598,37 @@ def praht_decode(
     target = depth if lod_depth is None else lod_depth
     if not 0 <= target <= depth:
         raise ValueError(f"lod_depth must be in [0, {depth}], got {lod_depth}")
-    pyr = cell_pyramid(codes, weights, depth, fdtype=fdtype)
+    if plan is None:
+        plan = praht_plan(codes, weights, depth, fdtype=fdtype)
+    else:
+        _check_plan(plan, codes, weights, depth, fdtype)
     st = _steps_row(steps, fdtype)
-    f = fdtype(quant_f)
     dl = fdtype(rec_delta)
     sym = np.ascontiguousarray(np.asarray(sym_T).T)
 
-    W0 = pyr[0][1]
     m_rec = _dequantize_np(
         sym[0][None, :], st, quant_mode, dl, fdtype
-    ) / np.sqrt(W0)[:, None]
+    ) / plan.sqrt_w0
     pos = 1
     for d in range(1, target + 1):
-        codes_d, W_d, _ = pyr[d]
-        pcodes, pW, _ = pyr[d - 1]
-        n_ac = codes_d.shape[0] - pcodes.shape[0]
-        pairs, idx_surv = _pairings(codes_d, W_d, fdtype)
-        sq = np.sqrt(W_d)[:, None].astype(fdtype, copy=False)
-        is_ac = np.ones(codes_d.shape[0], dtype=bool)
-        is_ac[idx_surv] = False
-        T_rec = np.zeros((codes_d.shape[0], D), dtype=fdtype)
+        lv = plan.levels[d - 1]
+        n_ac = lv.n_ac
+        T_rec = np.zeros((lv.is_ac.shape[0], D), dtype=fdtype)
         if n_ac:
             deq = _dequantize_np(
                 sym[pos : pos + n_ac], st, quant_mode, dl, fdtype
             )
             if predict_mask >> (d - 1) & 1:
-                pred = predict_means(pcodes, m_rec, codes_d, d, fdtype)
-                T_pred = _forward3(pred * sq, pairs)
-                T_rec[is_ac] = T_pred[is_ac] + deq
+                pred = _predict_from_stencil(lv, m_rec, fdtype)
+                T_pred = _forward3(pred * lv.sq, lv.pairs)
+                T_rec[lv.is_ac] = T_pred[lv.is_ac] + deq
             else:
-                T_rec[is_ac] = deq
+                T_rec[lv.is_ac] = deq
             pos += n_ac
-        T_rec[idx_surv] = np.sqrt(pW)[:, None] * m_rec
-        m_rec = _inverse3(T_rec, pairs) / sq
+        T_rec[lv.idx_surv] = lv.sqrt_pw * m_rec
+        m_rec = _inverse3(T_rec, lv.pairs) / lv.sq
     if lod_depth is None:
         return np.asarray(m_rec)
-    return pyr[target][0], np.asarray(m_rec), np.asarray(pyr[target][1])
+    return plan.pyramid[target][0], np.asarray(m_rec), np.asarray(
+        plan.pyramid[target][1]
+    )
