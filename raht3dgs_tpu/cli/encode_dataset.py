@@ -163,12 +163,6 @@ def _run(args) -> int:
         print("--cbr is a rate-control mode; it requires --target-bpp",
               file=sys.stderr)
         return 2
-    if args.predict and (args.inter or args.batch
-                         or args.target_bpp is not None):
-        print("--predict composes with the intra frame loop (and --tiles/"
-              "--save-sequence/--code-geometry) but not with --inter/"
-              "--batch/--target-bpp yet", file=sys.stderr)
-        return 2
     if args.tiles:
         if not args.save_sequence or len(args.steps) != 1:
             print("--tiles needs --save-sequence and exactly one --steps "

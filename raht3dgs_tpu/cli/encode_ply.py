@@ -84,13 +84,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     configure_runtime(args)
-    if args.predict and args.target_bpp is not None:
-        import sys
-
-        print("--predict does not compose with --target-bpp yet (the "
-              "rate-model step search estimates plain-transform rates)",
-              file=sys.stderr)
-        return 2
 
     from raht3dgs_tpu.io.ply import read_ply_8i
     from raht3dgs_tpu.models.color_codec import (

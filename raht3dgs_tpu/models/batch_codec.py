@@ -60,14 +60,6 @@ class BatchAttributeCodec:
         entropy: str = "rlgr",
         predict: bool = False,
     ):
-        if predict:
-            # the predicted transform is a sequential host closed loop
-            # (ops/praht.py) — nothing to batch on device; drivers fall
-            # back to per-frame AttributeCodec(predict=True)
-            raise ValueError(
-                "BatchAttributeCodec does not support predict=True; use "
-                "AttributeCodec per frame"
-            )
         self.depth = depth
         self.dtype = dtype
         self.order_mode = order_mode
@@ -83,6 +75,23 @@ class BatchAttributeCodec:
         if entropy not in ("rlgr", "rac", "auto"):
             raise ValueError(f"unknown entropy coder {entropy!r}")
         self.entropy = entropy
+        # predict=True: the predicted transform is a sequential host
+        # closed loop (ops/praht.py) — there is no device batch to shard,
+        # so the batch API delegates per frame to an AttributeCodec with
+        # identical parameters (streams are byte-identical to the
+        # single-frame path; `mesh` has no effect on this mode). The
+        # batch surface stays uniform so drivers compose --batch with
+        # --predict without special-casing.
+        self.predict = bool(predict)
+        self._frame_codec = None
+        if predict:
+            from raht3dgs_tpu.models.pipeline import AttributeCodec
+
+            self._frame_codec = AttributeCodec(
+                depth, dtype=dtype, order_mode=order_mode, chunk=chunk,
+                quant_mode=quant_mode, quant_f=quant_f,
+                rec_delta=rec_delta, entropy=entropy, predict=True,
+            )
 
     def _stack(self, frames: Sequence[VoxelFrame]):
         codes = jnp.stack([f.codes for f in frames])
@@ -118,6 +127,12 @@ class BatchAttributeCodec:
         timer: Optional[StageTimer] = None,
     ) -> Tuple[List[FrameStream], StageTimer]:
         timer = timer or StageTimer()
+        if self.predict:
+            streams = []
+            for f in frames:
+                enc = self._frame_codec.encode(f, steps, timer=timer)
+                streams.append(enc.stream)
+            return streams, timer
         if coeffs is None or orderp is None:
             coeffs, orderp, timer = self.transform(frames, timer)
         steps_arr = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
@@ -178,6 +193,26 @@ class BatchAttributeCodec:
         track the true pipelined wall time rather than double-counting
         overlapped work.
         """
+        if self.predict:
+            # frames OUTER, steps inner: the per-frame plan/true-coeff
+            # caches (pipeline._praht_context) then hit on every step,
+            # and the regrouped streams are byte-identical to
+            # `[self.encode(frames, s) for s in steps_list]`
+            per_frame = [
+                self._frame_codec.encode_sweep(f, steps_list)
+                for f in frames
+            ]
+            out = []
+            for si in range(len(steps_list)):
+                timer = StageTimer()
+                streams = []
+                for fi in range(len(frames)):
+                    enc = per_frame[fi][si]
+                    streams.append(enc.stream)
+                    for name, sec in enc.timer.stages.items():
+                        timer.add(name, sec)
+                out.append((streams, timer))
+            return out
         if coeffs is None or orderp is None:
             coeffs, orderp, _ = self.transform(frames)
         from raht3dgs_tpu.models.pipeline import (
@@ -257,6 +292,27 @@ class BatchAttributeCodec:
                     "them through SequenceCodec (models/temporal.py), "
                     "which chains the predictions"
                 )
+        if any(s.predict for s in streams):
+            if not all(s.predict for s in streams):
+                raise ValueError(
+                    "batched decode requires a homogeneous transform mode "
+                    "— these streams mix predicted and plain RAHT; decode "
+                    "them frame by frame (AttributeCodec.decode)"
+                )
+            # predicted streams decode through the host closed loop (flag-
+            # driven, per frame); results are identical to the single-
+            # frame path
+            from raht3dgs_tpu.models.pipeline import AttributeCodec
+
+            codec = self._frame_codec or AttributeCodec(
+                self.depth, dtype=self.dtype, order_mode=self.order_mode,
+                chunk=self.chunk,
+            )
+            out = []
+            for s, f in zip(streams, frames):
+                rec, _ = codec.decode(s, f.codes, f.weights, timer=timer)
+                out.append(rec)
+            return out, timer
         # the batched device path dequantizes the whole stack with ONE step
         # vector and one order mode: mixed-parameter streams would silently
         # reconstruct with the wrong steps

@@ -154,14 +154,13 @@ class SequenceCodec:
             )
         if int(search_iters) < 1:
             raise ValueError(f"search_iters must be >= 1, got {search_iters}")
-        if codec_kwargs.get("predict"):
-            # the temporal closed loop replays the codec's device decode;
-            # composing it with the praht host closed loop is unvalidated
-            raise ValueError(
-                "SequenceCodec does not support predict=True (inter + "
-                "predicted-RAHT composition is not implemented); encode "
-                "all-intra with AttributeCodec(predict=True) instead"
-            )
+        # predict=True composes: I-frames (and the adaptive intra
+        # candidate) run the predicted closed loop on the frame itself,
+        # P-frames run it on the temporal residual — the praht loop is
+        # content-agnostic and decode is flag-driven per stream
+        # (pipeline._praht_decode replays the recorded dtype), so the
+        # sequence closed loop stays bitwise: encoder reconstructions come
+        # from the same decode path the receiver runs.
         self.depth = depth
         self.gop = int(gop)
         self.adaptive = bool(adaptive)

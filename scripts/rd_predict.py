@@ -30,17 +30,38 @@ from rd_deadzone import _psnr_3dgs, _psnr_y255, bd_rate
 
 
 def _sweep(kwargs, frame, steps, depth):
+    """Returns (points, timing) — timing holds the sweep wall-clocks:
+    total encode seconds (first predicted step pays the step-independent
+    plan build; later steps reuse it through the codec cache), per-step
+    encode/decode means."""
+    import time
+
     import numpy as np
 
     from raht3dgs_tpu.models.pipeline import AttributeCodec
 
     codec = AttributeCodec(depth, **kwargs)
-    ref = np.asarray(frame.attributes)[: frame.n_voxels]
     out = []
-    for enc in codec.encode_sweep(frame, [float(s) for s in steps]):
+    enc_t, dec_t = [], []
+    t0 = time.perf_counter()
+    encs = codec.encode_sweep(frame, [float(s) for s in steps])
+    enc_total = time.perf_counter() - t0
+    for enc in encs:
+        t1 = time.perf_counter()
         rec, _ = codec.decode(enc.stream, frame.codes, frame.weights)
+        dec_t.append(time.perf_counter() - t1)
         out.append((enc.stream.bpp(), rec, enc.stream.predict_mask))
-    return out
+    # one more encode of a mid step on the WARM cache = the marginal
+    # per-step cost (what a rate-search probe or one sweep point pays)
+    t2 = time.perf_counter()
+    codec.encode(frame, float(steps[len(steps) // 2]))
+    enc_t.append(time.perf_counter() - t2)
+    timing = {
+        "enc_total_s": enc_total,
+        "enc_step_s": enc_t[0],
+        "dec_step_s": float(np.mean(dec_t)),
+    }
+    return out, timing
 
 
 def main(argv=None) -> int:
@@ -126,8 +147,9 @@ def main(argv=None) -> int:
         ref = np.asarray(frame.attributes)[: frame.n_voxels]
         curves = {}
         masks = {}
+        timings = {}
         for arm, kw in arms:
-            pts = _sweep(kw, frame, steps, depth)
+            pts, timings[arm] = _sweep(kw, frame, steps, depth)
             curves[arm] = [(b, psnr_fn(r, ref)) for b, r, _ in pts]
             masks[arm] = [m for _, _, m in pts]
         base = curves["plain"]
@@ -158,6 +180,29 @@ def main(argv=None) -> int:
             sections.append(f"**BD-rate ({arm} vs plain): {bd:+.2f}%**")
             sections.append("")
             print(f"{name} / {arm}: BD-rate {bd:+.2f}%")
+        n = frame.n_voxels
+        sections += [
+            "Wall-clocks (this host, CPU; encode sweep = "
+            f"{len(steps)} steps; the first predicted step builds the "
+            "step-independent plan, later steps reuse it — "
+            "ops/praht.py:PrahtPlan; 'warm step' = one more encode on "
+            "the warm cache, the marginal rate-search-probe cost):",
+            "",
+            "| arm | sweep encode s | warm step s | decode/step s | "
+            "enc Mpts/s (warm) |",
+            "|---|---|---|---|---|",
+            *(
+                f"| {arm} | {t['enc_total_s']:.2f} | {t['enc_step_s']:.2f}"
+                f" | {t['dec_step_s']:.2f} | "
+                f"{n / max(t['enc_step_s'], 1e-9) / 1e6:.2f} |"
+                for arm, t in timings.items()
+            ),
+            "",
+        ]
+        for arm, t in timings.items():
+            print(f"  {name} / {arm}: sweep {t['enc_total_s']:.2f}s, "
+                  f"warm step {t['enc_step_s']:.2f}s, "
+                  f"dec {t['dec_step_s']:.2f}s")
 
     report = "\n".join(sections)
     if args.out:

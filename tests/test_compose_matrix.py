@@ -1,12 +1,13 @@
 """Beyond-reference features COMPOSE: one flag-product end-to-end test.
 
 Encodes a short temporally-correlated sequence with EVERY beyond-reference
-encode flag at once — ``--inter --code-geometry --entropy-chunk
---quant-mode deadzone --save-sequence`` — then exercises the full decode
-surface on the resulting .r3ts: all-frames decode, random access to a
-P-frame, ``--progressive``, ``--lod``, and ``--geometry-lod``. Pins that
-the features compose rather than merely coexist (each is tested alone
-elsewhere)."""
+encode flag at once — ``--inter --predict --code-geometry --entropy-chunk
+--quant-mode deadzone --entropy auto --save-sequence`` — then exercises
+the full decode surface on the resulting .r3ts: all-frames decode, random
+access to a P-frame, ``--progressive``, ``--lod``, and ``--geometry-lod``.
+A second product covers the intra-only axis: ``--tiles --predict
+--entropy auto`` through encode_ply + ROI decode. Pins that the features
+compose rather than merely coexist (each is tested alone elsewhere)."""
 
 import os
 
@@ -46,7 +47,7 @@ def composed(tmp_path_factory):
         "--dataset", "8iVFBv2", "--sequence", "loot",
         "--data-root", str(tmp_path), "--frames", "1", str(N_FRAMES),
         "--steps", "2",
-        "--inter", "--code-geometry", "--entropy-chunk", "128",
+        "--inter", "--predict", "--code-geometry", "--entropy-chunk", "128",
         "--quant-mode", "deadzone", "--entropy", "auto",
         "--save-sequence", str(seq),
         "--platform", "cpu", "--csv", str(tmp_path / "runtime.csv"),
@@ -85,6 +86,7 @@ def test_stream_carries_every_feature(composed):
         "adaptive fallback chose intra for every frame — the drifting-"
         "cloud fixture should produce P-frames"
     )
+    assert all(s.predict for s in streams)  # --predict rode every frame
     # --entropy auto recorded per channel (v5 map) wherever RAC won; at
     # this tiny scale RLGR may win every channel, but the flag must not
     # corrupt anything — decode tests below pin correctness either way
@@ -223,3 +225,46 @@ def test_random_access_replays_encoder_dtype(tmp_path):
              "--output", str(one), "--color-space", "yuv"])
     a = open(str(full).replace("{i}", str(idx)), "rb").read()
     assert a == open(one, "rb").read()
+
+
+def test_tiles_compose_with_predict_and_auto_entropy(tmp_path):
+    """The intra-only flag product: --tiles --predict --entropy auto
+    --quant-mode deadzone through encode_ply, then full + ROI decode of
+    the .r3tt (every tile stream must carry the predict flag)."""
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 2**DEPTH, (2500, 3))
+    _, first = np.unique(morton_codes_np(pts, DEPTH), return_index=True)
+    V0 = pts[first]
+    C0 = rng.integers(0, 255, (len(V0), 3)).astype(float)
+    src = tmp_path / "in.ply"
+    save_ply_ascii(src, V0.astype(float), C0, width=2**DEPTH - 1)
+
+    from raht3dgs_tpu.cli.encode_ply import main as enc_main
+
+    out = tmp_path / "streams"
+    assert enc_main([
+        "--input", str(src), "--depth", str(DEPTH), "--steps", "2",
+        "--tiles", "2", "--predict", "--entropy", "auto",
+        "--quant-mode", "deadzone", "--code-geometry",
+        "--save-streams", str(out),
+        "--platform", "cpu", "--csv", str(tmp_path / "t.csv"),
+    ]) == 0
+    blobs = sorted(out.glob("*.r3tt"))
+    assert blobs
+    from raht3dgs_tpu.models.tiling import TiledReader, decode_tiled_frame
+
+    reader = TiledReader(blobs[0].read_bytes())
+    assert len(reader) > 1
+    assert all(reader.tile(i).predict for i in range(len(reader)))
+    assert all(reader.tile(i).quant_mode == "deadzone"
+               for i in range(len(reader)))
+    V, A = decode_tiled_frame(blobs[0].read_bytes())
+    assert len(V) == len(V0)
+    # ROI decode touches only the intersecting bricks and stays finite
+    half = 2 ** (DEPTH - 1)
+    Vr, Ar = decode_tiled_frame(
+        blobs[0].read_bytes(), roi=((0, 0, 0), (half, half, half))
+    )
+    assert len(Vr) <= len(V0) and np.isfinite(Ar).all()
+    want = np.all(V0 < half, axis=1).sum()
+    assert len(Vr) == want

@@ -230,20 +230,142 @@ def test_progressive_and_lod(rng):
 
 
 def test_guards(rng):
-    import jax.numpy as jnp
-
-    from raht3dgs_tpu.models.batch_codec import BatchAttributeCodec
     from raht3dgs_tpu.models.pipeline import AttributeCodec
-    from raht3dgs_tpu.models.temporal import SequenceCodec
 
     with pytest.raises(ValueError, match="RA-GFT"):
         AttributeCodec(DEPTH, predict=True, order_mode="weight_desc")
     with pytest.raises(ValueError, match="golden"):
         AttributeCodec(DEPTH, predict=True, impl="golden")
-    with pytest.raises(ValueError, match="predict"):
-        SequenceCodec(DEPTH, predict=True)
-    with pytest.raises(ValueError, match="predict"):
-        BatchAttributeCodec(DEPTH, dtype=jnp.float32, predict=True)
+
+
+def test_plan_mismatch_fails_loudly(rng):
+    """A plan from ANOTHER frame must be rejected, not silently decode the
+    wrong stream (plans are caller-managed reuse)."""
+    from raht3dgs_tpu.ops.praht import praht_encode, praht_plan
+
+    codes = _codes(rng, 1000)
+    other = _codes(rng, 1000)
+    attrs = _smooth_attrs(codes, DEPTH, rng)
+    w = np.ones(len(codes))
+    plan = praht_plan(other, np.ones(len(other)), DEPTH)
+    with pytest.raises(ValueError, match="Morton codes"):
+        praht_encode(codes, attrs, w, DEPTH, 2.0, plan=plan)
+    plan32 = praht_plan(codes, w, DEPTH, fdtype=np.float32)
+    with pytest.raises(ValueError, match="float32"):
+        praht_encode(codes, attrs, w, DEPTH, 2.0, plan=plan32)
+    wplan = praht_plan(codes, w * 2, DEPTH)
+    with pytest.raises(ValueError, match="weights"):
+        praht_encode(codes, attrs, w, DEPTH, 2.0, plan=wplan)
+
+
+def test_sequence_codec_composes_with_predict(rng):
+    """--inter + --predict: I-frames AND P-frame residuals ride the
+    predicted loop; decode (same SequenceCodec API) reproduces the
+    encoder's closed-loop reconstructions bitwise, and on a coherent
+    sequence the inter+predict streams beat all-intra predicted ones."""
+    from raht3dgs_tpu.models.pipeline import (
+        AttributeCodec,
+        prepare_voxel_frame,
+    )
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+    from raht3dgs_tpu.ops.praht import _decode_axes_np
+
+    codes = _codes(rng, 2000)
+    V = _decode_axes_np(codes.astype(np.uint64), DEPTH)
+    attrs = _smooth_attrs(codes, DEPTH, rng)
+    frames = []
+    for k in range(4):
+        Vk = np.clip(V + k, 0, 2**DEPTH - 1)
+        from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+        ck = morton_codes_np(Vk, DEPTH)
+        _, first = np.unique(ck, return_index=True)
+        frames.append(prepare_voxel_frame(
+            Vk[first], attrs[first] + 0.2 * k, DEPTH
+        ))
+
+    sc = SequenceCodec(DEPTH, gop=8, predict=True)
+    streams, recons = sc.encode_sequence(frames, 2.0)
+    assert streams[0].predict and not streams[0].inter
+    assert any(s.inter for s in streams[1:]), "no P-frame chosen"
+    assert all(s.predict for s in streams)
+
+    dec = SequenceCodec(DEPTH, gop=8, predict=True)
+    outs = dec.decode_sequence(streams, frames)
+    for r, o in zip(recons, outs):
+        assert np.array_equal(r, o)  # closed loop is bitwise
+
+    # rate: temporal prediction must help on the coherent sequence
+    intra = AttributeCodec(DEPTH, predict=True)
+    intra_bytes = sum(
+        intra.encode(f, 2.0).stream.payload_bytes for f in frames
+    )
+    inter_bytes = sum(s.payload_bytes for s in streams)
+    assert inter_bytes < intra_bytes
+
+
+def test_batch_codec_composes_with_predict(rng):
+    """--batch + --predict: streams byte-identical to the per-frame codec
+    (encode, encode_sweep regrouping, and decode all delegate to the
+    same host closed loop)."""
+    from raht3dgs_tpu.models.batch_codec import (
+        BatchAttributeCodec,
+        prepare_frame_batch,
+    )
+    from raht3dgs_tpu.models.pipeline import AttributeCodec
+    from raht3dgs_tpu.ops.praht import _decode_axes_np
+
+    rngs = [np.random.default_rng(s) for s in (1, 2, 3)]
+    pos, ats = [], []
+    for r in rngs:
+        c = _codes(r, 1200)
+        pos.append(_decode_axes_np(c.astype(np.uint64), DEPTH))
+        ats.append(_smooth_attrs(c, DEPTH, r))
+    frames = prepare_frame_batch(pos, ats, DEPTH)
+
+    bc = BatchAttributeCodec(DEPTH, predict=True, entropy="auto")
+    single = AttributeCodec(DEPTH, predict=True, entropy="auto")
+    streams, _ = bc.encode(frames, 4.0)
+    for f, s in zip(frames, streams):
+        assert s.to_bytes() == single.encode(f, 4.0).stream.to_bytes()
+
+    sweep = bc.encode_sweep(frames, [2.0, 8.0])
+    for si, step in enumerate([2.0, 8.0]):
+        for f, s in zip(frames, sweep[si][0]):
+            assert s.to_bytes() == single.encode(f, step).stream.to_bytes()
+
+    recs, _ = bc.decode(streams, frames)
+    for f, s, r in zip(frames, streams, recs):
+        want, _ = single.decode(s, f.codes, f.weights)
+        assert np.array_equal(r, want)
+
+    # mixed predicted/plain batches must fail loudly
+    plain = AttributeCodec(DEPTH).encode(frames[0], 4.0).stream
+    with pytest.raises(ValueError, match="mix"):
+        bc.decode([plain] + streams[1:], frames)
+
+
+def test_rate_targeted_predict(rng):
+    """--target-bpp + --predict: the step search lands at/under budget
+    with a PREDICTED stream (the refine loop corrects the plain-transform
+    rate model against true predicted encodes)."""
+    from raht3dgs_tpu.models.pipeline import (
+        AttributeCodec,
+        prepare_voxel_frame,
+    )
+    from raht3dgs_tpu.models.rd_search import search_step_for_bpp
+    from raht3dgs_tpu.ops.praht import _decode_axes_np
+
+    codes = _codes(rng, 2500)
+    V = _decode_axes_np(codes.astype(np.uint64), DEPTH)
+    attrs = _smooth_attrs(codes, DEPTH, rng)
+    frame = prepare_voxel_frame(V, attrs, DEPTH)
+    codec = AttributeCodec(DEPTH, predict=True)
+    res = search_step_for_bpp(frame, 2.0, codec=codec)
+    assert res.encoded.stream.predict
+    assert res.bpp <= 2.0
+    # the budget is actually used (not a trivially coarse step)
+    assert res.bpp > 0.3
 
 
 def test_cli_roundtrip(tmp_path, rng):
