@@ -251,18 +251,31 @@ def _cast_i16(q):
 
 @jax.jit
 def _fetch_stats(q):
-    """(maxabs, rail-count) as ONE (2,) device array — a single tiny fetch
-    decides the narrowing (the tunnel charges ~an RTT per fetch). Rails are
-    values |v| >= 32767, i.e. everything a clamped int16 cast would alias."""
+    """(maxabs, int8 rail-count, int16 rail-count) as ONE (3,) device
+    array — a single tiny fetch decides the narrowing (the tunnel charges
+    ~an RTT per fetch). Rails are values a clamped cast would alias:
+    |v| >= 127 for int8, |v| >= 32767 for int16."""
     a = jnp.abs(q.astype(jnp.int64))
-    return jnp.stack(
-        [jnp.max(a, initial=0), jnp.sum((a >= 32767).astype(jnp.int64))]
-    )
+    return jnp.stack([
+        jnp.max(a, initial=0),
+        jnp.sum((a >= 127).astype(jnp.int64)),
+        jnp.sum((a >= 32767).astype(jnp.int64)),
+    ])
 
 
 @jax.jit
 def _clamp_cast_i16(q):
     return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+
+
+@jax.jit
+def _cast_i8(q):
+    return q.astype(jnp.int8)
+
+
+@jax.jit
+def _clamp_cast_i8(q):
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
 @jax.jit
@@ -308,20 +321,30 @@ class PendingFetch(NamedTuple):
 
 
 def _start_fetch(q, stats) -> PendingFetch:
-    """Pick the fetch dtype from the (maxabs, rail-count) stats (host ints
-    or None when narrowing is disabled) and start the async host copy.
+    """Pick the fetch dtype from the (maxabs, rails8, rails16) stats (host
+    ints or None when narrowing is disabled) and start the async host copy.
 
-    Three regimes: everything fits int16 -> plain narrow cast (exact); a
-    FEW values overflow -> clamp to the int16 rails and remember ``src``
-    so :func:`_finish_fetch` can re-fetch the aliased entries exactly
-    (patch policy mirrors :func:`pack_quantized_upload`: rails must be at
-    most size/8); dense overflow -> full int32."""
+    Regimes, narrowest first: everything fits int8 -> plain cast (exact);
+    a FEW values overflow int8 -> clamp to the int8 rails and remember
+    ``src`` so :func:`_finish_fetch` can re-fetch the aliased entries
+    exactly; same two tiers again at int16; dense overflow -> full int32.
+    Patch policies mirror :func:`pack_quantized_upload`: int16 rails at
+    most size/8 (2 B/entry saved vs int32, 8 B/entry patch), int8 rails
+    at most size/16 (1 B/entry saved vs int16). RD-point symbols are
+    near-zero by design (that is why RLGR works), so real frames usually
+    take the int8 tiers; the rail counts keep the worst case exact."""
     src = None
     if stats is not None:
-        maxabs, rails = int(stats[0]), int(stats[1])
-        if maxabs < (1 << 15):
+        maxabs, rails8, rails16 = int(stats[0]), int(stats[1]), int(stats[2])
+        patch = _fetch_patch_enabled()
+        if maxabs < 128:
+            q = _cast_i8(q)
+        elif patch and 0 < rails8 <= q.size // 16:
+            src = q
+            q = _clamp_cast_i8(q)
+        elif maxabs < (1 << 15):
             q = _cast_i16(q)
-        elif _fetch_patch_enabled() and 0 < rails <= q.size // 8:
+        elif patch and 0 < rails16 <= q.size // 8:
             src = q
             q = _clamp_cast_i16(q)
     try:
@@ -334,17 +357,18 @@ def _start_fetch(q, stats) -> PendingFetch:
 def _finish_fetch(pending: PendingFetch) -> np.ndarray:
     """Block on the host copy and return the exact int32 matrix.
 
-    Rail entries of a clamped int16 fetch (|v| == 32767 on host) are
-    overwritten from a tiny exact device gather; the gather index vector
-    is padded to a power-of-two bucket (duplicates of entry 0) to bound
-    program recompiles."""
+    Rail entries of a clamped fetch (|v| == 127 for int8, 32767 for
+    int16 on host) are overwritten from a tiny exact device gather; the
+    gather index vector is padded to a power-of-two bucket (duplicates
+    of entry 0) to bound program recompiles."""
     a = np.asarray(pending.buf)
-    if a.dtype != np.int16:
+    if a.dtype not in (np.int16, np.int8):
         return a
+    rail = 127 if a.dtype == np.int8 else 32767
     out = a.astype(np.int32)  # host widen keeps the native batch path
     if pending.src is not None:
         flat = out.reshape(-1)
-        sus = np.flatnonzero(np.abs(flat) >= 32767).astype(np.int32)
+        sus = np.flatnonzero(np.abs(flat) >= rail).astype(np.int32)
         if sus.size:
             bucket = 8
             while bucket < sus.size:
@@ -564,34 +588,11 @@ def _upload_patch_enabled() -> bool:
         "0", "false", "")
 
 
-def pack_quantized_upload(vals_T: np.ndarray) -> QuantizedUpload:
-    """Narrow an int32 quantized matrix to int16 even when a handful of
-    entries overflow, carrying the overflows as an exact sparse patch.
-
-    Real RD operating points put almost all mass near zero (that is why
-    RLGR works); at the measured serving point exactly 1 of 1.8M
-    coefficients exceeded int16, yet the all-or-nothing
-    :func:`quantized_upload_array` fell back to a full int32 upload —
-    double the bytes on the remote-host tunnel for one outlier. Patch
-    policy: use int16+patch while the patch (8 B/entry) costs at most half
-    the 2 B/entry narrowing win, i.e. ``P <= size // 8``; otherwise ship
-    int32. The patch is padded to a power-of-two bucket (duplicating entry
+def _padded_patch(vals_narrow: np.ndarray, over: np.ndarray,
+                  flat: np.ndarray) -> QuantizedUpload:
+    """Bucket-pad the (idx, exact-val) overflow patch (duplicating entry
     0 — identical scatter writes, so duplicates are harmless) to bound
-    recompiles of the device widen program. ``RAHT3DGS_UPLOAD_PATCH=0``
-    restores the all-or-nothing behavior for A/B tests.
-    """
-    if vals_T.dtype != np.int32:
-        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
-    flat = vals_T.reshape(-1)
-    over = np.flatnonzero(
-        np.abs(flat, dtype=np.int64) >= (1 << 15)
-    ).astype(np.int32)
-    if over.size == 0:
-        return QuantizedUpload(
-            vals_T.astype(np.int16), _EMPTY_I32, _EMPTY_I32
-        )
-    if not _upload_patch_enabled() or over.size > flat.size // 8:
-        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
+    recompiles of the device widen program."""
     val = flat[over]
     bucket = 8
     while bucket < over.size:
@@ -599,9 +600,45 @@ def pack_quantized_upload(vals_T: np.ndarray) -> QuantizedUpload:
     pad = bucket - over.size
     idx = np.concatenate([over, np.full(pad, over[0], np.int32)])
     val = np.concatenate([val, np.full(pad, val[0], np.int32)])
-    return QuantizedUpload(
-        vals_T.astype(np.int16), idx, val
-    )
+    return QuantizedUpload(vals_narrow, idx, val)
+
+
+def pack_quantized_upload(vals_T: np.ndarray) -> QuantizedUpload:
+    """Narrow an int32 quantized matrix to int8/int16 even when a handful
+    of entries overflow, carrying the overflows as an exact sparse patch.
+
+    Real RD operating points put almost all mass near zero (that is why
+    RLGR works); at the measured serving point exactly 1 of 1.8M
+    coefficients exceeded int16, yet the all-or-nothing
+    :func:`quantized_upload_array` fell back to a full int32 upload —
+    double the bytes on the remote-host tunnel for one outlier. Patch
+    policies: int16+patch while the patch (8 B/entry) costs at most half
+    the 2 B/entry narrowing win vs int32, i.e. ``P <= size // 8``;
+    int8+patch while it costs at most half the 1 B/entry win vs int16,
+    ``P <= size // 16``. Narrowing casts wrap the overflow entries; the
+    patch overwrites them exactly on device. ``RAHT3DGS_UPLOAD_PATCH=0``
+    restores the all-or-nothing int16/int32 behavior for A/B tests.
+    """
+    if vals_T.dtype != np.int32:
+        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
+    flat = vals_T.reshape(-1)
+    a = np.abs(flat, dtype=np.int64)
+    over8 = np.flatnonzero(a >= 128).astype(np.int32)
+    patch_ok = _upload_patch_enabled()
+    if over8.size == 0:
+        return QuantizedUpload(
+            vals_T.astype(np.int8), _EMPTY_I32, _EMPTY_I32
+        )
+    if patch_ok and over8.size <= flat.size // 16:
+        return _padded_patch(vals_T.astype(np.int8), over8, flat)
+    over16 = over8[a[over8] >= (1 << 15)]  # over16 is a subset of over8
+    if over16.size == 0:
+        return QuantizedUpload(
+            vals_T.astype(np.int16), _EMPTY_I32, _EMPTY_I32
+        )
+    if not patch_ok or over16.size > flat.size // 8:
+        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
+    return _padded_patch(vals_T.astype(np.int16), over16, flat)
 
 
 @jax.jit
@@ -615,8 +652,9 @@ def _widen_patch_device(vals, idx, val):
 def upload_quantized(up: QuantizedUpload):
     """Move a :class:`QuantizedUpload` to device, applying the overflow
     patch in a tiny scatter dispatch. Returns a device array bitwise equal
-    (after int32 widening) to the original int32 matrix; dtype is int16
-    when no patch was needed (consumers widen), int32 when patched."""
+    (after int32 widening) to the original int32 matrix; dtype is the
+    narrowed int8/int16 when no patch was needed (consumers widen), int32
+    when patched."""
     vals = jnp.asarray(up.vals)
     if up.patch_idx.size == 0:
         return vals

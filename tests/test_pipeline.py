@@ -348,10 +348,11 @@ def test_narrow_fetch_streams_identical(rng, monkeypatch):
 
 
 def test_narrow_fetch_rail_patch_regimes(monkeypatch):
-    """_narrow_fetch must be exact in all three device->host regimes:
-    all-int16 (plain narrow), a few int16 overflows (clamped fetch + exact
-    rail patch), and dense overflow (full int32 fallback). The chosen wire
-    dtype is observable on the PendingFetch buffer."""
+    """_narrow_fetch must be exact in all five device->host regimes:
+    all-int8 / all-int16 (plain narrow), a few overflows at either width
+    (clamped fetch + exact rail patch), and dense overflow (full int32
+    fallback). The chosen wire dtype is observable on the PendingFetch
+    buffer."""
     import jax.numpy as jnp
 
     from raht3dgs_tpu.models.pipeline import (
@@ -371,11 +372,12 @@ def test_narrow_fetch_rail_patch_regimes(monkeypatch):
         assert got.dtype == np.int32 and np.array_equal(got, arr)
         return p.buf.dtype, p.src is not None
 
-    # regime 1: everything fits -> int16 wire, no patch source kept
+    # regime 1: fits int16, too many int8 rails to patch -> int16 wire
     assert wire_dtype(base) == (jnp.int16, False)
 
     # regime 2: sparse outliers (incl. exact rails +-32767/-32768, which a
-    # clamped cast aliases) -> int16 wire plus exact patch gather
+    # clamped cast aliases) over an int16-wide base -> int16 wire plus
+    # exact patch gather
     sparse = base.copy()
     flat = sparse.reshape(-1)
     flat[[0, 77, 1234, 3100]] = [10**9, -(10**9), 32767, -32768]
@@ -386,9 +388,20 @@ def test_narrow_fetch_rail_patch_regimes(monkeypatch):
     dense[::2] += 10**6
     assert wire_dtype(dense) == (jnp.int32, False)
 
-    # patch knob off: sparse outliers fall back to exact int32
+    # regime 4: everything fits int8 -> int8 wire, no patch source kept
+    base8 = (base // 32).astype(np.int32)  # |v| < 94
+    assert wire_dtype(base8) == (jnp.int8, False)
+
+    # regime 5: sparse outliers (incl. the +-127 rail itself) over an
+    # int8-narrow base -> int8 wire plus exact patch gather
+    sparse8 = base8.copy()
+    sparse8.reshape(-1)[[3, 99, 2222, 3101]] = [10**9, -4000, 127, -127]
+    assert wire_dtype(sparse8) == (jnp.int8, True)
+
+    # patch knob off: sparse outliers fall back to the next exact tier
     monkeypatch.setenv("RAHT3DGS_FETCH_PATCH", "0")
     assert wire_dtype(sparse) == (jnp.int32, False)
+    assert wire_dtype(sparse8) == (jnp.int32, False)
     monkeypatch.delenv("RAHT3DGS_FETCH_PATCH")
 
     # and the one-shot helper agrees end to end
@@ -434,8 +447,9 @@ def test_narrow_fetch_patch_streams_identical(rng, monkeypatch):
         coeffs, jnp.atleast_1d(jnp.asarray(0.5, coeffs.dtype)), order,
         frame.n_voxels,
     )
-    maxabs, rails = (int(x) for x in np.asarray(_fetch_stats(q)))
-    assert maxabs >= (1 << 15) and 0 < rails <= q.size // 8
+    maxabs, rails8, rails16 = (int(x) for x in np.asarray(_fetch_stats(q)))
+    assert maxabs >= (1 << 15) and 0 < rails16
+    assert rails8 <= q.size // 16 or rails16 <= q.size // 8
 
 
 def test_encode_sweep_matches_per_step(rng):

@@ -140,10 +140,18 @@ def test_patched_upload_bitwise(rng):
         assert widened.dtype == np.int32
         np.testing.assert_array_equal(widened, vals)
 
-    # no overflow: plain int16, empty patch (and int16 widens exactly)
+    # no int8 overflow at all: plain int8, empty patch (consumers widen)
     up = pack_quantized_upload(np.arange(-50, 50, dtype=np.int32).reshape(4, 25))
-    assert up.vals.dtype == np.int16 and up.patch_idx.size == 0
-    assert np.asarray(upload_quantized(up)).dtype == np.int16
+    assert up.vals.dtype == np.int8 and up.patch_idx.size == 0
+    assert np.asarray(upload_quantized(up)).dtype == np.int8
+
+    # int8 base with sparse int8 overflows: int8 + exact patch
+    vals = rng.integers(-100, 100, size=(7, 300)).astype(np.int32)
+    flat = vals.reshape(-1)
+    flat[[5, 900, 2001]] = [40_000, -130, 127 + 1]
+    up = pack_quantized_upload(vals)
+    assert up.vals.dtype == np.int8 and up.patch_idx.size == 8
+    np.testing.assert_array_equal(np.asarray(upload_quantized(up)), vals)
 
 
 def test_patched_upload_policy(monkeypatch):
@@ -161,7 +169,14 @@ def test_patched_upload_policy(monkeypatch):
     up = pack_quantized_upload(sparse)
     assert up.vals.dtype == np.int32 and up.patch_idx.size == 0
     monkeypatch.delenv("RAHT3DGS_UPLOAD_PATCH")
-    assert pack_quantized_upload(sparse).vals.dtype == np.int16
+    # with patching back on, one outlier over a zero base takes the
+    # narrowest tier: int8 + patch
+    assert pack_quantized_upload(sparse).vals.dtype == np.int8
+
+    # dense int8 overflow but int16-clean: plain int16 wire
+    mid = np.full((8, 64), 1000, dtype=np.int32)
+    up = pack_quantized_upload(mid)
+    assert up.vals.dtype == np.int16 and up.patch_idx.size == 0
 
 
 def test_patched_upload_through_serve_frame(rng):
