@@ -682,6 +682,14 @@ def _inverse_device(coeffs, codes, weights, depth):
     return raht_inverse_span(coeffs, codes, weights, depth)
 
 
+@jax.jit
+def _scale_sqrt_w(attributes, weights):
+    """``attrs * sqrt(w)`` — the predicted loop's true coefficients are the
+    standard forward transform of this scaled input (identity for the
+    common unit-weight voxelized case); see ops/praht_device.py."""
+    return attributes * jnp.sqrt(weights.astype(attributes.dtype))[:, None]
+
+
 class AttributeCodec:
     """Encode/decode attribute frames at a fixed octree depth.
 
@@ -702,6 +710,7 @@ class AttributeCodec:
         rec_delta: float = 0.12,
         entropy: str = "rlgr",
         predict: bool = False,
+        predict_impl: Optional[str] = None,
     ):
         import os
 
@@ -777,13 +786,35 @@ class AttributeCodec:
                     "counterpart — drop one of the two"
                 )
         self.predict = bool(predict)
+        # Predicted-loop encoder implementation: "host" (ops/praht.py —
+        # the frozen closed-loop spec, bitwise encoder==decoder), "device"
+        # (ops/praht_device.py — the whole per-step loop as one jitted
+        # program; emits the same stream format, symbols observed bitwise
+        # equal on CPU and within quantization-tie ulps anywhere), or
+        # "auto" (default: device on accelerator backends, host on CPU).
+        # Decode ALWAYS replays the frozen host loop.
+        predict_impl = predict_impl or os.environ.get(
+            "RAHT3DGS_PRAHT_IMPL", "auto")
+        if predict_impl not in ("host", "device", "auto"):
+            raise ValueError(
+                f"unknown predict_impl {predict_impl!r} "
+                "(choose host, device or auto)"
+            )
+        if predict_impl == "device" and depth > 20:
+            raise ValueError(
+                "predict_impl='device' covers the int32/int64 code tiers "
+                f"(depth <= 20), got depth={depth}; use 'host'"
+            )
+        self.predict_impl = predict_impl
         # step-independent predicted-loop state (ops/praht.py): geometry
         # plans and true-coefficient caches shared across a sweep's steps,
         # a rate search's probes, and the temporal codec's intra/residual
         # candidate pair (same geometry, two attribute sets). Small FIFOs —
-        # plans are O(N) host memory.
+        # plans are O(N) host memory. The device cache holds (coeffs,
+        # order, device plan) keyed by frame-array identity.
         self._praht_plans: dict = {}
         self._praht_tcs: dict = {}
+        self._praht_dev_cache: dict = {}
 
     # -- encoding ---------------------------------------------------------
 
@@ -879,6 +910,108 @@ class AttributeCodec:
         timer.add("Entropy_enc_time", enc_ns / 1e9)
         return EncodedFrame(stream=stream, timer=timer)
 
+    # -- device predicted-RAHT encoder (ops/praht_device.py) ----------------
+
+    def _predict_on_device(self) -> bool:
+        """Resolve the predicted-encoder implementation for this process.
+
+        "auto" picks the device program on accelerator backends (where the
+        host numpy loop would serialize a ~100x-slower closed loop per
+        step) and the frozen host loop on CPU. Decode is host either way.
+        """
+        if self.predict_impl == "auto":
+            import jax
+
+            return self.depth <= 20 and jax.default_backend() != "cpu"
+        return self.predict_impl == "device"
+
+    def _praht_dev_context(self, frame: VoxelFrame):
+        """(true-coeffs, ragft order, device plan) for one frame, cached by
+        array identity (sweeps and rate searches re-enter per step; entries
+        pin the arrays alive so ids cannot be recycled)."""
+        key = (id(frame.codes), id(frame.weights), id(frame.attributes))
+        ent = self._praht_dev_cache.get(key)
+        if ent is None:
+            from raht3dgs_tpu.ops.praht_device import praht_device_plan
+
+            scaled = _scale_sqrt_w(frame.attributes, frame.weights)
+            coeffs, order, structure = _transform_device(
+                frame.codes, scaled, frame.weights, self.depth,
+                "ragft", self.impl,
+            )
+            plan = praht_device_plan(
+                frame.codes, frame.weights, self.depth,
+                structure.drop_level, structure.subtree_w,
+            )
+            while len(self._praht_dev_cache) >= 2:
+                self._praht_dev_cache.pop(next(iter(self._praht_dev_cache)))
+            ent = (frame, coeffs, order, plan)
+            self._praht_dev_cache[key] = ent
+        return ent[1], ent[2], ent[3]
+
+    def _praht_dev_dispatch(self, frame: VoxelFrame, steps):
+        """Dispatch one step's device closed loop (async). Returns
+        ``(q_T, fetch stats or None, maskbits device scalar)``."""
+        from raht3dgs_tpu.ops.praht_device import praht_device_encode
+
+        coeffs, order, plan = self._praht_dev_context(frame)
+        steps_j = jnp.atleast_1d(jnp.asarray(steps, dtype=self.dtype))
+        sym, maskbits, _rec = praht_device_encode(
+            plan, frame.codes, frame.weights, coeffs, self.depth, steps_j,
+            quant_mode=self.quant_mode, qf=self.quant_f,
+            rec_delta=self.rec_delta,
+        )
+        q_T = _reorder_T_device(sym, order, jnp.int32(frame.n_voxels))
+        st = _fetch_stats(q_T) if _narrow_fetch_enabled() else None
+        return q_T, st, maskbits
+
+    def _praht_encode_device(self, frame: VoxelFrame, steps,
+                             timer: StageTimer) -> EncodedFrame:
+        """Device predicted-RAHT encode: same stream format as the host
+        encoder (see ops/praht_device.py on why encoder-side float drift
+        cannot break the signalled format)."""
+        q_T, st, maskbits = timer.time(
+            "RAHT_transform_time", self._praht_dev_dispatch, frame, steps)
+
+        def _fetch():
+            q_np = _finish_fetch(_start_fetch(
+                q_T, np.asarray(st) if st is not None else None))
+            return q_np, int(maskbits)
+
+        q_np, mask = timer.time("Quant_time", _fetch)
+        stream, enc_ns = self._entropy_stream(
+            q_np, frame, steps, predict_mask=mask
+        )
+        timer.add("Entropy_enc_time", enc_ns / 1e9)
+        return EncodedFrame(stream=stream, timer=timer)
+
+    def _praht_sweep_device(self, frame: VoxelFrame,
+                            steps_list) -> List[EncodedFrame]:
+        """Pipelined device predicted sweep: every step's closed loop is
+        dispatched up front (async; the step-independent plan is shared),
+        then symbol fetches drain through the bounded window while the
+        host runs the entropy coder — the same overlap schedule as the
+        plain :meth:`encode_sweep`."""
+        pend = [self._praht_dev_dispatch(frame, s) for s in steps_list]
+        window = _fetch_window(len(pend))
+        out: List[EncodedFrame] = []
+        bufs: List[tuple] = []
+        i = 0
+        while len(out) < len(pend):
+            while len(bufs) < window and i < len(pend):
+                q_T, st, maskbits = pend[i]
+                bufs.append((steps_list[i], maskbits, _start_fetch(
+                    q_T, np.asarray(st) if st is not None else None)))
+                i += 1
+            s, maskbits, pending = bufs.pop(0)
+            timer = StageTimer()
+            q_np = timer.time("Quant_time", _finish_fetch, pending)
+            stream, enc_ns = self._entropy_stream(
+                q_np, frame, s, predict_mask=int(maskbits))
+            timer.add("Entropy_enc_time", enc_ns / 1e9)
+            out.append(EncodedFrame(stream=stream, timer=timer))
+        return out
+
     # -- golden (reference byte-parity) host path ---------------------------
 
     def _golden_prelude(self, codes, nvox: int):
@@ -951,6 +1084,8 @@ class AttributeCodec:
         """Full encode: transform (unless given), quantize, reorder, RLGR."""
         timer = timer or StageTimer()
         if self.predict:
+            if self._predict_on_device():
+                return self._praht_encode_device(frame, steps, timer)
             return self._praht_encode(frame, steps, timer)
         if coeffs is None or order is None:
             coeffs, order, _, timer = self.transform(frame, timer)
@@ -990,6 +1125,8 @@ class AttributeCodec:
         pipelined wall time without double counting.
         """
         if self.predict:
+            if self._predict_on_device():
+                return self._praht_sweep_device(frame, steps_list)
             # every step is its own closed loop (the reconstruction the
             # prediction feeds on depends on the step); the step-
             # independent geometry plan + true coefficients are hoisted
