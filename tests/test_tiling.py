@@ -256,3 +256,88 @@ def test_tiled_sequence_cli(tmp_path):
     ]) == 0
     Vf, _, _ = read_ply_8i(str(full))
     assert len(Vf) >= len(Vr)
+
+
+# ---- v2 container (shared header template + global geometry) ----------
+
+
+def test_v2_smaller_than_v1(content):
+    """The v2 shared-header/global-geometry container must strictly beat
+    v1 on bytes, with and without geometry, at identical decodes."""
+    V, yuv = content
+    codec = AttributeCodec(DEPTH)
+    for geom in (False, True):
+        b1, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0,
+                                   code_geometry=geom, version=1)
+        b2, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0,
+                                   code_geometry=geom, version=2)
+        assert len(b2) < len(b1)
+        kw = {} if geom else dict(positions=V)
+        V1, A1 = decode_tiled_frame(b1, **kw)
+        V2, A2 = decode_tiled_frame(b2, **kw)
+        np.testing.assert_array_equal(V1, V2)
+        np.testing.assert_array_equal(A1, A2)
+
+
+def test_v2_tile_streams_equal_v1(content):
+    """Reconstructed per-tile FrameStreams are field-identical between
+    the two container versions (the payload bytes ARE the same)."""
+    V, yuv = content
+    codec = AttributeCodec(DEPTH, entropy="auto")
+    b1, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0, version=1)
+    b2, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0, version=2)
+    r1, r2 = TiledReader(b1), TiledReader(b2)
+    assert len(r1) == len(r2)
+    assert r2.fixed_bytes > 0
+    for i in range(len(r1)):
+        s1, s2 = r1.tile(i), r2.tile(i)
+        assert s1.to_bytes() == s2.to_bytes()
+
+
+def test_v2_predict_tiles_roundtrip(content):
+    """Predicted-RAHT tiles: the per-tile signalled mask rides the v2
+    body and decode reproduces the per-tile closed loop."""
+    V, yuv = content
+    codec = AttributeCodec(DEPTH, predict=True)
+    blob, _ = encode_tiled_frame(V, yuv, DEPTH, 1, codec, 4.0,
+                                 code_geometry=True)
+    reader = TiledReader(blob)
+    masks = [reader.tile(i).predict_mask for i in range(len(reader))]
+    assert all(reader.tile(i).predict for i in range(len(reader)))
+    assert any(m != 0 for m in masks)  # smooth content: prediction engages
+    Vd, Ad = decode_tiled_frame(blob)
+    codes = morton_codes_np(V.astype(np.int64), DEPTH)
+    order = np.argsort(codes, kind="stable")
+    np.testing.assert_array_equal(Vd, V[order])
+    assert np.abs(Ad - yuv[order]).max() <= 2 * 4.0
+
+
+def test_v2_corruption_fails_cleanly(content):
+    V, yuv = content
+    codec = AttributeCodec(DEPTH)
+    blob, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0,
+                                 code_geometry=True)
+    reader = TiledReader(blob)
+    # truncate inside the header sections (geometry/template)
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        TiledReader(blob[: reader.fixed_bytes - 8])
+    # truncate inside the last tile body
+    with pytest.raises(ValueError, match="truncated|corrupt|byte"):
+        r = TiledReader(blob[:-3])
+        for i in range(len(r)):
+            r.tile(i)
+    # flip a template-magic byte -> the stream header parse must reject
+    # (geometry-less blob: the template is the first header section)
+    blob_ng, _ = encode_tiled_frame(V, yuv, DEPTH, 2, codec, 8.0,
+                                    code_geometry=False)
+    r_ng = TiledReader(blob_ng)
+    mut = bytearray(blob_ng)
+    tmpl_off = 12 + 8 * len(r_ng) + 8 * (len(r_ng) + 1) + 4
+    mut[tmpl_off] ^= 0xFF
+    with pytest.raises(ValueError):
+        TiledReader(bytes(mut))
+    # corrupt geometry: the section CRC fires at decode time
+    mutg = bytearray(blob)
+    mutg[12 + 8 * len(reader) + 8 * (len(reader) + 1) + 20] ^= 0xFF
+    with pytest.raises(Exception):
+        decode_tiled_frame(bytes(mutg))
