@@ -37,7 +37,9 @@ from raht3dgs_tpu.ops.raht_span import raht_inverse_span
 
 __all__ = [
     "decode_scene_device",
+    "decode_scene_device_predicted",
     "serve_frame",
+    "serve_frame_predicted",
     "serve_views_sharded",
     "quantized_upload_array",
     "pack_quantized_upload",
@@ -54,6 +56,17 @@ from raht3dgs_tpu.models.pipeline import (  # noqa: F401
     quantized_upload_array,
     upload_quantized,
 )
+
+
+def _scene_from_attrs(attrs, codes, weights, voxel_size, vmin, depth):
+    means = (
+        morton_decode(codes, depth).astype(jnp.float32) + 0.5
+    ) * voxel_size + vmin[None, :]
+    quats = attrs[:, 0:4]
+    scales = jnp.maximum(attrs[:, 4:7], 1e-5)
+    opac = jnp.clip(attrs[:, 7], 0.0, 1.0) * (weights > 0)
+    colors = attrs[:, 8:].reshape(attrs.shape[0], -1, 3)
+    return means, quats, scales, opac, colors
 
 
 @partial(jax.jit, static_argnames=("depth", "quant_mode"))
@@ -73,14 +86,29 @@ def decode_scene_device(vals_T, inv, steps, codes, weights, voxel_size,
         jnp.asarray(rec_delta, dtype=jnp.float32),
     )
     attrs = raht_inverse_span(coeffs, codes, weights, depth)
-    means = (
-        morton_decode(codes, depth).astype(jnp.float32) + 0.5
-    ) * voxel_size + vmin[None, :]
-    quats = attrs[:, 0:4]
-    scales = jnp.maximum(attrs[:, 4:7], 1e-5)
-    opac = jnp.clip(attrs[:, 7], 0.0, 1.0) * (weights > 0)
-    colors = attrs[:, 8:].reshape(attrs.shape[0], -1, 3)
-    return means, quats, scales, opac, colors
+    return _scene_from_attrs(attrs, codes, weights, voxel_size, vmin, depth)
+
+
+@partial(jax.jit, static_argnames=("depth", "quant_mode"))
+def decode_scene_device_predicted(vals_T, inv, plan, predict_mask, steps,
+                                  codes, weights, voxel_size, vmin, *,
+                                  depth: int, quant_mode: str = "mid",
+                                  rec_delta=0.12):
+    """Predicted-RAHT stream -> 3DGS scene, on device.
+
+    Runs the NON-NORMATIVE device closed loop
+    (``ops/praht_device.praht_device_decode``) — reconstruction within
+    float ulps of the frozen host decode, which is harmless here: the
+    attributes feed the renderer and never enter a closed loop. ``plan``
+    is the frame's :class:`ops.praht_device.PrahtDevicePlan`."""
+    from raht3dgs_tpu.ops.praht_device import praht_device_decode
+
+    sym = vals_T.astype(jnp.int32).T[inv]
+    attrs = praht_device_decode(
+        plan, codes, weights, sym, predict_mask, depth, steps,
+        quant_mode=quant_mode, rec_delta=rec_delta, fdtype=jnp.float32,
+    )
+    return _scene_from_attrs(attrs, codes, weights, voxel_size, vmin, depth)
 
 
 def _render_views(scene, viewmats, Ks, bg, *, width, height, sh_degree,
@@ -124,6 +152,37 @@ def serve_frame(vals_T, inv, steps, codes, weights, voxel_size, vmin,
     scene = decode_scene_device(
         vals_T, inv, steps, codes, weights, voxel_size, vmin, depth=depth,
         quant_mode=quant_mode, rec_delta=rec_delta,
+    )
+    imgs, dups, tiles = _render_views(
+        scene, viewmats, Ks, bg, width=width, height=height,
+        sh_degree=sh_degree, tile=tile,
+        max_tiles_per_gauss=max_tiles_per_gauss, max_per_tile=max_per_tile,
+        chunk=chunk,
+    )
+    if image_dtype != jnp.float32:
+        imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(image_dtype)
+    return imgs, dups, tiles
+
+
+@partial(jax.jit, static_argnames=(
+    "depth", "width", "height", "sh_degree", "tile", "max_tiles_per_gauss",
+    "max_per_tile", "chunk", "image_dtype", "quant_mode"))
+def serve_frame_predicted(vals_T, inv, plan, predict_mask, steps, codes,
+                          weights, voxel_size, vmin, viewmats, Ks, bg, *,
+                          depth: int, width: int, height: int,
+                          sh_degree: int = 3, tile: int = 16,
+                          max_tiles_per_gauss: int = 16,
+                          max_per_tile: int = 8192, chunk: int = 128,
+                          image_dtype=jnp.float32, quant_mode: str = "mid",
+                          rec_delta=0.12):
+    """:func:`serve_frame` for predicted-RAHT streams (flags2 bit 1):
+    the closed-loop decode runs on device (non-normative, serving-only —
+    see :func:`decode_scene_device_predicted`), fused with the view scan
+    in one program."""
+    scene = decode_scene_device_predicted(
+        vals_T, inv, plan, predict_mask, steps, codes, weights,
+        voxel_size, vmin, depth=depth, quant_mode=quant_mode,
+        rec_delta=rec_delta,
     )
     imgs, dups, tiles = _render_views(
         scene, viewmats, Ks, bg, width=width, height=height,

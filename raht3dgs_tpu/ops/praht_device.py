@@ -75,7 +75,8 @@ from raht3dgs_tpu.ops.raht import (
     num_levels,
 )
 
-__all__ = ["PrahtDevicePlan", "praht_device_plan", "praht_device_encode"]
+__all__ = ["PrahtDevicePlan", "praht_device_plan", "praht_device_encode",
+           "praht_device_decode"]
 
 # stencil lanes, in the host loop's FROZEN accumulation order: parent,
 # face x/y/z, edge xy/xz/yz (ops/praht.py:predict_means)
@@ -232,6 +233,65 @@ def _codelen_bits(q):
     return (2 * (e - 1) + 1).astype(jnp.int64)
 
 
+def _predict_lanes(plan, d, m, fdtype):
+    """Upsampled prediction from the precomputed stencil, accumulated in
+    the host loop's frozen lane order."""
+    idx = lax.dynamic_index_in_dim(plan.st_idx, d - 1, 0, keepdims=False)
+    wt = lax.dynamic_index_in_dim(plan.st_wt, d - 1, 0, keepdims=False)
+    num = wt[:, 0:1] * m[idx[:, 0]]
+    den = wt[:, 0]
+    for l in range(1, _LANES):
+        num = num + wt[:, l:l + 1] * m[idx[:, l]]
+        den = den + wt[:, l]
+    return num / jnp.where(den > 0, den, 1)[:, None]
+
+
+def _forward_depth(codes, drop, levels, T, w, shift, N, fdtype):
+    """One octree depth's 3 forward sub-levels (the host _forward3 with
+    constants from the chained weights). Returns (T_out, sub) where sub
+    holds each sub-level's pairing for the inverse replay."""
+    sub = []
+    for jj in range(1, 4):
+        j = shift + jj
+        act = (drop == 0) | (drop >= j)
+        mask = _level_mask(codes.dtype, jnp.asarray(j), levels)
+        succ, pr, (sT, sw, scode), (pT, pw, pcode) = _neighbor_pack(
+            act, codes, [T, w], fdtype)
+        left = act & (succ < N) & (((codes ^ scode) & mask) == 0)
+        right = act & (pr >= 0) & (((codes ^ pcode) & mask) == 0) & ~left
+        touched = left | right
+        wp = jnp.where(left, sw, pw)
+        w0_ = jnp.where(left, w, wp)
+        w1_ = jnp.where(left, wp, w)
+        a, b = _butterfly_ab(w0_, w1_)
+        Tp = jnp.where(left[:, None], sT, pT)
+        x0 = jnp.where(left[:, None], T, Tp)
+        x1 = jnp.where(left[:, None], Tp, T)
+        lo = a[:, None] * x0 + b[:, None] * x1
+        hi = -b[:, None] * x0 + a[:, None] * x1
+        T = jnp.where(touched[:, None],
+                      jnp.where(left[:, None], lo, hi), T)
+        w = jnp.where(touched, w0_ + w1_, w)
+        sub.append((left, right,
+                    jnp.minimum(succ, N - 1),
+                    jnp.maximum(pr, 0), a, b))
+    return T, sub
+
+
+def _inverse_depth(C, sub):
+    """Replay one depth's inverse butterflies with the forward's own
+    constants (bitwise the host _inverse3 pair math)."""
+    for left, right, succ_c, pred_c, a, b in reversed(sub):
+        Cp = jnp.where(left[:, None], C[succ_c], C[pred_c])
+        t0 = jnp.where(left[:, None], C, Cp)
+        t1 = jnp.where(left[:, None], Cp, C)
+        lo = a[:, None] * t0 - b[:, None] * t1
+        hi = b[:, None] * t0 + a[:, None] * t1
+        C = jnp.where(left[:, None], lo,
+                      jnp.where(right[:, None], hi, C))
+    return C
+
+
 @partial(jax.jit, static_argnames=("depth", "quant_mode", "adaptive"))
 def praht_device_encode(
     plan: PrahtDevicePlan,
@@ -285,47 +345,12 @@ def praht_device_encode(
         sq_p = jnp.sqrt(lax.dynamic_index_in_dim(
             plan.w_stack, d - 1, 0, keepdims=False))
 
-        # ---- prediction (host accumulation order, lane-unrolled)
-        idx = lax.dynamic_index_in_dim(plan.st_idx, d - 1, 0, keepdims=False)
-        wt = lax.dynamic_index_in_dim(plan.st_wt, d - 1, 0, keepdims=False)
-        num = wt[:, 0:1] * m[idx[:, 0]]
-        den = wt[:, 0]
-        for l in range(1, _LANES):
-            num = num + wt[:, l:l + 1] * m[idx[:, l]]
-            den = den + wt[:, l]
-        pred = num / jnp.where(den > 0, den, 1)[:, None]
-
-        # ---- forward butterflies of pred * sq over this depth's 3
-        # sub-levels (the host's _forward3 with constants from the chained
-        # weights); remember the pairing of each sub-level for the inverse
-        T = pred * sq_d[:, None]
+        # ---- prediction (host accumulation order, lane-unrolled), then
+        # the depth's forward butterflies of pred * sq
+        pred = _predict_lanes(plan, d, m, fdtype)
         w = lax.dynamic_index_in_dim(plan.w_stack, d, 0, keepdims=False)
-        sub = []
-        for jj in range(1, 4):
-            j = shift + jj
-            act = (drop == 0) | (drop >= j)
-            mask = _level_mask(codes.dtype, jnp.asarray(j), levels)
-            succ, pr, (sT, sw, scode), (pT, pw, pcode) = _neighbor_pack(
-                act, codes, [T, w], fdtype)
-            left = act & (succ < N) & (((codes ^ scode) & mask) == 0)
-            right = act & (pr >= 0) & (((codes ^ pcode) & mask) == 0) & ~left
-            touched = left | right
-            wp = jnp.where(left, sw, pw)
-            w0_ = jnp.where(left, w, wp)
-            w1_ = jnp.where(left, wp, w)
-            a, b = _butterfly_ab(w0_, w1_)
-            Tp = jnp.where(left[:, None], sT, pT)
-            x0 = jnp.where(left[:, None], T, Tp)
-            x1 = jnp.where(left[:, None], Tp, T)
-            lo = a[:, None] * x0 + b[:, None] * x1
-            hi = -b[:, None] * x0 + a[:, None] * x1
-            T = jnp.where(touched[:, None],
-                          jnp.where(left[:, None], lo, hi), T)
-            w = jnp.where(touched, w0_ + w1_, w)
-            sub.append((left, right,
-                        jnp.minimum(succ, N - 1),
-                        jnp.maximum(pr, 0), a, b))
-        T_pred = T
+        T_pred, sub = _forward_depth(
+            codes, drop, levels, pred * sq_d[:, None], w, shift, N, fdtype)
 
         # ---- quantize: residual vs plain, signalled per-depth decision by
         # the exact codelength proxy (encoder-only; strict <, host ties)
@@ -343,21 +368,13 @@ def praht_device_encode(
         maskbits = maskbits | (
             use_pred.astype(jnp.uint32) << (d - 1).astype(jnp.uint32))
 
-        # ---- reconstruct: inverse butterflies replayed with the forward's
-        # own constants (bitwise the host _inverse3 pair math)
+        # ---- reconstruct
         deq = _dequant_dev(q, st, quant_mode, dl, fdtype)
         C = jnp.where(ac[:, None],
                       jnp.where(use_pred, T_pred + deq, deq),
                       jnp.zeros((), fdtype))
         C = jnp.where(alive_p[:, None], sq_p[:, None] * m, C)
-        for left, right, succ_c, pred_c, a, b in reversed(sub):
-            Cp = jnp.where(left[:, None], C[succ_c], C[pred_c])
-            t0 = jnp.where(left[:, None], C, Cp)
-            t1 = jnp.where(left[:, None], Cp, C)
-            lo = a[:, None] * t0 - b[:, None] * t1
-            hi = b[:, None] * t0 + a[:, None] * t1
-            C = jnp.where(left[:, None], lo,
-                          jnp.where(right[:, None], hi, C))
+        C = _inverse_depth(C, sub)
         m_next = C / jnp.where(sq_d > 0, sq_d, 1)[:, None]
         m = jnp.where(alive_d[:, None], m_next, jnp.zeros((), fdtype))
         return m, sym, maskbits
@@ -366,3 +383,78 @@ def praht_device_encode(
         1, depth + 1, body, (m, sym, jnp.uint32(0)))
     rec = jnp.where(real[:, None], m, jnp.zeros((), fdtype))
     return sym, maskbits, rec
+
+
+@partial(jax.jit, static_argnames=("depth", "quant_mode", "fdtype"))
+def praht_device_decode(
+    plan: PrahtDevicePlan,
+    codes,
+    weights,
+    sym,
+    predict_mask,
+    depth: int,
+    steps,
+    *,
+    quant_mode: str = "mid",
+    rec_delta=0.12,
+    fdtype=jnp.float32,
+):
+    """NON-NORMATIVE device decode of a predicted-RAHT symbol matrix.
+
+    The frozen host loop (``ops/praht.py:praht_decode``) is the decode
+    spec; this program reconstructs the same stream to within float ulps
+    (identical op structure, device float contraction may differ in the
+    last bit). Use it ONLY where ulp-level drift is harmless and the
+    reconstruction stays out of closed loops — the serving path
+    (``models/serving.py``), where attributes feed a renderer and never
+    leave the chip. Everything normative (codec.decode, temporal chains,
+    byte-parity tooling) must keep using the host loop.
+
+    ``sym`` is the (N, D) int32 symbol matrix in padded SLOT layout
+    (stream matrix routed through the inverse pads-last RA-GFT
+    permutation, exactly like the plain path's ``_dequant_gather_device``
+    input); ``predict_mask`` the stream's signalled per-depth bits.
+    Returns the (N, D) reconstruction (pad rows zero).
+    """
+    N, D = sym.shape
+    levels = num_levels(depth, N)
+    drop = plan.drop
+    st = steps.astype(fdtype)
+    st = st[None, :] if st.shape[0] > 1 else st
+    dl = jnp.asarray(rec_delta, fdtype)
+    real = weights > 0
+    mask32 = jnp.asarray(predict_mask, jnp.uint32)
+
+    sqrt_w0 = jnp.sqrt(plan.w_stack[0, 0])
+    m = jnp.zeros((N, D), fdtype).at[0].set(
+        (_dequant_dev(sym[0][None, :], st, quant_mode, dl, fdtype)
+         / sqrt_w0)[0]
+    )
+
+    def body(d, m):
+        shift = 3 * (depth - d)
+        alive_d = real & ((drop == 0) | (drop > shift))
+        alive_p = real & ((drop == 0) | (drop > shift + 3))
+        ac = real & (drop > shift) & (drop <= shift + 3)
+        sq_d = jnp.sqrt(lax.dynamic_index_in_dim(
+            plan.w_stack, d, 0, keepdims=False))
+        sq_p = jnp.sqrt(lax.dynamic_index_in_dim(
+            plan.w_stack, d - 1, 0, keepdims=False))
+        use_pred = ((mask32 >> (d - 1).astype(jnp.uint32)) & 1) > 0
+
+        pred = _predict_lanes(plan, d, m, fdtype)
+        w = lax.dynamic_index_in_dim(plan.w_stack, d, 0, keepdims=False)
+        T_pred, sub = _forward_depth(
+            codes, drop, levels, pred * sq_d[:, None], w, shift, N, fdtype)
+
+        deq = _dequant_dev(sym, st, quant_mode, dl, fdtype)
+        C = jnp.where(ac[:, None],
+                      jnp.where(use_pred, T_pred + deq, deq),
+                      jnp.zeros((), fdtype))
+        C = jnp.where(alive_p[:, None], sq_p[:, None] * m, C)
+        C = _inverse_depth(C, sub)
+        m_next = C / jnp.where(sq_d > 0, sq_d, 1)[:, None]
+        return jnp.where(alive_d[:, None], m_next, jnp.zeros((), fdtype))
+
+    m = lax.fori_loop(1, depth + 1, body, m)
+    return jnp.where(real[:, None], m, jnp.zeros((), fdtype))

@@ -99,3 +99,43 @@ def test_auto_resolves_host_on_cpu():
     codec = AttributeCodec(8, predict=True)  # suite runs on CPU
     assert codec.predict_impl == "auto"
     assert codec._predict_on_device() is False
+
+
+def test_device_decode_matches_host(rng):
+    """The non-normative device decode reproduces the frozen host loop
+    (observed bitwise on XLA:CPU f64; pinned as exact-tolerance here)."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.pipeline import (
+        _inverse_order_device, _scale_sqrt_w, _transform_device,
+        decode_entropy_channels)
+    from raht3dgs_tpu.ops.praht_device import (
+        praht_device_decode, praht_device_plan)
+
+    depth = 8
+    frame = _smooth_frame(rng, depth=depth)
+    codec = AttributeCodec(depth, predict=True, predict_impl="host")
+    enc = codec.encode(frame, 2.0)
+    stream = enc.stream
+    rec_host, _ = codec.decode(stream, frame.codes, frame.weights)
+
+    vals_T = np.zeros((stream.n_channels, frame.codes.shape[0]),
+                      dtype=np.int32)
+    decode_entropy_channels(stream, stream.n_voxels, vals_T)
+    inv = _inverse_order_device(frame.codes, frame.weights,
+                                jnp.int32(stream.n_voxels), depth,
+                                stream.order_mode)
+    scaled = _scale_sqrt_w(frame.attributes, frame.weights)
+    _, _, structure = _transform_device(
+        frame.codes, scaled, frame.weights, depth, "ragft", codec.impl)
+    plan = praht_device_plan(frame.codes, frame.weights, depth,
+                             structure.drop_level, structure.subtree_w)
+    sym = jnp.asarray(vals_T).T[inv]
+    rec_dev = np.asarray(praht_device_decode(
+        plan, frame.codes, frame.weights, sym,
+        jnp.uint32(stream.predict_mask), depth,
+        jnp.atleast_1d(jnp.asarray(2.0, jnp.float64)),
+        quant_mode=stream.quant_mode, rec_delta=stream.rec_delta,
+        fdtype=jnp.float64,
+    ))[: frame.n_voxels]
+    np.testing.assert_allclose(rec_dev, rec_host, atol=1e-11, rtol=1e-11)

@@ -266,3 +266,68 @@ def test_uint8_image_fetch_matches_host_convention(rng):
         np.abs(np.asarray(u8s).astype(np.int32) - host_u8.astype(np.int32))
         .max() <= 1
     )
+
+
+def test_serve_frame_predicted(rng):
+    """Predicted-RAHT streams serve on device: the non-normative device
+    closed-loop decode reconstructs within ulps of the frozen host loop,
+    and the fused predicted serving program renders it."""
+    from raht3dgs_tpu.models.pipeline import _transform_device, _scale_sqrt_w
+    from raht3dgs_tpu.models.serving import (
+        decode_scene_device_predicted,
+        serve_frame_predicted,
+    )
+    from raht3dgs_tpu.ops.praht_device import praht_device_plan
+
+    frame, _, inv, _, vs, vmin = _make_served_frame(rng)
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32, predict=True,
+                           predict_impl="host")
+    step = 0.002
+    enc = codec.encode(frame, step)
+    stream = enc.stream
+    assert stream.predict
+    vals_T = np.zeros((stream.n_channels, frame.codes.shape[0]),
+                      dtype=np.int32)
+    rlgr_decode_channels(stream.channels, stream.n_voxels, out=vals_T,
+                         chunk=stream.chunk)
+    # device plan from the transform structure
+    scaled = _scale_sqrt_w(frame.attributes, frame.weights)
+    _, _, structure = _transform_device(
+        frame.codes, scaled, frame.weights, DEPTH, "ragft", codec.impl)
+    plan = praht_device_plan(frame.codes, frame.weights, DEPTH,
+                             structure.drop_level, structure.subtree_w)
+    steps_j = jnp.atleast_1d(jnp.asarray(step, jnp.float32))
+
+    # scene attrs match the frozen host decode within float tolerance
+    rec_host, _ = codec.decode(stream, frame.codes, frame.weights)
+    from raht3dgs_tpu.ops.praht_device import praht_device_decode
+    sym = jnp.asarray(vals_T).astype(jnp.int32).T[inv]
+    rec_dev = np.asarray(praht_device_decode(
+        plan, frame.codes, frame.weights, sym,
+        jnp.uint32(stream.predict_mask), DEPTH, steps_j,
+        quant_mode=stream.quant_mode, rec_delta=stream.rec_delta,
+    ))[: frame.n_voxels]
+    np.testing.assert_allclose(rec_dev, rec_host, atol=1e-4, rtol=1e-4)
+
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    imgs, dups, tiles = serve_frame_predicted(
+        jnp.asarray(vals_T), inv, plan, jnp.uint32(stream.predict_mask),
+        steps_j, frame.codes, frame.weights, vs, vmin, vms, Kms, bg,
+        depth=DEPTH, width=SIZE, height=SIZE,
+        quant_mode=stream.quant_mode, rec_delta=stream.rec_delta, **RASTER,
+    )
+    assert imgs.shape == (2, SIZE, SIZE, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert float(np.asarray(imgs).std()) > 1e-4, "blank renders"
+    # and the predicted scene equals rendering the host reconstruction
+    scene = decode_scene_device_predicted(
+        jnp.asarray(vals_T), inv, plan, jnp.uint32(stream.predict_mask),
+        steps_j, frame.codes, frame.weights, vs, vmin, depth=DEPTH,
+        quant_mode=stream.quant_mode, rec_delta=stream.rec_delta,
+    )
+    img0, _ = _rasterize_tiled(
+        *scene, vms[0], Kms[0], bg, width=SIZE, height=SIZE, **RASTER,
+    )
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(img0),
+                               atol=1e-5, rtol=0)
