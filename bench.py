@@ -339,7 +339,7 @@ def main() -> None:
         assert err2 <= 2 * E2E_STEP, f"e2e reconstruction error {err2}"
         assert stream.bpp() > 0
         e2e_mpts = n_real / best_e2e / 1e6
-        return {
+        rec = {
             "value": round(e2e_mpts, 4),
             "unit": "Mpts/s",
             "vs_baseline": round(e2e_mpts / baseline_mpts, 2),
@@ -349,6 +349,100 @@ def main() -> None:
             "burst": E2E_BURST,
             "bpp": round(stream.bpp(), 4),
         }
+        # Per-resource decomposition (docs/performance.md "captured and
+        # decomposed"): each leg's standalone per-frame cost on the SAME
+        # programs — device bursts with last-only fetch, the real host
+        # entropy coder, the narrowed wire transfers alone. Derives the
+        # steady-state pipeline bound (slowest resource) and the
+        # local-host bound (what these programs sustain where transfers
+        # cost ~1 ms instead of the tunnel's share). Recorded so every
+        # round's BENCH json carries the tunnel-vs-compute evidence.
+        if os.environ.get("RAHT3DGS_BENCH_DECOMP", "1") not in (
+                "0", "false", ""):
+            def leg_best(fn, iters=2):
+                ts = []
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    fn()
+                    ts.append((time.perf_counter() - t0) / E2E_BURST)
+                return min(ts)
+
+            coeffs, order, _ = _transform_device(
+                codes_j, attrs_j, weights_j, depth, "ragft", impl)
+            q_T = _quant_reorder_device(
+                coeffs, steps_1, order, nvox_j, codec.quant_mode, qf_j)
+            st = np.asarray(_fetch_stats(q_T)) if _narrow_fetch_enabled() \
+                else None
+            q_np = _finish_fetch(_start_fetch(q_T, st))
+            vals_T = np.zeros((stream.n_channels, PAD_TO), dtype=np.int32)
+            decode_entropy_channels(stream, stream.n_voxels, vals_T)
+            up = pack_quantized_upload(vals_T)
+            vals_dev = upload_quantized(up)
+            inv = _inverse_order_device(
+                codes_j, weights_j, nvox_j, depth, stream.order_mode)
+
+            def enc_leg():
+                q = None
+                for _ in range(E2E_BURST):
+                    c, o, _ = _transform_device(
+                        codes_j, attrs_j, weights_j, depth, "ragft", impl)
+                    q = _quant_reorder_device(
+                        c, steps_1, o, nvox_j, codec.quant_mode, qf_j)
+                float(q[0, 0])
+
+            def dec_leg():
+                r = None
+                for _ in range(E2E_BURST):
+                    c = _dequant_gather_device(
+                        vals_dev, inv, steps_j, jnp.float32,
+                        stream.quant_mode)
+                    r = _inverse_device(c, codes_j, weights_j, depth)
+                float(r[0, 0])
+
+            def host_leg():
+                for _ in range(E2E_BURST):
+                    s, _ = build_entropy_stream(
+                        q_np, frame, E2E_STEP, depth=depth,
+                        order_mode=codec.order_mode, chunk=codec.chunk,
+                        quant_mode=codec.quant_mode, quant_f=codec.quant_f,
+                        rec_delta=codec.rec_delta, dtype32=True,
+                        entropy=codec.entropy)
+                    decode_entropy_channels(s, s.n_voxels, vals_T)
+
+            def wire_down_leg():
+                for _ in range(E2E_BURST):
+                    _finish_fetch(_start_fetch(q_T, st))
+
+            def wire_up_leg():
+                acc = None
+                for _ in range(E2E_BURST):
+                    acc = jnp.max(upload_quantized(
+                        pack_quantized_upload(vals_T)))
+                int(acc)
+
+            for leg in (enc_leg, dec_leg, host_leg, wire_down_leg,
+                        wire_up_leg):
+                leg()  # warmup (programs are cached; syncs the queue)
+            t_enc, t_dec = leg_best(enc_leg), leg_best(dec_leg)
+            t_host = leg_best(host_leg)
+            t_down, t_up = leg_best(wire_down_leg), leg_best(wire_up_leg)
+            bound = 1.0 / max(t_enc + t_dec, t_host, t_down + t_up)
+            bound_local = 1.0 / max(t_enc + t_dec, t_host)
+            rec["decomposition"] = {
+                "t_ms_per_frame": {
+                    "device_encode": round(t_enc * 1e3, 2),
+                    "device_decode": round(t_dec * 1e3, 2),
+                    "host_entropy_encdec": round(t_host * 1e3, 2),
+                    "wire_down": round(t_down * 1e3, 2),
+                    "wire_up": round(t_up * 1e3, 2),
+                },
+                "pipeline_bound_mpts": round(bound * n_real / 1e6, 3),
+                "local_host_bound_mpts": round(
+                    bound_local * n_real / 1e6, 3),
+                "local_host_bound_vs_baseline": round(
+                    bound_local * n_real / 1e6 / baseline_mpts, 2),
+            }
+        return rec
 
     e2e = run_e2e_leg(DEPTH, codes_j, attrs_j, weights_j, attrs, n_real,
                       REFERENCE_CPU_E2E_MPTS)
