@@ -206,9 +206,6 @@ def _decode_tiled_blob(args, data: bytes, output_path: str,
             "--progressive/--lod/--geometry-lod apply to monolithic "
             "streams (tiles are already the spatial-random-access axis)"
         )
-    if args.color_space == "3dgs":
-        raise SystemExit("--color-space 3dgs is not supported for tiled "
-                         "streams yet (use yuv/raw)")
     reader = TiledReader(data)
     roi = None
     if args.roi is not None:
@@ -231,6 +228,38 @@ def _decode_tiled_blob(args, data: bytes, output_path: str,
         reader, roi=roi, positions=positions,
         dtype=jnp_dtype(args.dtype), bucket=args.bucket,
     )
+    if args.color_space == "3dgs":
+        # 56-channel tiled stream -> renderable compressed-3DGS PLY (the
+        # same convention as the monolithic path above: x/y/z keep the
+        # INTEGER voxel coordinates, world mapping rides the
+        # voxel_size/vmin header comments — encode_3dgs --tiles stores
+        # width = voxel_size * 2**J and the true vmin in the shared
+        # template, so any tile subset reconstructs in frame coordinates)
+        from raht3dgs_tpu.io.ply import save_ply_3dgs
+
+        if A.shape[1] < 8:
+            raise SystemExit(
+                f"--color-space 3dgs needs the 56-channel layout, stream "
+                f"has {A.shape[1]}"
+            )
+        meta = reader.meta
+        quats = A[:, 0:4]
+        norm = np.linalg.norm(quats, axis=1, keepdims=True)
+        quats = np.where(norm > 1e-8, quats / np.maximum(norm, 1e-8),
+                         np.array([[1.0, 0, 0, 0]]))
+        save_ply_3dgs(
+            output_path,
+            means=V.astype(np.float64),
+            quats=quats,
+            scales=np.abs(A[:, 4:7]),
+            opacities=np.clip(A[:, 7], 0.0, 1.0),
+            colors=A[:, 8:],
+            voxel_size=float(meta.width) / (1 << reader.depth),
+            vmin=meta.vmin,
+        )
+        print(f"decoded {len(V)} voxels x {A.shape[1]} channels "
+              f"(J={reader.depth}, {len(reader)} bricks) -> {output_path}")
+        return 0
     if args.color_space == "yuv" and A.shape[1] == 3:
         rgb = np.asarray(yuv_to_rgb(jnp.asarray(A)))
         save_ply_ascii(output_path, V.astype(float),

@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="search the step hitting this rate budget instead of sweeping "
         "--steps (honors --per-attribute multipliers)",
     )
+    p.add_argument(
+        "--tiles", type=int, default=0, metavar="D",
+        help="write ONE spatially tiled .r3tt frame at this brick depth "
+        "instead of monolithic streams (needs --save-streams and exactly "
+        "one --steps value). Composes with --per-attribute, "
+        "--code-geometry and --entropy; decode bricks with cli.decode "
+        "--roi, or the whole frame with --color-space 3dgs for a "
+        "renderable PLY",
+    )
     add_geometry_arg(p)
     add_quant_args(p)
     add_runtime_args(p)
@@ -68,6 +77,74 @@ def main(argv=None) -> int:
     configure_runtime(args)
     with maybe_profile(args):
         return _run(args)
+
+
+def _encode_tiled_gs(args, V_int, attrs, voxel_size, vmin, group_scales,
+                     dtype) -> int:
+    """--tiles: one 56-channel .r3tt tiled frame (+ the usual 19-col CSV
+    row), spatial random access on the 3DGS workload — decode a brick
+    subset with ``cli.decode --roi`` or the full frame straight to a
+    renderable PLY with ``--color-space 3dgs`` (the world mapping rides
+    the shared header template: width = voxel_size * 2**J, true vmin)."""
+    import time as _time
+    from pathlib import Path
+
+    from raht3dgs_tpu.eval.metrics import gs_group_psnr
+    from raht3dgs_tpu.models.gs_codec import CSV_HEADER, GsRDPoint
+    from raht3dgs_tpu.models.pipeline import AttributeCodec
+    from raht3dgs_tpu.models.tiling import (
+        decode_tiled_frame,
+        encode_tiled_frame,
+    )
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+    from raht3dgs_tpu.ops.quantize import channel_steps
+
+    if not args.save_streams:
+        raise SystemExit("--tiles writes a .r3tt stream; pass --save-streams")
+    if len(args.steps) != 1:
+        raise SystemExit("--tiles requires exactly one --steps value")
+    step = float(args.steps[0])
+    D = attrs.shape[1]
+    step_vec = (
+        channel_steps(D, step,
+                      {k: step * m for k, m in group_scales.items()})
+        if group_scales else step
+    )
+    codec = AttributeCodec(args.depth, dtype=dtype,
+                           chunk=args.entropy_chunk, **quant_kwargs(args))
+    t0 = _time.perf_counter()
+    blob, stats = encode_tiled_frame(
+        V_int, attrs, args.depth, args.tiles, codec, step_vec,
+        code_geometry=bool(args.code_geometry),
+        vmin=vmin, width=float(voxel_size) * (1 << args.depth),
+    )
+    enc_s = _time.perf_counter() - t0
+    out = Path(args.save_streams)
+    out.mkdir(parents=True, exist_ok=True)
+    dst = out / f"gs_tiled{args.tiles}_step{step:g}.r3tt"
+    dst.write_bytes(blob)
+    n = len(V_int)
+    _, A = decode_tiled_frame(
+        blob, positions=None if args.code_geometry else V_int,
+        dtype=codec.dtype, bucket=args.bucket,
+    )
+    order = np.argsort(morton_codes_np(V_int, args.depth), kind="stable")
+    psnr = gs_group_psnr(np.asarray(attrs, dtype=np.float64)[order], A)
+    print(
+        f"{len(stats)} tiles (brick depth {args.tiles}), {len(blob)} B = "
+        f"{8 * len(blob) / n:.4f} bpp, PSNR all {psnr['psnr_all']:.2f} dB "
+        f"(quats {psnr['psnr_quats']:.2f}, scales {psnr['psnr_scales']:.2f}, "
+        f"opacity {psnr['psnr_opacity']:.2f}, colors "
+        f"{psnr['psnr_colors']:.2f}) -> {dst}"
+    )
+    log = CsvLogger(args.csv or "results/runtime_3dgs.csv", CSV_HEADER)
+    log.row(GsRDPoint(
+        frame=1, step=step, bpp=8 * len(blob) / n, psnr=psnr,
+        n_voxels=n, stream_bytes=len(blob),
+        times={"Entropy_enc_time": enc_s},
+    ).csv_row())
+    log.close()
+    return 0
 
 
 def _run(args) -> int:
@@ -89,6 +166,12 @@ def _run(args) -> int:
         print("per-attribute step multipliers:", group_scales)
 
     dtype = jnp_dtype(args.dtype)
+    if args.tiles:
+        if args.target_bpp is not None:
+            raise SystemExit("--tiles and --target-bpp do not combine "
+                             "(tile at the searched step in two runs)")
+        return _encode_tiled_gs(
+            args, V_int, attrs, voxel_size, vmin, group_scales, dtype)
     if args.target_bpp is not None:
         from raht3dgs_tpu.config import GsCodecConfig
 

@@ -289,6 +289,13 @@ class TiledReader:
         return data[pos:pos + length], pos + length
 
     @property
+    def meta(self) -> FrameStream:
+        """A :class:`FrameStream` carrying the frame-global header
+        metadata (vmin/width/steps/quantizer/dtype): the shared template
+        (v2) or tile 0 (v1) — every tile stores the same global fields."""
+        return self._template if self._template is not None else self.tile(0)
+
+    @property
     def fixed_bytes(self) -> int:
         """Bytes a receiver must fetch regardless of the tile selection:
         header + key/offset tables + global geometry + header template."""

@@ -341,3 +341,65 @@ def test_v2_corruption_fails_cleanly(content):
     mutg[12 + 8 * len(reader) + 8 * (len(reader) + 1) + 20] ^= 0xFF
     with pytest.raises(Exception):
         decode_tiled_frame(bytes(mutg))
+
+
+def test_3dgs_tiled_cli_roundtrip(tmp_path):
+    """encode_3dgs --tiles -> .r3tt; decode --roi subsets it and
+    --color-space 3dgs yields a renderable compressed-3DGS PLY whose
+    attributes sit within quantization error of the originals."""
+    from raht3dgs_tpu.cli.decode import main as dec_main
+    from raht3dgs_tpu.cli.encode_3dgs import main as enc_main
+    from raht3dgs_tpu.eval.synth import synthetic_gs_frame
+    from raht3dgs_tpu.io.ply import read_compressed_3dgs_ply, save_ply_3dgs
+
+    depth = 6
+    V, attrs = synthetic_gs_frame(n=1500, depth=depth, seed=3)
+    src = tmp_path / "gs_compressed.ply"
+    save_ply_3dgs(
+        src, means=V.astype(np.float64), quats=attrs[:, 0:4],
+        scales=attrs[:, 4:7], opacities=attrs[:, 7], colors=attrs[:, 8:],
+        voxel_size=0.25, vmin=np.array([-1.0, -2.0, 0.5]),
+    )
+    step = 0.02
+    rc = enc_main([
+        "--input", str(src), "--depth", str(depth), "--steps", str(step),
+        "--tiles", "2", "--code-geometry", "--platform", "cpu",
+        "--save-streams", str(tmp_path / "streams"),
+        "--csv", str(tmp_path / "t.csv"),
+    ])
+    assert rc == 0
+    r3tt = tmp_path / "streams" / f"gs_tiled2_step{step:g}.r3tt"
+    assert r3tt.exists()
+
+    # full decode to a renderable 3DGS PLY (world metadata preserved)
+    recon = tmp_path / "recon.ply"
+    assert dec_main([
+        "--stream", str(r3tt), "--output", str(recon),
+        "--color-space", "3dgs", "--platform", "cpu",
+    ]) == 0
+    v1, a1, vs1, vmin1 = read_compressed_3dgs_ply(str(recon))
+    assert vs1 == pytest.approx(0.25)
+    np.testing.assert_allclose(vmin1, [-1.0, -2.0, 0.5], atol=1e-6)
+    order = np.argsort(
+        morton_codes_np(V.astype(np.int64), depth), kind="stable")
+    np.testing.assert_array_equal(v1, V[order])
+    # quats are re-normalized on write; compare against normalized ref
+    ref = attrs[order].copy()
+    nq = np.linalg.norm(ref[:, 0:4], axis=1, keepdims=True)
+    ref[:, 0:4] /= np.maximum(nq, 1e-8)
+    assert np.abs(a1[:, 4:] - ref[:, 4:]).max() < 10 * step
+
+    # ROI decode fetches a strict subset of bricks
+    half = 1 << (depth - 1)
+    roi_out = tmp_path / "roi.ply"
+    assert dec_main([
+        "--stream", str(r3tt), "--output", str(roi_out),
+        "--roi", "0", "0", "0", str(half), str(half), str(half),
+        "--color-space", "3dgs", "--platform", "cpu",
+    ]) == 0
+    vr, ar, _, _ = read_compressed_3dgs_ply(str(roi_out))
+    assert 0 < len(vr) < len(V)
+    assert np.all(vr < half)
+    codes_all = set(morton_codes_np(V.astype(np.int64), depth).tolist())
+    codes_roi = morton_codes_np(vr.astype(np.int64), depth)
+    assert set(codes_roi.tolist()) <= codes_all
