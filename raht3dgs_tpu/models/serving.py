@@ -40,7 +40,9 @@ __all__ = [
     "decode_scene_device_predicted",
     "serve_frame",
     "serve_frame_predicted",
+    "serve_tiled_frame",
     "serve_views_sharded",
+    "visible_bricks",
     "quantized_upload_array",
     "pack_quantized_upload",
     "upload_quantized",
@@ -271,3 +273,192 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
             jnp.asarray(Kms), jnp.asarray(bg, jnp.float32),
         )
     return imgs[:V], dups[:V], tiles[:V]
+
+
+# ---------------------------------------------------------------------------
+# Tiled serving: frustum-culled brick decode (.r3tt -> only-visible scene)
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "sh_degree", "tile", "max_tiles_per_gauss",
+    "max_per_tile", "chunk", "image_dtype"))
+def _render_scene_views(scene, viewmats, Ks, bg, *, width, height,
+                        sh_degree=3, tile=16, max_tiles_per_gauss=16,
+                        max_per_tile=8192, chunk=128,
+                        image_dtype=jnp.float32):
+    """One dispatch: render V views of an already-on-device scene."""
+    imgs, dups, tiles = _render_views(
+        scene, viewmats, Ks, bg, width=width, height=height,
+        sh_degree=sh_degree, tile=tile,
+        max_tiles_per_gauss=max_tiles_per_gauss, max_per_tile=max_per_tile,
+        chunk=chunk,
+    )
+    if image_dtype != jnp.float32:
+        imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(image_dtype)
+    return imgs, dups, tiles
+
+
+def visible_bricks(reader, viewmats, Ks, width, height, *,
+                   voxel_size=None, vmin=None, near=1e-6,
+                   margin=0.0):
+    """Conservative frustum cull over a tiled frame's bricks.
+
+    Returns the ascending tile indices whose world-space bounding box
+    (brick voxel extent scaled by the frame's ``voxel_size``/``vmin``
+    metadata, widened by ``margin`` world units on every side) projects
+    into at least one view's image rectangle. ``margin`` exists because
+    a brick's GAUSSIANS spill past its voxel box — pass ~3x the largest
+    expected splat scale for renders that exactly match an uncculled
+    decode; the default 0 culls on voxel extents alone (a preview-grade
+    bound). A box straddling the camera plane is kept (no cheap exact
+    2D bound exists there), so the cull is always conservative."""
+    from raht3dgs_tpu.models.tiling import brick_box
+
+    meta = reader.meta
+    if voxel_size is None:
+        voxel_size = float(meta.width) / (1 << reader.depth)
+    if vmin is None:
+        vmin = np.asarray(meta.vmin, dtype=np.float64)
+    vms = np.asarray(viewmats, dtype=np.float64)
+    Kms = np.asarray(Ks, dtype=np.float64)
+    sel = []
+    for j in range(len(reader.keys)):
+        lo, hi = brick_box(int(reader.keys[j]), reader.depth,
+                           reader.brick_depth)
+        c0 = lo * voxel_size + vmin - margin
+        c1 = hi * voxel_size + vmin + margin
+        corners = np.array([
+            [c0[0], c0[1], c0[2]], [c1[0], c0[1], c0[2]],
+            [c0[0], c1[1], c0[2]], [c1[0], c1[1], c0[2]],
+            [c0[0], c0[1], c1[2]], [c1[0], c0[1], c1[2]],
+            [c0[0], c1[1], c1[2]], [c1[0], c1[1], c1[2]],
+        ])
+        vis = False
+        for w2c, K in zip(vms, Kms):
+            pc = corners @ w2c[:3, :3].T + w2c[:3, 3]
+            z = pc[:, 2]
+            if np.all(z <= near):
+                continue  # entirely behind the camera
+            if np.any(z <= near):
+                vis = True  # straddles the camera plane: keep
+                break
+            u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+            v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+            if (u.max() >= 0 and u.min() < width
+                    and v.max() >= 0 and v.min() < height):
+                vis = True
+                break
+        if vis:
+            sel.append(j)
+    return sel
+
+
+def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
+                      positions=None, bricks=None, bucket=1 << 10,
+                      margin=0.0, sh_degree=3, tile=16,
+                      max_tiles_per_gauss=16, max_per_tile=8192,
+                      chunk=128, image_dtype=jnp.float32):
+    """Serve views straight from an ``.r3tt`` tiled 3DGS frame, decoding
+    ONLY the bricks the cameras can see.
+
+    The tiled container is what makes this O(visible) instead of
+    O(frame): :func:`visible_bricks` culls brick boxes against the view
+    frustums (``margin`` widens them — see its docstring), each
+    surviving brick's standard FrameStream is entropy-decoded on host
+    and inverse-transformed on device (per-brick programs bucket to
+    shared shapes, so compiles amortize across bricks and frames), the
+    per-brick scenes concatenate on device in key order — global Morton
+    order, the same depth-sort tie order a monolithic decode yields —
+    and ONE render dispatch scans all views. Pass ``bricks`` to override
+    the cull (e.g. an ROI selection from ``TiledReader.select_roi``).
+
+    Returns ``(images (V, H, W, 3), dup_clipped (V,), tile_clipped (V,),
+    selected_brick_indices)``.
+    """
+    from raht3dgs_tpu.codec.geometry import positions_from_geometry
+    from raht3dgs_tpu.models.pipeline import (
+        decode_entropy_channels,
+        prepare_voxel_frame,
+    )
+    from raht3dgs_tpu.models.tiling import TiledReader, brick_keys_np
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    reader = data if isinstance(data, TiledReader) else TiledReader(data)
+    depth = reader.depth
+    meta = reader.meta
+    voxel_size = float(meta.width) / (1 << depth)
+    vmin = np.asarray(meta.vmin, dtype=np.float64)
+    if bg is None:
+        bg = jnp.ones((3,), jnp.float32)
+    sel = (list(bricks) if bricks is not None else visible_bricks(
+        reader, viewmats, Ks, width, height, voxel_size=voxel_size,
+        vmin=vmin, margin=margin))
+    if not sel:
+        raise ValueError("no brick is visible from the requested views")
+
+    by_brick = None
+    if positions is None and reader.geometry is not None:
+        positions = positions_from_geometry(
+            reader.geometry, depth, reader.n_voxels)
+    if positions is not None:
+        positions = np.asarray(positions)
+        codes = morton_codes_np(positions.astype(np.int64), depth)
+        order = np.argsort(codes, kind="stable")
+        keys = brick_keys_np(codes[order], depth, reader.brick_depth)
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        by_brick = {
+            int(keys[s]): positions[order[s:e]]
+            for s, e in zip(starts, ends)
+        }
+
+    parts = []
+    for i in sorted(sel):
+        stream = reader.tile(i)
+        if stream.predict:
+            raise NotImplementedError(
+                "tiled serving of predicted-RAHT bricks: use "
+                "serve_frame_predicted on a monolithic stream")
+        if stream.geometry is not None:
+            Vt = positions_from_geometry(stream.geometry, depth,
+                                         stream.n_voxels)
+        elif by_brick is not None:
+            Vt = by_brick[int(reader.keys[i])]
+        else:
+            raise ValueError(
+                "tiles carry no geometry; pass the frame's positions")
+        if len(Vt) != stream.n_voxels:
+            raise ValueError(
+                f"brick {i}: {len(Vt)} positions != {stream.n_voxels} "
+                "coded voxels")
+        frame = prepare_voxel_frame(
+            np.asarray(Vt, dtype=np.int64),
+            np.zeros((len(Vt), stream.n_channels)), depth,
+            bucket=bucket, dtype=jnp.float32,
+        )
+        n_pad = frame.codes.shape[0]
+        vals_T = np.zeros((stream.n_channels, n_pad), dtype=np.int32)
+        decode_entropy_channels(stream, stream.n_voxels, vals_T)
+        inv = _inverse_order_device(
+            frame.codes, frame.weights, jnp.int32(stream.n_voxels), depth,
+            stream.order_mode)
+        steps = jnp.asarray(
+            np.atleast_1d(np.asarray(stream.steps, dtype=np.float32)))
+        scene = decode_scene_device(
+            upload_quantized(pack_quantized_upload(vals_T)), inv, steps,
+            frame.codes, frame.weights, jnp.float32(voxel_size),
+            jnp.asarray(vmin, jnp.float32), depth=depth,
+            quant_mode=stream.quant_mode, rec_delta=stream.rec_delta,
+        )
+        parts.append(scene)
+
+    scene = tuple(
+        jnp.concatenate([p[k] for p in parts], axis=0) for k in range(5))
+    imgs, dups, tiles = _render_scene_views(
+        scene, jnp.asarray(viewmats, jnp.float32),
+        jnp.asarray(Ks, jnp.float32), jnp.asarray(bg, jnp.float32),
+        width=width, height=height, sh_degree=sh_degree, tile=tile,
+        max_tiles_per_gauss=max_tiles_per_gauss,
+        max_per_tile=max_per_tile, chunk=chunk, image_dtype=image_dtype,
+    )
+    return imgs, dups, tiles, sorted(sel)

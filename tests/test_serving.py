@@ -331,3 +331,117 @@ def test_serve_frame_predicted(rng):
     )
     np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(img0),
                                atol=1e-5, rtol=0)
+
+
+def _two_octant_gs_frame(rng, per_octant=120):
+    """56-channel content in two opposite octants of the depth-5 grid —
+    brick_depth 1 puts them in two different bricks."""
+    side = 2 ** DEPTH
+    h = side // 2
+    pts = np.concatenate([
+        rng.integers(0, h, size=(4 * per_octant, 3)),
+        rng.integers(h, side, size=(4 * per_octant, 3)),
+    ])
+    codes = np.unique(morton_codes_np(pts, DEPTH))
+    pos = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(codes)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.06, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    )
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+    return pos, attrs
+
+
+def test_serve_tiled_matches_host_composed_render(rng):
+    from raht3dgs_tpu.models.serving import (
+        _render_scene_views,
+        serve_tiled_frame,
+    )
+    from raht3dgs_tpu.models.tiling import decode_tiled_frame, encode_tiled_frame
+
+    V, attrs = _two_octant_gs_frame(rng)
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32)
+    blob, stats = encode_tiled_frame(
+        V, attrs, DEPTH, 1, codec, 0.002, code_geometry=True,
+        vmin=np.array([-1.0, -1.0, -1.0]), width=2.0,
+    )
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+
+    imgs, dups, tiles, sel = serve_tiled_frame(
+        blob, vms, Kms, bg, width=SIZE, height=SIZE, bucket=64,
+        margin=4.0, **RASTER,
+    )
+    assert sel == list(range(len(stats)))  # huge margin keeps every brick
+
+    # golden: host tiled decode -> scene -> the same render program
+    Vd, Ad = decode_tiled_frame(blob, dtype=jnp.float32)
+    voxel_size = 2.0 / 2 ** DEPTH
+    means = (Vd.astype(np.float64) + 0.5) * voxel_size + \
+        np.array([-1.0, -1.0, -1.0])
+    scene = (
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(Ad[:, 0:4], jnp.float32),
+        jnp.asarray(np.maximum(Ad[:, 4:7], 1e-5), jnp.float32),
+        jnp.asarray(np.clip(Ad[:, 7], 0.0, 1.0), jnp.float32),
+        jnp.asarray(Ad[:, 8:].reshape(len(Vd), -1, 3), jnp.float32),
+    )
+    ref, _, _ = _render_scene_views(
+        scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
+                               atol=1e-5)
+    assert int(np.asarray(dups).sum()) == 0
+
+
+def test_visible_bricks_culls_behind_camera(rng):
+    from raht3dgs_tpu.eval.cameras import look_at_w2c
+    from raht3dgs_tpu.models.serving import serve_tiled_frame, visible_bricks
+    from raht3dgs_tpu.models.tiling import (
+        TiledReader,
+        brick_keys_np,
+        encode_tiled_frame,
+    )
+
+    V, attrs = _two_octant_gs_frame(rng)
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32)
+    blob, stats = encode_tiled_frame(
+        V, attrs, DEPTH, 1, codec, 0.002, code_geometry=True,
+        vmin=np.array([-1.0, -1.0, -1.0]), width=2.0,
+    )
+    reader = TiledReader(blob)
+    # camera just off-center, looking INTO the low octant: every corner of
+    # the high octant's brick box ([0,1]^3 world) is behind the image plane
+    w2c = look_at_w2c(np.array([-0.1, -0.1, -0.1]),
+                      np.array([-0.6, -0.6, -0.6]))
+    f = 1.2 * SIZE
+    K = np.array([[f, 0, SIZE / 2], [0, f, SIZE / 2], [0, 0, 1.0]])
+    vms = jnp.asarray(w2c[None], jnp.float32)
+    Kms = jnp.asarray(K[None], jnp.float32)
+
+    sel = visible_bricks(reader, np.asarray(vms), np.asarray(Kms),
+                         SIZE, SIZE, margin=0.02)
+    keys_low = brick_keys_np(
+        morton_codes_np(V[(V < 2 ** (DEPTH - 1)).all(1)], DEPTH),
+        DEPTH, 1)
+    assert len(sel) < len(stats)
+    assert {int(reader.keys[i]) for i in sel} >= set(
+        np.unique(keys_low).tolist())
+
+    # culling cannot change the image: the dropped brick is behind the
+    # camera, so its splats never rasterize
+    bg = jnp.ones((3,), jnp.float32)
+    culled, _, _, _ = serve_tiled_frame(
+        blob, vms, Kms, bg, width=SIZE, height=SIZE, bucket=64,
+        margin=0.02, **RASTER)
+    full, _, _, _ = serve_tiled_frame(
+        blob, vms, Kms, bg, width=SIZE, height=SIZE, bucket=64,
+        bricks=range(len(reader)), **RASTER)
+    np.testing.assert_allclose(np.asarray(culled), np.asarray(full),
+                               atol=1e-6)
