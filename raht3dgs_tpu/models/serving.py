@@ -40,6 +40,7 @@ __all__ = [
     "decode_scene_device_predicted",
     "serve_frame",
     "serve_frame_predicted",
+    "serve_sequence",
     "serve_tiled_frame",
     "serve_views_sharded",
     "visible_bricks",
@@ -275,6 +276,30 @@ def serve_views_sharded(vals_T, inv, steps, codes, weights, voxel_size,
     return imgs[:V], dups[:V], tiles[:V]
 
 
+def _padded_frame_np(Vt, depth: int, P: int):
+    """Sorted real Morton codes + ``pad_code`` sentinels and 0/1 weights
+    for ``P`` slots, in PURE numpy.
+
+    Matches ``prepare_voxel_frame``'s layout (models/pipeline.py:134-152,
+    pad slots ``arange(n, P)``) without dispatching device programs —
+    through a remote tunnel those cost several round trips per call
+    (~200 ms each, measured; this is a few ms). Sentinels are built IN
+    the code dtype: adding a Python ``1 << 63`` to an int64 arange would
+    promote/overflow (CLAUDE.md uint64-sentinel invariant)."""
+    from raht3dgs_tpu.ops.morton import code_dtype, internal_payload_bits
+    from raht3dgs_tpu.ops.prelude import morton_codes_np
+
+    cdt = np.dtype(code_dtype(depth, P))
+    codes_t = np.sort(morton_codes_np(np.asarray(Vt, np.int64), depth))
+    n_t = len(codes_t)
+    pads = np.arange(n_t, P, dtype=np.int64).astype(cdt)
+    pads += cdt.type(1 << internal_payload_bits(depth, P))
+    codes_p = np.concatenate([codes_t.astype(cdt), pads])
+    w_p = np.zeros(P, dtype=np.float32)
+    w_p[:n_t] = 1.0
+    return codes_p, w_p
+
+
 # ---------------------------------------------------------------------------
 # Tiled serving: frustum-culled brick decode (.r3tt -> only-visible scene)
 
@@ -311,7 +336,6 @@ def visible_bricks(reader, viewmats, Ks, width, height, *,
     decode; the default 0 culls on voxel extents alone (a preview-grade
     bound). A box straddling the camera plane is kept (no cheap exact
     2D bound exists there), so the cull is always conservative."""
-    from raht3dgs_tpu.models.tiling import brick_box
 
     meta = reader.meta
     if voxel_size is None:
@@ -320,10 +344,21 @@ def visible_bricks(reader, viewmats, Ks, width, height, *,
         vmin = np.asarray(meta.vmin, dtype=np.float64)
     vms = np.asarray(viewmats, dtype=np.float64)
     Kms = np.asarray(Ks, dtype=np.float64)
+    # all brick boxes in one numpy pass — brick_box() dispatches a device
+    # morton_decode per key, which through a remote tunnel costs an RTT
+    # PER BRICK (53 bricks ~ 1.3 s, measured)
+    keys = np.asarray(reader.keys, dtype=np.int64)
+    bd = reader.brick_depth
+    bxyz = np.zeros((len(keys), 3), dtype=np.int64)
+    for b in range(bd):
+        bxyz[:, 2] |= ((keys >> (3 * b)) & 1) << b
+        bxyz[:, 1] |= ((keys >> (3 * b + 1)) & 1) << b
+        bxyz[:, 0] |= ((keys >> (3 * b + 2)) & 1) << b
+    side = 1 << (reader.depth - bd)
+    los = bxyz * side
     sel = []
-    for j in range(len(reader.keys)):
-        lo, hi = brick_box(int(reader.keys[j]), reader.depth,
-                           reader.brick_depth)
+    for j in range(len(keys)):
+        lo, hi = los[j], los[j] + side
         c0 = lo * voxel_size + vmin - margin
         c1 = hi * voxel_size + vmin + margin
         corners = np.array([
@@ -352,6 +387,50 @@ def visible_bricks(reader, viewmats, Ks, width, height, *,
     return sel
 
 
+@partial(jax.jit, static_argnames=("depth", "parts", "order_mode",
+                                   "quant_mode"))
+def _decode_bricks_device(vals_flat, codes_flat, weights_flat, nvox_K,
+                          steps, voxel_size, vmin, *, depth: int,
+                          parts: tuple, order_mode: str = "ragft",
+                          quant_mode: str = "mid", rec_delta=0.0):
+    """Ragged-concatenated brick symbols -> one concatenated scene, in
+    ONE program: per-brick inverse stream order, dequant, inverse RAHT
+    and scene build, so a K-brick serve costs one upload + one dispatch
+    instead of K round trips (through a remote tunnel the K transfers
+    dominate the wall — scripts/exp_serving_tiled.py). ``parts`` is the
+    static tuple of per-brick padded lengths; ``vals_flat`` is
+    (D, sum(parts)), codes/weights are flat (sum(parts),) — each brick
+    padded only to its own bucket multiple, so the WIRE carries ~real
+    bytes (a shared max-brick pad inflated the upload 2.8x, measured).
+    Padding slots have weight 0 -> opacity 0, so concatenation order
+    stays global Morton order over the REAL voxels.
+
+    The brick axis is UNROLLED, not vmapped: each brick's subgraph keeps
+    the single-frame shapes XLA lowers well (batched gather/scan dims
+    measured ~3x/point on the inverse — docs/roadmap.md). The program
+    recompiles only when ``parts`` changes; bucket rounding keeps that
+    signature stable across nearby camera selections."""
+
+    def one(vals_T, codes, weights, nv):
+        inv = _inverse_order_device(codes, weights, nv, depth, order_mode)
+        coeffs = _dequant_gather_device(
+            vals_T.astype(jnp.int32), inv, steps, jnp.float32, quant_mode,
+            jnp.asarray(rec_delta, dtype=jnp.float32),
+        )
+        attrs = raht_inverse_span(coeffs, codes, weights, depth)
+        return _scene_from_attrs(attrs, codes, weights, voxel_size, vmin,
+                                 depth)
+
+    outs, off = [], 0
+    for k, Pk in enumerate(parts):
+        sl = slice(off, off + Pk)
+        outs.append(one(vals_flat[:, sl], codes_flat[sl],
+                        weights_flat[sl], nvox_K[k]))
+        off += Pk
+    return tuple(
+        jnp.concatenate([p[f] for p in outs], axis=0) for f in range(5))
+
+
 def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
                       positions=None, bricks=None, bucket=1 << 10,
                       margin=0.0, sh_degree=3, tile=16,
@@ -375,11 +454,9 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
     selected_brick_indices)``.
     """
     from raht3dgs_tpu.codec.geometry import positions_from_geometry
-    from raht3dgs_tpu.models.pipeline import (
-        decode_entropy_channels,
-        prepare_voxel_frame,
-    )
+    from raht3dgs_tpu.models.pipeline import decode_entropy_channels
     from raht3dgs_tpu.models.tiling import TiledReader, brick_keys_np
+    from raht3dgs_tpu.ops.morton import code_dtype
     from raht3dgs_tpu.ops.prelude import morton_codes_np
 
     reader = data if isinstance(data, TiledReader) else TiledReader(data)
@@ -412,7 +489,8 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
             for s, e in zip(starts, ends)
         }
 
-    parts = []
+    # host pass: resolve each surviving brick's stream + positions
+    host = []
     for i in sorted(sel):
         stream = reader.tile(i)
         if stream.predict:
@@ -431,29 +509,47 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
             raise ValueError(
                 f"brick {i}: {len(Vt)} positions != {stream.n_voxels} "
                 "coded voxels")
-        frame = prepare_voxel_frame(
-            np.asarray(Vt, dtype=np.int64),
-            np.zeros((len(Vt), stream.n_channels)), depth,
-            bucket=bucket, dtype=jnp.float32,
-        )
-        n_pad = frame.codes.shape[0]
-        vals_T = np.zeros((stream.n_channels, n_pad), dtype=np.int32)
-        decode_entropy_channels(stream, stream.n_voxels, vals_T)
-        inv = _inverse_order_device(
-            frame.codes, frame.weights, jnp.int32(stream.n_voxels), depth,
-            stream.order_mode)
-        steps = jnp.asarray(
-            np.atleast_1d(np.asarray(stream.steps, dtype=np.float32)))
-        scene = decode_scene_device(
-            upload_quantized(pack_quantized_upload(vals_T)), inv, steps,
-            frame.codes, frame.weights, jnp.float32(voxel_size),
-            jnp.asarray(vmin, jnp.float32), depth=depth,
-            quant_mode=stream.quant_mode, rec_delta=stream.rec_delta,
-        )
-        parts.append(scene)
+        host.append((stream, np.asarray(Vt, dtype=np.int64)))
 
-    scene = tuple(
-        jnp.concatenate([p[k] for p in parts], axis=0) for k in range(5))
+    stream0 = host[0][0]
+    D = stream0.n_channels
+    for st, _ in host[1:]:
+        if (st.order_mode, st.quant_mode, st.rec_delta, st.n_channels,
+                tuple(np.atleast_1d(st.steps))) != (
+                stream0.order_mode, stream0.quant_mode, stream0.rec_delta,
+                stream0.n_channels, tuple(np.atleast_1d(stream0.steps))):
+            raise ValueError(
+                "bricks disagree on codec parameters; serve_tiled_frame "
+                "stacks them into one program and needs uniform "
+                "order/quant/steps (v2 containers guarantee this)")
+    # ragged per-brick padding: each brick rounds up to its own bucket
+    # multiple, so the one stacked upload carries ~real bytes
+    # (_padded_frame_np: pure-numpy prelude, no per-brick device RTTs)
+    parts = tuple(
+        -((-max(len(v), 1)) // bucket) * bucket for _, v in host)
+    codes_K, weights_K, nvox_K, vals_K = [], [], [], []
+    for (stream, Vt), Pk in zip(host, parts):
+        codes_p, w_p = _padded_frame_np(Vt, depth, Pk)
+        vals_T = np.zeros((D, Pk), dtype=np.int32)
+        decode_entropy_channels(stream, stream.n_voxels, vals_T)
+        codes_K.append(codes_p.astype(np.int64))
+        weights_K.append(w_p)
+        nvox_K.append(stream.n_voxels)
+        vals_K.append(vals_T)
+
+    steps = jnp.asarray(
+        np.atleast_1d(np.asarray(stream0.steps, dtype=np.float32)))
+    cdt_all = np.dtype(code_dtype(depth, max(parts)))
+    scene = _decode_bricks_device(
+        upload_quantized(pack_quantized_upload(
+            np.concatenate(vals_K, axis=1))),
+        jnp.asarray(np.concatenate(codes_K).astype(cdt_all)),
+        jnp.asarray(np.concatenate(weights_K)),
+        jnp.asarray(np.asarray(nvox_K, dtype=np.int32)), steps,
+        jnp.float32(voxel_size), jnp.asarray(vmin, jnp.float32),
+        depth=depth, parts=parts, order_mode=stream0.order_mode,
+        quant_mode=stream0.quant_mode, rec_delta=stream0.rec_delta,
+    )
     imgs, dups, tiles = _render_scene_views(
         scene, jnp.asarray(viewmats, jnp.float32),
         jnp.asarray(Ks, jnp.float32), jnp.asarray(bg, jnp.float32),
@@ -462,3 +558,167 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
         max_per_tile=max_per_tile, chunk=chunk, image_dtype=image_dtype,
     )
     return imgs, dups, tiles, sorted(sel)
+
+
+# ---------------------------------------------------------------------------
+# Sequence serving: streaming playback of .r3ts with device-resident state
+
+@partial(jax.jit, static_argnames=(
+    "depth", "probes", "order_mode", "quant_mode", "width", "height",
+    "sh_degree", "tile", "max_tiles_per_gauss", "max_per_tile", "chunk",
+    "image_dtype"))
+def _serve_seq_step(vals_T, codes, weights, nvox, steps, mv, prev_codes,
+                    prev_attrs, prev_weights, voxel_size, vmin, viewmats,
+                    Ks, bg, *, depth: int, probes: int, order_mode: str,
+                    quant_mode: str, rec_delta=0.0, width: int,
+                    height: int, sh_degree: int = 3, tile: int = 16,
+                    max_tiles_per_gauss: int = 16, max_per_tile: int = 8192,
+                    chunk: int = 128, image_dtype=jnp.float32):
+    """One playback frame: residual decode (+ motion-compensated
+    prediction from the device-resident previous reconstruction for
+    inter frames), scene build, and the V-view render — ONE dispatch.
+
+    ``mv``/``prev_*`` are ``None`` for intra frames (the pytree
+    structure selects the program variant). Returns
+    ``(imgs, dups, tiles, attrs)``; ``attrs`` is the padded
+    reconstruction to feed back as ``prev_attrs`` (zeros in pad slots,
+    mirroring ``SequenceCodec._padded_recon``)."""
+    from raht3dgs_tpu.ops.temporal import predict_from_previous
+
+    inv = _inverse_order_device(codes, weights, nvox, depth, order_mode)
+    coeffs = _dequant_gather_device(
+        vals_T.astype(jnp.int32), inv, steps, jnp.float32, quant_mode,
+        jnp.asarray(rec_delta, dtype=jnp.float32),
+    )
+    attrs = raht_inverse_span(coeffs, codes, weights, depth)
+    if mv is not None:
+        pred, _ = predict_from_previous(
+            codes, prev_codes, prev_attrs, prev_weights, depth, probes,
+            mv,
+        )
+        attrs = attrs + pred
+    attrs = attrs * (weights > 0)[:, None]
+    scene = _scene_from_attrs(attrs, codes, weights, voxel_size, vmin,
+                              depth)
+    imgs, dups, tiles = _render_views(
+        scene, viewmats, Ks, bg, width=width, height=height,
+        sh_degree=sh_degree, tile=tile,
+        max_tiles_per_gauss=max_tiles_per_gauss, max_per_tile=max_per_tile,
+        chunk=chunk,
+    )
+    if image_dtype != jnp.float32:
+        imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(image_dtype)
+    return imgs, dups, tiles, attrs
+
+
+def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
+                   positions=None, bucket=1 << 11, sh_degree=3, tile=16,
+                   max_tiles_per_gauss=16, max_per_tile=8192, chunk=128,
+                   image_dtype=jnp.float32):
+    """Streaming playback of a temporal sequence: yields per-frame
+    rendered views with the reconstruction DEVICE-RESIDENT across frames.
+
+    Per frame the host entropy-decodes the residual symbols (+ the
+    signalled motion section) and the device runs ONE program — inverse
+    transform, motion-compensated prediction from the previous frame's
+    on-chip attributes, scene build, V-view render. Only images ever
+    leave the chip; inter frames never re-upload a reconstruction. This
+    is the NON-NORMATIVE device decode the serving carve-out allows
+    (CLAUDE.md): reconstruction drifts from the frozen host loop by f32
+    ulps per frame, reset at every I-frame — attributes feed the
+    renderer only, and nothing here feeds an encoder closed loop.
+
+    Args:
+        streams: ``SequenceReader``, path to an ``.r3ts`` file, or an
+            iterable of :class:`FrameStream` (first must be intra).
+        positions: per-frame voxel positions — a sequence indexed by
+            frame, or a callable ``i -> (N_i, 3)``; ``None`` decodes
+            them from each stream's geometry section.
+        bucket: pad granularity; frames bucket to multiples so the
+            compiled step is reused across frames of similar size.
+
+    Yields ``(images, dup_clipped, tile_clipped)`` per frame — JAX
+    arrays, so the dispatch is async: a consumer that fetches frame k's
+    images while the generator host-decodes frame k+1 gets entropy/
+    device overlap for free.
+
+    v2 derived-motion inter streams are rejected: their prediction is
+    DERIVED by a frozen host pipeline (models/temporal.py:_predict) that
+    this device path must not re-implement; decode those normatively via
+    ``SequenceCodec.decode_sequence``. Predicted-RAHT (flags2) streams
+    likewise need the praht loop — use ``serve_frame_predicted`` per
+    intra frame.
+    """
+    from raht3dgs_tpu.codec.bitstream import FrameStream, SequenceReader
+    from raht3dgs_tpu.codec.geometry import positions_from_geometry
+    from raht3dgs_tpu.models.pipeline import decode_entropy_channels
+    from raht3dgs_tpu.models.temporal import _unpack_motion
+
+    import os
+
+    if isinstance(streams, (str, os.PathLike)):
+        streams = SequenceReader(streams)
+    if bg is None:
+        bg = jnp.ones((3,), jnp.float32)
+    vms = jnp.asarray(viewmats, jnp.float32)
+    Kms = jnp.asarray(Ks, jnp.float32)
+    bg = jnp.asarray(bg, jnp.float32)
+
+    prev = None  # (codes_dev, attrs_dev, weights_dev)
+    for i, stream in enumerate(streams):
+        if not isinstance(stream, FrameStream):
+            stream = FrameStream.from_bytes(stream)
+        if stream.predict:
+            raise NotImplementedError(
+                "serve_sequence: predicted-RAHT streams — use "
+                "serve_frame_predicted per frame")
+        if stream.inter and prev is None:
+            raise ValueError(f"frame {i} is inter but no frame precedes")
+        if stream.inter and stream.motion is None:
+            raise NotImplementedError(
+                "serve_sequence: v2 derived-motion stream — decode "
+                "normatively with SequenceCodec.decode_sequence")
+
+        if positions is None:
+            if stream.geometry is None:
+                raise ValueError(
+                    f"frame {i} carries no geometry section; pass "
+                    "positions")
+            Vt = positions_from_geometry(stream.geometry, stream.depth,
+                                         stream.n_voxels)
+        else:
+            Vt = positions(i) if callable(positions) else positions[i]
+        Vt = np.asarray(Vt, dtype=np.int64)
+        if len(Vt) != stream.n_voxels:
+            raise ValueError(
+                f"frame {i}: {len(Vt)} positions != {stream.n_voxels} "
+                "coded voxels")
+        depth = stream.depth
+        P = -((-max(len(Vt), 1)) // bucket) * bucket
+        codes_p, w_p = _padded_frame_np(Vt, depth, P)
+        vals_T = np.zeros((stream.n_channels, P), dtype=np.int32)
+        decode_entropy_channels(stream, stream.n_voxels, vals_T)
+        mv = (None if not stream.inter else jnp.asarray(_unpack_motion(
+            stream.motion, codes_p, stream.n_voxels, P, depth)))
+
+        steps = jnp.asarray(
+            np.atleast_1d(np.asarray(stream.steps, dtype=np.float32)))
+        voxel_size = float(stream.width) / (1 << depth)
+        codes_dev = jnp.asarray(codes_p)
+        weights_dev = jnp.asarray(w_p)
+        pc, pa, pw = prev if stream.inter else (None, None, None)
+        imgs, dups, tiles, attrs = _serve_seq_step(
+            upload_quantized(pack_quantized_upload(vals_T)), codes_dev,
+            weights_dev, jnp.int32(stream.n_voxels), steps, mv, pc, pa,
+            pw, jnp.float32(voxel_size),
+            jnp.asarray(np.asarray(stream.vmin), jnp.float32), vms, Kms,
+            bg, depth=depth, probes=stream.probes,
+            order_mode=stream.order_mode, quant_mode=stream.quant_mode,
+            rec_delta=stream.rec_delta, width=width, height=height,
+            sh_degree=sh_degree, tile=tile,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+            max_per_tile=max_per_tile, chunk=chunk,
+            image_dtype=image_dtype,
+        )
+        prev = (codes_dev, attrs, weights_dev)
+        yield imgs, dups, tiles

@@ -445,3 +445,112 @@ def test_visible_bricks_culls_behind_camera(rng):
         bricks=range(len(reader)), **RASTER)
     np.testing.assert_allclose(np.asarray(culled), np.asarray(full),
                                atol=1e-6)
+
+
+def test_serve_sequence_matches_normative_decode(rng, tmp_path):
+    """Device-resident sequence playback (serve_sequence) must render the
+    same images as pushing the NORMATIVE SequenceCodec reconstructions
+    through the same render program — the serving decode is the allowed
+    non-normative device path, so agreement is to f32 drift, not bitwise.
+    Covers: .r3ts path input, intra + signalled-motion inter frames,
+    device-resident prediction state across frames."""
+    from raht3dgs_tpu.codec.bitstream import write_sequence
+    from raht3dgs_tpu.models.serving import (
+        _render_scene_views,
+        _scene_from_attrs,
+        serve_sequence,
+    )
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    side = 2 ** DEPTH
+    pts = rng.integers(2, side - 4, size=(1600, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:300]
+    base = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(base)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.06, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    )
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+
+    shifts = [np.zeros(3, int), np.array([1, 0, -1]), np.array([2, 1, 0])]
+    positions = [np.clip(base + s, 0, side - 1) for s in shifts]
+    frames = [
+        prepare_voxel_frame(p, attrs, DEPTH, bucket=64, dtype=jnp.float32)
+        for p in positions
+    ]
+    sc = SequenceCodec(DEPTH, gop=8, adaptive=False, dtype=jnp.float32)
+    streams, _ = sc.encode_sequence(frames, steps=0.002)
+    assert streams[0].inter is False and streams[1].inter is True
+    assert streams[1].motion is not None  # v3 signalled motion
+    path = tmp_path / "seq.r3ts"
+    write_sequence(path, streams)
+
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    served = list(serve_sequence(
+        str(path), vms, Kms, bg, width=SIZE, height=SIZE,
+        positions=lambda i: positions[i], bucket=64, **RASTER,
+    ))
+    assert len(served) == len(frames)
+
+    recons = sc.decode_sequence(streams, frames)
+    voxel_size = jnp.float32(frames[0].width / side)
+    vmin = jnp.asarray(frames[0].vmin, jnp.float32)
+    for (imgs, dups, tiles), frame, rec in zip(served, frames, recons):
+        full = np.zeros((frame.codes.shape[0], rec.shape[1]))
+        full[: frame.n_voxels] = rec
+        scene = _scene_from_attrs(
+            jnp.asarray(full, jnp.float32), frame.codes, frame.weights,
+            voxel_size, vmin, DEPTH)
+        ref, _, _ = _render_scene_views(
+            scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
+        np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
+                                   atol=2e-4)
+
+
+def test_serve_sequence_rejects_underived_paths(rng, tmp_path):
+    """v2 derived-motion streams must be refused (their prediction is the
+    frozen HOST pipeline serve_sequence must not re-implement), as must
+    inter-without-predecessor."""
+    import pytest
+
+    from raht3dgs_tpu.models.serving import serve_sequence
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    pts = rng.integers(0, 2 ** DEPTH, size=(900, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:200]
+    pos = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    attrs = np.concatenate(
+        [
+            np.ones((len(pos), 4)) * [1, 0, 0, 0],
+            np.full((len(pos), 3), 0.04),
+            np.full((len(pos), 1), 0.8),
+            np.zeros((len(pos), 48)),
+        ],
+        axis=1,
+    )
+    frames = [
+        prepare_voxel_frame(pos, attrs, DEPTH, bucket=64,
+                            dtype=jnp.float32)
+        for _ in range(2)
+    ]
+    sc = SequenceCodec(DEPTH, gop=8, adaptive=False, signal_motion=False,
+                       dtype=jnp.float32)
+    streams, _ = sc.encode_sequence(frames, steps=0.002)
+    assert streams[1].inter and streams[1].motion is None
+    vms, Kms = _cameras(1)
+    with pytest.raises(NotImplementedError, match="derived-motion"):
+        list(serve_sequence(streams, vms, Kms, width=SIZE, height=SIZE,
+                            positions=[pos, pos], bucket=64, **RASTER))
+    with pytest.raises(ValueError, match="no frame precedes"):
+        list(serve_sequence(streams[1:], vms, Kms, width=SIZE,
+                            height=SIZE, positions=[pos], bucket=64,
+                            **RASTER))
