@@ -568,29 +568,50 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
     "sh_degree", "tile", "max_tiles_per_gauss", "max_per_tile", "chunk",
     "image_dtype"))
 def _serve_seq_step(vals_T, codes, weights, nvox, steps, mv, prev_codes,
-                    prev_attrs, prev_weights, voxel_size, vmin, viewmats,
-                    Ks, bg, *, depth: int, probes: int, order_mode: str,
-                    quant_mode: str, rec_delta=0.0, width: int,
-                    height: int, sh_degree: int = 3, tile: int = 16,
-                    max_tiles_per_gauss: int = 16, max_per_tile: int = 8192,
-                    chunk: int = 128, image_dtype=jnp.float32):
+                    prev_attrs, prev_weights, predict_mask, voxel_size,
+                    vmin, viewmats, Ks, bg, *, depth: int, probes: int,
+                    order_mode: str, quant_mode: str, rec_delta=0.0,
+                    width: int, height: int, sh_degree: int = 3,
+                    tile: int = 16, max_tiles_per_gauss: int = 16,
+                    max_per_tile: int = 8192, chunk: int = 128,
+                    image_dtype=jnp.float32):
     """One playback frame: residual decode (+ motion-compensated
     prediction from the device-resident previous reconstruction for
     inter frames), scene build, and the V-view render — ONE dispatch.
 
-    ``mv``/``prev_*`` are ``None`` for intra frames (the pytree
-    structure selects the program variant). Returns
+    ``mv``/``prev_*``/``predict_mask`` are ``None`` when absent (the
+    pytree structure selects the program variant). A non-None
+    ``predict_mask`` runs the non-normative device predicted-RAHT loop
+    on the (residual) symbols, with the structure pass and plan build
+    traced INTO this program — no extra dispatch. Returns
     ``(imgs, dups, tiles, attrs)``; ``attrs`` is the padded
     reconstruction to feed back as ``prev_attrs`` (zeros in pad slots,
     mirroring ``SequenceCodec._padded_recon``)."""
     from raht3dgs_tpu.ops.temporal import predict_from_previous
 
     inv = _inverse_order_device(codes, weights, nvox, depth, order_mode)
-    coeffs = _dequant_gather_device(
-        vals_T.astype(jnp.int32), inv, steps, jnp.float32, quant_mode,
-        jnp.asarray(rec_delta, dtype=jnp.float32),
-    )
-    attrs = raht_inverse_span(coeffs, codes, weights, depth)
+    if predict_mask is not None:
+        from raht3dgs_tpu.ops.praht_device import (
+            praht_device_decode,
+            praht_device_plan,
+        )
+        from raht3dgs_tpu.ops.raht_span import raht_structure_span
+
+        structure = raht_structure_span(codes, weights, depth)
+        plan = praht_device_plan(codes, weights, depth,
+                                 structure.drop_level,
+                                 structure.subtree_w)
+        attrs = praht_device_decode(
+            plan, codes, weights, vals_T.astype(jnp.int32).T[inv],
+            predict_mask, depth, steps, quant_mode=quant_mode,
+            rec_delta=rec_delta, fdtype=jnp.float32,
+        )
+    else:
+        coeffs = _dequant_gather_device(
+            vals_T.astype(jnp.int32), inv, steps, jnp.float32, quant_mode,
+            jnp.asarray(rec_delta, dtype=jnp.float32),
+        )
+        attrs = raht_inverse_span(coeffs, codes, weights, depth)
     if mv is not None:
         pred, _ = predict_from_previous(
             codes, prev_codes, prev_attrs, prev_weights, depth, probes,
@@ -642,12 +663,13 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
     images while the generator host-decodes frame k+1 gets entropy/
     device overlap for free.
 
-    v2 derived-motion inter streams are rejected: their prediction is
-    DERIVED by a frozen host pipeline (models/temporal.py:_predict) that
-    this device path must not re-implement; decode those normatively via
-    ``SequenceCodec.decode_sequence``. Predicted-RAHT (flags2) streams
-    likewise need the praht loop — use ``serve_frame_predicted`` per
-    intra frame.
+    Predicted-RAHT (flags2) streams run the non-normative device praht
+    loop on their (residual) symbols — the full ``--predict --inter``
+    composition plays back on-chip. v2 derived-motion inter streams are
+    rejected: their prediction is DERIVED by a frozen host pipeline
+    (models/temporal.py:_predict) that this device path must not
+    re-implement; decode those normatively via
+    ``SequenceCodec.decode_sequence``.
     """
     from raht3dgs_tpu.codec.bitstream import FrameStream, SequenceReader
     from raht3dgs_tpu.codec.geometry import positions_from_geometry
@@ -668,10 +690,6 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
     for i, stream in enumerate(streams):
         if not isinstance(stream, FrameStream):
             stream = FrameStream.from_bytes(stream)
-        if stream.predict:
-            raise NotImplementedError(
-                "serve_sequence: predicted-RAHT streams — use "
-                "serve_frame_predicted per frame")
         if stream.inter and prev is None:
             raise ValueError(f"frame {i} is inter but no frame precedes")
         if stream.inter and stream.motion is None:
@@ -707,10 +725,12 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
         codes_dev = jnp.asarray(codes_p)
         weights_dev = jnp.asarray(w_p)
         pc, pa, pw = prev if stream.inter else (None, None, None)
+        pm = (jnp.uint32(stream.predict_mask) if stream.predict
+              else None)
         imgs, dups, tiles, attrs = _serve_seq_step(
             upload_quantized(pack_quantized_upload(vals_T)), codes_dev,
             weights_dev, jnp.int32(stream.n_voxels), steps, mv, pc, pa,
-            pw, jnp.float32(voxel_size),
+            pw, pm, jnp.float32(voxel_size),
             jnp.asarray(np.asarray(stream.vmin), jnp.float32), vms, Kms,
             bg, depth=depth, probes=stream.probes,
             order_mode=stream.order_mode, quant_mode=stream.quant_mode,

@@ -554,3 +554,64 @@ def test_serve_sequence_rejects_underived_paths(rng, tmp_path):
         list(serve_sequence(streams[1:], vms, Kms, width=SIZE,
                             height=SIZE, positions=[pos], bucket=64,
                             **RASTER))
+
+
+def test_serve_sequence_predicted_streams(rng, tmp_path):
+    """--predict --inter composition plays back on-chip: predicted-RAHT
+    streams in a temporal sequence decode through the device praht loop
+    (structure pass + plan traced into the step program) and match the
+    normative host closed loop's rendered images to float drift."""
+    from raht3dgs_tpu.models.serving import (
+        _render_scene_views,
+        _scene_from_attrs,
+        serve_sequence,
+    )
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    side = 2 ** DEPTH
+    pts = rng.integers(2, side - 4, size=(1600, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:300]
+    base = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(base)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.06, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    )
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+    shifts = [np.zeros(3, int), np.array([1, -1, 0])]
+    positions = [np.clip(base + s, 0, side - 1) for s in shifts]
+    frames = [
+        prepare_voxel_frame(p, attrs, DEPTH, bucket=64, dtype=jnp.float32)
+        for p in positions
+    ]
+    sc = SequenceCodec(DEPTH, gop=8, adaptive=False, dtype=jnp.float32,
+                       predict=True, predict_impl="host")
+    streams, _ = sc.encode_sequence(frames, steps=0.002)
+    assert any(s.predict for s in streams)
+    assert streams[1].inter
+
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    served = list(serve_sequence(
+        streams, vms, Kms, bg, width=SIZE, height=SIZE,
+        positions=positions, bucket=64, **RASTER,
+    ))
+    recons = sc.decode_sequence(streams, frames)
+    voxel_size = jnp.float32(frames[0].width / side)
+    vmin = jnp.asarray(frames[0].vmin, jnp.float32)
+    for (imgs, _, _), frame, rec in zip(served, frames, recons):
+        full = np.zeros((frame.codes.shape[0], rec.shape[1]))
+        full[: frame.n_voxels] = rec
+        scene = _scene_from_attrs(
+            jnp.asarray(full, jnp.float32), frame.codes, frame.weights,
+            voxel_size, vmin, DEPTH)
+        ref, _, _ = _render_scene_views(
+            scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
+        np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
+                                   atol=1e-3)
