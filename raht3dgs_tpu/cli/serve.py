@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--radius-scale", type=float, default=1.4,
         help="camera orbit radius as a multiple of the scene half-width")
     p.add_argument(
+        "--progressive", type=int, default=0, metavar="K",
+        help="preview serve from a stream PREFIX: decode only the first "
+        "K entropy symbols per channel (coarse coefficients come first "
+        "in both orders). All-intra streams only. 0 = full decode")
+    p.add_argument(
         "--u8", action="store_true",
         help="quantize images to uint8 ON DEVICE (1/4 the fetched bytes; "
         "the display convention — keep float for PSNR evaluation)")
@@ -197,7 +202,8 @@ def main(argv=None) -> int:
         n_frames = 0
         for i, (imgs, _, _) in enumerate(serve_sequence(
                 streams, vms, Kms, width=args.size, height=args.size,
-                positions=positions, **raster)):
+                positions=positions, progressive=args.progressive,
+                **raster)):
             written += _write_views(out_dir, i, imgs, args.u8)
             n_frames += 1
         rec = {"frames": n_frames, "views": args.views,

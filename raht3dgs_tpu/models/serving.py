@@ -633,9 +633,9 @@ def _serve_seq_step(vals_T, codes, weights, nvox, steps, mv, prev_codes,
 
 
 def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
-                   positions=None, bucket=1 << 11, sh_degree=3, tile=16,
-                   max_tiles_per_gauss=16, max_per_tile=8192, chunk=128,
-                   image_dtype=jnp.float32):
+                   positions=None, bucket=1 << 11, progressive=0,
+                   sh_degree=3, tile=16, max_tiles_per_gauss=16,
+                   max_per_tile=8192, chunk=128, image_dtype=jnp.float32):
     """Streaming playback of a temporal sequence: yields per-frame
     rendered views with the reconstruction DEVICE-RESIDENT across frames.
 
@@ -657,6 +657,12 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
             them from each stream's geometry section.
         bucket: pad granularity; frames bucket to multiples so the
             compiled step is reused across frames of similar size.
+        progressive: decode only the first K entropy symbols per channel
+            (0 = all) — a coarse-to-fine PREVIEW serve from a stream
+            prefix (the skipped symbols reconstruct as exact-zero detail
+            coefficients; see ``AttributeCodec.decode_progressive``).
+            Intra-only sequences: a truncated residual would corrupt the
+            inter prediction chain.
 
     Yields ``(images, dup_clipped, tile_clipped)`` per frame — JAX
     arrays, so the dispatch is async: a consumer that fetches frame k's
@@ -715,7 +721,14 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
         P = -((-max(len(Vt), 1)) // bucket) * bucket
         codes_p, w_p = _padded_frame_np(Vt, depth, P)
         vals_T = np.zeros((stream.n_channels, P), dtype=np.int32)
-        decode_entropy_channels(stream, stream.n_voxels, vals_T)
+        k = stream.n_voxels
+        if progressive:
+            if stream.inter:
+                raise ValueError(
+                    "progressive serving needs an all-intra sequence — "
+                    "a truncated residual corrupts the prediction chain")
+            k = int(min(max(progressive, 1), stream.n_voxels))
+        decode_entropy_channels(stream, k, vals_T)
         mv = (None if not stream.inter else jnp.asarray(_unpack_motion(
             stream.motion, codes_p, stream.n_voxels, P, depth)))
 

@@ -155,3 +155,59 @@ def test_truncated_sequence_container(tmp_path, subject):
         (tmp_path / "cut.r3ts").write_bytes(blob[:cut])
         with pytest.raises(ValueError):
             SequenceReader(str(tmp_path / "cut.r3ts"))
+
+
+def test_motion_section_corruption(tmp_path):
+    """v3 inter streams: corrupting the signalled motion section must
+    fail cleanly — ValueError (lying block counts are checked against
+    the frame's own code-derived block structure BEFORE any allocation)
+    or a well-shaped garbage reconstruction; never a crash or an
+    absurd allocation."""
+    import jax.numpy as jnp
+
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+    from raht3dgs_tpu.ops.morton import morton_decode
+
+    rng = np.random.default_rng(11)
+    depth = 6
+    pts = rng.integers(1, 2**depth - 2, size=(3000, 3))
+    codes = np.unique(morton_codes_np(pts, depth))[:800]
+    V = np.asarray(morton_decode(jnp.asarray(codes), depth),
+                   dtype=np.int64)
+    rgb = rng.uniform(0, 255, size=(len(V), 3))
+    frames = [
+        prepare_voxel_frame(np.clip(V + s, 0, 2**depth - 1), rgb, depth)
+        for s in (0, 1)
+    ]
+    sc = SequenceCodec(depth, gop=8, adaptive=False)
+    streams, _ = sc.encode_sequence(frames, steps=4.0)
+    assert streams[1].motion is not None
+    blob = streams[1].to_bytes()
+    motion = streams[1].motion
+    # locate the motion payload inside the container
+    off = blob.find(motion)
+    assert off > 0
+
+    def attempt(data):
+        sc2 = SequenceCodec(depth, gop=8, adaptive=False)
+        try:
+            s0 = FrameStream.from_bytes(streams[0].to_bytes())
+            sc2.decode_frame(s0, frames[0])
+            s1 = FrameStream.from_bytes(data)
+            rec = sc2.decode_frame(s1, frames[1])
+        except ALLOWED:
+            return "raised"
+        assert rec.shape == (streams[1].n_voxels, 3)
+        assert np.isfinite(rec).all() or True  # garbage ok, crash not
+        return "decoded"
+
+    outcomes = set()
+    # byte flips across the motion section (header + payload)
+    for k in range(0, len(motion), max(1, len(motion) // 24)):
+        data = bytearray(blob)
+        data[off + k] ^= 0x5A
+        outcomes.add(attempt(bytes(data)))
+    # truncations INSIDE the motion section
+    for cut in (off + 1, off + len(motion) // 2, len(blob) - 1):
+        outcomes.add(attempt(blob[:cut]))
+    assert outcomes <= {"raised", "decoded"}

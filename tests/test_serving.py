@@ -615,3 +615,56 @@ def test_serve_sequence_predicted_streams(rng, tmp_path):
             scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
         np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
                                    atol=1e-3)
+
+
+def test_serve_sequence_progressive_prefix(rng):
+    """Progressive serving: K=n_voxels reproduces the full serve exactly
+    (zeros beyond the prefix ARE the truncated coefficients); a small K
+    still renders (coarse preview); inter sequences are refused."""
+    import pytest
+
+    from raht3dgs_tpu.models.serving import serve_sequence
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    pts = rng.integers(0, 2 ** DEPTH, size=(1200, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:250]
+    pos = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(pos)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.06, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    )
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+    frame = prepare_voxel_frame(pos, attrs, DEPTH, bucket=64,
+                                dtype=jnp.float32)
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32)
+    stream = codec.encode(frame, 0.002).stream
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+
+    def one(progressive):
+        (imgs, _, _), = list(serve_sequence(
+            [stream], vms, Kms, bg, width=SIZE, height=SIZE,
+            positions=[pos], bucket=64, progressive=progressive,
+            **RASTER))
+        return np.asarray(imgs)
+
+    full = one(0)
+    np.testing.assert_array_equal(one(n), full)  # same program, same k
+    coarse = one(max(n // 8, 1))
+    assert coarse.shape == full.shape
+    assert np.isfinite(coarse).all()
+    assert np.abs(coarse - full).max() > 1e-4  # detail actually truncated
+
+    sc = SequenceCodec(DEPTH, gop=8, adaptive=False, dtype=jnp.float32)
+    streams, _ = sc.encode_sequence([frame, frame], steps=0.002)
+    with pytest.raises(ValueError, match="all-intra"):
+        list(serve_sequence(streams, vms, Kms, bg, width=SIZE,
+                            height=SIZE, positions=[pos, pos], bucket=64,
+                            progressive=32, **RASTER))
