@@ -140,9 +140,21 @@ def main(argv=None) -> int:
                   chunk=128, image_dtype=image_dtype)
     t0 = time.perf_counter()
 
+    def _check_3dgs(n_channels):
+        if n_channels < 8:
+            print(
+                f"stream has {n_channels} channels; serving renders "
+                "3DGS scenes (quats/scales/opacity/SH >= 8 channels) — "
+                "decode color streams with cli.decode instead",
+                file=sys.stderr)
+            return False
+        return True
+
     if magic == TILE_MAGIC:
         with open(args.stream, "rb") as f:
             reader = TiledReader(f.read())
+        if len(reader) and not _check_3dgs(reader.tile(0).n_channels):
+            return 2
         vms, Kms = _cameras(reader.meta.vmin, float(reader.meta.width),
                             args)
         imgs, _, _, sel = serve_tiled_frame(
@@ -166,6 +178,9 @@ def main(argv=None) -> int:
                 for i, blob in enumerate(blobs):
                     tr = TiledReader(blob)
                     if vms is None:
+                        if len(tr) and not _check_3dgs(
+                                tr.tile(0).n_channels):
+                            return 2
                         vms, Kms = _cameras(tr.meta.vmin,
                                             float(tr.meta.width), args)
                     imgs, _, _, sel = serve_tiled_frame(
@@ -188,12 +203,7 @@ def main(argv=None) -> int:
             with open(args.stream, "rb") as f:
                 streams = [FrameStream.from_bytes(f.read())]
         s0 = streams[0]
-        if s0.n_channels < 8:
-            print(
-                f"stream has {s0.n_channels} channels; serving renders "
-                "3DGS scenes (quats/scales/opacity/SH >= 8 channels) — "
-                "decode color streams with cli.decode instead",
-                file=sys.stderr)
+        if not _check_3dgs(s0.n_channels):
             return 2
         vms, Kms = _cameras(np.asarray(s0.vmin), float(s0.width), args)
         positions = (None if args.positions is None
