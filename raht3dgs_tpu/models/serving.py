@@ -563,18 +563,14 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
 # ---------------------------------------------------------------------------
 # Sequence serving: streaming playback of .r3ts with device-resident state
 
-@partial(jax.jit, static_argnames=(
-    "depth", "probes", "order_mode", "quant_mode", "width", "height",
-    "sh_degree", "tile", "max_tiles_per_gauss", "max_per_tile", "chunk",
-    "image_dtype"))
-def _serve_seq_step(vals_T, codes, weights, nvox, steps, mv, prev_codes,
-                    prev_attrs, prev_weights, predict_mask, voxel_size,
-                    vmin, viewmats, Ks, bg, *, depth: int, probes: int,
-                    order_mode: str, quant_mode: str, rec_delta=0.0,
-                    width: int, height: int, sh_degree: int = 3,
-                    tile: int = 16, max_tiles_per_gauss: int = 16,
-                    max_per_tile: int = 8192, chunk: int = 128,
-                    image_dtype=jnp.float32):
+def _seq_step_body(vals_T, codes, weights, nvox, steps, mv, prev_codes,
+                   prev_attrs, prev_weights, predict_mask, voxel_size,
+                   vmin, viewmats, Ks, bg, *, depth: int, probes: int,
+                   order_mode: str, quant_mode: str, rec_delta=0.0,
+                   width: int, height: int, sh_degree: int = 3,
+                   tile: int = 16, max_tiles_per_gauss: int = 16,
+                   max_per_tile: int = 8192, chunk: int = 128,
+                   image_dtype=jnp.float32):
     """One playback frame: residual decode (+ motion-compensated
     prediction from the device-resident previous reconstruction for
     inter frames), scene build, and the V-view render — ONE dispatch.
@@ -632,10 +628,52 @@ def _serve_seq_step(vals_T, codes, weights, nvox, steps, mv, prev_codes,
     return imgs, dups, tiles, attrs
 
 
+_serve_seq_step = partial(jax.jit, static_argnames=(
+    "depth", "probes", "order_mode", "quant_mode", "width", "height",
+    "sh_degree", "tile", "max_tiles_per_gauss", "max_per_tile", "chunk",
+    "image_dtype"))(_seq_step_body)
+
+
+@lru_cache(maxsize=16)
+def _sharded_seq_program(mesh, axis, depth, probes, order_mode,
+                         quant_mode, width, height, sh_degree, tile,
+                         max_tiles_per_gauss, max_per_tile, chunk,
+                         image_dtype, variant):
+    """Playback step with the view scan sharded over ``mesh[axis]``.
+
+    The decode (and the carried reconstruction) is replicated per device
+    — the same work one chip pays — while each device renders V/ndev
+    views; zero collectives, same stance as ``serve_views_sharded``.
+    ``variant`` keys the cache on the (inter, predicted) pytree shape of
+    the replicated operand tuple."""
+    rep, sv = P(), P(axis)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(rep, sv, sv, rep),
+             out_specs=(sv, sv, sv, rep),
+             check_vma=False)
+    def run(ops, vms, Kms, bg):
+        (vals_T, codes, weights, nvox, steps, mv, pc, pa, pw, pm,
+         voxel_size, vmin, rec_delta) = ops
+        return _seq_step_body(
+            vals_T, codes, weights, nvox, steps, mv, pc, pa, pw, pm,
+            voxel_size, vmin, vms, Kms, bg, depth=depth, probes=probes,
+            order_mode=order_mode, quant_mode=quant_mode,
+            rec_delta=rec_delta, width=width, height=height,
+            sh_degree=sh_degree, tile=tile,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+            max_per_tile=max_per_tile, chunk=chunk,
+            image_dtype=image_dtype,
+        )
+
+    return jax.jit(run)
+
+
 def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
                    positions=None, bucket=1 << 11, progressive=0,
-                   sh_degree=3, tile=16, max_tiles_per_gauss=16,
-                   max_per_tile=8192, chunk=128, image_dtype=jnp.float32):
+                   mesh=None, axis="dp", sh_degree=3, tile=16,
+                   max_tiles_per_gauss=16, max_per_tile=8192, chunk=128,
+                   image_dtype=jnp.float32):
     """Streaming playback of a temporal sequence: yields per-frame
     rendered views with the reconstruction DEVICE-RESIDENT across frames.
 
@@ -663,6 +701,11 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
             coefficients; see ``AttributeCodec.decode_progressive``).
             Intra-only sequences: a truncated residual would corrupt the
             inter prediction chain.
+        mesh/axis: shard each frame's view scan over ``mesh[axis]``
+            (decode + carried reconstruction replicated per device, zero
+            collectives — ``serve_views_sharded``'s stance). V pads to a
+            multiple of the axis size; padding views are rendered and
+            dropped.
 
     Yields ``(images, dup_clipped, tile_clipped)`` per frame — JAX
     arrays, so the dispatch is async: a consumer that fetches frame k's
@@ -688,8 +731,19 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
         streams = SequenceReader(streams)
     if bg is None:
         bg = jnp.ones((3,), jnp.float32)
-    vms = jnp.asarray(viewmats, jnp.float32)
-    Kms = jnp.asarray(Ks, jnp.float32)
+    vms = np.asarray(viewmats, dtype=np.float32)
+    Kms = np.asarray(Ks, dtype=np.float32)
+    V = len(vms)
+    if mesh is not None:
+        ndev = mesh.shape[axis]
+        V_pad = ((V + ndev - 1) // ndev) * ndev
+        if V_pad != V:
+            vms = np.concatenate(
+                [vms, np.repeat(vms[-1:], V_pad - V, axis=0)])
+            Kms = np.concatenate(
+                [Kms, np.repeat(Kms[-1:], V_pad - V, axis=0)])
+    vms = jnp.asarray(vms)
+    Kms = jnp.asarray(Kms)
     bg = jnp.asarray(bg, jnp.float32)
 
     prev = None  # (codes_dev, attrs_dev, weights_dev)
@@ -740,18 +794,35 @@ def serve_sequence(streams, viewmats, Ks, bg=None, *, width, height,
         pc, pa, pw = prev if stream.inter else (None, None, None)
         pm = (jnp.uint32(stream.predict_mask) if stream.predict
               else None)
-        imgs, dups, tiles, attrs = _serve_seq_step(
-            upload_quantized(pack_quantized_upload(vals_T)), codes_dev,
-            weights_dev, jnp.int32(stream.n_voxels), steps, mv, pc, pa,
-            pw, pm, jnp.float32(voxel_size),
-            jnp.asarray(np.asarray(stream.vmin), jnp.float32), vms, Kms,
-            bg, depth=depth, probes=stream.probes,
-            order_mode=stream.order_mode, quant_mode=stream.quant_mode,
-            rec_delta=stream.rec_delta, width=width, height=height,
-            sh_degree=sh_degree, tile=tile,
-            max_tiles_per_gauss=max_tiles_per_gauss,
-            max_per_tile=max_per_tile, chunk=chunk,
-            image_dtype=image_dtype,
-        )
+        vals_dev = upload_quantized(pack_quantized_upload(vals_T))
+        vmin_dev = jnp.asarray(np.asarray(stream.vmin), jnp.float32)
+        if mesh is None:
+            imgs, dups, tiles, attrs = _serve_seq_step(
+                vals_dev, codes_dev, weights_dev,
+                jnp.int32(stream.n_voxels), steps, mv, pc, pa, pw, pm,
+                jnp.float32(voxel_size), vmin_dev, vms, Kms, bg,
+                depth=depth, probes=stream.probes,
+                order_mode=stream.order_mode,
+                quant_mode=stream.quant_mode,
+                rec_delta=stream.rec_delta, width=width, height=height,
+                sh_degree=sh_degree, tile=tile,
+                max_tiles_per_gauss=max_tiles_per_gauss,
+                max_per_tile=max_per_tile, chunk=chunk,
+                image_dtype=image_dtype,
+            )
+        else:
+            run = _sharded_seq_program(
+                mesh, axis, depth, stream.probes, stream.order_mode,
+                stream.quant_mode, width, height, sh_degree, tile,
+                max_tiles_per_gauss, max_per_tile, chunk, image_dtype,
+                (stream.inter, stream.predict),
+            )
+            ops = (vals_dev, codes_dev, weights_dev,
+                   jnp.int32(stream.n_voxels), steps, mv, pc, pa, pw,
+                   pm, jnp.float32(voxel_size), vmin_dev,
+                   jnp.float32(stream.rec_delta))
+            with mesh:
+                imgs, dups, tiles, attrs = run(ops, vms, Kms, bg)
+            imgs, dups, tiles = imgs[:V], dups[:V], tiles[:V]
         prev = (codes_dev, attrs, weights_dev)
         yield imgs, dups, tiles

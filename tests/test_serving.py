@@ -668,3 +668,53 @@ def test_serve_sequence_progressive_prefix(rng):
         list(serve_sequence(streams, vms, Kms, bg, width=SIZE,
                             height=SIZE, positions=[pos, pos], bucket=64,
                             progressive=32, **RASTER))
+
+
+def test_serve_sequence_view_sharded(rng):
+    """serve_sequence(mesh=...) shards each frame's view scan over the
+    mesh axis; images must match the unsharded playback (different XLA
+    program — 1-ulp fusion differences, atol 1e-5), V padding views
+    dropped, on both intra and inter frames."""
+    from raht3dgs_tpu.models.serving import serve_sequence
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+    from raht3dgs_tpu.parallel import make_mesh
+
+    side = 2 ** DEPTH
+    pts = rng.integers(2, side - 4, size=(1400, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:260]
+    base = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(base)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.06, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    )
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+    positions = [base, np.clip(base + [0, 1, 1], 0, side - 1)]
+    frames = [
+        prepare_voxel_frame(p, attrs, DEPTH, bucket=64, dtype=jnp.float32)
+        for p in positions
+    ]
+    sc = SequenceCodec(DEPTH, gop=8, adaptive=False, dtype=jnp.float32)
+    streams, _ = sc.encode_sequence(frames, steps=0.002)
+    assert streams[1].inter
+
+    vms, Kms = _cameras(3)  # 3 views over an 8-way axis: padding dropped
+    bg = jnp.ones((3,), jnp.float32)
+    plain = list(serve_sequence(
+        streams, vms, Kms, bg, width=SIZE, height=SIZE,
+        positions=positions, bucket=64, **RASTER))
+    mesh = make_mesh(8)
+    sharded = list(serve_sequence(
+        streams, vms, Kms, bg, width=SIZE, height=SIZE,
+        positions=positions, bucket=64, mesh=mesh, **RASTER))
+    assert len(sharded) == len(plain) == 2
+    for (a, _, _), (b, _, _) in zip(plain, sharded):
+        assert np.asarray(b).shape == (3, SIZE, SIZE, 3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5)
