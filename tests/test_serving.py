@@ -718,3 +718,68 @@ def test_serve_sequence_view_sharded(rng):
         assert np.asarray(b).shape == (3, SIZE, SIZE, 3)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5)
+
+
+def test_serve_sequence_cross_size_frames(rng):
+    """Playback across frames with DIFFERENT voxel counts: the padded
+    shapes change between frames (new step signature), and the inter
+    prediction spans previous arrays of a different length — serving
+    pads each frame independently of the encoder's shared bucket, which
+    is sound because padding is algebraically invisible to the decode.
+    Images must still match the normative closed loop."""
+    from raht3dgs_tpu.models.serving import (
+        _render_scene_views,
+        _scene_from_attrs,
+        serve_sequence,
+    )
+    from raht3dgs_tpu.models.temporal import SequenceCodec
+
+    side = 2 ** DEPTH
+    pts = rng.integers(2, side - 3, size=(1600, 3))
+    codes = np.unique(morton_codes_np(pts, DEPTH))[:280]
+    base = np.asarray(
+        morton_decode(jnp.asarray(codes.astype(np.int32)), DEPTH))
+    n = len(base)
+    attrs = np.concatenate(
+        [
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.02, 0.06, (n, 3)),
+            rng.uniform(0.3, 1.0, (n, 1)),
+            rng.normal(0, 0.3, (n, 48)),
+        ],
+        axis=1,
+    )
+    attrs[:, 0:4] /= np.linalg.norm(attrs[:, 0:4], axis=1, keepdims=True)
+    # frame 1 keeps only the first 130 voxels (content appears/disappears
+    # between frames -> different n_voxels, different serving pad P)
+    n1 = 130
+    positions = [base, np.clip(base[:n1] + [1, 0, 0], 0, side - 1)]
+    attr_seq = [attrs, attrs[:n1]]
+    # encoder contract: shared bucket across the sequence
+    frames = [
+        prepare_voxel_frame(p, a, DEPTH, bucket=512, dtype=jnp.float32)
+        for p, a in zip(positions, attr_seq)
+    ]
+    sc = SequenceCodec(DEPTH, gop=8, adaptive=False, dtype=jnp.float32)
+    streams, _ = sc.encode_sequence(frames, steps=0.002)
+    assert streams[1].inter
+
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    served = list(serve_sequence(
+        streams, vms, Kms, bg, width=SIZE, height=SIZE,
+        positions=positions, bucket=64, **RASTER,  # 320 then 192 slots
+    ))
+    recons = sc.decode_sequence(streams, frames)
+    voxel_size = jnp.float32(frames[0].width / side)
+    vmin = jnp.asarray(frames[0].vmin, jnp.float32)
+    for (imgs, _, _), frame, rec in zip(served, frames, recons):
+        full = np.zeros((frame.codes.shape[0], rec.shape[1]))
+        full[: frame.n_voxels] = rec
+        scene = _scene_from_attrs(
+            jnp.asarray(full, jnp.float32), frame.codes, frame.weights,
+            voxel_size, vmin, DEPTH)
+        ref, _, _ = _render_scene_views(
+            scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
+        np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
+                                   atol=2e-4)
