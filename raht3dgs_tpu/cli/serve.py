@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="tiled serving: widen brick boxes by this many world units "
         "before the frustum cull (~3x the largest splat scale for "
         "exactly-matching renders; 0 culls on voxel extents)")
+    p.add_argument(
+        "--roi", type=int, nargs=6, default=None,
+        metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
+        help="tiled serving: serve only the bricks intersecting this "
+        "half-open voxel box instead of frustum-culling (decode --roi's "
+        "selection, rendered)")
     p.add_argument("--max-per-tile", type=int, default=8192,
                    help="rasterizer per-tile capacity")
     p.add_argument("--sh-degree", type=int, default=3)
@@ -157,10 +163,12 @@ def main(argv=None) -> int:
             return 2
         vms, Kms = _cameras(reader.meta.vmin, float(reader.meta.width),
                             args)
+        bricks = (reader.select_roi(args.roi[:3], args.roi[3:])
+                  if args.roi else None)
         imgs, _, _, sel = serve_tiled_frame(
             reader, vms, Kms, width=args.size, height=args.size,
             positions=_positions_for(args, 0), margin=args.margin,
-            **raster,
+            bricks=bricks, **raster,
         )
         written = _write_views(out_dir, 0, imgs, args.u8)
         rec = {"frames": 1, "views": args.views, "container": "r3tt",
@@ -186,7 +194,9 @@ def main(argv=None) -> int:
                     imgs, _, _, sel = serve_tiled_frame(
                         tr, vms, Kms, width=args.size, height=args.size,
                         positions=_positions_for(args, i),
-                        margin=args.margin, **raster,
+                        margin=args.margin,
+                        bricks=(tr.select_roi(args.roi[:3], args.roi[3:])
+                                if args.roi else None), **raster,
                     )
                     written += _write_views(out_dir, i, imgs, args.u8)
                     served += len(sel)

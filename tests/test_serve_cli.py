@@ -130,3 +130,27 @@ def test_serve_rejects_color_stream(tmp_path, capsys):
     rc = _run(["--stream", str(path), "--out", str(tmp_path / "v"), *ARGS])
     assert rc == 2
     assert "3DGS" in capsys.readouterr().err
+
+
+def test_serve_r3tt_roi(gs_scene, tmp_path, capsys):
+    """--roi maps to TiledReader.select_roi: only intersecting bricks
+    decode, and the render still succeeds on the subset scene."""
+    from raht3dgs_tpu.models.tiling import TiledReader, encode_tiled_frame
+
+    pos, attrs = gs_scene
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32)
+    blob, stats = encode_tiled_frame(
+        pos, attrs, DEPTH, 1, codec, 0.002, code_geometry=True,
+        vmin=np.array([-1.0, -1.0, -1.0]), width=2.0,
+    )
+    path = tmp_path / "frame.r3tt"
+    path.write_bytes(blob)
+    h = 2 ** (DEPTH - 1)
+    want = TiledReader(blob).select_roi((0, 0, 0), (h, h, h))
+    out = tmp_path / "views"
+    rc = _run(["--stream", str(path), "--out", str(out),
+               "--roi", "0", "0", "0", str(h), str(h), str(h), *ARGS])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["bricks_served"] == len(want) < len(stats)
+    assert len(sorted(out.glob("*.png"))) == 2
