@@ -1,0 +1,29 @@
+"""The committed README/COVERAGE headline numbers must equal what
+``scripts/update_headlines.py`` generates from the latest BENCH_r*.json —
+the benchmark artifact of record. Rounds 3 and 4 both caught hand-edited
+headline drift; this pins the single-source contract (VERDICT r4 task 6).
+"""
+
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+import update_headlines  # noqa: E402
+
+
+def test_headline_blocks_match_latest_bench_json():
+    for fname, new_text in update_headlines.render(REPO).items():
+        committed = (REPO / fname).read_text()
+        assert committed == new_text, (
+            f"{fname} headline block is stale vs the latest BENCH_r*.json; "
+            "run python scripts/update_headlines.py")
+
+
+def test_markers_present():
+    for fname, blocks in update_headlines.BLOCKS.items():
+        text = (REPO / fname).read_text()
+        for name in blocks:
+            assert f"<!-- BENCH:BEGIN {name} -->" in text
+            assert f"<!-- BENCH:END {name} -->" in text
