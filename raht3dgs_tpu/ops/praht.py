@@ -51,6 +51,7 @@ device throughput here.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -283,6 +284,10 @@ class _LevelPlan(NamedTuple):
     sqrt_pw: np.ndarray   # (M_parents, 1) sqrt parent weights, fdtype
     base_j: np.ndarray    # (M_d,) int32 parent index per child
     cands: tuple          # ((hit_rows int32, parent_idx int32, wt), ...)
+    # Native-kernel layouts (pure re-indexings of pairs/cands — the numpy
+    # fields above stay the spec; None when the plan predates them):
+    csr: Optional[tuple] = None   # (off int64 (M+1,), k int32, wt fdtype)
+    flat: Optional[tuple] = None  # (sub_off int64, i0, i1, a, b) flattened
 
 
 class PrahtPlan(NamedTuple):
@@ -345,6 +350,83 @@ def _predict_from_stencil(lv: _LevelPlan, parent_means: np.ndarray,
     return (num / den[:, None]).astype(fdtype, copy=False)
 
 
+# ---------------------------------------------------------------------------
+# Native backend dispatch. native/praht.cpp replicates the numpy spec
+# BITWISE (see its header); these wrappers pick it per call so a toolchain
+# failure or RAHT3DGS_PRAHT_NATIVE=0 degrades to the numpy path silently.
+_native_mod = None
+
+
+def _native_enabled() -> bool:
+    global _native_mod
+    if os.environ.get("RAHT3DGS_PRAHT_NATIVE", "1") in ("0", "false", ""):
+        return False
+    if _native_mod is None:
+        from raht3dgs_tpu.ops import _praht_native
+
+        _native_mod = _praht_native if _praht_native.available() else False
+    return _native_mod is not False
+
+
+def _predict_lv(lv: _LevelPlan, parent_means: np.ndarray,
+                fdtype) -> np.ndarray:
+    if lv.csr is not None and _native_enabled():
+        return _native_mod.predict(lv.base_j, *lv.csr, parent_means, fdtype)
+    return _predict_from_stencil(lv, parent_means, fdtype)
+
+
+def _forward_lv(lv: _LevelPlan, T: np.ndarray) -> np.ndarray:
+    if lv.flat is not None and _native_enabled():
+        return _native_mod.butterfly(T, *lv.flat, inverse=False)
+    return _forward3(T, lv.pairs)
+
+
+def _inverse_lv(lv: _LevelPlan, T: np.ndarray) -> np.ndarray:
+    if lv.flat is not None and _native_enabled():
+        return _native_mod.butterfly(T, *lv.flat, inverse=True)
+    return _inverse3(T, lv.pairs)
+
+
+def _csr_from_cands(M: int, cands: tuple, fdtype) -> tuple:
+    """Per-row candidate lists in the frozen stencil order (the native
+    predict kernel walks rows outer / candidates inner — each row's
+    accumulation chain is unchanged)."""
+    counts = np.zeros(M, dtype=np.int64)
+    for rows, _, _ in cands:
+        counts[rows] += 1
+    off = np.zeros(M + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    kk = np.empty(int(off[-1]), dtype=np.int32)
+    ww = np.empty(int(off[-1]), dtype=fdtype)
+    cursor = off[:-1].copy()
+    for rows, k, wt in cands:
+        pos = cursor[rows]
+        kk[pos] = k
+        ww[pos] = wt
+        cursor[rows] += 1
+    return off, kk, ww
+
+
+def _flat_from_pairs(pairs: tuple, fdtype) -> tuple:
+    """Concatenated sub-level pair arrays for the native butterfly."""
+    n = len(pairs)
+    sub_off = np.zeros(n + 1, dtype=np.int64)
+    for s, (i0, _, _, _) in enumerate(pairs):
+        sub_off[s + 1] = sub_off[s] + i0.shape[0]
+    if n == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return sub_off, z, z.copy(), np.zeros(0, fdtype), np.zeros(0, fdtype)
+    i0f = np.ascontiguousarray(np.concatenate([p[0] for p in pairs]))
+    i1f = np.ascontiguousarray(np.concatenate([p[1] for p in pairs]))
+    af = np.ascontiguousarray(
+        np.concatenate([p[2].ravel() for p in pairs]).astype(fdtype,
+                                                             copy=False))
+    bf = np.ascontiguousarray(
+        np.concatenate([p[3].ravel() for p in pairs]).astype(fdtype,
+                                                             copy=False))
+    return sub_off, i0f, i1f, af, bf
+
+
 def praht_plan(
     codes: np.ndarray,
     weights: np.ndarray,
@@ -371,7 +453,13 @@ def praht_plan(
         pairs, idx_surv = _pairings(codes_d, W_d, fdtype)
         is_ac = np.ones(codes_d.shape[0], dtype=bool)
         is_ac[idx_surv] = False
-        base_j, cands = _stencil(pcodes, codes_d, d)
+        if _native_enabled():
+            # one C pass; exact integer match of _stencil + its CSR form
+            base_j, cands, csr = _native_mod.stencil(pcodes, codes_d, d,
+                                                     fdtype)
+        else:
+            base_j, cands = _stencil(pcodes, codes_d, d)
+            csr = _csr_from_cands(codes_d.shape[0], cands, fdtype)
         levels.append(_LevelPlan(
             n_ac=codes_d.shape[0] - pcodes.shape[0],
             pairs=tuple(pairs),
@@ -381,6 +469,8 @@ def praht_plan(
             sqrt_pw=np.sqrt(pW)[:, None],
             base_j=base_j,
             cands=cands,
+            csr=csr,
+            flat=_flat_from_pairs(tuple(pairs), fdtype),
         ))
     return PrahtPlan(
         depth=depth,
@@ -411,7 +501,7 @@ def praht_true_coeffs(plan: PrahtPlan, attrs: np.ndarray):
         lv = plan.levels[d - 1]
         if lv.n_ac:
             m_true = sums[d] / plan.pyramid[d][1][:, None]
-            tt_ac.append(_forward3(m_true * lv.sq, lv.pairs)[lv.is_ac])
+            tt_ac.append(_forward_lv(lv, m_true * lv.sq)[lv.is_ac])
         else:
             tt_ac.append(None)
     return dc, tt_ac
@@ -528,8 +618,8 @@ def praht_encode(
         T_pred = None
         use_pred = False
         if n_ac:
-            pred = _predict_from_stencil(lv, m_rec, fdtype)
-            T_pred = _forward3(pred * lv.sq, lv.pairs)
+            pred = _predict_lv(lv, m_rec, fdtype)
+            T_pred = _forward_lv(lv, pred * lv.sq)
             q_pred = _quantize_np(
                 tt_ac[d - 1] - T_pred[lv.is_ac], st, quant_mode, f
             )
@@ -551,7 +641,7 @@ def praht_encode(
             deq = _dequantize_np(q, st, quant_mode, dl, fdtype)
             T_rec[lv.is_ac] = (T_pred[lv.is_ac] + deq) if use_pred else deq
         T_rec[lv.idx_surv] = lv.sqrt_pw * m_rec
-        m_rec = _inverse3(T_rec, lv.pairs) / lv.sq
+        m_rec = _inverse_lv(lv, T_rec) / lv.sq
         if d == depth:
             rec = m_rec
     if pos != N:
@@ -619,14 +709,14 @@ def praht_decode(
                 sym[pos : pos + n_ac], st, quant_mode, dl, fdtype
             )
             if predict_mask >> (d - 1) & 1:
-                pred = _predict_from_stencil(lv, m_rec, fdtype)
-                T_pred = _forward3(pred * lv.sq, lv.pairs)
+                pred = _predict_lv(lv, m_rec, fdtype)
+                T_pred = _forward_lv(lv, pred * lv.sq)
                 T_rec[lv.is_ac] = T_pred[lv.is_ac] + deq
             else:
                 T_rec[lv.is_ac] = deq
             pos += n_ac
         T_rec[lv.idx_surv] = lv.sqrt_pw * m_rec
-        m_rec = _inverse3(T_rec, lv.pairs) / lv.sq
+        m_rec = _inverse_lv(lv, T_rec) / lv.sq
     if lod_depth is None:
         return np.asarray(m_rec)
     return plan.pyramid[target][0], np.asarray(m_rec), np.asarray(
