@@ -387,11 +387,13 @@ def visible_bricks(reader, viewmats, Ks, width, height, *,
     return sel
 
 
-@partial(jax.jit, static_argnames=("depth", "parts", "order_mode",
-                                   "quant_mode"))
+@partial(jax.jit, static_argnames=("depth", "parts", "predicted",
+                                   "order_mode", "quant_mode"))
 def _decode_bricks_device(vals_flat, codes_flat, weights_flat, nvox_K,
-                          steps, voxel_size, vmin, *, depth: int,
-                          parts: tuple, order_mode: str = "ragft",
+                          steps, voxel_size, vmin, pmask_K=None, *,
+                          depth: int, parts: tuple,
+                          predicted: tuple = None,
+                          order_mode: str = "ragft",
                           quant_mode: str = "mid", rec_delta=0.0):
     """Ragged-concatenated brick symbols -> one concatenated scene, in
     ONE program: per-brick inverse stream order, dequant, inverse RAHT
@@ -409,23 +411,51 @@ def _decode_bricks_device(vals_flat, codes_flat, weights_flat, nvox_K,
     the single-frame shapes XLA lowers well (batched gather/scan dims
     measured ~3x/point on the inverse — docs/roadmap.md). The program
     recompiles only when ``parts`` changes; bucket rounding keeps that
-    signature stable across nearby camera selections."""
+    signature stable across nearby camera selections.
 
-    def one(vals_T, codes, weights, nv):
+    ``predicted`` (static, per brick) switches a brick's subgraph to the
+    NON-NORMATIVE device predicted-RAHT loop (``ops/praht_device.py``) on
+    its residual symbols, with ``pmask_K[k]`` the brick's signalled
+    per-depth mask — the same serving carve-out ``serve_frame_predicted``
+    uses (attributes feed the renderer only; f32-ulp drift from the
+    frozen host loop is harmless and nothing here re-enters a closed
+    loop)."""
+
+    def one(vals_T, codes, weights, nv, pred_static, pmask):
         inv = _inverse_order_device(codes, weights, nv, depth, order_mode)
-        coeffs = _dequant_gather_device(
-            vals_T.astype(jnp.int32), inv, steps, jnp.float32, quant_mode,
-            jnp.asarray(rec_delta, dtype=jnp.float32),
-        )
-        attrs = raht_inverse_span(coeffs, codes, weights, depth)
+        if pred_static:
+            from raht3dgs_tpu.ops.praht_device import (
+                praht_device_decode,
+                praht_device_plan,
+            )
+            from raht3dgs_tpu.ops.raht_span import raht_structure_span
+
+            structure = raht_structure_span(codes, weights, depth)
+            plan = praht_device_plan(codes, weights, depth,
+                                     structure.drop_level,
+                                     structure.subtree_w)
+            attrs = praht_device_decode(
+                plan, codes, weights, vals_T.astype(jnp.int32).T[inv],
+                pmask, depth, steps, quant_mode=quant_mode,
+                rec_delta=rec_delta, fdtype=jnp.float32,
+            )
+        else:
+            coeffs = _dequant_gather_device(
+                vals_T.astype(jnp.int32), inv, steps, jnp.float32,
+                quant_mode, jnp.asarray(rec_delta, dtype=jnp.float32),
+            )
+            attrs = raht_inverse_span(coeffs, codes, weights, depth)
         return _scene_from_attrs(attrs, codes, weights, voxel_size, vmin,
                                  depth)
 
+    if predicted is None:
+        predicted = (False,) * len(parts)
     outs, off = [], 0
     for k, Pk in enumerate(parts):
         sl = slice(off, off + Pk)
         outs.append(one(vals_flat[:, sl], codes_flat[sl],
-                        weights_flat[sl], nvox_K[k]))
+                        weights_flat[sl], nvox_K[k], predicted[k],
+                        None if pmask_K is None else pmask_K[k]))
         off += Pk
     return tuple(
         jnp.concatenate([p[f] for p in outs], axis=0) for f in range(5))
@@ -449,6 +479,10 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
     order, the same depth-sort tie order a monolithic decode yields —
     and ONE render dispatch scans all views. Pass ``bricks`` to override
     the cull (e.g. an ROI selection from ``TiledReader.select_roi``).
+    Predicted-RAHT bricks (``encode_ply --tiles --predict``) decode
+    through the non-normative device praht loop per brick, each with its
+    own signalled mask — display decode only, pinned against the
+    normative host loop in ``tests/test_serving.py``.
 
     Returns ``(images (V, H, W, 3), dup_clipped (V,), tile_clipped (V,),
     selected_brick_indices)``.
@@ -493,10 +527,6 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
     host = []
     for i in sorted(sel):
         stream = reader.tile(i)
-        if stream.predict:
-            raise NotImplementedError(
-                "tiled serving of predicted-RAHT bricks: use "
-                "serve_frame_predicted on a monolithic stream")
         if stream.geometry is not None:
             Vt = positions_from_geometry(stream.geometry, depth,
                                          stream.n_voxels)
@@ -540,14 +570,21 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
     steps = jnp.asarray(
         np.atleast_1d(np.asarray(stream0.steps, dtype=np.float32)))
     cdt_all = np.dtype(code_dtype(depth, max(parts)))
+    # predicted bricks (``--tiles --predict``) run the non-normative
+    # device praht loop per brick; masks are per-brick signalled values
+    predicted = tuple(bool(st.predict) for st, _ in host)
+    pmask_K = jnp.asarray(
+        np.asarray([st.predict_mask or 0 for st, _ in host],
+                   dtype=np.uint32))
     scene = _decode_bricks_device(
         upload_quantized(pack_quantized_upload(
             np.concatenate(vals_K, axis=1))),
         jnp.asarray(np.concatenate(codes_K).astype(cdt_all)),
         jnp.asarray(np.concatenate(weights_K)),
         jnp.asarray(np.asarray(nvox_K, dtype=np.int32)), steps,
-        jnp.float32(voxel_size), jnp.asarray(vmin, jnp.float32),
-        depth=depth, parts=parts, order_mode=stream0.order_mode,
+        jnp.float32(voxel_size), jnp.asarray(vmin, jnp.float32), pmask_K,
+        depth=depth, parts=parts, predicted=predicted,
+        order_mode=stream0.order_mode,
         quant_mode=stream0.quant_mode, rec_delta=stream0.rec_delta,
     )
     imgs, dups, tiles = _render_scene_views(

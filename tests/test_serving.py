@@ -400,6 +400,66 @@ def test_serve_tiled_matches_host_composed_render(rng):
     assert int(np.asarray(dups).sum()) == 0
 
 
+def test_serve_tiled_predicted_matches_host_decode(rng):
+    """Predicted-RAHT tiled bricks (--tiles --predict) serve through the
+    per-brick device praht loop; images must match rendering the
+    NORMATIVE host tiled decode (non-normative display decode — f32-ulp
+    agreement, not bitwise). Composes the two round-4 capstones."""
+    from raht3dgs_tpu.models.serving import (
+        _render_scene_views,
+        serve_tiled_frame,
+    )
+    from raht3dgs_tpu.models.tiling import (
+        TiledReader,
+        decode_tiled_frame,
+        encode_tiled_frame,
+    )
+
+    V, attrs = _two_octant_gs_frame(rng)
+    codec = AttributeCodec(DEPTH, dtype=jnp.float32, predict=True,
+                           predict_impl="host")
+    blob, stats = encode_tiled_frame(
+        V, attrs, DEPTH, 1, codec, 0.002, code_geometry=True,
+        vmin=np.array([-1.0, -1.0, -1.0]), width=2.0,
+    )
+    reader = TiledReader(blob)
+    assert all(reader.tile(i).predict for i in range(len(reader)))
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+
+    imgs, dups, tiles, sel = serve_tiled_frame(
+        blob, vms, Kms, bg, width=SIZE, height=SIZE, bucket=64,
+        margin=4.0, **RASTER,
+    )
+    assert sel == list(range(len(stats)))
+
+    # golden: normative host tiled decode -> scene -> same render program
+    Vd, Ad = decode_tiled_frame(blob, dtype=jnp.float32)
+    voxel_size = 2.0 / 2 ** DEPTH
+    means = (Vd.astype(np.float64) + 0.5) * voxel_size + \
+        np.array([-1.0, -1.0, -1.0])
+    scene = (
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(Ad[:, 0:4], jnp.float32),
+        jnp.asarray(np.maximum(Ad[:, 4:7], 1e-5), jnp.float32),
+        jnp.asarray(np.clip(Ad[:, 7], 0.0, 1.0), jnp.float32),
+        jnp.asarray(Ad[:, 8:].reshape(len(Vd), -1, 3), jnp.float32),
+    )
+    ref, _, _ = _render_scene_views(
+        scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
+                               atol=1e-4)
+    assert int(np.asarray(dups).sum()) == 0
+
+    # ROI subset: predicted bricks honor an explicit brick override too
+    sub = sel[:1]
+    imgs_roi, _, _, sel_roi = serve_tiled_frame(
+        blob, vms, Kms, bg, width=SIZE, height=SIZE, bucket=64,
+        bricks=sub, **RASTER)
+    assert sel_roi == sub
+    assert imgs_roi.shape == imgs.shape
+
+
 def test_visible_bricks_culls_behind_camera(rng):
     from raht3dgs_tpu.eval.cameras import look_at_w2c
     from raht3dgs_tpu.models.serving import serve_tiled_frame, visible_bricks
