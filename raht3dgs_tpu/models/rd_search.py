@@ -37,6 +37,11 @@ class RateSearchResult:
     target_bpp: float
     encoded: EncodedFrame
     probes: int
+    # true-encode refinements actually run (the expensive leg — each is a
+    # full host entropy encode, and for predict=True the praht closed
+    # loop). Tracked so the rate model's seed quality is measurable per
+    # stream family (docs/rate_control.md quantifies predicted vs plain).
+    true_encodes: int = 1
 
 
 # The surrogate over-estimates the adaptive coder by a stable factor
@@ -89,6 +94,7 @@ def search_step_for_bpp(
     step = float(grid[int(np.argmax(fits))]) if fits.any() else hi
 
     # refine against true encodes
+    true_encodes = 1
     enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     for _ in range(refine):
         actual = enc.stream.bpp()
@@ -101,10 +107,12 @@ def search_step_for_bpp(
         if new_step == step:
             break  # pinned at a bound: re-encoding is byte-identical
         step = new_step
+        true_encodes += 1
         enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     # guarantee the budget if possible
     while enc.stream.bpp() > target_bpp and step < hi:
         step = float(min(step * 1.3, hi))
+        true_encodes += 1
         enc = codec.encode(frame, steps=steps_fn(step), coeffs=coeffs, order=order)
     return RateSearchResult(
         step=float(step),
@@ -112,6 +120,7 @@ def search_step_for_bpp(
         target_bpp=target_bpp,
         encoded=enc,
         probes=probes,
+        true_encodes=true_encodes,
     )
 
 

@@ -322,6 +322,32 @@ def _render_scene_views(scene, viewmats, Ks, bg, *, width, height,
     return imgs, dups, tiles
 
 
+@lru_cache(maxsize=16)
+def _sharded_scene_render_program(mesh, axis, width, height, sh_degree,
+                                  tile, max_tiles_per_gauss, max_per_tile,
+                                  chunk, image_dtype):
+    """Render an already-decoded scene with views sharded over
+    ``mesh[axis]`` — scene replicated per device, zero collectives (the
+    ``serve_views_sharded`` stance, but starting from scene arrays so the
+    tiled multi-brick decode's output can feed it directly)."""
+    rep, sv = P(), P(axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(rep, sv, sv, rep),
+             out_specs=(sv, sv, sv), check_vma=False)
+    def run(scene, vms, Kms, bg):
+        imgs, dups, tiles = _render_views(
+            scene, vms, Kms, bg, width=width, height=height,
+            sh_degree=sh_degree, tile=tile,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+            max_per_tile=max_per_tile, chunk=chunk,
+        )
+        if image_dtype != jnp.float32:
+            imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(image_dtype)
+        return imgs, dups, tiles
+
+    return jax.jit(run)
+
+
 def visible_bricks(reader, viewmats, Ks, width, height, *,
                    voxel_size=None, vmin=None, near=1e-6,
                    margin=0.0):
@@ -463,8 +489,8 @@ def _decode_bricks_device(vals_flat, codes_flat, weights_flat, nvox_K,
 
 def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
                       positions=None, bricks=None, bucket=1 << 10,
-                      margin=0.0, sh_degree=3, tile=16,
-                      max_tiles_per_gauss=16, max_per_tile=8192,
+                      margin=0.0, mesh=None, axis="dp", sh_degree=3,
+                      tile=16, max_tiles_per_gauss=16, max_per_tile=8192,
                       chunk=128, image_dtype=jnp.float32):
     """Serve views straight from an ``.r3tt`` tiled 3DGS frame, decoding
     ONLY the bricks the cameras can see.
@@ -483,6 +509,11 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
     through the non-normative device praht loop per brick, each with its
     own signalled mask — display decode only, pinned against the
     normative host loop in ``tests/test_serving.py``.
+
+    ``mesh``/``axis`` shard the view render over ``mesh[axis]`` (brick
+    decode + concatenated scene replicated per device, zero collectives
+    — the ``serve_sequence(mesh=)`` stance); V pads to a multiple of the
+    axis size, padding views rendered and dropped.
 
     Returns ``(images (V, H, W, 3), dup_clipped (V,), tile_clipped (V,),
     selected_brick_indices)``.
@@ -587,14 +618,32 @@ def serve_tiled_frame(data, viewmats, Ks, bg=None, *, width, height,
         order_mode=stream0.order_mode,
         quant_mode=stream0.quant_mode, rec_delta=stream0.rec_delta,
     )
-    imgs, dups, tiles = _render_scene_views(
-        scene, jnp.asarray(viewmats, jnp.float32),
-        jnp.asarray(Ks, jnp.float32), jnp.asarray(bg, jnp.float32),
-        width=width, height=height, sh_degree=sh_degree, tile=tile,
-        max_tiles_per_gauss=max_tiles_per_gauss,
-        max_per_tile=max_per_tile, chunk=chunk, image_dtype=image_dtype,
-    )
-    return imgs, dups, tiles, sorted(sel)
+    if mesh is None:
+        imgs, dups, tiles = _render_scene_views(
+            scene, jnp.asarray(viewmats, jnp.float32),
+            jnp.asarray(Ks, jnp.float32), jnp.asarray(bg, jnp.float32),
+            width=width, height=height, sh_degree=sh_degree, tile=tile,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+            max_per_tile=max_per_tile, chunk=chunk,
+            image_dtype=image_dtype,
+        )
+        return imgs, dups, tiles, sorted(sel)
+    ndev = mesh.shape[axis]
+    vms = np.asarray(viewmats, dtype=np.float32)
+    Kms = np.asarray(Ks, dtype=np.float32)
+    V = len(vms)
+    V_pad = ((V + ndev - 1) // ndev) * ndev
+    if V_pad != V:
+        vms = np.concatenate([vms, np.repeat(vms[-1:], V_pad - V, axis=0)])
+        Kms = np.concatenate([Kms, np.repeat(Kms[-1:], V_pad - V, axis=0)])
+    run = _sharded_scene_render_program(
+        mesh, axis, width, height, sh_degree, tile, max_tiles_per_gauss,
+        max_per_tile, chunk, image_dtype)
+    with mesh:
+        imgs, dups, tiles = run(scene, jnp.asarray(vms),
+                                jnp.asarray(Kms),
+                                jnp.asarray(bg, jnp.float32))
+    return imgs[:V], dups[:V], tiles[:V], sorted(sel)
 
 
 # ---------------------------------------------------------------------------

@@ -251,3 +251,40 @@ def test_cbr_gop_segments_independent(rng):
         seg = spends[g0:g0 + gop]
         for k in range(len(seg)):
             assert np.mean(seg[: k + 1]) <= target * 1.001, (g0, k, seg)
+
+
+def test_rate_search_predicted_seed_cost(rng):
+    """Rate-model honesty for predicted streams (VERDICT r4 task 9): the
+    device rate model seeds from PLAIN-transform statistics, but a
+    predicted stream's rate is lower (that is the point), so the seed step
+    overshoots quality headroom and the ratio-refine loop must absorb the
+    bias with extra true encodes. Pin that the search still lands in
+    budget and that the extra refinement cost stays bounded (measured
+    numbers recorded in docs/rd_ratecontrol.md)."""
+    depth = 6
+    pts, _, _ = unique_voxel_cloud(rng, 2500, depth)
+    # smooth content so prediction actually engages (noise turns it off
+    # and the two searches degenerate to the same statistics)
+    attrs = np.stack([
+        np.sin(pts[:, 0] / 6.0) * 90 + 120,
+        (pts[:, 1] * 2.5 + pts[:, 2]) % 200,
+        np.cos(pts[:, 2] / 9.0) * 70 + 100,
+    ], axis=1).astype(np.float64)
+    frame = prepare_voxel_frame(pts.astype(np.int64), attrs, depth,
+                                bucket=1024)
+    plain = AttributeCodec(depth)
+    pred = AttributeCodec(depth, predict=True, predict_impl="host")
+
+    mid = plain.encode(frame, steps=8.0).stream.bpp()
+    counts = {}
+    for name, codec in (("plain", plain), ("predict", pred)):
+        res = search_step_for_bpp(frame, mid * 1.1, codec=codec)
+        assert res.bpp <= mid * 1.1 * 1.001, (name, res.bpp)
+        counts[name] = res.true_encodes
+        if name == "predict":
+            assert res.encoded.stream.predict
+    # the predicted search may pay extra refinements for the plain-stat
+    # seed, but the ratio loop must keep it bounded — a blowup here means
+    # the model seed has become useless for predicted streams
+    assert counts["predict"] <= counts["plain"] + 4, counts
+    assert counts["plain"] <= 8, counts
