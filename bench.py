@@ -43,6 +43,13 @@ PAD_TO = 1 << 19  # 524288-slot bucket
 REFERENCE_CPU_MPTS = 0.997        # prelude+RAHT+iRAHT roundtrip
 REFERENCE_CPU_E2E_MPTS = 0.892    # + quant, reorder, RLGR enc+dec, dequant
 REFERENCE_CPU_E2E_J18_MPTS = 0.467  # same e2e leg at the reference's J=18
+# Amortized 11-step RD sweep — the reference drivers' ACTUAL per-frame
+# workload (encode_ply.py:102-222: transform once, then per step quant +
+# reorder + RLGR enc+dec + dequant + iRAHT). (frame, step) points/s,
+# same-machine denominators via scripts/measure_reference_cpu.py "sweep".
+REFERENCE_CPU_SWEEP_MPTS = None       # filled after measurement below
+REFERENCE_CPU_SWEEP_J18_MPTS = None
+SWEEP_GRID = (1.0, 2.0, 4.0, 6.0, 8.0, 12.0, 16.0, 20.0, 24.0, 32.0, 64.0)
 E2E_STEP = 16.0                   # mid-grid reference operating point
 WARMUP = 2
 ITERS = 3
@@ -261,9 +268,22 @@ def main() -> None:
         nvox_j = jnp.int32(n_real)
 
         def e2e_burst():
+            # Threaded pipeline (round 5): the round-4 serial drain left
+            # the wire idle during host entropy and the up-wire serial to
+            # the down-wire; scripts/exp_e2e_schedule.py measured the
+            # tunnel PARTIALLY DUPLEX (down+up concurrently ~127 ms vs
+            # 178 serial at J=10) and host threads overlapping both
+            # directions. Schedule: a FETCH thread drains symbol fetches
+            # back-to-back (window via queue size), the MAIN thread runs
+            # host entropy, an UPLOAD thread packs + uploads + dispatches
+            # the decode programs in FIFO order (device stream order =
+            # dispatch order, so a scalar from the last frame's output
+            # still bounds the burst). Byte-equality with the serial
+            # codec API is asserted below — same programs, same streams.
+            import queue as _queue
+            import threading as _threading
+
             narrow = _narrow_fetch_enabled()
-            # dispatch every frame's transform+quant program up front
-            # (async)
             pend = []
             for _ in range(E2E_BURST):
                 coeffs, order, _ = _transform_device(
@@ -271,20 +291,40 @@ def main() -> None:
                 q_T = _quant_reorder_device(
                     coeffs, steps_1, order, nvox_j, codec.quant_mode, qf_j)
                 pend.append((q_T, _fetch_stats(q_T) if narrow else None))
-            # drain: windowed async symbol fetches; per frame, host entropy
-            # encode -> host entropy decode -> narrowed upload -> device
-            # dequant+inverse dispatch (async)
-            stream = rec = None
-            fetches = []
-            i = 0
-            done = 0
-            while done < len(pend):
-                while len(fetches) < E2E_WINDOW and i < len(pend):
-                    q_T, st = pend[i]
-                    fetches.append(_start_fetch(
-                        q_T, np.asarray(st) if st is not None else None))
-                    i += 1
-                q_np = _finish_fetch(fetches.pop(0))
+
+            fetched = _queue.Queue(maxsize=E2E_WINDOW)
+            to_upload = _queue.Queue()
+            out = {}
+
+            def fetcher():
+                for q_T, st in pend:
+                    p = _start_fetch(
+                        q_T, np.asarray(st) if st is not None else None)
+                    fetched.put(_finish_fetch(p))
+
+            def uploader():
+                rec = None
+                for _ in range(E2E_BURST):
+                    vals_T = to_upload.get()
+                    inv = _inverse_order_device(
+                        codes_j, weights_j, nvox_j, depth,
+                        codec.order_mode)
+                    coeffs_d = _dequant_gather_device(
+                        upload_quantized(pack_quantized_upload(vals_T)),
+                        inv, steps_j, jnp.float32, codec.quant_mode,
+                    )
+                    rec = _inverse_device(coeffs_d, codes_j, weights_j,
+                                          depth)
+                float(rec[0, 0])  # bounds the whole burst (in-order)
+                out["rec"] = rec
+
+            tf = _threading.Thread(target=fetcher)
+            tu = _threading.Thread(target=uploader)
+            tf.start()
+            tu.start()
+            stream = None
+            for _ in range(E2E_BURST):
+                q_np = fetched.get()
                 stream, _ = build_entropy_stream(
                     q_np, frame, E2E_STEP, depth=depth,
                     order_mode=codec.order_mode, chunk=codec.chunk,
@@ -295,16 +335,10 @@ def main() -> None:
                 vals_T = np.zeros((stream.n_channels, PAD_TO),
                                   dtype=np.int32)
                 decode_entropy_channels(stream, stream.n_voxels, vals_T)
-                inv = _inverse_order_device(
-                    codes_j, weights_j, nvox_j, depth, stream.order_mode)
-                coeffs_d = _dequant_gather_device(
-                    upload_quantized(pack_quantized_upload(vals_T)), inv,
-                    steps_j, jnp.float32, stream.quant_mode,
-                )
-                rec = _inverse_device(coeffs_d, codes_j, weights_j, depth)
-                done += 1
-            float(rec[0, 0])  # last-only fetch: bounds the whole burst
-            return stream, rec
+                to_upload.put(vals_T)
+            tf.join()
+            tu.join()
+            return stream, out["rec"]
 
         stream, rec2 = e2e_burst()  # warmup (compiles decode programs)
         # the hand-pipelined schedule must produce the exact bytes the
@@ -420,13 +454,26 @@ def main() -> None:
                         pack_quantized_upload(vals_T)))
                 int(acc)
 
+            def wire_concurrent_leg():
+                # both directions at once, per frame — the tunnel is
+                # PARTIALLY DUPLEX (scripts/exp_e2e_schedule.py), so the
+                # schedule's true wire resource is this measured
+                # concurrent cost, not down+up summed
+                import threading as _threading
+
+                t1 = _threading.Thread(target=wire_down_leg)
+                t2 = _threading.Thread(target=wire_up_leg)
+                t1.start(); t2.start()
+                t1.join(); t2.join()
+
             for leg in (enc_leg, dec_leg, host_leg, wire_down_leg,
-                        wire_up_leg):
+                        wire_up_leg, wire_concurrent_leg):
                 leg()  # warmup (programs are cached; syncs the queue)
             t_enc, t_dec = leg_best(enc_leg), leg_best(dec_leg)
             t_host = leg_best(host_leg)
             t_down, t_up = leg_best(wire_down_leg), leg_best(wire_up_leg)
-            bound = 1.0 / max(t_enc + t_dec, t_host, t_down + t_up)
+            t_wire = leg_best(wire_concurrent_leg)
+            bound = 1.0 / max(t_enc + t_dec, t_host, t_wire)
             bound_local = 1.0 / max(t_enc + t_dec, t_host)
             rec["decomposition"] = {
                 "t_ms_per_frame": {
@@ -435,6 +482,7 @@ def main() -> None:
                     "host_entropy_encdec": round(t_host * 1e3, 2),
                     "wire_down": round(t_down * 1e3, 2),
                     "wire_up": round(t_up * 1e3, 2),
+                    "wire_concurrent": round(t_wire * 1e3, 2),
                 },
                 "pipeline_bound_mpts": round(bound * n_real / 1e6, 3),
                 "local_host_bound_mpts": round(
@@ -444,6 +492,119 @@ def main() -> None:
             }
         return rec
 
+    def run_sweep_leg(depth, codes_j, attrs_j, weights_j, n_real,
+                      baseline_mpts):
+        """Amortized 11-step RD sweep (the reference drivers' workload):
+        ONE transform + hoisted reorder, then per step an elementwise
+        quant program, the threaded fetch/entropy/upload drain, and the
+        device dequant+inverse — (frame, step) points per second."""
+        import queue as _queue
+        import threading as _threading
+
+        from raht3dgs_tpu.models.pipeline import (
+            _quant_T_device,
+            _reorder_T_device,
+        )
+
+        frame = VoxelFrame(
+            codes=codes_j, attributes=attrs_j, weights=weights_j,
+            n_voxels=n_real, depth=depth, vmin=np.zeros(3),
+            width=float(1 << depth),
+        )
+        codec = AttributeCodec(depth, dtype=jnp.float32, impl=impl)
+        qf_j = jnp.asarray(codec.quant_f, dtype=jnp.float32)
+        nvox_j = jnp.int32(n_real)
+        narrow = _narrow_fetch_enabled()
+
+        def sweep_once():
+            coeffs, order, _ = _transform_device(
+                codes_j, attrs_j, weights_j, depth, "ragft", impl)
+            cT = _reorder_T_device(coeffs, order, nvox_j)
+            pend = []
+            for s in SWEEP_GRID:
+                q_T = _quant_T_device(
+                    cT, jnp.atleast_1d(jnp.asarray(s, jnp.float32)),
+                    codec.quant_mode, qf_j)
+                pend.append((s, q_T,
+                             _fetch_stats(q_T) if narrow else None))
+
+            fetched = _queue.Queue(maxsize=E2E_WINDOW)
+            to_upload = _queue.Queue()
+            out = {}
+
+            def fetcher():
+                for _, q_T, st in pend:
+                    p = _start_fetch(
+                        q_T, np.asarray(st) if st is not None else None)
+                    fetched.put(_finish_fetch(p))
+
+            def uploader():
+                rec = None
+                inv = _inverse_order_device(
+                    codes_j, weights_j, nvox_j, depth, codec.order_mode)
+                for s, _, _ in pend:
+                    vals_T = to_upload.get()
+                    coeffs_d = _dequant_gather_device(
+                        upload_quantized(pack_quantized_upload(vals_T)),
+                        inv, jnp.asarray(s, jnp.float32), jnp.float32,
+                        codec.quant_mode,
+                    )
+                    rec = _inverse_device(coeffs_d, codes_j, weights_j,
+                                          depth)
+                float(rec[0, 0])
+                out["rec"] = rec
+
+            tf = _threading.Thread(target=fetcher)
+            tu = _threading.Thread(target=uploader)
+            tf.start()
+            tu.start()
+            mid_stream = None
+            for s, _, _ in pend:
+                q_np = fetched.get()
+                stream, _ = build_entropy_stream(
+                    q_np, frame, s, depth=depth,
+                    order_mode=codec.order_mode, chunk=codec.chunk,
+                    quant_mode=codec.quant_mode, quant_f=codec.quant_f,
+                    rec_delta=codec.rec_delta, dtype32=True,
+                    entropy=codec.entropy,
+                )
+                vals_T = np.zeros((stream.n_channels, PAD_TO),
+                                  dtype=np.int32)
+                decode_entropy_channels(stream, stream.n_voxels, vals_T)
+                to_upload.put(vals_T)
+                if s == E2E_STEP:
+                    mid_stream = stream
+            tf.join()
+            tu.join()
+            return mid_stream
+
+        mid = sweep_once()  # warmup/compile
+        # the pipelined sweep must produce the exact bytes the serial
+        # codec API does at the shared operating point
+        assert mid.to_bytes() == codec.encode(
+            frame, E2E_STEP).stream.to_bytes(), \
+            "sweep stream diverged from codec"
+
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sweep_once()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        pts = n_real * len(SWEEP_GRID)
+        mpts = pts / best / 1e6
+        rec = {
+            "value": round(mpts, 4),
+            "unit": "Mpts/s",
+            "n_steps": len(SWEEP_GRID),
+            "seconds_per_sweep": round(best, 3),
+            "depth": depth,
+        }
+        if baseline_mpts:
+            rec["vs_baseline"] = round(mpts / baseline_mpts, 2)
+            rec["baseline_mpts"] = baseline_mpts
+        return rec
+
     e2e = run_e2e_leg(DEPTH, codes_j, attrs_j, weights_j, attrs, n_real,
                       REFERENCE_CPU_E2E_MPTS)
 
@@ -451,6 +612,7 @@ def main() -> None:
     # (/root/reference/python/encode_ply.py:27); int64 code tier.
     # RAHT3DGS_BENCH_J18=0 skips it (e.g. when probing a flaky tunnel).
     e2e_j18 = None
+    codes18 = attrs18 = w18 = None
     if os.environ.get("RAHT3DGS_BENCH_J18", "1") not in ("0", "false", ""):
         codes18, attrs18, w18 = _synthetic_frame(N, 18, D_ATTR,
                                                  pad_to=PAD_TO)
@@ -461,6 +623,25 @@ def main() -> None:
             jnp.asarray(w18, dtype=jnp.float32), attrs18, n18,
             REFERENCE_CPU_E2E_J18_MPTS,
         )
+
+    # third metric: the amortized RD sweep (RAHT3DGS_BENCH_SWEEP=0 skips)
+    sweep = None
+    if os.environ.get("RAHT3DGS_BENCH_SWEEP", "1") not in ("0", "false",
+                                                           ""):
+        sweep = run_sweep_leg(DEPTH, codes_j, attrs_j, weights_j, n_real,
+                              REFERENCE_CPU_SWEEP_MPTS)
+        if codes18 is not None:
+            s18 = run_sweep_leg(
+                18, jnp.asarray(codes18),
+                jnp.asarray(attrs18, dtype=jnp.float32),
+                jnp.asarray(w18, dtype=jnp.float32), n18,
+                REFERENCE_CPU_SWEEP_J18_MPTS,
+            )
+            sweep["value_j18"] = s18["value"]
+            sweep["seconds_per_sweep_j18"] = s18["seconds_per_sweep"]
+            if "vs_baseline" in s18:
+                sweep["vs_baseline_j18"] = s18["vs_baseline"]
+                sweep["baseline_j18_mpts"] = s18["baseline_mpts"]
 
     mpts = n_real / best / 1e6
     record = {
@@ -476,6 +657,8 @@ def main() -> None:
     }
     if e2e_j18 is not None:
         record["e2e_codec_j18"] = e2e_j18
+    if sweep is not None:
+        record["sweep_codec"] = sweep
     # Last-known-good bookkeeping: the shared tunnel can wedge for hours
     # (CLAUDE.md "TPU etiquette"), so a fallback record additionally cites
     # the most recent successful on-TPU measurement from this machine —

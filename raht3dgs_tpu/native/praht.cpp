@@ -24,6 +24,7 @@
 // and no temporary (M, D) materializations in the butterflies.
 
 #include <cstdint>
+#include <cstring>
 
 namespace {
 
@@ -76,6 +77,51 @@ void butterfly_impl(std::int64_t D, std::int64_t n_sub,
         }
       }
     }
+  }
+}
+
+// One whole per-depth RECONSTRUCT step of the closed loop, fused:
+//   T = zeros(M, D)
+//   T[ac_rows]  = deq (+ T_pred[ac_rows] when predicting)
+//   T[idx_surv] = sqrt_pw * m_prev
+//   inverse butterflies in place
+//   T /= sq
+// Exactly the numpy statement sequence in ops/praht.py (praht_decode /
+// praht_encode's reconstruct half) — ac and survivor rows are disjoint,
+// every float op identical and in the same per-element order — in ONE
+// memory pass over (M, D) instead of numpy's ~6 (the body cost that
+// remained after the first round of kernels).
+template <typename F>
+void decode_step_impl(std::int64_t M, std::int64_t D, std::int64_t n_ac,
+                      const std::int32_t* ac_rows, const F* deq,
+                      const F* T_pred, std::int64_t P,
+                      const std::int32_t* idx_surv, const F* sqrt_pw,
+                      const F* m_prev, std::int64_t n_sub,
+                      const std::int64_t* sub_off, const std::int32_t* i0,
+                      const std::int32_t* i1, const F* a, const F* b,
+                      const F* sq, F* T) {
+  std::memset(T, 0, sizeof(F) * static_cast<size_t>(M) * D);
+  for (std::int64_t r = 0; r < n_ac; ++r) {
+    F* t = T + static_cast<std::int64_t>(ac_rows[r]) * D;
+    const F* d = deq + r * D;
+    if (T_pred) {
+      const F* p = T_pred + static_cast<std::int64_t>(ac_rows[r]) * D;
+      for (std::int64_t c = 0; c < D; ++c) t[c] = p[c] + d[c];
+    } else {
+      for (std::int64_t c = 0; c < D; ++c) t[c] = d[c];
+    }
+  }
+  for (std::int64_t j = 0; j < P; ++j) {
+    F* t = T + static_cast<std::int64_t>(idx_surv[j]) * D;
+    const F* m = m_prev + j * D;
+    const F w = sqrt_pw[j];
+    for (std::int64_t c = 0; c < D; ++c) t[c] = w * m[c];
+  }
+  butterfly_impl<F>(D, n_sub, sub_off, i0, i1, a, b, /*inverse=*/1, T);
+  for (std::int64_t r = 0; r < M; ++r) {
+    const F s = sq[r];
+    F* t = T + r * D;
+    for (std::int64_t c = 0; c < D; ++c) t[c] = t[c] / s;
   }
 }
 
@@ -208,6 +254,34 @@ void praht_butterfly_f64(std::int64_t D, std::int64_t n_sub,
                          const std::int32_t* i1, const double* a,
                          const double* b, int inverse, double* T) {
   butterfly_impl<double>(D, n_sub, sub_off, i0, i1, a, b, inverse, T);
+}
+
+void praht_decode_step_f32(std::int64_t M, std::int64_t D,
+                           std::int64_t n_ac, const std::int32_t* ac_rows,
+                           const float* deq, const float* T_pred,
+                           std::int64_t P, const std::int32_t* idx_surv,
+                           const float* sqrt_pw, const float* m_prev,
+                           std::int64_t n_sub, const std::int64_t* sub_off,
+                           const std::int32_t* i0, const std::int32_t* i1,
+                           const float* a, const float* b, const float* sq,
+                           float* T) {
+  decode_step_impl<float>(M, D, n_ac, ac_rows, deq, T_pred, P, idx_surv,
+                          sqrt_pw, m_prev, n_sub, sub_off, i0, i1, a, b,
+                          sq, T);
+}
+
+void praht_decode_step_f64(std::int64_t M, std::int64_t D,
+                           std::int64_t n_ac, const std::int32_t* ac_rows,
+                           const double* deq, const double* T_pred,
+                           std::int64_t P, const std::int32_t* idx_surv,
+                           const double* sqrt_pw, const double* m_prev,
+                           std::int64_t n_sub, const std::int64_t* sub_off,
+                           const std::int32_t* i0, const std::int32_t* i1,
+                           const double* a, const double* b,
+                           const double* sq, double* T) {
+  decode_step_impl<double>(M, D, n_ac, ac_rows, deq, T_pred, P, idx_surv,
+                           sqrt_pw, m_prev, n_sub, sub_off, i0, i1, a, b,
+                           sq, T);
 }
 
 }  // extern "C"

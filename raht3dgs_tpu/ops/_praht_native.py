@@ -47,6 +47,13 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, _u64p, _u64p, _u8p,
         _i32p, _i32p, _i32p, _i64p, _i64p, _i32p, _u8p]
     lib.praht_stencil.restype = None
+    for suff, fp in (("f32", _f32p), ("f64", _f64p)):
+        fn = getattr(lib, f"praht_decode_step_{suff}")
+        fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                       _i32p, fp, fp, ctypes.c_int64, _i32p, fp, fp,
+                       ctypes.c_int64, _i64p, _i32p, _i32p, fp, fp, fp,
+                       fp]
+        fn.restype = None
 
 
 _native = NativeLib(
@@ -98,6 +105,35 @@ def butterfly(T: np.ndarray, sub_off: np.ndarray, i0: np.ndarray,
     fn(out.shape[1], sub_off.shape[0] - 1, _ptr(sub_off, _i64p),
        _ptr(i0, _i32p), _ptr(i1, _i32p), _ptr(a, fp), _ptr(b, fp),
        1 if inverse else 0, _ptr(out, fp))
+    return out
+
+
+def decode_step(lv, deq: np.ndarray, T_pred, m_prev: np.ndarray,
+                fdtype) -> np.ndarray:
+    """One fused per-depth reconstruct step — bitwise equal to the numpy
+    statement sequence in ``ops.praht`` (zeros, ac/survivor scatter,
+    inverse butterflies, divide by sq)."""
+    lib = _native.load()
+    M = lv.is_ac.shape[0]
+    P = lv.idx_surv.shape[0]
+    dt = np.dtype(fdtype)
+    fp = _fp(dt)
+    deq = np.ascontiguousarray(deq, dtype=dt)
+    m_prev = np.ascontiguousarray(m_prev, dtype=dt)
+    D = m_prev.shape[1]
+    out = np.empty((M, D), dtype=dt)
+    sub_off, i0, i1, a, b = lv.flat
+    fn = (lib.praht_decode_step_f64 if fp is _f64p
+          else lib.praht_decode_step_f32)
+    tp = None
+    if T_pred is not None:
+        tp = np.ascontiguousarray(T_pred, dtype=dt)
+    fn(M, D, lv.ac_rows.shape[0], _ptr(lv.ac_rows, _i32p), _ptr(deq, fp),
+       _ptr(tp, fp) if tp is not None else None, P,
+       _ptr(lv.idx_surv, _i32p), _ptr(lv.sqrt_pw_flat, fp),
+       _ptr(m_prev, fp), sub_off.shape[0] - 1, _ptr(sub_off, _i64p),
+       _ptr(i0, _i32p), _ptr(i1, _i32p), _ptr(a, fp), _ptr(b, fp),
+       _ptr(lv.sq_flat, fp), _ptr(out, fp))
     return out
 
 

@@ -288,6 +288,9 @@ class _LevelPlan(NamedTuple):
     # fields above stay the spec; None when the plan predates them):
     csr: Optional[tuple] = None   # (off int64 (M+1,), k int32, wt fdtype)
     flat: Optional[tuple] = None  # (sub_off int64, i0, i1, a, b) flattened
+    ac_rows: Optional[np.ndarray] = None      # flatnonzero(is_ac) int32
+    sq_flat: Optional[np.ndarray] = None      # sq.ravel() contiguous
+    sqrt_pw_flat: Optional[np.ndarray] = None  # sqrt_pw.ravel() contiguous
 
 
 class PrahtPlan(NamedTuple):
@@ -387,6 +390,24 @@ def _inverse_lv(lv: _LevelPlan, T: np.ndarray) -> np.ndarray:
     return _inverse3(T, lv.pairs)
 
 
+def _reconstruct_lv(lv: _LevelPlan, deq, T_pred, m_prev: np.ndarray,
+                    fdtype, D: int) -> np.ndarray:
+    """One depth's reconstruct step: T assembly (AC rows from ``deq``
+    [+ prediction], survivor rows from the parent means), inverse
+    butterflies, divide by sq. The numpy statements below are the frozen
+    spec; the native kernel replays them bitwise in one pass."""
+    if lv.ac_rows is not None and _native_enabled():
+        return _native_mod.decode_step(lv, deq if deq is not None else
+                                       np.zeros((0, D), dtype=fdtype),
+                                       T_pred, m_prev, fdtype)
+    T_rec = np.zeros((lv.is_ac.shape[0], D), dtype=fdtype)
+    if deq is not None and lv.n_ac:
+        T_rec[lv.is_ac] = (T_pred[lv.is_ac] + deq) if T_pred is not None \
+            else deq
+    T_rec[lv.idx_surv] = lv.sqrt_pw * m_prev
+    return _inverse_lv(lv, T_rec) / lv.sq
+
+
 def _csr_from_cands(M: int, cands: tuple, fdtype) -> tuple:
     """Per-row candidate lists in the frozen stencil order (the native
     predict kernel walks rows outer / candidates inner — each row's
@@ -460,17 +481,23 @@ def praht_plan(
         else:
             base_j, cands = _stencil(pcodes, codes_d, d)
             csr = _csr_from_cands(codes_d.shape[0], cands, fdtype)
+        sq_col = np.sqrt(W_d)[:, None].astype(fdtype, copy=False)
+        pw_col = np.sqrt(pW)[:, None]
         levels.append(_LevelPlan(
             n_ac=codes_d.shape[0] - pcodes.shape[0],
             pairs=tuple(pairs),
             idx_surv=np.asarray(idx_surv, dtype=np.int32),
             is_ac=is_ac,
-            sq=np.sqrt(W_d)[:, None].astype(fdtype, copy=False),
-            sqrt_pw=np.sqrt(pW)[:, None],
+            sq=sq_col,
+            sqrt_pw=pw_col,
             base_j=base_j,
             cands=cands,
             csr=csr,
             flat=_flat_from_pairs(tuple(pairs), fdtype),
+            ac_rows=np.flatnonzero(is_ac).astype(np.int32),
+            sq_flat=np.ascontiguousarray(sq_col.ravel()),
+            sqrt_pw_flat=np.ascontiguousarray(
+                pw_col.ravel().astype(fdtype, copy=False)),
         ))
     return PrahtPlan(
         depth=depth,
@@ -636,12 +663,10 @@ def praht_encode(
             pos += n_ac
         if use_pred:
             mask |= 1 << (d - 1)
-        T_rec = np.zeros((lv.is_ac.shape[0], D), dtype=fdtype)
-        if n_ac:
-            deq = _dequantize_np(q, st, quant_mode, dl, fdtype)
-            T_rec[lv.is_ac] = (T_pred[lv.is_ac] + deq) if use_pred else deq
-        T_rec[lv.idx_surv] = lv.sqrt_pw * m_rec
-        m_rec = _inverse_lv(lv, T_rec) / lv.sq
+        deq = (_dequantize_np(q, st, quant_mode, dl, fdtype)
+               if n_ac else None)
+        m_rec = _reconstruct_lv(lv, deq, T_pred if use_pred else None,
+                                m_rec, fdtype, D)
         if d == depth:
             rec = m_rec
     if pos != N:
@@ -703,7 +728,7 @@ def praht_decode(
     for d in range(1, target + 1):
         lv = plan.levels[d - 1]
         n_ac = lv.n_ac
-        T_rec = np.zeros((lv.is_ac.shape[0], D), dtype=fdtype)
+        deq = T_pred = None
         if n_ac:
             deq = _dequantize_np(
                 sym[pos : pos + n_ac], st, quant_mode, dl, fdtype
@@ -711,12 +736,8 @@ def praht_decode(
             if predict_mask >> (d - 1) & 1:
                 pred = _predict_lv(lv, m_rec, fdtype)
                 T_pred = _forward_lv(lv, pred * lv.sq)
-                T_rec[lv.is_ac] = T_pred[lv.is_ac] + deq
-            else:
-                T_rec[lv.is_ac] = deq
             pos += n_ac
-        T_rec[lv.idx_surv] = lv.sqrt_pw * m_rec
-        m_rec = _inverse_lv(lv, T_rec) / lv.sq
+        m_rec = _reconstruct_lv(lv, deq, T_pred, m_rec, fdtype, D)
     if lod_depth is None:
         return np.asarray(m_rec)
     return plan.pyramid[target][0], np.asarray(m_rec), np.asarray(

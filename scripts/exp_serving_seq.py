@@ -119,6 +119,133 @@ def main():
     walls = play()
     per_frame = [round(w * 1e3, 1) for w in walls]
 
+    # Pipelined consumer: force frame k-1's images while the generator
+    # host-decodes frame k — the generator dispatches device programs
+    # asynchronously, so the host entropy leg overlaps the previous
+    # frame's device render. Same programs, same images; only the
+    # consumer's forcing point moves (VERDICT r4 task 5).
+    def play_pipelined():
+        t0 = time.perf_counter()
+        walls2 = []
+        prev = None
+        for imgs, dups, tiles in serve_sequence(
+                streams, viewmats, Ks, bg, width=SIZE, height=SIZE,
+                positions=lambda i: positions[i], bucket=BUCKET,
+                **RASTER):
+            if prev is not None:
+                float(prev[0, 0, 0, 0])
+                walls2.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+            prev = imgs
+        float(prev[0, 0, 0, 0])
+        walls2.append(time.perf_counter() - t0)
+        return walls2
+
+    play_pipelined()
+    walls_p = play_pipelined()
+    per_frame_p = [round(w * 1e3, 1) for w in walls_p]
+
+    # --- steady-state per-leg decomposition on the FIRST INTER frame:
+    # each leg isolated on the same data/programs the generator runs
+    # (VERDICT r4 task 5: the 383.7 ms/frame steady state was never
+    # decomposed, so the next lever was undiagnosed).
+    from raht3dgs_tpu.codec.geometry import positions_from_geometry
+    from raht3dgs_tpu.models.pipeline import (
+        decode_entropy_channels,
+        pack_quantized_upload,
+        upload_quantized,
+    )
+    from raht3dgs_tpu.models.serving import (
+        _padded_frame_np,
+        _render_views,
+        _seq_step_body,
+        _serve_seq_step,
+    )
+    from raht3dgs_tpu.models.temporal import _unpack_motion
+
+    decomp = {}
+    s1 = streams[1]
+    assert s1.inter
+    Vt1 = positions[1]
+    Pp = -((-max(len(Vt1), 1)) // BUCKET) * BUCKET
+
+    def leg(name, fn, iters=3):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        decomp[name] = round(best * 1e3, 1)
+
+    codes_p, w_p = _padded_frame_np(Vt1, DEPTH, Pp)
+    vals_T = np.zeros((s1.n_channels, Pp), dtype=np.int32)
+
+    def host_leg():
+        cp, wp = _padded_frame_np(Vt1, DEPTH, Pp)
+        decode_entropy_channels(s1, s1.n_voxels, vals_T)
+        _unpack_motion(s1.motion, cp, s1.n_voxels, Pp, DEPTH)
+
+    leg("host_pad_entropy_motion", host_leg)
+    decode_entropy_channels(s1, s1.n_voxels, vals_T)
+    mv = jnp.asarray(_unpack_motion(s1.motion, codes_p, s1.n_voxels, Pp,
+                                    DEPTH))
+
+    def upload_leg():
+        v = upload_quantized(pack_quantized_upload(vals_T))
+        c = jnp.asarray(codes_p)
+        w = jnp.asarray(w_p)
+        float(jnp.max(v).astype(jnp.float32) + c[0].astype(jnp.float32)
+              + w[0])
+
+    leg("upload", upload_leg)
+    vals_dev = upload_quantized(pack_quantized_upload(vals_T))
+    codes_dev = jnp.asarray(codes_p)
+    weights_dev = jnp.asarray(w_p)
+    steps1 = jnp.asarray(np.atleast_1d(np.asarray(s1.steps,
+                                                  dtype=np.float32)))
+    voxel_size = float(s1.width) / (1 << DEPTH)
+    # previous frame's reconstruction (device state the generator carries)
+    frames0 = frames[0]
+    rec0 = sc.decode_sequence(streams[:1], frames[:1])[0]
+    full0 = np.zeros((frames0.codes.shape[0], rec0.shape[1]), np.float32)
+    full0[: frames0.n_voxels] = rec0
+    prev_state = (jnp.asarray(frames0.codes), jnp.asarray(full0),
+                  jnp.asarray(frames0.weights))
+    step_kw = dict(depth=DEPTH, probes=s1.probes,
+                   order_mode=s1.order_mode, quant_mode=s1.quant_mode,
+                   rec_delta=s1.rec_delta, width=SIZE, height=SIZE,
+                   **RASTER)
+    vms_j = jnp.asarray(viewmats, jnp.float32)
+    Ks_j = jnp.asarray(Ks, jnp.float32)
+
+    def full_step():
+        imgs, _, _, _ = _serve_seq_step(
+            vals_dev, codes_dev, weights_dev, jnp.int32(s1.n_voxels),
+            steps1, mv, *prev_state, jnp.uint32(s1.predict_mask or 0)
+            if s1.predict else None, jnp.float32(voxel_size),
+            jnp.asarray(np.asarray(s1.vmin), jnp.float32), vms_j, Ks_j,
+            bg, **step_kw)
+        float(imgs[0, 0, 0, 0])
+
+    # decode+scene without the render: time the full step at V=1 vs V=4 —
+    # the difference isolates the per-view render scan; V=1 includes
+    # decode+predict+scene+1 view.
+    def step_v1():
+        imgs, _, _, _ = _serve_seq_step(
+            vals_dev, codes_dev, weights_dev, jnp.int32(s1.n_voxels),
+            steps1, mv, *prev_state, jnp.uint32(s1.predict_mask or 0)
+            if s1.predict else None, jnp.float32(voxel_size),
+            jnp.asarray(np.asarray(s1.vmin), jnp.float32), vms_j[:1],
+            Ks_j[:1], bg, **step_kw)
+        float(imgs[0, 0, 0, 0])
+
+    full_step(); step_v1()  # compile
+    leg("device_full_step_V%d" % VIEWS, full_step)
+    leg("device_step_V1", step_v1)
+    decomp["render_per_extra_view"] = round(
+        (decomp["device_full_step_V%d" % VIEWS] - decomp["device_step_V1"])
+        / max(VIEWS - 1, 1), 1)
+
     # normative replay: host closed-loop decode, upload recon, render
     t0 = time.perf_counter()
     recons = sc.decode_sequence(streams, frames)
@@ -148,6 +275,10 @@ def main():
         "serve_ms_per_frame": per_frame,
         "serve_steady_ms": round(float(np.mean(steady)), 1),
         "serve_fps": round(1e3 / float(np.mean(steady)), 2),
+        "serve_pipelined_ms_per_frame": per_frame_p,
+        "serve_pipelined_steady_ms": round(
+            float(np.mean(per_frame_p[1:])), 1),
+        "decomposition_ms": decomp,
         "normative_ms": {
             "host_closed_loop_decode": round(t_norm_dec * 1e3, 1),
             "upload_and_render": round(t_norm_render * 1e3, 1),

@@ -14,6 +14,11 @@ prose protocol. Two legs, mirroring the reference's own driver loop
   on contiguous numpy buffers — faster than the reference's
   pybind ``.tolist()`` crossing, so the resulting denominator is
   conservative (the true reference pays more per frame).
+- ``sweep``: the reference driver's ACTUAL per-frame workload
+  (``encode_ply.py:102-222``): prelude + forward ONCE, then the full
+  11-step quantization grid — per step quantize, RA-GFT reorder, RLGR
+  encode + decode, dequant, inverse reorder, inverse RAHT. Throughput is
+  (frame, step) points per second: ``n * n_steps / wall``.
 
 The workload is bench.py's own synthetic frame (same generator, same
 seed) so numerator and denominator see identical inputs.
@@ -101,6 +106,30 @@ def main(argv=None) -> int:
         rec = inverse_RAHT_optimized(Coeff_dec, ListC, FlagsC, weightsC)
         return rec, sum(len(b) for b in bufs)
 
+    # the reference drivers' step grid (encode_ply.py colorStep)
+    SWEEP_GRID = [1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 64]
+
+    def sweep_once():
+        ListC, FlagsC, weightsC, order_RAGFT = RAHT_param_reorder_fast(
+            Vt, origin, 2 ** args.depth, args.depth)
+        Coeff, w = RAHT2_optimized(C, ListC, FlagsC, weightsC)
+        inv_order = torch.argsort(order_RAGFT)
+        rec = None
+        for s in SWEEP_GRID:
+            Coeff_enc = torch.floor(Coeff / s + 0.5)
+            reordered = Coeff_enc.index_select(0, order_RAGFT)
+            np_coeff = reordered.to(dtype=torch.int32).numpy()
+            bufs = [rlgr_encode(np.ascontiguousarray(np_coeff[:, d]),
+                                signed=True)[0]
+                    for d in range(3)]
+            dec = np.stack(
+                [rlgr_decode(b, n, signed=True)[0] for b in bufs], axis=1)
+            Coeff_dec = torch.from_numpy(dec.astype(np.float64)) * s
+            Coeff_dec = Coeff_dec[inv_order, :]
+            rec = inverse_RAHT_optimized(Coeff_dec, ListC, FlagsC,
+                                         weightsC)
+        return rec, len(SWEEP_GRID)
+
     # warmup + sanity
     *_, Coeff, rec0 = transform_once()
     assert torch.allclose(C, rec0, rtol=1e-5, atol=1e-8), \
@@ -109,17 +138,19 @@ def main(argv=None) -> int:
     assert float(torch.abs(C - rec1).max()) <= 2 * step, \
         "reference e2e reconstruction error out of range"
 
-    for name, fn in (("transform", transform_once), ("e2e", e2e_once)):
+    for name, fn in (("transform", transform_once), ("e2e", e2e_once),
+                     ("sweep", sweep_once)):
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
         best = min(times)
+        points = n * (len(SWEEP_GRID) if name == "sweep" else 1)
         print(json.dumps({
             "leg": name, "n": n, "depth": args.depth, "step": step,
             "seconds": round(best, 4),
-            "mpts_per_s": round(n / best / 1e6, 4),
+            "mpts_per_s": round(points / best / 1e6, 4),
             "iters": args.iters,
             "torch_threads": torch.get_num_threads(),
         }))
