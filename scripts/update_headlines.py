@@ -82,16 +82,21 @@ def readme_block(rnd: int, rec: dict) -> str:
     ]
     if "sweep_codec" in rec:
         sw = rec["sweep_codec"]
+        def _vs(key):
+            return f" ({sw[key]:.1f}×)" if key in sw else ""
         lines.append(
             f"- Amortized RD sweep ({sw['n_steps']}-step grid, hoisted"
             f" reorder, the reference drivers' actual workload):"
-            f" **{sw['value']:.1f} Mpts/s ({sw['vs_baseline']:.1f}×)**"
-            f" at J=10"
+            f" **{sw['value']:.1f} Mpts/s{_vs('vs_baseline')}**"
+            f" of (frame, step) points at J=10"
             + (f" / **{sw['value_j18']:.1f} Mpts/s"
-               f" ({sw['vs_baseline_j18']:.1f}×)** at J=18"
+               f"{_vs('vs_baseline_j18')}** at J=18"
                if "value_j18" in sw else "")
-            + f" against the {sw['baseline_mpts']} Mpts/s same-machine"
-            " sweep denominator.")
+            + (f" against the {sw['baseline_mpts']}"
+               f"{'/' + str(sw['baseline_j18_mpts']) if 'baseline_j18_mpts' in sw else ''}"
+               " Mpts/s same-machine sweep denominators"
+               " (`scripts/measure_reference_cpu.py`)."
+               if "baseline_mpts" in sw else "."))
     return "\n".join(lines)
 
 
