@@ -61,7 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--progressive", type=int, default=0, metavar="K",
         help="preview serve from a stream PREFIX: decode only the first "
         "K entropy symbols per channel (coarse coefficients come first "
-        "in both orders). All-intra streams only. 0 = full decode")
+        "in both orders). On an inter sequence, serves the I-frames "
+        "only (random-access preview at GOP cadence, original frame "
+        "numbers kept). 0 = full decode")
     p.add_argument(
         "--u8", action="store_true",
         help="quantize images to uint8 ON DEVICE (1/4 the fetched bytes; "
@@ -216,15 +218,30 @@ def main(argv=None) -> int:
         if not _check_3dgs(s0.n_channels):
             return 2
         vms, Kms = _cameras(np.asarray(s0.vmin), float(s0.width), args)
+        # --progressive on an INTER sequence: preview from the I-frames
+        # only. Each intra frame is independently decodable, so filtering
+        # to the random-access points yields a valid all-intra sequence
+        # (a truncated P residual would corrupt the prediction chain —
+        # serve_sequence's invariant stays strict); outputs keep the
+        # ORIGINAL frame numbers so the preview's GOP cadence is visible.
+        frame_ids = list(range(len(streams)))
+        if args.progressive and any(s.inter for s in streams):
+            frame_ids = [i for i, s in enumerate(streams)
+                         if not s.inter]
+            print(
+                f"progressive preview of an inter sequence: serving the "
+                f"{len(frame_ids)} I-frames of {len(streams)} "
+                f"(indices {frame_ids})", file=sys.stderr)
+            streams = [streams[i] for i in frame_ids]
         positions = (None if args.positions is None
-                     else lambda i: _positions_for(args, i))
+                     else lambda i: _positions_for(args, frame_ids[i]))
         written = []
         n_frames = 0
         for i, (imgs, _, _) in enumerate(serve_sequence(
                 streams, vms, Kms, width=args.size, height=args.size,
                 positions=positions, progressive=args.progressive,
                 **raster)):
-            written += _write_views(out_dir, i, imgs, args.u8)
+            written += _write_views(out_dir, frame_ids[i], imgs, args.u8)
             n_frames += 1
         rec = {"frames": n_frames, "views": args.views,
                "container": "r3ts" if magic == SEQ_MAGIC else "r3tc"}
