@@ -68,6 +68,76 @@ E2E_WINDOW = 2  # in-flight symbol fetches (mirrors encode_sweep)
 PROBE_ATTEMPTS = 8
 
 
+def pipelined_drain(n, start, finish, entropy, upload, window):
+    """The shared 3-thread E2E schedule: a fetch thread (start-ahead
+    window of in-flight device->host copies), host entropy on the
+    calling thread, an upload+dispatch thread (FIFO keeps device-stream
+    order, so a scalar fetched from the LAST dispatched output bounds
+    the whole burst).
+
+    ``start(i) -> pending``; ``finish(pending) -> q_np``;
+    ``entropy(i, q_np) -> vals``; ``upload(i, vals)`` dispatches.
+    Exception-safe: a failure in any stage unblocks the other threads
+    via sentinels and re-raises in the caller — a raised
+    build_entropy_stream must not leave the uploader parked in get()
+    wedging the shared tunnel.
+    """
+    import queue
+    import threading
+
+    fetched = queue.Queue(maxsize=window)
+    to_upload = queue.Queue()
+    errs = []
+    STOP = object()
+
+    def fetcher():
+        try:
+            inflight = []
+            i = 0
+            for _ in range(n):
+                while i < n and len(inflight) < window:
+                    inflight.append(start(i))
+                    i += 1
+                fetched.put(finish(inflight.pop(0)))
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            errs.append(e)
+            fetched.put(STOP)
+
+    def uploader():
+        try:
+            for i in range(n):
+                vals = to_upload.get()
+                if vals is STOP:
+                    return
+                upload(i, vals)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    tf = threading.Thread(target=fetcher)
+    tu = threading.Thread(target=uploader)
+    tf.start()
+    tu.start()
+    try:
+        for i in range(n):
+            q_np = fetched.get()
+            if q_np is STOP:
+                break
+            to_upload.put(entropy(i, q_np))
+    except BaseException as e:  # noqa: BLE001
+        errs.append(e)
+    finally:
+        to_upload.put(STOP)  # no-op after a full run; unblocks on error
+        while tf.is_alive():  # drain so a full window can't wedge put()
+            try:
+                fetched.get(timeout=0.1)
+            except queue.Empty:
+                pass
+        tf.join()
+        tu.join()
+    if errs:
+        raise errs[0]
+
+
 def _platform_healthy(timeout_s: float = 150.0,
                       attempts: int = PROBE_ATTEMPTS) -> int:
     """The TPU tunnel in this environment can wedge (in-flight fetches hang
@@ -280,16 +350,12 @@ def main() -> None:
             # the down-wire; scripts/exp_e2e_schedule.py measured the
             # tunnel PARTIALLY DUPLEX (down+up concurrently ~127 ms vs
             # 178 serial at J=10) and host threads overlapping both
-            # directions. Schedule: a FETCH thread drains symbol fetches
-            # back-to-back (window via queue size), the MAIN thread runs
-            # host entropy, an UPLOAD thread packs + uploads + dispatches
-            # the decode programs in FIFO order (device stream order =
-            # dispatch order, so a scalar from the last frame's output
-            # still bounds the burst). Byte-equality with the serial
-            # codec API is asserted below — same programs, same streams.
-            import queue as _queue
-            import threading as _threading
-
+            # directions. pipelined_drain runs the 3-thread schedule
+            # with the start-ahead fetch window (frame i+1's host copy
+            # IN FLIGHT while frame i drains — without it the down-wire
+            # idles ~45 ms/frame, timeline-traced). Byte-equality with
+            # the serial codec API is asserted below — same programs,
+            # same streams.
             narrow = _narrow_fetch_enabled()
             pend = []
             for _ in range(E2E_BURST):
@@ -300,52 +366,12 @@ def main() -> None:
                 pend.append((q_T, _fetch_stats(q_T) if narrow else None))
             # ONE stacked stats fetch for the whole burst: a per-frame
             # (3,) stats fetch costs a full tunnel RTT serialized with
-            # the big fetch in the same thread (~25 ms x burst — the
-            # round-4 schedule's hidden residual)
+            # the big fetch in the same thread
             sts = (np.asarray(jnp.stack([st for _, st in pend]))
                    if narrow else None)
-
-            fetched = _queue.Queue(maxsize=E2E_WINDOW)
-            to_upload = _queue.Queue()
             out = {}
 
-            def fetcher():
-                # start-ahead window: frame i+1's host copy must be IN
-                # FLIGHT while frame i drains, or the down-wire idles
-                # between fetches (~45 ms/frame measured without it)
-                inflight = []
-                i = 0
-                for _ in range(E2E_BURST):
-                    while i < E2E_BURST and len(inflight) < E2E_WINDOW:
-                        inflight.append(_start_fetch(
-                            pend[i][0],
-                            sts[i] if sts is not None else None))
-                        i += 1
-                    fetched.put(_finish_fetch(inflight.pop(0)))
-
-            def uploader():
-                rec = None
-                for _ in range(E2E_BURST):
-                    vals_T = to_upload.get()
-                    inv = _inverse_order_device(
-                        codes_j, weights_j, nvox_j, depth,
-                        codec.order_mode)
-                    coeffs_d = _dequant_gather_device(
-                        upload_quantized(pack_quantized_upload(vals_T)),
-                        inv, steps_j, jnp.float32, codec.quant_mode,
-                    )
-                    rec = _inverse_device(coeffs_d, codes_j, weights_j,
-                                          depth)
-                float(rec[0, 0])  # bounds the whole burst (in-order)
-                out["rec"] = rec
-
-            tf = _threading.Thread(target=fetcher)
-            tu = _threading.Thread(target=uploader)
-            tf.start()
-            tu.start()
-            stream = None
-            for _ in range(E2E_BURST):
-                q_np = fetched.get()
+            def entropy(i, q_np):
                 stream, _ = build_entropy_stream(
                     q_np, frame, E2E_STEP, depth=depth,
                     order_mode=codec.order_mode, chunk=codec.chunk,
@@ -353,13 +379,31 @@ def main() -> None:
                     rec_delta=codec.rec_delta, dtype32=True,
                     entropy=codec.entropy,
                 )
+                out["stream"] = stream
                 vals_T = np.zeros((stream.n_channels, PAD_TO),
                                   dtype=np.int32)
                 decode_entropy_channels(stream, stream.n_voxels, vals_T)
-                to_upload.put(vals_T)
-            tf.join()
-            tu.join()
-            return stream, out["rec"]
+                return vals_T
+
+            def upload(i, vals_T):
+                inv = _inverse_order_device(
+                    codes_j, weights_j, nvox_j, depth, codec.order_mode)
+                coeffs_d = _dequant_gather_device(
+                    upload_quantized(pack_quantized_upload(vals_T)),
+                    inv, steps_j, jnp.float32, codec.quant_mode,
+                )
+                rec = _inverse_device(coeffs_d, codes_j, weights_j,
+                                      depth)
+                if i == E2E_BURST - 1:
+                    float(rec[0, 0])  # bounds the burst (in-order)
+                    out["rec"] = rec
+
+            pipelined_drain(
+                E2E_BURST,
+                lambda i: _start_fetch(
+                    pend[i][0], sts[i] if sts is not None else None),
+                _finish_fetch, entropy, upload, E2E_WINDOW)
+            return out["stream"], out["rec"]
 
         stream, rec2 = e2e_burst()  # warmup (compiles decode programs)
         # the hand-pipelined schedule must produce the exact bytes the
@@ -535,9 +579,6 @@ def main() -> None:
         ONE transform + hoisted reorder, then per step an elementwise
         quant program, the threaded fetch/entropy/upload drain, and the
         device dequant+inverse — (frame, step) points per second."""
-        import queue as _queue
-        import threading as _threading
-
         from raht3dgs_tpu.models.pipeline import (
             _quant_T_device,
             _reorder_T_device,
@@ -566,45 +607,12 @@ def main() -> None:
                              _fetch_stats(q_T) if narrow else None))
             sts = (np.asarray(jnp.stack([st for _, _, st in pend]))
                    if narrow else None)
-
-            fetched = _queue.Queue(maxsize=E2E_WINDOW)
-            to_upload = _queue.Queue()
             out = {}
+            inv = _inverse_order_device(
+                codes_j, weights_j, nvox_j, depth, codec.order_mode)
 
-            def fetcher():
-                inflight = []
-                i = 0
-                for _ in range(len(pend)):
-                    while i < len(pend) and len(inflight) < E2E_WINDOW:
-                        inflight.append(_start_fetch(
-                            pend[i][1],
-                            sts[i] if sts is not None else None))
-                        i += 1
-                    fetched.put(_finish_fetch(inflight.pop(0)))
-
-            def uploader():
-                rec = None
-                inv = _inverse_order_device(
-                    codes_j, weights_j, nvox_j, depth, codec.order_mode)
-                for s, _, _ in pend:
-                    vals_T = to_upload.get()
-                    coeffs_d = _dequant_gather_device(
-                        upload_quantized(pack_quantized_upload(vals_T)),
-                        inv, jnp.asarray(s, jnp.float32), jnp.float32,
-                        codec.quant_mode,
-                    )
-                    rec = _inverse_device(coeffs_d, codes_j, weights_j,
-                                          depth)
-                float(rec[0, 0])
-                out["rec"] = rec
-
-            tf = _threading.Thread(target=fetcher)
-            tu = _threading.Thread(target=uploader)
-            tf.start()
-            tu.start()
-            mid_stream = None
-            for s, _, _ in pend:
-                q_np = fetched.get()
+            def entropy(i, q_np):
+                s = pend[i][0]
                 stream, _ = build_entropy_stream(
                     q_np, frame, s, depth=depth,
                     order_mode=codec.order_mode, chunk=codec.chunk,
@@ -612,15 +620,30 @@ def main() -> None:
                     rec_delta=codec.rec_delta, dtype32=True,
                     entropy=codec.entropy,
                 )
+                if s == E2E_STEP:
+                    out["mid"] = stream
                 vals_T = np.zeros((stream.n_channels, PAD_TO),
                                   dtype=np.int32)
                 decode_entropy_channels(stream, stream.n_voxels, vals_T)
-                to_upload.put(vals_T)
-                if s == E2E_STEP:
-                    mid_stream = stream
-            tf.join()
-            tu.join()
-            return mid_stream
+                return vals_T
+
+            def upload(i, vals_T):
+                coeffs_d = _dequant_gather_device(
+                    upload_quantized(pack_quantized_upload(vals_T)),
+                    inv, jnp.asarray(pend[i][0], jnp.float32),
+                    jnp.float32, codec.quant_mode,
+                )
+                rec = _inverse_device(coeffs_d, codes_j, weights_j,
+                                      depth)
+                if i == len(pend) - 1:
+                    float(rec[0, 0])
+
+            pipelined_drain(
+                len(pend),
+                lambda i: _start_fetch(
+                    pend[i][1], sts[i] if sts is not None else None),
+                _finish_fetch, entropy, upload, E2E_WINDOW)
+            return out["mid"]
 
         mid = sweep_once()  # warmup/compile
         # the pipelined sweep must produce the exact bytes the serial

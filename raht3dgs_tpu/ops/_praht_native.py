@@ -128,7 +128,14 @@ def decode_step(lv, deq: np.ndarray, T_pred, m_prev: np.ndarray,
     tp = None
     if T_pred is not None:
         tp = np.ascontiguousarray(T_pred, dtype=dt)
-    fn(M, D, lv.ac_rows.shape[0], _ptr(lv.ac_rows, _i32p), _ptr(deq, fp),
+    # the numpy spec's "deq is None with n_ac > 0" case means AC rows
+    # stay ZERO (skipped residuals / prediction cascade) — an empty deq
+    # buffer must scatter 0 rows, never read n_ac rows past its end
+    n_ac = deq.shape[0]
+    if n_ac not in (0, lv.ac_rows.shape[0]):
+        raise ValueError(
+            f"deq has {n_ac} rows for {lv.ac_rows.shape[0]} AC slots")
+    fn(M, D, n_ac, _ptr(lv.ac_rows, _i32p), _ptr(deq, fp),
        _ptr(tp, fp) if tp is not None else None, P,
        _ptr(lv.idx_surv, _i32p), _ptr(lv.sqrt_pw_flat, fp),
        _ptr(m_prev, fp), sub_off.shape[0] - 1, _ptr(sub_off, _i64p),

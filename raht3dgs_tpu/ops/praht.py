@@ -483,9 +483,20 @@ def praht_plan(
             csr = _csr_from_cands(codes_d.shape[0], cands, fdtype)
         sq_col = np.sqrt(W_d)[:, None].astype(fdtype, copy=False)
         pw_col = np.sqrt(pW)[:, None]
+        # the flat arrays are the single copy of the butterfly schedule;
+        # the numpy-spec `pairs` become VIEWS into them (same values,
+        # ~half the plan footprint — plans are cached across sweeps)
+        flat = _flat_from_pairs(tuple(pairs), fdtype)
+        sub_off, i0f, i1f, af, bf = flat
+        pairs = tuple(
+            (i0f[sub_off[s]:sub_off[s + 1]],
+             i1f[sub_off[s]:sub_off[s + 1]],
+             af[sub_off[s]:sub_off[s + 1], None],
+             bf[sub_off[s]:sub_off[s + 1], None])
+            for s in range(len(pairs)))
         levels.append(_LevelPlan(
             n_ac=codes_d.shape[0] - pcodes.shape[0],
-            pairs=tuple(pairs),
+            pairs=pairs,
             idx_surv=np.asarray(idx_surv, dtype=np.int32),
             is_ac=is_ac,
             sq=sq_col,
@@ -493,7 +504,7 @@ def praht_plan(
             base_j=base_j,
             cands=cands,
             csr=csr,
-            flat=_flat_from_pairs(tuple(pairs), fdtype),
+            flat=flat,
             ac_rows=np.flatnonzero(is_ac).astype(np.int32),
             sq_flat=np.ascontiguousarray(sq_col.ravel()),
             sqrt_pw_flat=np.ascontiguousarray(
