@@ -28,24 +28,40 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def latest_bench(repo: Path = REPO):
-    """Return (round_number, parsed json) for the newest BENCH_r*.json."""
+def latest_bench(repo: Path = REPO, rnd: int = None):
+    """Return (round_number, parsed json) for the newest BENCH_r*.json,
+    or for the specific round ``rnd`` when given."""
     best = None
     for p in repo.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if not m:
             continue
         n = int(m.group(1))
+        if rnd is not None and n != rnd:
+            continue
         if best is None or n > best[0]:
             best = (n, p)
     if best is None:
-        raise FileNotFoundError("no BENCH_r*.json at repo root")
+        raise FileNotFoundError(
+            "no BENCH_r*.json at repo root" if rnd is None
+            else f"no BENCH_r{rnd:02d}.json at repo root")
     with open(best[1]) as f:
         raw = json.load(f)
     # Driver artifacts wrap the bench line under "parsed"; bare bench.py
     # output is the record itself.
     rec = raw.get("parsed", raw)
     return best[0], rec
+
+
+def cited_round(repo: Path = REPO) -> int:
+    """The round number the committed README headline block cites
+    (``BENCH_rNN.json`` inside the generated block)."""
+    text = (repo / "README.md").read_text()
+    m = re.search(r"BENCH:BEGIN headline.*?`BENCH_r(\d+)\.json`", text,
+                  re.S)
+    if not m:
+        raise ValueError("README headline block cites no BENCH_r*.json")
+    return int(m.group(1))
 
 
 def _fmt_e2e(leg: dict) -> str:
@@ -130,9 +146,12 @@ def apply(text: str, name: str, body: str, path: str) -> str:
     return pat.sub(begin + "\n" + body + "\n" + end, text)
 
 
-def render(repo: Path = REPO) -> dict:
-    """Return {path: new_text} for every managed file."""
-    rnd, rec = latest_bench(repo)
+def render(repo: Path = REPO, rnd: int = None) -> dict:
+    """Return {path: new_text} for every managed file. ``rnd`` pins the
+    source json (the drift test renders from the round the committed
+    text CITES, so a newer driver-deposited BENCH json does not fail the
+    suite — running this script without ``rnd`` adopts the latest)."""
+    rnd, rec = latest_bench(repo, rnd)
     out = {}
     for fname, blocks in BLOCKS.items():
         p = repo / fname

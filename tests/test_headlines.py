@@ -13,11 +13,15 @@ sys.path.insert(0, str(REPO / "scripts"))
 import update_headlines  # noqa: E402
 
 
-def test_headline_blocks_match_latest_bench_json():
-    for fname, new_text in update_headlines.render(REPO).items():
+def test_headline_blocks_match_cited_bench_json():
+    # Render from the round the committed text CITES (a newer
+    # driver-deposited BENCH json between commits must not fail the
+    # suite; hand-edits to the generated blocks still do).
+    rnd = update_headlines.cited_round(REPO)
+    for fname, new_text in update_headlines.render(REPO, rnd).items():
         committed = (REPO / fname).read_text()
         assert committed == new_text, (
-            f"{fname} headline block is stale vs the latest BENCH_r*.json; "
+            f"{fname} headline block is stale vs BENCH_r{rnd:02d}.json; "
             "run python scripts/update_headlines.py")
 
 
