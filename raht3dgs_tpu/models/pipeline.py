@@ -570,14 +570,23 @@ def quantized_upload_array(vals_T: np.ndarray) -> np.ndarray:
 class QuantizedUpload(NamedTuple):
     """Host-side packing of a quantized channel matrix for upload.
 
-    ``vals`` is the (possibly int16-narrowed) matrix; when a *few* entries
-    overflow int16, they are truncated in ``vals`` and carried exactly in
-    the sparse ``(patch_idx, patch_val)`` flat-index patch instead (empty
-    arrays when no patch is needed)."""
+    Dense tiers: ``vals`` is the (possibly int8/int16-narrowed) matrix;
+    when a *few* entries overflow the narrow dtype, they are truncated in
+    ``vals`` and carried exactly in the sparse ``(patch_idx, patch_val)``
+    flat-index patch (empty arrays when no patch is needed).
+
+    Sparse tier (``shape`` set): the matrix is mostly ZEROS — inter
+    residuals at serving operating points, high-step RD points — and the
+    wire carries only ``(patch_idx, vals)`` = (flat nonzero indices,
+    their values in the narrowest exact dtype); the device rebuilds the
+    dense matrix with one scatter into zeros. Chosen by
+    :func:`pack_quantized_upload` only when the padded sparse bytes beat
+    the best dense tier; ``RAHT3DGS_UPLOAD_SPARSE=0`` disables."""
 
     vals: np.ndarray
     patch_idx: np.ndarray
     patch_val: np.ndarray
+    shape: tuple = None
 
 
 _EMPTY_I32 = np.zeros((0,), np.int32)
@@ -586,6 +595,42 @@ _EMPTY_I32 = np.zeros((0,), np.int32)
 def _upload_patch_enabled() -> bool:
     return os.environ.get("RAHT3DGS_UPLOAD_PATCH", "1") not in (
         "0", "false", "")
+
+
+def _upload_sparse_enabled() -> bool:
+    return os.environ.get("RAHT3DGS_UPLOAD_SPARSE", "1") not in (
+        "0", "false", "")
+
+
+def _sparse_upload(vals_T: np.ndarray, nz: np.ndarray,
+                   dense_bytes: int):
+    """Sparse wire tier when (padded) indices+values beat the best dense
+    tier; ``None`` when dense wins. Values ride the narrowest dtype that
+    holds every nonzero exactly; nnz pads to a power-of-two bucket
+    (duplicates of entry 0 — same (idx, val) rewritten) so the scatter
+    program compiles once per bucket."""
+    val = vals_T.reshape(-1)[nz]
+    a = np.abs(val, dtype=np.int64)
+    vmax = int(a.max()) if val.size else 0
+    if vmax < 128:
+        vdt = np.int8
+    elif vmax < (1 << 15):
+        vdt = np.int16
+    else:
+        vdt = np.int32
+    bucket = 64
+    while bucket < nz.size:
+        bucket *= 2
+    if bucket * (4 + np.dtype(vdt).itemsize) >= dense_bytes:
+        return None
+    pad = bucket - nz.size
+    if pad:
+        fi = nz[0] if nz.size else np.int32(0)
+        fv = val[0] if val.size else 0
+        nz = np.concatenate([nz, np.full(pad, fi, np.int32)])
+        val = np.concatenate([val, np.full(pad, fv, val.dtype)])
+    return QuantizedUpload(val.astype(vdt), nz, _EMPTY_I32,
+                           tuple(vals_T.shape))
 
 
 def _padded_patch(vals_narrow: np.ndarray, over: np.ndarray,
@@ -626,19 +671,32 @@ def pack_quantized_upload(vals_T: np.ndarray) -> QuantizedUpload:
     over8 = np.flatnonzero(a >= 128).astype(np.int32)
     patch_ok = _upload_patch_enabled()
     if over8.size == 0:
-        return QuantizedUpload(
+        dense = QuantizedUpload(
             vals_T.astype(np.int8), _EMPTY_I32, _EMPTY_I32
         )
-    if patch_ok and over8.size <= flat.size // 16:
-        return _padded_patch(vals_T.astype(np.int8), over8, flat)
-    over16 = over8[a[over8] >= (1 << 15)]  # over16 is a subset of over8
-    if over16.size == 0:
-        return QuantizedUpload(
-            vals_T.astype(np.int16), _EMPTY_I32, _EMPTY_I32
-        )
-    if not patch_ok or over16.size > flat.size // 8:
-        return QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
-    return _padded_patch(vals_T.astype(np.int16), over16, flat)
+    elif patch_ok and over8.size <= flat.size // 16:
+        dense = _padded_patch(vals_T.astype(np.int8), over8, flat)
+    else:
+        over16 = over8[a[over8] >= (1 << 15)]  # subset of over8
+        if over16.size == 0:
+            dense = QuantizedUpload(
+                vals_T.astype(np.int16), _EMPTY_I32, _EMPTY_I32
+            )
+        elif not patch_ok or over16.size > flat.size // 8:
+            dense = QuantizedUpload(vals_T, _EMPTY_I32, _EMPTY_I32)
+        else:
+            dense = _padded_patch(vals_T.astype(np.int16), over16, flat)
+    if _upload_sparse_enabled():
+        dense_bytes = (dense.vals.nbytes + dense.patch_idx.nbytes
+                       + dense.patch_val.nbytes)
+        nnz = int(np.count_nonzero(flat))
+        if nnz * 5 < dense_bytes:  # cheap pre-check before flatnonzero
+            sp = _sparse_upload(
+                vals_T, np.flatnonzero(flat).astype(np.int32),
+                dense_bytes)
+            if sp is not None:
+                return sp
+    return dense
 
 
 @jax.jit
@@ -649,12 +707,28 @@ def _widen_patch_device(vals, idx, val):
     return flat.reshape(vals.shape)
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def _scatter_sparse_device(idx, val, shape):
+    """Rebuild the dense channel matrix from the sparse wire tier: one
+    scatter of the nonzeros into zeros (pad duplicates rewrite entry 0's
+    own value — harmless)."""
+    size = 1
+    for s in shape:
+        size *= s
+    flat = jnp.zeros((size,), val.dtype).at[idx].set(
+        val, unique_indices=False)
+    return flat.reshape(shape)
+
+
 def upload_quantized(up: QuantizedUpload):
-    """Move a :class:`QuantizedUpload` to device, applying the overflow
-    patch in a tiny scatter dispatch. Returns a device array bitwise equal
-    (after int32 widening) to the original int32 matrix; dtype is the
-    narrowed int8/int16 when no patch was needed (consumers widen), int32
-    when patched."""
+    """Move a :class:`QuantizedUpload` to device. Dense tiers apply the
+    overflow patch in a tiny scatter dispatch; the sparse tier scatters
+    the nonzeros into zeros. Returns a device array bitwise equal (after
+    int32 widening) to the original int32 matrix; dtype is the narrowed
+    int8/int16 when exact (consumers widen), int32 otherwise."""
+    if up.shape is not None:
+        return _scatter_sparse_device(
+            jnp.asarray(up.patch_idx), jnp.asarray(up.vals), up.shape)
     vals = jnp.asarray(up.vals)
     if up.patch_idx.size == 0:
         return vals

@@ -162,16 +162,22 @@ def test_patched_upload_policy(monkeypatch):
     up = pack_quantized_upload(wide)
     assert up.vals.dtype == np.int32 and up.patch_idx.size == 0
 
-    # env kill-switch restores the all-or-nothing behavior
+    # one outlier over a zero base: the SPARSE tier wins outright
+    # (64-bucketed indices+values beat any dense tier)
     sparse = np.zeros((8, 64), dtype=np.int32)
     sparse[0, 0] = 40_000
+    up = pack_quantized_upload(sparse)
+    assert up.shape == (8, 64) and up.patch_idx.size == 64
+    # dense-tier policy itself, with the sparse tier disabled:
+    monkeypatch.setenv("RAHT3DGS_UPLOAD_SPARSE", "0")
     monkeypatch.setenv("RAHT3DGS_UPLOAD_PATCH", "0")
     up = pack_quantized_upload(sparse)
     assert up.vals.dtype == np.int32 and up.patch_idx.size == 0
     monkeypatch.delenv("RAHT3DGS_UPLOAD_PATCH")
     # with patching back on, one outlier over a zero base takes the
-    # narrowest tier: int8 + patch
+    # narrowest dense tier: int8 + patch
     assert pack_quantized_upload(sparse).vals.dtype == np.int8
+    monkeypatch.delenv("RAHT3DGS_UPLOAD_SPARSE")
 
     # dense int8 overflow but int16-clean: plain int16 wire
     mid = np.full((8, 64), 1000, dtype=np.int32)
@@ -843,3 +849,71 @@ def test_serve_sequence_cross_size_frames(rng):
             scene, vms, Kms, bg, width=SIZE, height=SIZE, **RASTER)
         np.testing.assert_allclose(np.asarray(imgs), np.asarray(ref),
                                    atol=2e-4)
+
+
+def test_sparse_upload_tier(rng, monkeypatch):
+    """The sparse wire tier (round 5): mostly-zero matrices ship
+    (indices, values) and the device scatter rebuilds the EXACT dense
+    matrix; the packer picks whichever representation is smaller."""
+    from raht3dgs_tpu.models.pipeline import (
+        pack_quantized_upload,
+        upload_quantized,
+    )
+
+    # 1% density, values crossing all three dtypes
+    for hi, vdt in ((100, np.int8), (20_000, np.int16),
+                    (1 << 20, np.int32)):
+        vals = np.zeros((56, 2048), dtype=np.int32)
+        flat = vals.reshape(-1)
+        pos = rng.choice(flat.size, size=flat.size // 100, replace=False)
+        flat[pos] = rng.integers(1, hi, size=pos.size)
+        flat[pos[0]] = hi - 1  # pin the dtype tier
+        up = pack_quantized_upload(vals)
+        assert up.shape == (56, 2048), "sparse tier should win at 1%"
+        assert up.vals.dtype == vdt
+        dense = np.asarray(upload_quantized(up)).astype(np.int32)
+        np.testing.assert_array_equal(dense, vals)
+
+    # all-zero matrix: sparse tier, rebuilds exact zeros
+    z = np.zeros((8, 256), dtype=np.int32)
+    up = pack_quantized_upload(z)
+    assert up.shape == (8, 256)
+    np.testing.assert_array_equal(
+        np.asarray(upload_quantized(up)).astype(np.int32), z)
+
+    # dense content must NOT take the sparse tier
+    d = rng.integers(-100, 100, size=(8, 256)).astype(np.int32)
+    d[d == 0] = 1
+    assert pack_quantized_upload(d).shape is None
+
+    # kill-switch
+    s = np.zeros((8, 256), dtype=np.int32)
+    s[0, 3] = 7
+    monkeypatch.setenv("RAHT3DGS_UPLOAD_SPARSE", "0")
+    assert pack_quantized_upload(s).shape is None
+    monkeypatch.delenv("RAHT3DGS_UPLOAD_SPARSE")
+    assert pack_quantized_upload(s).shape == (8, 256)
+
+
+def test_sparse_upload_through_serve_frame(rng):
+    """A sparse quantized matrix serves bitwise identically through the
+    sparse wire tier and a forced dense upload."""
+    from raht3dgs_tpu.models.pipeline import (
+        pack_quantized_upload,
+        upload_quantized,
+    )
+
+    frame, vals_T, inv, steps, vs, vmin = _make_served_frame(rng)
+    vals_T = vals_T.copy()
+    vals_T[:, 16:] = 0  # mostly-zero: the sparse tier engages
+    up = pack_quantized_upload(vals_T)
+    assert up.shape is not None
+    vms, Kms = _cameras(2)
+    bg = jnp.ones((3,), jnp.float32)
+    kw = dict(depth=DEPTH, width=SIZE, height=SIZE, **RASTER)
+    a = serve_frame(upload_quantized(up), inv, steps, frame.codes,
+                    frame.weights, vs, vmin, vms, Kms, bg, **kw)
+    b = serve_frame(jnp.asarray(vals_T), inv, steps, frame.codes,
+                    frame.weights, vs, vmin, vms, Kms, bg, **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
