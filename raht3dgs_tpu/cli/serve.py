@@ -237,12 +237,25 @@ def main(argv=None) -> int:
                      else lambda i: _positions_for(args, frame_ids[i]))
         written = []
         n_frames = 0
+        # pipelined consumer: write frame k-1's images while the
+        # generator host-decodes frame k — the generator dispatches
+        # device programs asynchronously, so the host entropy/upload leg
+        # overlaps the previous frame's render (measured -16% steady
+        # state, docs/performance.md "Round-5 steady-state
+        # decomposition"); same images, only the forcing point moves
+        prev = None
         for i, (imgs, _, _) in enumerate(serve_sequence(
                 streams, vms, Kms, width=args.size, height=args.size,
                 positions=positions, progressive=args.progressive,
                 **raster)):
-            written += _write_views(out_dir, frame_ids[i], imgs, args.u8)
+            if prev is not None:
+                written += _write_views(out_dir, frame_ids[n_frames - 1],
+                                        prev, args.u8)
+            prev = imgs
             n_frames += 1
+        if prev is not None:
+            written += _write_views(out_dir, frame_ids[n_frames - 1],
+                                    prev, args.u8)
         rec = {"frames": n_frames, "views": args.views,
                "container": "r3ts" if magic == SEQ_MAGIC else "r3tc"}
     else:
