@@ -144,6 +144,24 @@ def main() -> int:
         f"(vs {enc.stream.bpp():.3f} sequential; chunks decode in parallel)"
     )
 
+    # ---- 6b. predicted RAHT: the flagship beyond-reference RD mode ----
+    # Each depth group codes residuals against an upsampled prediction
+    # from the coarser depth's reconstruction (-62% BD-rate on 3DGS
+    # content, docs/rd_predict.md); same stream layout, so progressive/
+    # LOD/chunked/tiled all still compose. Decode replays the identical
+    # closed loop (native bitwise kernels, RAHT3DGS_PRAHT_NATIVE=0 for
+    # pure numpy).
+    pcodec = AttributeCodec(depth, predict=True)
+    penc = pcodec.encode(frame, steps=4.0)
+    prec, _ = pcodec.decode(penc.stream, frame.codes, frame.weights)
+    assert penc.stream.predict
+    print(
+        f"[6b] predicted RAHT: {penc.stream.bpp():.3f} bpp vs "
+        f"{enc.stream.bpp():.3f} plain at the same step (mask "
+        f"{penc.stream.predict_mask:0{depth}b}; decoder re-runs the "
+        "identical closed loop)"
+    )
+
     # ---- 7. render-PSNR via the TPU-native volumetric rasterizer ------
     from raht3dgs_tpu.eval.render import render_comparison
 
