@@ -24,6 +24,16 @@ Probes (each timed on the real tunnel, N=500k):
      streams.
 
 Usage: python scripts/exp_e2e_schedule.py [--depth 10] [--burst 8]
+
+Outcome (round 5): probes A-D established partial duplexity and full
+host-entropy overlap; a per-event timeline of probe E's threaded burst
+then caught the fetcher starting frame i+1's copy only after frame i
+drained (~45 ms/frame of idle down-wire). The production schedule —
+probe E plus the START-AHEAD in-flight window — lives in
+``bench.py:pipelined_drain`` and reached 101%/94% of the in-run
+pipeline bound (docs/performance.md "Round 5 — the schedule reaches its
+own bound"). This script keeps the simpler no-window variant as the
+measured baseline of that story.
 """
 
 from __future__ import annotations
