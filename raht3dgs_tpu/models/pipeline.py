@@ -1228,24 +1228,62 @@ class AttributeCodec:
         # thrash it with many large buffers queued (56ch x 131k sweeps
         # measured 0.4-0.8x serial); W=2 keeps the overlap that matters.
         # RAHT3DGS_FETCH_WINDOW=0 restores the unbounded queue.
+        #
+        # Round 5: the fetches run on a dedicated THREAD (finish+widen
+        # fully overlap the entropy coder — async copies alone overlap
+        # only ~60% through the tunnel, scripts/exp_e2e_schedule.py), and
+        # the per-step (3,) stats arrays are fetched as ONE stacked array
+        # (each tiny fetch costs a full tunnel RTT). Byte-identity with
+        # the serial API is unchanged and pinned by the sweep tests.
+        import queue as _queue
+        import threading as _threading
+
         window = _fetch_window(len(pend))
+        sts = (np.asarray(jnp.stack([st for _, _, st in pend]))
+               if narrow else None)
+        fetched: _queue.Queue = _queue.Queue(maxsize=window)
+        errs: list = []
+        STOP = object()
+
+        def fetcher():
+            try:
+                inflight: List = []
+                j = 0
+                for _ in range(len(pend)):
+                    while j < len(pend) and len(inflight) < window:
+                        inflight.append(_start_fetch(
+                            pend[j][1],
+                            sts[j] if sts is not None else None))
+                        j += 1
+                    fetched.put(_finish_fetch(inflight.pop(0)))
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                errs.append(e)
+                fetched.put(STOP)
+
+        th = _threading.Thread(target=fetcher)
+        th.start()
         out: List[EncodedFrame] = []
-        bufs: List[tuple] = []
-        i = 0
-        while len(out) < len(pend):
-            while len(bufs) < window and i < len(pend):
-                s, q_T, st = pend[i]
-                bufs.append(
-                    (s, _start_fetch(q_T, np.asarray(st) if st is not None
-                                     else None))
-                )
-                i += 1
-            s, p = bufs.pop(0)
-            timer = StageTimer()
-            q_np = timer.time("Quant_time", lambda p=p: _finish_fetch(p))
-            stream, enc_ns = self._entropy_stream(q_np, frame, s)
-            timer.add("Entropy_enc_time", enc_ns / 1e9)
-            out.append(EncodedFrame(stream=stream, timer=timer))
+        try:
+            for k in range(len(pend)):
+                timer = StageTimer()
+                q_np = timer.time("Quant_time", fetched.get)
+                if q_np is STOP:
+                    break
+                stream, enc_ns = self._entropy_stream(q_np, frame,
+                                                      pend[k][0])
+                timer.add("Entropy_enc_time", enc_ns / 1e9)
+                out.append(EncodedFrame(stream=stream, timer=timer))
+        finally:
+            # unblock the fetcher if we bailed early (full queue would
+            # wedge its put); a completed run skips this instantly
+            while th.is_alive():
+                try:
+                    fetched.get(timeout=0.1)
+                except _queue.Empty:
+                    pass
+            th.join()
+        if errs:
+            raise errs[0]
         return out
 
     # -- decoding ---------------------------------------------------------
